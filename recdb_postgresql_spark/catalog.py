@@ -1,0 +1,105 @@
+"""Recommender catalog — the RecModelsCatalogue + <name>Index equivalent.
+
+Reference: ``PostgreSQL/src/backend/tcop/utility.c:886-922`` creates a
+global ``RecModelsCatalogue`` table plus a per-recommender ``<name>Index``
+metadata table. Here the catalog is a JSON manifest (driver-side, tiny)
+and each model is a parquet directory (or a cached DataFrame when no
+workdir is configured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class RecommenderInfo:
+    name: str
+    userkey: str
+    itemkey: str
+    eventval: str
+    method: str
+    event_total: int = 0
+    update_counter: int = 0   # <name>Index.updateCounter (utility.c:917-921)
+    query_counter: int = 0    # bumped on first materialized query (execRecommend.c:831-836)
+    model_tables: list = field(default_factory=list)
+
+
+class RecCatalog:
+    def __init__(self, workdir: Optional[str] = None):
+        self.workdir = workdir
+        self._mem: dict[str, RecommenderInfo] = {}
+        self._mem_models: dict[str, dict[str, DataFrame]] = {}
+        if workdir:
+            os.makedirs(workdir, exist_ok=True)
+            self._load_manifest()
+
+    # -- manifest ------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.workdir, "catalog.json")
+
+    def _load_manifest(self) -> None:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                for row in json.load(f):
+                    self._mem[row["name"]] = RecommenderInfo(**row)
+
+    def _save_manifest(self) -> None:
+        if not self.workdir:
+            return
+        with open(self._manifest_path(), "w") as f:
+            json.dump([asdict(i) for i in self._mem.values()], f, indent=1)
+
+    # -- API -----------------------------------------------------------
+    def get(self, name: Optional[str]) -> Optional[RecommenderInfo]:
+        return self._mem.get(name) if name else None
+
+    def find(self, method: str) -> Optional[RecommenderInfo]:
+        """retrieveRecommender analog (recathon.c:706-747)."""
+        for i in self._mem.values():
+            if i.method == method:
+                return i
+        return None
+
+    def put(self, info: RecommenderInfo, models: dict[str, DataFrame],
+            spark: SparkSession, replace: bool = False) -> None:
+        if info.name in self._mem and not replace:
+            raise ValueError(f"recommender {info.name!r} exists")
+        info.model_tables = sorted(models.keys())
+        if self.workdir:
+            for key, df in models.items():
+                path = os.path.join(self.workdir, info.name, key)
+                df.write.mode("overwrite").parquet(path)
+        else:
+            self._mem_models[info.name] = {k: df.cache() for k, df in models.items()}
+        self._mem[info.name] = info
+        self._save_manifest()
+
+    def load_models(self, info: RecommenderInfo, spark: SparkSession) -> dict[str, DataFrame]:
+        if self.workdir:
+            return {k: spark.read.parquet(os.path.join(self.workdir, info.name, k))
+                    for k in info.model_tables}
+        return self._mem_models[info.name]
+
+    def update_meta(self, info: RecommenderInfo) -> None:
+        self._mem[info.name] = info
+        self._save_manifest()
+
+    def drop(self, name: str) -> None:
+        if name not in self._mem:
+            raise ValueError(f"no recommender {name!r}")  # utility.c:978-983 analog
+        self._mem.pop(name)
+        for df_map in (self._mem_models.pop(name, None),):
+            if df_map:
+                for df in df_map.values():
+                    df.unpersist()
+        if self.workdir:
+            shutil.rmtree(os.path.join(self.workdir, name), ignore_errors=True)
+        self._save_manifest()

@@ -1,0 +1,197 @@
+"""Engine session + RecDB-equivalent top-level API.
+
+Maps the reference's utility-command surface
+(``PostgreSQL/src/backend/tcop/utility.c:856-1060`` — CREATE/DROP
+RECOMMENDER) and the RECOMMEND query clause
+(``PostgreSQL/src/backend/parser/parse_rec.c:56-112``,
+``executor/execRecommend.c:302-595``) onto a DataFrame-emitting
+library layer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.catalog import RecCatalog, RecommenderInfo
+from recdb_postgresql_spark.operators import cf, svd as svd_mod
+
+METHODS = ("itemcoscf", "itempearcf", "usercoscf", "userpearcf", "svd")
+
+
+def get_spark(app: str = "recdb_spark", cpus: Optional[int] = None) -> SparkSession:
+    """Local session tuned for the test harness (local[32], 32 shuffle
+    partitions, AQE on). On a real cluster the same code runs unchanged;
+    only master/conf differ."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+class RecEngine:
+    """CREATE RECOMMENDER / DROP RECOMMENDER / RECOMMEND, Spark-first.
+
+    The reference materializes models into heap tables and keeps a
+    global ``RecModelsCatalogue`` (``utility.c:886-922``). Here a
+    recommender is a trained model DataFrame (optionally persisted to
+    parquet under ``workdir``) plus a catalog row.
+    """
+
+    def __init__(self, spark: SparkSession, workdir: Optional[str] = None,
+                 update_threshold: float = 0.5,
+                 svd_features: int = svd_mod.NUM_FEATURES,
+                 svd_epochs: int = svd_mod.NUM_EPOCHS):
+        self.spark = spark
+        self.catalog = RecCatalog(workdir)
+        # RecDBProperties.update_threshold default 0.5 (utility.c:907)
+        self.update_threshold = update_threshold
+        # reference constants (recathon.c:2707,2788) — reducible for test speed
+        self.svd_features = svd_features
+        self.svd_epochs = svd_epochs
+
+    # ------------------------------------------------------------------
+    # DDL surface
+    # ------------------------------------------------------------------
+    def create_recommender(self, name: str, events: DataFrame, userkey: str,
+                           itemkey: str, eventval: str, method: str) -> RecommenderInfo:
+        """Validate, train, persist — mirrors ProcessUtility T_CreateRStmt
+        (``utility.c:856-955``) + validateCreateRStmt (``recathon.c:821-881``)."""
+        method = method.lower()
+        if method not in METHODS:
+            raise ValueError(f"unknown method {method!r}; one of {METHODS}")
+        for c in (userkey, itemkey, eventval):
+            if c not in events.columns:
+                # analog of "column does not exist" check recathon.c:662-696
+                raise ValueError(f"column {c!r} not in events table {events.columns}")
+        if self.catalog.get(name) is not None:
+            raise ValueError(f"recommender {name!r} already exists")
+
+        models = self._train(events, userkey, itemkey, eventval, method)
+        event_total = events.count()
+        info = RecommenderInfo(
+            name=name, userkey=userkey, itemkey=itemkey, eventval=eventval,
+            method=method, event_total=event_total, update_counter=0,
+            query_counter=0,
+        )
+        self.catalog.put(info, models, self.spark)
+        return info
+
+    def drop_recommender(self, name: str) -> None:
+        """utility.c:956-1060 — drop model tables + catalog row."""
+        self.catalog.drop(name)
+
+    # ------------------------------------------------------------------
+    # Query surface
+    # ------------------------------------------------------------------
+    def recommend(self, events: DataFrame, userkey: str, itemkey: str,
+                  eventval: str, method: str = "itemcoscf",
+                  name: Optional[str] = None,
+                  user_where: Optional[Column] = None,
+                  where: Optional[Column] = None,
+                  k: Optional[int] = None,
+                  round_to: Optional[int] = None) -> DataFrame:
+        """The RECOMMEND clause as a DataFrame pipeline.
+
+        Semantics follow ExecFilterRecommend (``execRecommend.c:302-595``):
+        for each user passing the user-only WHERE x each distinct item,
+        emit (user, item, predicted score); the residual WHERE (which may
+        reference the score column, RecDB's ``noFilter`` path —
+        ``parse_rec.c:687-728``) is applied after scoring; ORDER BY score
+        DESC LIMIT k is the reference regression suite's top-k shape.
+
+        Already-rated items are scored too (the reference's pending list
+        holds *all* items — ``recathon.c:3942-3958``).
+        """
+        method = method.lower()
+        info = self.catalog.get(name) if name else None
+        if info is not None:
+            models = self.catalog.load_models(info, self.spark)
+            method = info.method
+        else:
+            # on-the-fly "GenerateRecommend" path: train at query time
+            models = self._train(events, userkey, itemkey, eventval, method)
+
+        ratings = cf.normalize_events(events, userkey, itemkey, eventval)
+        users = ratings.select("user").distinct()
+        if user_where is not None:
+            users = ratings.select(F.col("user").alias(userkey)).distinct() \
+                .filter(user_where).select(F.col(userkey).alias("user"))
+        items = ratings.select("item").distinct()
+
+        if method == "itemcoscf" or method == "itempearcf":
+            scored = cf.predict_item_cf(models["model"], ratings, users, items)
+        elif method == "usercoscf" or method == "userpearcf":
+            scored = cf.predict_user_cf(models["model"], ratings, users, items)
+        elif method == "svd":
+            scored = svd_mod.predict_svd(models["user_model"], models["item_model"],
+                                         users, items)
+        else:  # pragma: no cover
+            raise ValueError(method)
+
+        out = scored.select(
+            F.col("user").alias(userkey),
+            F.col("item").alias(itemkey),
+            (F.round("score", round_to) if round_to is not None
+             else F.col("score")).alias(eventval),
+        )
+        if where is not None:
+            out = out.filter(where)
+        if k is not None:
+            # TakeOrderedAndProject top-k; deterministic tie-break on keys
+            out = out.orderBy(F.col(eventval).desc(), F.col(userkey), F.col(itemkey)).limit(k)
+        return out
+
+    # ------------------------------------------------------------------
+    # Maintenance (R15): INSERT-hook counter + threshold retrain
+    # ------------------------------------------------------------------
+    def append_events(self, name: str, events: DataFrame, new_events: DataFrame,
+                      userkey: str, itemkey: str, eventval: str) -> DataFrame:
+        """updateCellCounter analog (``nodeModifyTable.c:271``,
+        ``recathon.c:960-1203``): bump the counter; full retrain when
+        counter >= update_threshold * eventtotal, then reset."""
+        info = self.catalog.get(name)
+        if info is None:
+            raise ValueError(f"no recommender {name!r}")
+        combined = events.unionByName(new_events)
+        n_new = new_events.count()
+        info.update_counter += n_new
+        if info.update_counter >= self.update_threshold * max(info.event_total, 1):
+            models = self._train(combined, userkey, itemkey, eventval, info.method)
+            info.event_total += info.update_counter
+            info.update_counter = 0
+            self.catalog.put(info, models, self.spark, replace=True)
+        else:
+            self.catalog.update_meta(info)
+        return combined
+
+    # ------------------------------------------------------------------
+    def _train(self, events: DataFrame, userkey: str, itemkey: str,
+               eventval: str, method: str) -> dict[str, DataFrame]:
+        ratings = cf.normalize_events(events, userkey, itemkey, eventval)
+        if method == "itemcoscf":
+            return {"model": cf.train_item_cos(ratings)}
+        if method == "itempearcf":
+            return {"model": cf.train_item_pearson(ratings)}
+        if method == "usercoscf":
+            return {"model": cf.train_user_cos(ratings)}
+        if method == "userpearcf":
+            return {"model": cf.train_user_pearson(ratings)}
+        if method == "svd":
+            um, im = svd_mod.train_funk_svd(self.spark, ratings,
+                                            num_features=self.svd_features,
+                                            num_epochs=self.svd_epochs)
+            return {"user_model": um, "item_model": im}
+        raise ValueError(method)

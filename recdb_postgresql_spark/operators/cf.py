@@ -1,0 +1,216 @@
+"""Collaborative-filtering trainers + predictors (RecDB R7-R12).
+
+Reference math (all in ``PostgreSQL/src/backend/utils/misc/recathon.c``):
+
+- Item cosine (R7): per-item norms ``recathon.c:1236-1308``; pairwise
+  dot over co-rating users ``recathon.c:1319-1344``; sim = dot /
+  (norm_i * norm_j) ``recathon.c:1353-1367``; keep upper triangle
+  (item1 < item2) and drop sim <= 0 (``recathon.c:1493``).
+- Item Pearson (R8): per-item mean + sqrt(sum((r-mean)^2))
+  ``recathon.c:1575-1697``; covariance-style dot over co-raters
+  ``recathon.c:1708-1733``; denominator uses ALL raters of each item,
+  not just co-raters (non-classic Pearson); drop only sim == 0
+  (``recathon.c:1885``), negatives kept.
+- User variants (R9): identical math transposed
+  (``recathon.c:1969-2358``).
+- Item-CF predict (R11, ``recathon.c:4235-4295``):
+  score(u,i) = sum_{j in rated(u)} sim(i,j)*r(u,j) / sum |sim(i,j)|.
+- User-CF predict (R12, ``recathon.c:4305-4363``):
+  score(u,i) = avg(u) + sum_{v rated i} sim(u,v)*(r(v,i) - avg(u))
+  / sum |sim(u,v)| — NOTE the reference subtracts the *target* user's
+  average, not each neighbor's (quirk at ``recathon.c:4349``); we
+  reproduce it.
+
+The reference builds models with O(n^2) nested loops over dense
+in-memory triangle matrices (``recathon.c:3033-3060``) and predicts
+with one SQL query per rated item (``recathon.c:4259-4288``). Here
+everything is a sparse self-join + aggregation: only co-rated pairs
+materialize, partial aggregation is map-side, and Catalyst picks
+broadcast vs shuffle joins. At 100 TB the events self-join shuffles on
+the user (resp. item) key once; skewed power users are handled by AQE
+skew-join; the pair space stays sparse (pairs that share no rater never
+exist, matching the reference's dropped sim<=0 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# Event normalization
+# ----------------------------------------------------------------------
+
+def normalize_events(events: DataFrame, userkey: str, itemkey: str,
+                     eventval: str) -> DataFrame:
+    """Canonical (user, item, rating) with one row per (user, item).
+
+    The reference streams raw event rows into its model builders; when
+    the same (user,item) occurs more than once this engine defines the
+    rating as the average event value (a deliberate, documented choice —
+    the oracle SQL in the test harness applies the same rule).
+    """
+    return (
+        events.select(
+            F.col(userkey).alias("user"),
+            F.col(itemkey).alias("item"),
+            F.col(eventval).cast("double").alias("r"),
+        )
+        .where(F.col("user").isNotNull() & F.col("item").isNotNull() & F.col("r").isNotNull())
+        .groupBy("user", "item")
+        .agg(F.avg("r").alias("rating"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Trainers
+# ----------------------------------------------------------------------
+
+def _pairwise(ratings: DataFrame, entity: str, other: str, value: str) -> DataFrame:
+    """Upper-triangle co-occurrence pairs of `entity` joined on `other`.
+
+    Output: (e1, e2, v1, v2) for every co-rating of two entities.
+    This is THE scale-critical join: it shuffles `ratings` once on
+    `other` and only emits pairs that actually co-occur.
+    """
+    a = ratings.select(F.col(entity).alias("e1"), F.col(other).alias("o"),
+                       F.col(value).alias("v1"))
+    b = ratings.select(F.col(entity).alias("e2"), F.col(other).alias("o"),
+                       F.col(value).alias("v2"))
+    return a.join(b, "o").where(F.col("e1") < F.col("e2"))
+
+
+def train_item_cos(ratings: DataFrame) -> DataFrame:
+    """(item1, item2, similarity), item1 < item2, sim > 0.
+
+    recathon.c:1378-1562 (updateItemCosModel) re-expressed as
+    norms + sparse self-join."""
+    norms = ratings.groupBy("item").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm"))
+    dots = (_pairwise(ratings, "item", "user", "rating")
+            .groupBy("e1", "e2")
+            .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot")))
+    n1 = norms.select(F.col("item").alias("e1"), F.col("norm").alias("n1"))
+    n2 = norms.select(F.col("item").alias("e2"), F.col("norm").alias("n2"))
+    return (dots.join(n1, "e1").join(n2, "e2")
+            .select(F.col("e1").alias("item1"), F.col("e2").alias("item2"),
+                    (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("similarity"))
+            .where(F.col("similarity") > 0))  # cosine drops sim<=0: recathon.c:1493
+
+
+def train_item_pearson(ratings: DataFrame) -> DataFrame:
+    """(item1, item2, similarity), item1 < item2, sim != 0 (negatives kept).
+
+    recathon.c:1768-1958 (updateItemPearModel). Per-item stats over ALL
+    raters (recathon.c:1575-1697); the pair dot subtracts each item's own
+    mean over co-raters only."""
+    # two-pass (join the mean back) rather than a window: one shuffle on
+    # item either way, and the join side is a tiny aggregate.
+    means = ratings.groupBy("item").agg(F.avg("rating").alias("mean"))
+    centered = ratings.join(means, "item").select(
+        "user", "item", (F.col("rating") - F.col("mean")).alias("c"))
+    pearsons = centered.groupBy("item").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("p"))
+    dots = (_pairwise(centered, "item", "user", "c")
+            .groupBy("e1", "e2")
+            .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot")))
+    p1 = pearsons.select(F.col("item").alias("e1"), F.col("p").alias("p1"))
+    p2 = pearsons.select(F.col("item").alias("e2"), F.col("p").alias("p2"))
+    return (dots.join(p1, "e1").join(p2, "e2")
+            .where((F.col("p1") * F.col("p2")) != 0)  # zero denom -> sim 0 -> dropped (recathon.c:1751-1756)
+            .select(F.col("e1").alias("item1"), F.col("e2").alias("item2"),
+                    (F.col("dot") / (F.col("p1") * F.col("p2"))).alias("similarity"))
+            .where(F.col("similarity") != 0))  # pearson drops only ==0: recathon.c:1885
+
+
+def train_user_cos(ratings: DataFrame) -> DataFrame:
+    """(user1, user2, similarity) — item-cos transposed (recathon.c:1969-2157)."""
+    norms = ratings.groupBy("user").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm"))
+    dots = (_pairwise(ratings, "user", "item", "rating")
+            .groupBy("e1", "e2")
+            .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot")))
+    n1 = norms.select(F.col("user").alias("e1"), F.col("norm").alias("n1"))
+    n2 = norms.select(F.col("user").alias("e2"), F.col("norm").alias("n2"))
+    return (dots.join(n1, "e1").join(n2, "e2")
+            .select(F.col("e1").alias("user1"), F.col("e2").alias("user2"),
+                    (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("similarity"))
+            .where(F.col("similarity") > 0))
+
+
+def train_user_pearson(ratings: DataFrame) -> DataFrame:
+    """(user1, user2, similarity) — item-pearson transposed (recathon.c:2168-2358)."""
+    means = ratings.groupBy("user").agg(F.avg("rating").alias("mean"))
+    centered = ratings.join(means, "user").select(
+        "user", "item", (F.col("rating") - F.col("mean")).alias("c"))
+    pearsons = centered.groupBy("user").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("p"))
+    dots = (_pairwise(centered, "user", "item", "c")
+            .groupBy("e1", "e2")
+            .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot")))
+    p1 = pearsons.select(F.col("user").alias("e1"), F.col("p").alias("p1"))
+    p2 = pearsons.select(F.col("user").alias("e2"), F.col("p").alias("p2"))
+    return (dots.join(p1, "e1").join(p2, "e2")
+            .where((F.col("p1") * F.col("p2")) != 0)
+            .select(F.col("e1").alias("user1"), F.col("e2").alias("user2"),
+                    (F.col("dot") / (F.col("p1") * F.col("p2"))).alias("similarity"))
+            .where(F.col("similarity") != 0))
+
+
+# ----------------------------------------------------------------------
+# Predictors
+# ----------------------------------------------------------------------
+
+def symmetrize(model: DataFrame, k1: str, k2: str) -> DataFrame:
+    """The model stores the upper triangle (recathon.c:1469-1495);
+    prediction needs both directions."""
+    up = model.select(F.col(k1).alias("a"), F.col(k2).alias("b"), "similarity")
+    dn = model.select(F.col(k2).alias("a"), F.col(k1).alias("b"), "similarity")
+    return up.unionByName(dn)
+
+
+def predict_item_cf(model: DataFrame, ratings: DataFrame, users: DataFrame,
+                    items: DataFrame) -> DataFrame:
+    """score(u,i) = sum_j sim(i,j)*r(u,j) / sum_j |sim(i,j)| over the
+    target user's rated items j (recathon.c:4235-4295). Pairs with no
+    overlapping similarity score 0 (itemCFpredict returns 0 when
+    totalSim == 0).
+
+    Plan shape: rated x sym-model join on the rated item, then a single
+    groupBy (user, item). The user x item cross product is never
+    materialized; the left join against it only fills the zero scores.
+    `items` is tiny relative to events — broadcast.
+    """
+    rated = users.withColumnRenamed("user", "u").join(
+        ratings, F.col("u") == F.col("user")).select("user", "item", "rating")
+    sym = symmetrize(model, "item1", "item2")
+    contrib = (rated.join(sym, rated["item"] == sym["b"])
+               .groupBy("user", F.col("a").alias("item"))
+               .agg((F.sum(F.col("similarity") * F.col("rating"))
+                     / F.sum(F.abs(F.col("similarity")))).alias("score")))
+    grid = users.crossJoin(F.broadcast(items))
+    return (grid.join(contrib, ["user", "item"], "left")
+            .select("user", "item", F.coalesce("score", F.lit(0.0)).alias("score")))
+
+
+def predict_user_cf(model: DataFrame, ratings: DataFrame, users: DataFrame,
+                    items: DataFrame) -> DataFrame:
+    """score(u,i) = avg(u) + sum_v sim(u,v)*(r(v,i) - avg(u)) / sum_v |sim(u,v)|
+    with avg(u) the TARGET user's mean (reference quirk, recathon.c:4349;
+    average set at recathon.c:3973-3982). Users with no similar raters of
+    an item score 0 for it (userCFpredict returns 0 when totalSim == 0)."""
+    avgs = (users.join(ratings, "user")
+            .groupBy("user").agg(F.avg("rating").alias("uavg")))
+    sym = symmetrize(model, "user1", "user2")  # (a=target, b=neighbor)
+    neigh = ratings.select(F.col("user").alias("b"), "item",
+                           F.col("rating").alias("nr"))
+    contrib = (users.join(sym, users["user"] == sym["a"])
+               .join(neigh, "b")
+               .join(avgs, "user")
+               .groupBy("user", "item", "uavg")
+               .agg((F.sum(F.col("similarity") * (F.col("nr") - F.col("uavg")))
+                     / F.sum(F.abs(F.col("similarity")))).alias("adj"))
+               .select("user", "item", (F.col("uavg") + F.col("adj")).alias("score")))
+    grid = users.crossJoin(F.broadcast(items))
+    return (grid.join(contrib, ["user", "item"], "left")
+            .select("user", "item", F.coalesce("score", F.lit(0.0)).alias("score")))

@@ -1,0 +1,159 @@
+"""SVD recommender (RecDB R10/R13) — faithful Funk SGD, plus MLlib ALS.
+
+Reference: ``recathon.c:2699-2940`` (SVDtrain). The exact loop shape:
+
+- constants: 50 features, 100 epochs, lr 0.001, L2 penalty 0.002,
+  all factors initialized to 0.1 (``recathon.c:2707,2741-2752,
+  2788-2791``);
+- epochs are the OUTER loop, features the INNER loop
+  (``recathon.c:2788-2791``: ``for (j=0;j<100;j++) for (i=0;i<
+  numFeatures;i++)``);
+- the error term uses ``predictRating`` (``recathon.c:2680-2690``):
+  residual-of-earlier-features + dot product over the current AND all
+  not-yet-retrained trailing features;
+- the baseline (variance-blended item mean + user offset,
+  ``SVDaverages`` ``recathon.c:2500-2670``) seeds only the very first
+  (epoch 0, feature 0) error; query-time prediction is the plain
+  factor dot product (``SVDpredict`` ``recathon.c:4372-4433``);
+- events are consumed in ``ORDER BY userkey`` scan order
+  (``recathon.c:2762-2763``); accumulation is C ``float`` (float32).
+
+SGD with residual caching is inherently sequential, so the faithful
+trainer runs driver-side in NumPy over collected (user, item, rating)
+triples — the reference itself is a single backend process holding all
+events in memory, so its practical scale is the same. For 100 TB use
+``train_als`` (same latent-factor family, distributed optimizer);
+prediction is the identical factor-join either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_FEATURES = 50      # recathon.c:2707
+NUM_EPOCHS = 100       # recathon.c:2788
+LEARNING_RATE = np.float32(0.001)  # recathon.c:2792
+PENALTY = np.float32(0.002)        # recathon.c:2793
+INIT_VALUE = np.float32(0.1)       # recathon.c:2744,2751
+
+
+def _baseline(u_idx: np.ndarray, i_idx: np.ndarray, vals: np.ndarray,
+              n_users: int, n_items: int):
+    """SVDaverages (recathon.c:2500-2670): per-item variance-blended
+    mean with k = itemVar/globalVar, then per-user mean offset."""
+    counts = np.zeros(n_items); sums = np.zeros(n_items); sqs = np.zeros(n_items)
+    np.add.at(counts, i_idx, 1)
+    np.add.at(sums, i_idx, vals)
+    np.add.at(sqs, i_idx, vals * vals)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        item_var = np.where(counts > 0, (sqs - (sums * sums) / np.maximum(counts, 1)) / np.maximum(counts, 1), 0.0)
+    means = np.divide(sums, counts, out=np.zeros(n_items), where=counts > 0)
+    global_avg_sum = means[counts > 0].sum()
+    global_sq = (means[counts > 0] ** 2).sum()
+    global_var = (global_sq - (global_avg_sum * global_avg_sum) / n_items) / n_items
+    global_avg = sums.sum() / len(vals) if len(vals) else 0.0
+    k = np.zeros(n_items) if global_var == 0 else item_var / global_var
+    denom = k + counts
+    item_avgs = np.where(denom > 0, (global_avg * k + sums) / np.where(denom > 0, denom, 1), 0.0)
+    # user offset: mean over the user's events of (event - itemAvg[item])
+    off_sum = np.zeros(n_users); off_cnt = np.zeros(n_users)
+    np.add.at(off_sum, u_idx, vals - item_avgs[i_idx])
+    np.add.at(off_cnt, u_idx, 1)
+    user_off = np.divide(off_sum, off_cnt, out=np.zeros(n_users), where=off_cnt > 0)
+    return item_avgs.astype(np.float32), user_off.astype(np.float32)
+
+
+def train_funk_svd(spark: SparkSession, ratings_df: DataFrame,
+                   num_features: int = NUM_FEATURES,
+                   num_epochs: int = NUM_EPOCHS) -> tuple[DataFrame, DataFrame]:
+    """Returns (user_model, item_model) DataFrames shaped like the
+    reference model tables (users, feature, value) / (items, feature,
+    value) (``utility.c:305-310``)."""
+    pdf = (ratings_df.select("user", "item", "rating")
+           .orderBy("user", "item")  # ORDER BY userkey scan (recathon.c:2762)
+           .toPandas())
+    users = pdf["user"].to_numpy()
+    items = pdf["item"].to_numpy()
+    vals = pdf["rating"].to_numpy(dtype=np.float32)
+    user_ids, u_idx = np.unique(users, return_inverse=True)
+    item_ids, i_idx = np.unique(items, return_inverse=True)
+    n_u, n_i, n_e = len(user_ids), len(item_ids), len(vals)
+
+    item_avgs, user_off = _baseline(u_idx, i_idx, vals.astype(np.float64), n_u, n_i)
+    uf = np.full((num_features, n_u), INIT_VALUE, dtype=np.float32)
+    itf = np.full((num_features, n_i), INIT_VALUE, dtype=np.float32)
+    residual = np.zeros(n_e, dtype=np.float32)
+
+    lr, pen = LEARNING_RATE, PENALTY
+    for j in range(num_epochs):
+        for i in range(num_features):
+            uv = uf[i]; iv = itf[i]
+            for e in range(n_e):
+                u = u_idx[e]; it = i_idx[e]
+                if i == 0:
+                    residual[e] = 0.0 if j == 0 else residual[e]
+                if i == 0 and j == 0:
+                    err = vals[e] - (item_avgs[it] + user_off[u])
+                else:
+                    # predictRating: residual + features i..numFeatures-1
+                    tail = np.float32(0.0)
+                    for f2 in range(i, num_features):
+                        tail += uf[f2, u] * itf[f2, it]
+                    err = vals[e] - ((residual[e] if i > 0 else np.float32(0.0)) + tail)
+                temp = uv[u]
+                uv[u] += lr * (err * iv[it] - pen * uv[u])
+                iv[it] += lr * (err * temp - pen * iv[it])
+                if i == 0:
+                    residual[e] = uv[u] * iv[it]
+                else:
+                    residual[e] += uv[u] * iv[it]
+
+    um = spark.createDataFrame(
+        [(int(user_ids[u]), f_i, float(uf[f_i, u]))
+         for u in range(n_u) for f_i in range(num_features)],
+        "users long, feature int, value double")
+    im = spark.createDataFrame(
+        [(int(item_ids[i]), f_i, float(itf[f_i, i]))
+         for i in range(n_i) for f_i in range(num_features)],
+        "items long, feature int, value double")
+    return um, im
+
+
+def train_als(ratings_df: DataFrame, rank: int = NUM_FEATURES,
+              reg: float = float(PENALTY), max_iter: int = 10) -> tuple[DataFrame, DataFrame]:
+    """Distributed path: MLlib ALS with the reference's rank and L2
+    strength. Not bit-compatible with Funk SGD, but the same latent
+    factor family — this is what you run at 100 TB."""
+    from pyspark.ml.recommendation import ALS
+
+    df = ratings_df.select(F.col("user").cast("int").alias("user"),
+                           F.col("item").cast("int").alias("item"),
+                           F.col("rating").cast("float").alias("rating"))
+    model = ALS(rank=rank, regParam=reg, maxIter=max_iter, seed=42,
+                userCol="user", itemCol="item", ratingCol="rating",
+                coldStartStrategy="drop").fit(df)
+    um = (model.userFactors.select(F.col("id").cast("long").alias("users"),
+                                   F.posexplode("features"))
+          .select("users", F.col("pos").alias("feature"),
+                  F.col("col").cast("double").alias("value")))
+    im = (model.itemFactors.select(F.col("id").cast("long").alias("items"),
+                                   F.posexplode("features"))
+          .select("items", F.col("pos").alias("feature"),
+                  F.col("col").cast("double").alias("value")))
+    return um, im
+
+
+def predict_svd(user_model: DataFrame, item_model: DataFrame,
+                users: DataFrame, items: DataFrame) -> DataFrame:
+    """score(u,i) = sum_f uf[f][u] * if[f][i] (SVDpredict,
+    recathon.c:4372-4433) as a factor join — partial-aggregated,
+    no per-pair queries."""
+    uf = users.join(user_model, users["user"] == user_model["users"]) \
+        .select("user", "feature", F.col("value").alias("uv"))
+    itf = items.join(item_model, items["item"] == item_model["items"]) \
+        .select("item", "feature", F.col("value").alias("iv"))
+    return (uf.join(itf, "feature")
+            .groupBy("user", "item")
+            .agg(F.sum(F.col("uv") * F.col("iv")).alias("score")))

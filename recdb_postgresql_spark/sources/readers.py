@@ -1,0 +1,55 @@
+"""Source layer: parquet table loading + events->ratings projection.
+
+The reference bulk-loads `;`-separated files through COPY
+(``PostgreSQL/scripts/install.pl:74-84``, ``recathon.c:1536-1538``);
+the Spark-native sources are parquet/csv/json DataFrames. Test data
+(TESTDATA.md) is one parquet per table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # TESTDATA parquet stores TIMESTAMP(NANOS) (pandas-written); Spark has
+    # no nanosecond timestamp type, so read them as int64 nanos-since-epoch.
+    # Downstream code derives hours/dates arithmetically (ts div 3.6e12 etc.)
+    # which is timezone-free and matches the DuckDB oracle exactly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def ratings_from_events(events: DataFrame) -> DataFrame:
+    """Project the driver's events table onto the RecDB events-table
+    shape ``(userkey int, itemkey int, eventval numeric)``
+    (``parse_rec.c:187-297``): user_id is the user key and the ``k``
+    field of the JSON props payload is the item key (100 distinct
+    items), value is the event value. get_json_object is a codegen'd
+    JVM expression — no Python in the scan path.
+    """
+    return events.select(
+        F.col("user_id").alias("userid"),
+        F.get_json_object("props", "$.k").cast("int").alias("itemid"),
+        F.col("value").cast("double").alias("ratingval"),
+    ).where(F.col("itemid").isNotNull())
+
+
+# DuckDB-side equivalent projection for oracle queries
+RATINGS_SQL = """
+SELECT user_id AS userid,
+       CAST(json_extract_string(props, 'k') AS INT) AS itemid,
+       CAST(value AS DOUBLE) AS ratingval
+FROM events
+WHERE json_extract_string(props, 'k') IS NOT NULL
+"""
