@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship RECOMMEND query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+the pipeline extensions); each takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; keys missing
+here (rec_svd_topk) are non-SQL-expressible (sequential SGD) and get
+the driver's rows-only check.
+
+Column names and float rounding (6 dp unless noted) are matched
+between both sides so the driver's order-insensitive value-hash
+compares clean. All hashing flows through md5 (identical in Spark and
+DuckDB; see recdb_postgresql_spark/functions/hashing.py).
 """
 
 from __future__ import annotations
@@ -12,27 +18,689 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from recdb_postgresql_spark.engine import RecEngine
+from recdb_postgresql_spark.operators import dedup, similarity, text
+from recdb_postgresql_spark.sources.readers import load_table, ratings_from_events
+
+# ----------------------------------------------------------------------
+# shared fragments
+# ----------------------------------------------------------------------
+
+# events -> (userid, itemid, rating), duplicates averaged. Must stay in
+# lockstep with sources.readers.ratings_from_events + operators.cf.normalize_events.
+RATINGS_CTE = """
+ratings AS (
+  SELECT user_id AS userid,
+         CAST(json_extract_string(props, 'k') AS INT) AS itemid,
+         AVG(CAST(value AS DOUBLE)) AS rating
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+)
+"""
+
+ITEMCOS_MODEL_CTES = RATINGS_CTE + """,
+norms AS (
+  SELECT itemid, SQRT(SUM(rating*rating)) AS nrm FROM ratings GROUP BY itemid
+),
+dots AS (
+  SELECT a.itemid AS i1, b.itemid AS i2, SUM(a.rating*b.rating) AS dot
+  FROM ratings a JOIN ratings b ON a.userid = b.userid AND a.itemid < b.itemid
+  GROUP BY 1, 2
+),
+model AS (
+  SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
+  FROM dots JOIN norms n1 ON n1.itemid = i1 JOIN norms n2 ON n2.itemid = i2
+  WHERE dot/(n1.nrm*n2.nrm) > 0
+),
+sym AS (
+  SELECT i1 AS a, i2 AS b, sim FROM model
+  UNION ALL
+  SELECT i2 AS a, i1 AS b, sim FROM model
+)
+"""
+
+ITEMPEAR_MODEL_CTES = RATINGS_CTE + """,
+means AS (SELECT itemid, AVG(rating) AS mn FROM ratings GROUP BY itemid),
+centered AS (
+  SELECT r.userid, r.itemid, r.rating - m.mn AS c
+  FROM ratings r JOIN means m ON m.itemid = r.itemid
+),
+pearsons AS (SELECT itemid, SQRT(SUM(c*c)) AS p FROM centered GROUP BY itemid),
+dots AS (
+  SELECT a.itemid AS i1, b.itemid AS i2, SUM(a.c*b.c) AS dot
+  FROM centered a JOIN centered b ON a.userid = b.userid AND a.itemid < b.itemid
+  GROUP BY 1, 2
+),
+model AS (
+  SELECT i1, i2, dot/(p1.p*p2.p) AS sim
+  FROM dots JOIN pearsons p1 ON p1.itemid = i1 JOIN pearsons p2 ON p2.itemid = i2
+  WHERE p1.p*p2.p <> 0 AND dot/(p1.p*p2.p) <> 0
+),
+sym AS (
+  SELECT i1 AS a, i2 AS b, sim FROM model
+  UNION ALL
+  SELECT i2 AS a, i1 AS b, sim FROM model
+)
+"""
+
+
+def _item_predict_sql(model_ctes: str, user_pred: str, tail: str) -> str:
+    """Item-CF predict: score(u,i) = sum sim*r / sum |sim| over the
+    user's rated items; unreachable items score 0 (recathon.c:4235-4295)."""
+    return f"""
+WITH {model_ctes},
+users AS (SELECT DISTINCT userid FROM ratings WHERE {user_pred}),
+items AS (SELECT DISTINCT itemid FROM ratings),
+contrib AS (
+  SELECT r.userid, s.a AS itemid,
+         SUM(s.sim * r.rating) / SUM(ABS(s.sim)) AS score
+  FROM ratings r
+  JOIN users u ON u.userid = r.userid
+  JOIN sym s ON s.b = r.itemid
+  GROUP BY 1, 2
+)
+SELECT g.userid, g.itemid, ROUND(COALESCE(c.score, 0), 6) AS score
+FROM (SELECT u.userid, i.itemid FROM users u CROSS JOIN items i) g
+LEFT JOIN contrib c ON c.userid = g.userid AND c.itemid = g.itemid
+{tail}
+"""
+
+
+def _user_model_ctes(kind: str) -> str:
+    if kind == "cos":
+        return RATINGS_CTE + """,
+norms AS (SELECT userid, SQRT(SUM(rating*rating)) AS nrm FROM ratings GROUP BY userid),
+dots AS (
+  SELECT a.userid AS u1, b.userid AS u2, SUM(a.rating*b.rating) AS dot
+  FROM ratings a JOIN ratings b ON a.itemid = b.itemid AND a.userid < b.userid
+  GROUP BY 1, 2
+),
+model AS (
+  SELECT u1, u2, dot/(n1.nrm*n2.nrm) AS sim
+  FROM dots JOIN norms n1 ON n1.userid = u1 JOIN norms n2 ON n2.userid = u2
+  WHERE dot/(n1.nrm*n2.nrm) > 0
+),
+sym AS (
+  SELECT u1 AS a, u2 AS b, sim FROM model
+  UNION ALL SELECT u2, u1, sim FROM model
+)
+"""
+    return RATINGS_CTE + """,
+means AS (SELECT userid, AVG(rating) AS mn FROM ratings GROUP BY userid),
+centered AS (
+  SELECT r.userid, r.itemid, r.rating - m.mn AS c
+  FROM ratings r JOIN means m ON m.userid = r.userid
+),
+pearsons AS (SELECT userid, SQRT(SUM(c*c)) AS p FROM centered GROUP BY userid),
+dots AS (
+  SELECT a.userid AS u1, b.userid AS u2, SUM(a.c*b.c) AS dot
+  FROM centered a JOIN centered b ON a.itemid = b.itemid AND a.userid < b.userid
+  GROUP BY 1, 2
+),
+model AS (
+  SELECT u1, u2, dot/(p1.p*p2.p) AS sim
+  FROM dots JOIN pearsons p1 ON p1.userid = u1 JOIN pearsons p2 ON p2.userid = u2
+  WHERE p1.p*p2.p <> 0 AND dot/(p1.p*p2.p) <> 0
+),
+sym AS (
+  SELECT u1 AS a, u2 AS b, sim FROM model
+  UNION ALL SELECT u2, u1, sim FROM model
+)
+"""
+
+
+def _user_predict_sql(kind: str, user_pred: str, tail: str) -> str:
+    """User-CF predict with the reference quirk: the TARGET user's
+    average is subtracted from neighbor ratings (recathon.c:4349)."""
+    return f"""
+WITH {_user_model_ctes(kind)},
+users AS (SELECT DISTINCT userid FROM ratings WHERE {user_pred}),
+items AS (SELECT DISTINCT itemid FROM ratings),
+uavg AS (
+  SELECT r.userid, AVG(r.rating) AS av
+  FROM ratings r JOIN users u ON u.userid = r.userid GROUP BY 1
+),
+contrib AS (
+  SELECT s.a AS userid, n.itemid,
+         MIN(ua.av) + SUM(s.sim * (n.rating - ua.av)) / SUM(ABS(s.sim)) AS score
+  FROM sym s
+  JOIN users u ON u.userid = s.a
+  JOIN ratings n ON n.userid = s.b
+  JOIN uavg ua ON ua.userid = s.a
+  GROUP BY 1, 2
+)
+SELECT g.userid, g.itemid, ROUND(COALESCE(c.score, 0), 6) AS score
+FROM (SELECT u.userid, i.itemid FROM users u CROSS JOIN items i) g
+LEFT JOIN contrib c ON c.userid = g.userid AND c.itemid = g.itemid
+{tail}
+"""
+
+
+TOPK_TAIL = "ORDER BY ROUND(COALESCE(c.score, 0), 6) DESC, g.userid, g.itemid LIMIT {k}"
+
+# word-3-gram shingles, both engines (lockstep with operators.dedup.word_shingles)
+SHINGLES_CTE_DUCK = r"""
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+shingled AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+)
+"""
+
+MD5L = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# ----------------------------------------------------------------------
+# Spark-side helpers
+# ----------------------------------------------------------------------
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratings_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _engine(spark: SparkSession) -> RecEngine:
+    return RecEngine(spark, svd_features=8, svd_epochs=2)
+
+
+def _rec(spark, sf_dir, method, user_pred_col, k=None, where=None):
+    ev = _ratings(spark, sf_dir)
+    out = _engine(spark).recommend(
+        ev, "userid", "itemid", "ratingval", method,
+        user_where=user_pred_col, where=where, k=k, round_to=6)
+    return out.select(F.col("userid"), F.col("itemid"),
+                      F.col("ratingval").alias("score"))
+
+
+# ----------------------------------------------------------------------
+# relational queries — ONE ANSI-SQL text for both engines
+# ----------------------------------------------------------------------
+
+REL_SQL: dict[str, str] = {
+    # TPC-H Q1 shape: scan + filter + hash aggregate (PG nodeAgg.c ->
+    # HashAggregateExec partial/final)
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    # Q3 shape: 3-way join + agg + top-k (HashJoin/MergeJoin -> Catalyst;
+    # Limit -> TakeOrderedAndProject)
+    "q3_top_revenue_orders": """
+SELECT o.o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    # Q5 shape: 6-way snowflake join, small dims broadcast by Catalyst
+    "q5_nation_revenue": """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_name
+""",
+    # WindowAgg (nodeWindowAgg.c) -> Window.partitionBy().orderBy()
+    "window_top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+""",
+    # DISTINCT aggregates (nodeAgg distinct path -> countDistinct)
+    "agg_distinct_segments": """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    # SetOp INTERSECT/EXCEPT (nodeSetOp.c) + Append (UNION ALL)
+    "setop_customer_activity": """
+SELECT 'active' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer
+  INTERSECT
+  SELECT o_custkey FROM orders
+) a
+UNION ALL
+SELECT 'inactive' AS tag, c_custkey FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders
+) b
+""",
+    # correlated subquery decorrelation (nodeSubplan.c -> Catalyst rewrite)
+    "subquery_above_avg_customers": """
+SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 6) AS acctbal
+FROM customer c1
+WHERE c_acctbal > (
+  SELECT AVG(c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c1.c_nationkey
+)
+""",
+    # conditional aggregation (CASE pivot shape)
+    "case_priority_matrix": """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+       ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+}
+
+REL_TABLES = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+
+
+def _rel_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, *REL_TABLES)
+        return spark.sql(REL_SQL[name])
+    return run
+
+
+# ----------------------------------------------------------------------
+# pipeline queries (Spark side)
+# ----------------------------------------------------------------------
+
+def _docs_selfunion(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs_selfunion(spark, sf_dir)) \
+        .select("doc_id", "canonical_id", "content_hash")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    return dedup.jaccard_pairs(sh, threshold=0.5) \
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.30) \
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return similarity.brute_force_topk(emb, qs, k=10) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    cents = similarity.first_k_centroids(emb, k=8)
+    return similarity.ivf_topk(emb, qs, cents, k=10) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
+def q_text_stats(spark, sf_dir):
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_events_hourly(spark, sf_dir):
+    _register(spark, sf_dir, "events")
+    return spark.sql("""
+SELECT ts DIV 3600000000000 AS hour_id, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY ts DIV 3600000000000, event_type
+""")
+
+
+# ----------------------------------------------------------------------
+# contract functions
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference regression suite's canonical query shape
+    (recdb_regression_test.sql:6-7) — RECOMMEND ... USING ItemCosCF
+    WHERE userid filter ORDER BY score DESC LIMIT 10 — at sf0.001."""
+    return _rec(spark, "/root/testdata/sf0.001", "itemcoscf",
+                F.col("userid") < 10, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # R4/R7/R11: item-cos on-the-fly recommend, top-k
+        "rec_itemcos_topk": lambda s, d: _rec(s, d, "itemcoscf",
+                                              F.col("userid") < 20, k=50),
+        # R3 score-predicate path (noFilter): WHERE on the predicted score
+        "rec_itemcos_scorefilter": lambda s, d: _rec(
+            s, d, "itemcoscf", F.col("userid") < 10,
+            where=F.col("ratingval") >= 60),
+        # R7 trainer output itself (model parity)
+        "rec_itemcos_model": _itemcos_model,
+        # R8: item-pearson
+        "rec_itempear_topk": lambda s, d: _rec(s, d, "itempearcf",
+                                               F.col("userid") < 20, k=50),
+        # R9/R12: user-cos / user-pearson (target-user-average quirk)
+        "rec_usercos_topk": lambda s, d: _rec(s, d, "usercoscf",
+                                              F.col("userid") < 10, k=50),
+        "rec_userpear_topk": lambda s, d: _rec(s, d, "userpearcf",
+                                               F.col("userid") < 10, k=50),
+        # R10/R13: Funk-SGD (sequential — rows-only check, no oracle)
+        "rec_svd_topk": lambda s, d: _rec(s, d, "svd",
+                                          F.col("userid") < 5, k=20),
+        # pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf,
+        "text_token_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "events_hourly_rollup": q_events_hourly,
+    }
+    for name in REL_SQL:
+        q[name] = _rel_query(name)
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _itemcos_model(spark, sf_dir):
+    from recdb_postgresql_spark.operators import cf
+    r = cf.normalize_events(_ratings(spark, sf_dir), "userid", "itemid", "ratingval")
+    return cf.train_item_cos(r).select(
+        "item1", "item2", F.round("similarity", 6).alias("similarity"))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = dict(REL_SQL)
+
+    o["rec_itemcos_topk"] = _item_predict_sql(
+        ITEMCOS_MODEL_CTES, "userid < 20", TOPK_TAIL.format(k=50))
+    # score-predicate variant: filter on the rounded score
+    o["rec_itemcos_scorefilter"] = f"""
+SELECT * FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 10", "")}) t
+WHERE score >= 60
+"""
+    o["rec_itemcos_model"] = f"""
+WITH {ITEMCOS_MODEL_CTES}
+SELECT i1 AS item1, i2 AS item2, ROUND(sim, 6) AS similarity FROM model
+"""
+    o["rec_itempear_topk"] = _item_predict_sql(
+        ITEMPEAR_MODEL_CTES, "userid < 20", TOPK_TAIL.format(k=50))
+    o["rec_usercos_topk"] = _user_predict_sql(
+        "cos", "userid < 10", TOPK_TAIL.format(k=50))
+    o["rec_userpear_topk"] = _user_predict_sql(
+        "pear", "userid < 10", TOPK_TAIL.format(k=50))
+
+    o["dedup_exact"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+h AS (SELECT doc_id, {MD5L.format(x='text')} AS content_hash FROM all_docs),
+g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n
+      FROM h GROUP BY 1)
+SELECT h.doc_id, g.canonical_id, h.content_hash
+FROM h JOIN g ON g.content_hash = h.content_hash
+WHERE g.n > 1
+"""
+    mh = MD5L.format(x="concat(CAST(j AS VARCHAR), ':', shingle)")
+    o["dedup_minhash_lsh"] = f"""
+WITH {SHINGLES_CTE_DUCK},
+sigs AS (
+  SELECT id, j, MIN({mh}) AS minhash
+  FROM shingled, UNNEST(generate_series(0, 7)) AS gj(j)
+  GROUP BY id, j
+),
+banded AS (
+  SELECT id, CAST(j // 2 AS INT) AS band,
+         string_agg(concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR))) AS sig
+  FROM sigs GROUP BY id, CAST(j // 2 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+)
+SELECT id1, id2 FROM pairs
+"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH {SHINGLES_CTE_DUCK},
+sizes AS (SELECT id, COUNT(*) AS sz FROM shingled GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id1, id2, i * 1.0 / (s1.sz + s2.sz - i) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+)
+SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    tok_h = MD5L.format(x="tok")
+    o["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, {tok_h} AS h FROM toks WHERE length(tok) > 0),
+per_bit AS (
+  SELECT id, p, SUM(CASE WHEN (h >> p) & 1 = 1 THEN 1 ELSE -1 END) AS tot
+  FROM th, UNNEST(generate_series(0, 31)) AS gp(p)
+  GROUP BY id, p
+)
+SELECT id, CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY id
+"""
+    o["embedding_neardup"] = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.30
+"""
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+    o["ann_ivf_topk"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qvec, a.cell AS qcell
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+  WHERE e.vec_id < 5
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN q ON a.cell = q.qcell
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+    token_re = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    o["text_token_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{token_re}', 0) AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')) AS words,
+         list_filter(toks, x -> NOT regexp_matches(x, '^[a-z0-9]+$')) AS puncts
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(words) AS BIGINT) AS n_words,
+       ROUND(CASE WHEN len(words) > 0
+             THEN list_sum(list_transform(words, x -> CAST(length(x) AS DOUBLE))) / len(words)
+             ELSE 0 END, 6) AS avg_word_len,
+       ROUND(CASE WHEN len(words) > 0
+             THEN len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(words)
+             ELSE 0 END, 6) AS stopword_ratio,
+       ROUND(CASE WHEN len(toks) > 0
+             THEN len(puncts) * 1.0 / len(toks) ELSE 0 END, 6) AS punct_ratio
+FROM d
+"""
+    o["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{token_re}', 0) AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')) AS words,
+         list_filter(toks, x -> NOT regexp_matches(x, '^[a-z0-9]+$')) AS puncts
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens, len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(words)
+              ELSE 0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0 THEN len(puncts) * 1.0 / len(toks) ELSE 0 END AS punct_ratio
+  FROM d
+)
+SELECT doc_id,
+       ROUND(0.5 * LEAST(n_words / 50.0, 1.0)
+           + 0.3 * LEAST(ROUND(stopword_ratio, 6) * 4, 1.0)
+           + 0.2 * GREATEST(1.0 - ROUND(punct_ratio, 6) * 2, 0.0), 6) AS quality
+FROM s
+"""
+    markers = {"de": ("der", "und", "die"), "en": ("the", "and", "of"),
+               "es": ("el", "de", "la"), "fr": ("le", "et", "les"),
+               "zh": ("zh1", "zh2", "zh3")}
+    cnt_cols = ",\n  ".join(
+        f"len(list_filter(toks, x -> x IN {tuple(m)!r})) AS c_{lg}"
+        for lg, m in sorted(markers.items()))
+    langs = sorted(markers)
+    best = "GREATEST(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN c_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    o["text_lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{token_re}', 0) AS toks
+  FROM documents
+),
+c AS (SELECT doc_id,
+  {cnt_cols}
+  FROM t)
+SELECT doc_id, {case} AS pred_lang FROM c
+"""
+    sh_h = MD5L.format(x="shingle")
+    o["doc_fingerprint"] = f"""
+WITH {SHINGLES_CTE_DUCK}
+SELECT id AS doc_id, MIN({sh_h}) AS fingerprint
+FROM shingled GROUP BY id
+"""
+    o["events_hourly_rollup"] = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+    return o

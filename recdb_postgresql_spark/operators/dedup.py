@@ -1,0 +1,151 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Not part of the RecDB reference surface — these are the
+training-data-pipeline extensions (BASELINE.json north star). All of
+them are pure DataFrame compositions (no Python UDFs): shingling is
+``split``/``transform``/``explode``, hashing is the portable md5-based
+family (``functions.hashing``), and candidate generation is
+hash-bucket joins, so every step scales horizontally and is verifiable
+against a SQL oracle.
+
+Scale notes (100 TB):
+- exact dedup is one map-side hash + one shuffle on the 60-bit hash;
+- MinHash-LSH shuffles once on (band, band_signature) — the classic
+  way to avoid the O(n^2) pair join; band width trades recall vs
+  candidate volume;
+- the verify step (true Jaccard on candidates) touches only candidate
+  pairs, never the full cross product;
+- SimHash groups by a band of the 64-bit signature the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (doc_id, canonical_id, content_hash).
+    canonical_id is the smallest doc id of the group; only actual
+    duplicates (group size > 1) are returned."""
+    hashed = docs.select(F.col(id_col), md5_long(F.col(text_col)).alias("content_hash"))
+    groups = (hashed.groupBy("content_hash")
+              .agg(F.min(id_col).alias("canonical_id"),
+                   F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 1))
+    return (hashed.join(groups, "content_hash")
+            .select(id_col, "canonical_id", "content_hash"))
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenization = lowercase split on whitespace; shingle = the n-gram
+    joined with single spaces. Expressed with higher-order functions
+    (filter/transform over the token array) — stays in codegen.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(sh)).alias("shingle"))
+            .where(F.length("shingle") > 0).distinct())
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, j, minhash): for each of ``num_hashes`` seeded hash
+    functions, the min hash over the document's shingle set. One
+    explode by j then a single groupBy — shuffle keyed on id."""
+    js = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
+    per = shingled.select("id", "shingle", js)
+    return (per.select("id", "j",
+                       md5_long(F.concat(F.col("j").cast("string"),
+                                         F.lit(":"), F.col("shingle"))).alias("h"))
+            .groupBy("id", "j").agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Band the signature and join documents sharing a band bucket:
+    (id1, id2) with id1 < id2. The band signature is the ordered
+    concat of its row minhashes — hashable on both engines."""
+    banded = (signatures
+              .withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+              .groupBy("id", "band")
+              .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                  F.concat_ws(":", F.col("j").cast("string"),
+                              F.col("minhash").cast("string"))))).alias("sig")))
+    a = banded.select(F.col("id").alias("id1"), "band", "sig")
+    b = banded.select(F.col("id").alias("id2"), "band", "sig")
+    return (a.join(b, ["band", "sig"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+
+
+def jaccard_pairs(shingled: DataFrame, threshold: float = 0.5,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """True n-gram Jaccard over shingle sets: (id1, id2, jaccard).
+
+    With ``candidates`` given (e.g. from LSH) only those pairs are
+    scored; otherwise all co-shingling pairs (inverted-index join —
+    pairs sharing zero shingles never materialize).
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.select(F.col("id").alias("id1"), "shingle")
+    b = shingled.select(F.col("id").alias("id2"), "shingle")
+    inter = (a.join(b, "shingle").where(F.col("id1") < F.col("id2"))
+             .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (inter.join(s1, "id1").join(s2, "id2")
+            .select("id1", "id2",
+                    (F.col("inter") /
+                     (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash bits.
+
+    For each token (split on whitespace, lowercased) take its 60-bit
+    md5 hash; for bit position p the signature bit is 1 iff
+    sum(+/-1 over tokens for that bit) > 0. Tokens are weighted by
+    their multiplicity (classic SimHash).
+    """
+    tok = (docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                       .alias("tok"))
+           .where(F.length("tok") > 0)
+           .select("id", md5_long(F.col("tok")).alias("h")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p")
+    per_bit = tok.select("id", "h", bit).select(
+        "id", "p",
+        F.when(F.expr("(h >> p) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+    return (per_bit.groupBy("id", "p").agg(F.sum("s").alias("tot"))
+            .select("id", F.when(F.col("tot") > 0,
+                                 F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+                    .otherwise(F.lit(0).cast("long")).alias("bitval"))
+            .groupBy("id").agg(F.sum("bitval").cast("long").alias("simhash")))
+
+
+def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95) -> DataFrame:
+    """(id1, id2, cos) pairs above a cosine threshold — brute-force
+    O(n^2) scorer for modest n; at scale route candidates through
+    ``similarity.ivf_assign`` buckets first."""
+    from recdb_postgresql_spark.functions.vector import cosine_sim
+
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2",
+                    cosine_sim(F.col("v1"), F.col("v2")).alias("cos"))
+            .where(F.col("cos") >= threshold))

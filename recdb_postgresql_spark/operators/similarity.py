@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the IVF variant is the
+scale path: assign every vector to its nearest of K fixed centroids
+(one broadcast join), then search only the probe's cell(s). With
+deterministic centroids (the first K vectors by id) the whole operator
+is SQL-expressible and oracle-checkable — no RNG anywhere.
+
+At 100 TB: centroids come from a sampled KMeans (MLlib) instead, the
+assignment is still one broadcast join + argmin, and each cell is a
+partition-pruned parquet bucket; the brute-force scorer then runs per
+cell. The plan shape below is exactly that, minus the trained
+centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.functions.vector import cosine_sim, dot
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid", qvec_col: str = "qvec",
+                     round_to: int = 6) -> DataFrame:
+    """(qid, vec_id, cos, rank<=k) — exact cosine top-k per query.
+
+    queries is small (broadcast); ranking ties break on vec_id for
+    determinism. Scores are rounded BEFORE ranking so the ordering is
+    reproducible across engines.
+    """
+    scored = (emb.crossJoin(F.broadcast(queries))
+              .where(F.col(id_col) != F.col(qid_col))
+              .select(F.col(qid_col).alias("qid"), F.col(id_col),
+                      F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)),
+                              round_to).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cid_col: str = "cid", cvec_col: str = "cvec") -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine (tie -> lowest cid).
+    One broadcast join + window argmin; this is the partitioning key
+    for bucketed ANN storage."""
+    scored = (emb.crossJoin(F.broadcast(centroids))
+              .select(F.col(id_col), F.col(cid_col),
+                      F.round(cosine_sim(F.col(vec_col), F.col(cvec_col)), 9)
+                      .alias("sim")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cid_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_col, F.col(cid_col).alias("cell")))
+
+
+def first_k_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroids: the k lowest-id vectors. Good enough to
+    exercise/verify the IVF plumbing; swap for MLlib KMeans centers in
+    production."""
+    return (emb.orderBy(id_col).limit(k)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             round_to: int = 6) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's cell.
+    (qid, vec_id, cos, rank) — recall < 1 by design; the candidate set
+    shrinks by ~|cells| versus brute force."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    q_assign = ivf_assign(
+        queries.select(F.col(qid_col).alias(id_col), F.col(qvec_col).alias(vec_col)),
+        centroids, id_col, vec_col).withColumnRenamed(id_col, qid_col) \
+        .withColumnRenamed("cell", "qcell")
+    cand = (emb.join(assign, id_col)
+            .join(F.broadcast(queries.join(q_assign, qid_col)),
+                  F.col("cell") == F.col("qcell"))
+            .where(F.col(id_col) != F.col(qid_col)))
+    scored = cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
+                         F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)),
+                                 round_to).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,107 @@
+"""Text-analysis operators for document pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (regex + higher-order functions) — no
+Python in the scan path, so they run at full codegen speed over 100 TB
+of documents and are exactly reproducible in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
+
+# BPE-ish word/number/punct tokenizer — identical regex runs in DuckDB.
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny deterministic per-language marker lists for the n-gram-ish
+# language heuristic (the testdata's `lang` labels are synthetic; what
+# matters is a deterministic, scalable, oracle-checkable classifier).
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "de", "la"),
+    "fr": ("le", "et", "les"),
+    "zh": ("zh1", "zh2", "zh3"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_words, avg_word_len, stopword_ratio,
+    punct_ratio) — regex token count plus whitespace word stats."""
+    toks = _tokens(F.col(text_col))
+    words = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    puncts = F.filter(toks, lambda t: ~t.rlike("^[a-z0-9]+$"))
+    stops = F.filter(words, lambda t: t.isin(*STOPWORDS))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(F.when(F.size(words) > 0,
+                       F.aggregate(words, F.lit(0.0),
+                                   lambda acc, t: acc + F.length(t))
+                       / F.size(words)).otherwise(F.lit(0.0)), 6).alias("avg_word_len"),
+        F.round(F.when(F.size(words) > 0,
+                       F.size(stops).cast("double") / F.size(words))
+                .otherwise(F.lit(0.0)), 6).alias("stopword_ratio"),
+        F.round(F.when(F.size(toks) > 0,
+                       F.size(puncts).cast("double") / F.size(toks))
+                .otherwise(F.lit(0.0)), 6).alias("punct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, quality): deterministic heuristic in [0,1] blending
+    length, stopword presence and punctuation burden — the shape of a
+    C4/Gopher-style quality filter, reproducible in SQL."""
+    s = token_stats(docs, id_col, text_col)
+    length_term = F.least(F.col("n_words") / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - F.col("punct_ratio") * 2, F.lit(0.0))
+    return s.select(
+        id_col,
+        F.round(0.5 * length_term + 0.3 * stop_term + 0.2 * punct_pen, 6)
+        .alias("quality"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang): marker-token counting with deterministic
+    tie-break (highest count, then language code ascending); 'und'
+    when no marker hits."""
+    toks = _tokens(F.col(text_col))
+    counts = [
+        F.size(F.filter(toks, lambda t: t.isin(*marks))).alias(f"c_{lang}")
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    d = docs.select(F.col(id_col), *counts)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when((F.col(f"c_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return d.select(id_col, pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, fingerprint): min-shingle-hash document fingerprint
+    (one MinHash row) — a stable 60-bit content id robust to word
+    reordering beyond n-gram distance, portable across engines."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(F.transform(F.array_distinct(sh),
+                                lambda s: md5_long(s))).alias("fingerprint"))
