@@ -1,0 +1,72 @@
+"""Hand-computed CF semantics, including the reference's quirks
+(SURVEY.md §7 "Quirk preservation")."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import cf
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # users 1..3, items 10/20/30; item 30 rated by one user only
+    rows = [(1, 10, 4.0), (1, 20, 2.0),
+            (2, 10, 5.0), (2, 20, 1.0),
+            (3, 30, 3.0)]
+    return spark.createDataFrame(rows, "user long, item long, rating double") \
+        .groupBy("user", "item").agg(F.avg("rating").alias("rating"))
+
+
+def test_item_cos_math(tiny):
+    m = {(r.item1, r.item2): r.similarity
+         for r in cf.train_item_cos(tiny).collect()}
+    # sim(10,20) = (4*2 + 5*1) / (sqrt(16+25)*sqrt(4+1))
+    expected = 13 / (math.sqrt(41) * math.sqrt(5))
+    assert m[(10, 20)] == pytest.approx(expected)
+    # item 30 shares no raters with anyone -> absent (sim<=0 dropped)
+    assert all(30 not in k for k in m)
+
+
+def test_item_pearson_keeps_negatives(tiny):
+    m = {(r.item1, r.item2): r.similarity
+         for r in cf.train_item_pearson(tiny).collect()}
+    # centered: item10 -> (4-4.5, 5-4.5); item20 -> (2-1.5, 1-1.5)
+    # dot = (-.5)(.5) + (.5)(-.5) = -0.5 ; p10 = p20 = sqrt(0.5)
+    assert m[(10, 20)] == pytest.approx(-0.5 / 0.5)
+    # single-rater item 30 has p=0 -> dropped, not NaN
+    assert all(not math.isnan(v) for v in m.values())
+    assert all(30 not in k for k in m)
+
+
+def test_user_cf_target_average_quirk(spark):
+    # users 1,2 co-rate item 10; user 2 also rated item 20.
+    rows = [(1, 10, 4.0), (2, 10, 4.0), (2, 20, 5.0)]
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    model = cf.train_user_cos(r)
+    users = r.select("user").distinct()
+    items = r.select("item").distinct()
+    scored = {(x.user, x.item): x.score
+              for x in cf.predict_user_cf(model, r, users, items).collect()}
+    sim = model.collect()[0].similarity
+    # score(1,20) = avg(1) + sim*(r(2,20) - avg(1))/|sim|  [TARGET user's avg]
+    avg1 = 4.0
+    assert scored[(1, 20)] == pytest.approx(avg1 + sim * (5.0 - avg1) / abs(sim))
+    # already-rated items are still scored (pending list holds ALL items)
+    assert (1, 10) in scored and (2, 10) in scored
+
+
+def test_item_cf_zero_when_unreachable(spark):
+    # two disconnected item groups -> cross-group predictions are 0
+    rows = [(1, 10, 5.0), (1, 20, 3.0), (2, 30, 4.0), (2, 40, 2.0)]
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    model = cf.train_item_cos(r)
+    users = r.select("user").distinct()
+    items = r.select("item").distinct()
+    scored = {(x.user, x.item): x.score
+              for x in cf.predict_item_cf(model, r, users, items).collect()}
+    assert scored[(1, 30)] == 0.0
+    assert scored[(2, 10)] == 0.0
+    # full user x item grid is emitted
+    assert len(scored) == 8

@@ -1,0 +1,134 @@
+"""Unit tests for dedup / similarity / text / multimodal / streaming /
+engine lifecycle beyond what the oracle parity suite covers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.engine import RecEngine
+from recdb_postgresql_spark.operators import dedup, multimodal, similarity, text
+from recdb_postgresql_spark.streaming import StreamingMaintainer
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different text about spark engines running fast"),
+        (5, "!!! ??? ..."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {(r.doc_id, r.canonical_id)
+           for r in dedup.exact_duplicates(docs).collect()}
+    assert out == {(1, 1), (3, 1)}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = dedup.word_shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = {(r.id1, r.id2)
+             for r in dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2).collect()}
+    assert (1, 3) in pairs          # identical -> all bands collide
+    assert (1, 2) in pairs or (2, 3) in pairs  # near-dup likely caught
+
+
+def test_jaccard_exact_dup_is_one(docs):
+    sh = dedup.word_shingles(docs)
+    j = {(r.id1, r.id2): r.jaccard
+         for r in dedup.jaccard_pairs(sh, threshold=0.2).collect()}
+    assert j[(1, 3)] == pytest.approx(1.0)
+    assert 0.2 <= j[(1, 2)] < 1.0
+
+
+def test_simhash_similar_docs_close(docs):
+    h = {r.id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h[1], h[3]) == 0                 # identical text
+    assert hamming(h[1], h[2]) < hamming(h[1], h[4])  # near-dup closer
+
+
+def test_brute_force_topk_self_excluded(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.limit(1).select(F.col("vec_id").alias("qid"),
+                             F.col("embedding").alias("qvec"))
+    out = similarity.brute_force_topk(emb, qs, k=2).collect()
+    assert all(r.vec_id != r.qid for r in out)
+    assert len(out) == 2
+
+
+def test_ivf_assign_nearest(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.first_k_centroids(emb, k=2)
+    cells = {r.vec_id: r.cell for r in similarity.ivf_assign(emb, cents).collect()}
+    assert cells[2] == 0 and cells[3] == 1
+
+
+def test_text_quality_ranges(docs):
+    q = {r.doc_id: r.quality for r in text.quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[1] > q[5]  # real sentence beats punctuation soup
+
+
+def test_lang_id_markers(spark):
+    rows = [(1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "xyzzy plugh")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    again = multimodal.extract_features(media).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+
+def test_frame_sample_metadata_only(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    frames = multimodal.frame_sample(media, every_ms=1000)
+    rows = frames.collect()
+    assert all(r.ts_ms % 1000 == 0 for r in rows)
+    # payload column must not appear in the scan (column pruning check)
+    assert "payload" not in frames.columns
+
+
+def test_streaming_maintenance_threshold(spark):
+    rows = [(u, i, float(u + i)) for u in range(1, 5) for i in range(1, 5)]
+    events = spark.createDataFrame(rows, "userid long, itemid long, ratingval double")
+    eng = RecEngine(spark, update_threshold=0.5)
+    eng.create_recommender("s1", events, "userid", "itemid", "ratingval", "itemcoscf")
+    maint = StreamingMaintainer(eng, "s1", events, "userid", "itemid", "ratingval")
+    # 16 base events; threshold = 8 new events triggers retrain
+    small = spark.createDataFrame([(9, 1, 5.0)], "userid long, itemid long, ratingval double")
+    maint.on_batch(small)
+    assert eng.catalog.get("s1").update_counter == 1
+    big = spark.createDataFrame([(9, i, 1.0) for i in range(2, 10)],
+                                "userid long, itemid long, ratingval double")
+    maint.on_batch(big)
+    info = eng.catalog.get("s1")
+    assert info.update_counter == 0          # retrained + reset
+    assert info.event_total == 16 + 9
+    eng.drop_recommender("s1")
+
+
+def test_catalog_workdir_roundtrip(spark, tmp_path):
+    rows = [(1, 10, 4.0), (2, 10, 3.0), (1, 20, 5.0), (2, 20, 2.0)]
+    events = spark.createDataFrame(rows, "userid long, itemid long, ratingval double")
+    eng = RecEngine(spark, workdir=str(tmp_path))
+    eng.create_recommender("p1", events, "userid", "itemid", "ratingval", "itemcoscf")
+    # a fresh engine over the same workdir sees the persisted model
+    eng2 = RecEngine(spark, workdir=str(tmp_path))
+    out = eng2.recommend(events, "userid", "itemid", "ratingval", name="p1",
+                         user_where=F.col("userid") == 1, k=2, round_to=6)
+    assert out.count() == 2
