@@ -311,6 +311,16 @@ WHERE c_acctbal > (
   WHERE c2.c_nationkey = c1.c_nationkey
 )
 """,
+    # grouping sets (absent from PG 9.2's grammar — gram.y:9203 — but
+    # table stakes for a Spark engine; ROLLUP runs in both engines)
+    "rollup_lineitem": """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
     # conditional aggregation (CASE pivot shape)
     "case_priority_matrix": """
 SELECT o_orderpriority,
@@ -405,6 +415,50 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_rec_join_ilike(spark, sf_dir):
+    """RecJoin analog (R5, nodeRecjoin.c): recommendations joined to a
+    dimension with an ILIKE filter — the reference regression suite's
+    join query (recdb_regression_test.sql:38). Catalyst broadcasts the
+    dimension; no custom join operator needed."""
+    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 10)
+    part = load_table(spark, sf_dir, "part")
+    return (scores.join(F.broadcast(part),
+                        scores["itemid"] == part["p_partkey"])
+            .where(F.lower(F.col("p_name")).like("%red%"))
+            .select("userid", "itemid", "score", "p_name")
+            .orderBy(F.col("score").desc(), "userid", "itemid")
+            .limit(20))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window lag +
+    running sum — the batch shape of a streaming session window."""
+    _register(spark, sf_dir, "events")
+    return spark.sql("""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) > 1800000000000 OR LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST((MAX(ts) - MIN(ts)) DIV 1000000000 AS BIGINT) AS duration_s
+FROM sessions
+GROUP BY user_id, session_id
+""")
+
+
 def q_events_hourly(spark, sf_dir):
     _register(spark, sf_dir, "events")
     return spark.sql("""
@@ -462,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "events_hourly_rollup": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "rec_join_ilike": q_rec_join_ilike,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -696,6 +752,37 @@ SELECT doc_id, {case} AS pred_lang FROM c
 WITH {SHINGLES_CTE_DUCK}
 SELECT id AS doc_id, MIN({sh_h}) AS fingerprint
 FROM shingled GROUP BY id
+"""
+    o["rec_join_ilike"] = f"""
+SELECT t.userid, t.itemid, t.score, p.p_name
+FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 10", "")}) t
+JOIN part p ON p.p_partkey = t.itemid
+WHERE lower(p.p_name) LIKE '%red%'
+ORDER BY t.score DESC, t.userid, t.itemid
+LIMIT 20
+"""
+    o["events_sessionize"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+              ) > 1800000000000 OR LAG(epoch_ns(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, tsn,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY tsn, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST((MAX(tsn) - MIN(tsn)) // 1000000000 AS BIGINT) AS duration_s
+FROM sessions
+GROUP BY user_id, session_id
 """
     o["events_hourly_rollup"] = """
 SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,

@@ -116,15 +116,26 @@ class RecEngine:
         holds *all* items — ``recathon.c:3942-3958``).
         """
         method = method.lower()
+        # NOT cached: each downstream use of `ratings` carries different
+        # pushable predicates (user-WHERE prunes the rated-list branch at
+        # the parquet scan); a cache would materialize the unfiltered
+        # aggregate and block that pushdown (measured 2-5x slower).
+        ratings = cf.normalize_events(events, userkey, itemkey, eventval)
         info = self.catalog.get(name) if name else None
         if info is not None:
             models = self.catalog.load_models(info, self.spark)
             method = info.method
         else:
-            # on-the-fly "GenerateRecommend" path: train at query time
-            models = self._train(events, userkey, itemkey, eventval, method)
-
-        ratings = cf.normalize_events(events, userkey, itemkey, eventval)
+            # on-the-fly "GenerateRecommend" path: train at query time,
+            # fully lazy. Deliberately NOT cached either: the predict
+            # join pushes the user filter through symmetrize() into the
+            # pair join, so only similarity pairs touching the target
+            # users are ever computed (measured: caching the full model
+            # at sf0.1 made user-CF 4x slower). Users wanting the full
+            # model amortized across queries should create_recommender()
+            # — that is exactly the reference's materialized/OP_FILTER
+            # regime (parse_rec.c:554-678).
+            models = self._train_ratings(ratings, method)
         users = ratings.select("user").distinct()
         if user_where is not None:
             users = ratings.select(F.col("user").alias(userkey)).distinct() \
@@ -181,6 +192,9 @@ class RecEngine:
     def _train(self, events: DataFrame, userkey: str, itemkey: str,
                eventval: str, method: str) -> dict[str, DataFrame]:
         ratings = cf.normalize_events(events, userkey, itemkey, eventval)
+        return self._train_ratings(ratings, method)
+
+    def _train_ratings(self, ratings: DataFrame, method: str) -> dict[str, DataFrame]:
         if method == "itemcoscf":
             return {"model": cf.train_item_cos(ratings)}
         if method == "itempearcf":
