@@ -415,6 +415,10 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf(spark, sf_dir):
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_rec_join_ilike(spark, sf_dir):
     """RecJoin analog (R5, nodeRecjoin.c): recommendations joined to a
     dimension with an ILIKE filter — the reference regression suite's
@@ -514,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
+        "text_tfidf_top_terms": q_tfidf,
         "doc_fingerprint": q_fingerprint,
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -746,6 +751,26 @@ c AS (SELECT doc_id,
   {cnt_cols}
   FROM t)
 SELECT doc_id, {case} AS pred_lang FROM c
+"""
+    o["text_tfidf_top_terms"] = """
+WITH words AS (
+  SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM words GROUP BY id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+),
+ranked AS (
+  SELECT id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT id AS doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
     sh_h = MD5L.format(x="shingle")
     o["doc_fingerprint"] = f"""

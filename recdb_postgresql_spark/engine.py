@@ -125,6 +125,10 @@ class RecEngine:
         if info is not None:
             models = self.catalog.load_models(info, self.spark)
             method = info.method
+            # R16: materialized queries bump the query counter
+            # (execRecommend.c:831-836)
+            info.query_counter += 1
+            self.catalog.update_meta(info)
         else:
             # on-the-fly "GenerateRecommend" path: train at query time,
             # fully lazy. Deliberately NOT cached either: the predict
@@ -164,6 +168,19 @@ class RecEngine:
             # TakeOrderedAndProject top-k; deterministic tie-break on keys
             out = out.orderBy(F.col(eventval).desc(), F.col(userkey), F.col(itemkey)).limit(k)
         return out
+
+    def explain(self, events: DataFrame, userkey: str, itemkey: str,
+                eventval: str, method: str = "itemcoscf",
+                name: Optional[str] = None) -> str:
+        """R19 (explain.c:767-793): report the chosen rec-strategy —
+        FilterRecommend (materialized model) vs GenerateRecommend
+        (train-at-query) — plus Spark's formatted physical plan."""
+        info = self.catalog.get(name) if name else None
+        strategy = "FilterRecommend" if info is not None else "GenerateRecommend"
+        df = self.recommend(events, userkey, itemkey, eventval, method, name=name)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        return f"Recommend strategy: {strategy}\n{plan}"
 
     # ------------------------------------------------------------------
     # Maintenance (R15): INSERT-hook counter + threshold retrain

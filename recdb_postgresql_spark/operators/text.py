@@ -93,6 +93,36 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     return d.select(id_col, pred.alias("pred_lang"))
 
 
+def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 1) -> DataFrame:
+    """(doc_id, term, tfidf, rank<=k): highest-TF-IDF terms per doc.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) with df = docs
+    containing the term. One explode + two aggregations + a window —
+    shuffles on (doc, term) then term, both map-side combined.
+    Ties break on term ascending for determinism.
+    """
+    from pyspark.sql import Window
+
+    words = (docs.select(F.col(id_col).alias("id"),
+                         F.explode(F.regexp_extract_all(
+                             F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
+                         .alias("term")))
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = (tf.join(dfreq, "term")
+              .select("id", "term",
+                      F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0)
+                                                  / (F.col("df") + 1.0)), 6)
+                      .alias("tfidf")))
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), "term", "tfidf",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, fingerprint): min-shingle-hash document fingerprint
