@@ -311,6 +311,18 @@ WHERE c_acctbal > (
   WHERE c2.c_nationkey = c1.c_nationkey
 )
 """,
+    # semi/anti joins (PG jointype variants, plannodes.h:524-529 ->
+    # Spark left_semi/left_anti via EXISTS / NOT EXISTS)
+    "semijoin_order_lines": """
+SELECT 'no_lines' AS tag, o_orderkey AS keyval
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'big_lines' AS tag, o_orderkey AS keyval
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
     # grouping sets (absent from PG 9.2's grammar — gram.y:9203 — but
     # table stakes for a Spark engine; ROLLUP runs in both engines)
     "rollup_lineitem": """
@@ -379,6 +391,15 @@ def q_dedup_simhash(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_duplicates(emb, threshold=0.30) \
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+
+
+def q_embedding_neardup_fast(spark, sf_dir):
+    """Scale path: BLAS matmul via mapInPandas — same pair set as the
+    exact query (verified in tests), float accumulation differs in the
+    last ulps so it takes the rows-only driver check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.30, impl="numpy") \
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
 
 
@@ -513,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_fast": q_embedding_neardup_fast,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
         "text_token_stats": q_text_stats,

@@ -34,8 +34,11 @@ def main() -> None:
         "window_top_orders_per_customer", "subquery_above_avg_customers",
         "events_hourly_rollup",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "embedding_neardup", "ann_cosine_topk",
+        "dedup_simhash", "embedding_neardup", "embedding_neardup_fast",
+        "ann_cosine_topk",
         "ann_ivf_topk", "text_token_stats", "text_quality", "doc_fingerprint",
+        "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
+        "rollup_lineitem",
     ]
 
     # one warm-up pass to amortize JVM/parquet-footer costs out of q1

@@ -82,6 +82,21 @@ class RecCatalog:
         self._mem[info.name] = info
         self._save_manifest()
 
+    def add_model_table(self, info: RecommenderInfo, key: str, df: DataFrame,
+                        spark: SparkSession) -> None:
+        """Add ONE model table without rewriting the others — required
+        when the new table's plan lazily reads the existing parquet
+        (overwriting a file you are reading truncates it mid-scan)."""
+        if self.workdir:
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.workdir, info.name, key))
+        else:
+            self._mem_models[info.name][key] = df.cache()
+        if key not in info.model_tables:
+            info.model_tables = sorted({*info.model_tables, key})
+        self._mem[info.name] = info
+        self._save_manifest()
+
     def load_models(self, info: RecommenderInfo, spark: SparkSession) -> dict[str, DataFrame]:
         if self.workdir:
             return {k: spark.read.parquet(os.path.join(self.workdir, info.name, k))

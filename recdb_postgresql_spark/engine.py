@@ -169,6 +169,42 @@ class RecEngine:
             out = out.orderBy(F.col(eventval).desc(), F.col(userkey), F.col(itemkey)).limit(k)
         return out
 
+    def materialize_predictions(self, name: str, events: DataFrame) -> None:
+        """R6 (IndexRecommend): precompute the full RecView predictions
+        table for a materialized recommender. The reference creates the
+        RecView at CREATE time but its read path is gated off
+        (execRecommend.c:935-940); here it is a working option:
+        ``recommend(..., name=n, use_view=True)`` becomes a pure
+        filter + top-k over the stored table — the right trade when
+        queries vastly outnumber model refreshes."""
+        info = self.catalog.get(name)
+        if info is None:
+            raise ValueError(f"no recommender {name!r}")
+        preds = self.recommend(events, info.userkey, info.itemkey,
+                               info.eventval, name=name).select(
+            F.col(info.userkey).alias("user"), F.col(info.itemkey).alias("item"),
+            F.col(info.eventval).alias("score"))
+        self.catalog.add_model_table(info, "recview", preds, self.spark)
+
+    def recommend_from_view(self, name: str,
+                            user_where: Optional[Column] = None,
+                            k: Optional[int] = None) -> DataFrame:
+        """IndexRecommend read path (execRecommend.c:151-294): filter
+        the precomputed predictions to the target users."""
+        info = self.catalog.get(name)
+        if info is None or "recview" not in info.model_tables:
+            raise ValueError(f"no materialized RecView for {name!r}")
+        view = self.catalog.load_models(info, self.spark)["recview"]
+        out = view.select(F.col("user").alias(info.userkey),
+                          F.col("item").alias(info.itemkey),
+                          F.col("score").alias(info.eventval))
+        if user_where is not None:
+            out = out.filter(user_where)
+        if k is not None:
+            out = out.orderBy(F.col(info.eventval).desc(),
+                              F.col(info.userkey), F.col(info.itemkey)).limit(k)
+        return out
+
     def explain(self, events: DataFrame, userkey: str, itemkey: str,
                 eventval: str, method: str = "itemcoscf",
                 name: Optional[str] = None) -> str:

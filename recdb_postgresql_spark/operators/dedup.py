@@ -137,22 +137,72 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              threshold: float = 0.95) -> DataFrame:
-    """(id1, id2, cos) pairs above a cosine threshold — brute-force
-    O(n^2) scorer for modest n; at scale route candidates through
-    ``similarity.ivf_assign`` buckets first."""
-    from recdb_postgresql_spark.functions.vector import dot, l2_norm
+                              threshold: float = 0.95,
+                              impl: str = "sql") -> DataFrame:
+    """(id1, id2, cos) pairs above a cosine threshold.
 
-    # Precompute each vector's norm once (identical double arithmetic to
-    # folding it per pair, ~3x less work over the O(n^2) pair space).
-    with_norm = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+    impl='sql' (default): pure-Catalyst fold — bit-reproducible against
+    a sequential SQL oracle, O(n^2 d) interpreted.
+    impl='numpy': Arrow-batched mapInPandas with a broadcast matrix and
+    BLAS matmul — ~10x faster, float accumulation order differs in the
+    last ulps (fine for real dedup, not for exact-hash oracles).
+    At true scale neither brute force applies: bucket by
+    ``similarity.ivf_assign`` and run within cells.
+    """
+    if impl == "numpy":
+        return _near_dup_numpy(emb, id_col, vec_col, threshold)
+    from recdb_postgresql_spark.functions.vector import l2_norm
+
+    # Precompute each vector's norm AND its double-cast copy once
+    # (identical double arithmetic to folding/casting per pair, but the
+    # O(n^2) pair space then does a single add-mul fold per pair).
+    with_norm = emb.select(F.col(id_col).alias("id"),
+                           F.transform(F.col(vec_col),
+                                       lambda x: x.cast("double")).alias("v"),
                            l2_norm(F.col(vec_col)).alias("nrm"))
+    pair_dot = F.aggregate(F.zip_with(F.col("v1"), F.col("v2"),
+                                      lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
     a = with_norm.select(F.col("id").alias("id1"), F.col("v").alias("v1"),
                          F.col("nrm").alias("n1"))
     b = with_norm.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
                          F.col("nrm").alias("n2"))
     return (a.crossJoin(b).where(F.col("id1") < F.col("id2"))
             .select("id1", "id2",
-                    (dot(F.col("v1"), F.col("v2"))
-                     / (F.col("n1") * F.col("n2"))).alias("cos"))
+                    (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+def _near_dup_numpy(emb: DataFrame, id_col: str, vec_col: str,
+                    threshold: float) -> DataFrame:
+    """Blocked-matmul scorer: every partition scores its rows against a
+    broadcast of the full normalized matrix. Driver must hold the
+    matrix once (n x d floats) — the same budget MLlib's
+    BucketedRandomProjectionLSH broadcast model needs."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def score(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+            sims = q @ all_mat.T
+            qids = pdf[id_col].to_numpy()
+            out1, out2, outc = [], [], []
+            for i, qid in enumerate(qids):
+                mask = (sims[i] >= threshold) & (all_ids > qid)
+                out1.extend([qid] * int(mask.sum()))
+                out2.extend(all_ids[mask].tolist())
+                outc.extend(sims[i][mask].tolist())
+            yield pd.DataFrame({"id1": out1, "id2": out2, "cos": outc})
+
+    return emb.mapInPandas(score, schema="id1 long, id2 long, cos double")

@@ -30,6 +30,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def load_csv(spark: SparkSession, path: str, schema: str,
+             sep: str = ";") -> DataFrame:
+    """The reference's bulk-load path is COPY of `;`-separated files
+    (install.pl:74-84, movies.dat). Explicit schema — no inference scan."""
+    return spark.read.schema(schema).option("sep", sep).csv(path)
+
+
 def ratings_from_events(events: DataFrame) -> DataFrame:
     """Project the driver's events table onto the RecDB events-table
     shape ``(userkey int, itemkey int, eventval numeric)``

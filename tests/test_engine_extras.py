@@ -1,0 +1,54 @@
+"""RecView materialization (R6), CSV source, numpy near-dup parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.engine import RecEngine
+from recdb_postgresql_spark.operators import dedup
+from recdb_postgresql_spark.sources.readers import load_csv, load_table
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [(u, i, float((u * 7 + i * 3) % 10 + 1))
+            for u in range(1, 6) for i in range(1, 8) if (u + i) % 3]
+    return spark.createDataFrame(rows, "userid long, itemid long, ratingval double")
+
+
+def test_recview_matches_live_scoring(spark, events, tmp_path):
+    eng = RecEngine(spark, workdir=str(tmp_path))
+    eng.create_recommender("v1", events, "userid", "itemid", "ratingval", "itemcoscf")
+    eng.materialize_predictions("v1", events)
+    live = eng.recommend(events, "userid", "itemid", "ratingval", name="v1",
+                         user_where=F.col("userid") == 2, k=5, round_to=6)
+    view = eng.recommend_from_view("v1", user_where=F.col("userid") == 2, k=5)
+    lv = [(r.userid, r.itemid, round(r.ratingval, 6)) for r in live.collect()]
+    vv = [(r.userid, r.itemid, round(r.ratingval, 6)) for r in view.collect()]
+    assert lv == vv
+
+
+def test_recview_requires_materialization(spark, events):
+    eng = RecEngine(spark)
+    eng.create_recommender("v2", events, "userid", "itemid", "ratingval", "itemcoscf")
+    with pytest.raises(ValueError, match="RecView"):
+        eng.recommend_from_view("v2")
+    eng.drop_recommender("v2")
+
+
+def test_load_csv_semicolon(spark, tmp_path):
+    p = tmp_path / "items.dat"
+    p.write_text("1;Toy Story;Animation|Comedy\n2;Jumanji;Adventure\n")
+    df = load_csv(spark, str(p), "itemid int, name string, genre string")
+    rows = {r.itemid: (r.name, r.genre) for r in df.collect()}
+    assert rows[1] == ("Toy Story", "Animation|Comedy")
+    assert rows[2][1] == "Adventure"
+
+
+def test_neardup_numpy_matches_sql(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id1, r.id2) for r in
+             dedup.embedding_near_duplicates(emb, threshold=0.30).collect()}
+    fast = {(r.id1, r.id2) for r in
+            dedup.embedding_near_duplicates(emb, threshold=0.30,
+                                            impl="numpy").collect()}
+    assert exact == fast and len(exact) > 0
