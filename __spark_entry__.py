@@ -484,6 +484,21 @@ GROUP BY user_id, session_id
 """)
 
 
+def q_quantile_prices(spark, sf_dir):
+    """Exact percentiles (PG 9.2 lacks percentile_cont — 9.4 added it —
+    but the harness surface needs it): Spark `percentile` and DuckDB
+    `quantile_cont` both do linear interpolation on sorted values."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql("""
+SELECT l_returnflag,
+       ROUND(percentile(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(percentile(l_extendedprice, 0.95), 6) AS p95,
+       ROUND(percentile(l_quantity, 0.25), 6) AS q1_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+
+
 def q_events_hourly(spark, sf_dir):
     _register(spark, sf_dir, "events")
     return spark.sql("""
@@ -545,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "rec_join_ilike": q_rec_join_ilike,
+        "quantile_prices": q_quantile_prices,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -592,12 +608,13 @@ SELECT h.doc_id, g.canonical_id, h.content_hash
 FROM h JOIN g ON g.content_hash = h.content_hash
 WHERE g.n > 1
 """
-    mh = MD5L.format(x="concat(CAST(j AS VARCHAR), ':', shingle)")
+    base_h = MD5L.format(x="shingle")
     o["dedup_minhash_lsh"] = f"""
 WITH {SHINGLES_CTE_DUCK},
+base AS (SELECT id, ({base_h}) % 2147483647 AS h FROM shingled),
 sigs AS (
-  SELECT id, j, MIN({mh}) AS minhash
-  FROM shingled, UNNEST(generate_series(0, 7)) AS gj(j)
+  SELECT id, j, MIN(((1103515245 + j) * h + 12345 * j + 1) % 2147483647) AS minhash
+  FROM base, UNNEST(generate_series(0, 7)) AS gj(j)
   GROUP BY id, j
 ),
 banded AS (
@@ -614,10 +631,11 @@ SELECT id1, id2 FROM pairs
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH {SHINGLES_CTE_DUCK},
-sizes AS (SELECT id, COUNT(*) AS sz FROM shingled GROUP BY id),
+hashed AS (SELECT id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
 inter AS (
   SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
-  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
   GROUP BY 1, 2
 ),
 j AS (
@@ -807,6 +825,14 @@ JOIN part p ON p.p_partkey = t.itemid
 WHERE lower(p.p_name) LIKE '%red%'
 ORDER BY t.score DESC, t.userid, t.itemid
 LIMIT 20
+"""
+    o["quantile_prices"] = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+FROM lineitem
+GROUP BY l_returnflag
 """
     o["events_sessionize"] = """
 WITH ordered AS (

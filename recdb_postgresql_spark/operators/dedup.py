@@ -56,16 +56,29 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id",
             .where(F.length("shingle") > 0).distinct())
 
 
+# Affine rehash family over one base hash: h_j = (A_j * (h mod P) + B_j) mod P
+# with P = 2^31 - 1 (Mersenne) so every product fits int64 exactly —
+# the same integer arithmetic runs in any SQL engine.
+MINHASH_P = 2_147_483_647
+MINHASH_A = 1_103_515_245
+MINHASH_B = 12_345
+
+
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(id, j, minhash): for each of ``num_hashes`` seeded hash
-    functions, the min hash over the document's shingle set. One
-    explode by j then a single groupBy — shuffle keyed on id."""
+    """(id, j, minhash): for each of ``num_hashes`` hash functions, the
+    min over the document's shingle set.
+
+    One md5 per shingle (the expensive part), then j cheap affine
+    rehashes h_j = ((A+j)*(h%P) + B*j+1) % P — 8x less hashing than
+    md5-per-(j,shingle). One explode by j then a single groupBy,
+    shuffle keyed on id."""
+    base = shingled.select("id", (md5_long(F.col("shingle")) % MINHASH_P).alias("h"))
     js = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
-    per = shingled.select("id", "shingle", js)
-    return (per.select("id", "j",
-                       md5_long(F.concat(F.col("j").cast("string"),
-                                         F.lit(":"), F.col("shingle"))).alias("h"))
-            .groupBy("id", "j").agg(F.min("h").alias("minhash")))
+    return (base.select("id", "h", js)
+            .select("id", "j",
+                    (((F.lit(MINHASH_A) + F.col("j")) * F.col("h")
+                      + F.lit(MINHASH_B) * F.col("j") + 1) % MINHASH_P).alias("hj"))
+            .groupBy("id", "j").agg(F.min("hj").alias("minhash")))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
@@ -94,10 +107,14 @@ def jaccard_pairs(shingled: DataFrame, threshold: float = 0.5,
     scored; otherwise all co-shingling pairs (inverted-index join —
     pairs sharing zero shingles never materialize).
     """
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.select(F.col("id").alias("id1"), "shingle")
-    b = shingled.select(F.col("id").alias("id2"), "shingle")
-    inter = (a.join(b, "shingle").where(F.col("id1") < F.col("id2"))
+    # join on the 60-bit shingle hash, not the string: ~2-4x smaller
+    # shuffle and integer key comparison (collisions are 2^-60-rare and
+    # the oracle applies the identical hashing, so parity is exact).
+    hashed = shingled.select("id", md5_long(F.col("shingle")).alias("sh"))
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = hashed.select(F.col("id").alias("id1"), "sh")
+    b = hashed.select(F.col("id").alias("id2"), "sh")
+    inter = (a.join(b, "sh").where(F.col("id1") < F.col("id2"))
              .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
     if candidates is not None:
         inter = inter.join(candidates, ["id1", "id2"], "left_semi")
