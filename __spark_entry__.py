@@ -333,6 +333,28 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
+    # scalar string functions (PG adt/ surface -> pyspark.sql.functions)
+    "string_functions": """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       substring(p_name, 1, 4) AS prefix,
+       regexp_replace(p_name, '[aeiou]', '_') AS devoweled,
+       concat(p_brand, '/', p_type) AS brand_type,
+       length(p_name) AS name_len
+FROM part
+WHERE p_partkey < 50
+""",
+    # outer join + null semantics (PG jointype LEFT + COALESCE)
+    "leftjoin_null_handling": """
+SELECT c.c_custkey,
+       COALESCE(CAST(COUNT(o.o_orderkey) AS BIGINT), 0) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_spend,
+       CASE WHEN COUNT(o.o_orderkey) = 0 THEN 'never_ordered'
+            ELSE 'customer' END AS status
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
     # conditional aggregation (CASE pivot shape)
     "case_priority_matrix": """
 SELECT o_orderpriority,
@@ -345,7 +367,8 @@ GROUP BY o_orderpriority
 """,
 }
 
-REL_TABLES = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+REL_TABLES = ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part")
 
 
 def _rel_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -484,6 +507,38 @@ GROUP BY user_id, session_id
 """)
 
 
+def q_rec_peruser_topk(spark, sf_dir):
+    """Per-user top-3 via window over the scored grid — the common
+    serving shape (global top-k is the regression suite's shape)."""
+    from pyspark.sql import Window
+
+    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 15)
+    w = Window.partitionBy("userid").orderBy(F.col("score").desc(), F.col("itemid"))
+    return (scores.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the driver contract: documents' text
+    bytes stand in for encoded media payloads; features come from the
+    deterministic fake encoder via Arrow-batched mapInPandas. No SQL
+    oracle (Python-side md5-derived floats) — rows-only check."""
+    from recdb_postgresql_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.lit("image").alias("kind"),
+                        F.encode("text", "UTF-8").alias("payload"),
+                        F.lit(None).cast(
+                            "struct<mime:string,width:int,height:int,duration_ms:bigint>"
+                        ).alias("meta"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind",
+                        F.round(F.aggregate("features", F.lit(0.0),
+                                            lambda a, x: a + x.cast("double")), 6)
+                        .alias("feature_sum"))
+
+
 def q_quantile_prices(spark, sf_dir):
     """Exact percentiles (PG 9.2 lacks percentile_cont — 9.4 added it —
     but the harness surface needs it): Spark `percentile` and DuckDB
@@ -560,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "rec_join_ilike": q_rec_join_ilike,
+        "rec_peruser_topk": q_rec_peruser_topk,
+        "multimodal_features": q_multimodal_features,
         "quantile_prices": q_quantile_prices,
     }
     for name in REL_SQL:
@@ -576,6 +633,12 @@ def _itemcos_model(spark, sf_dir):
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = dict(REL_SQL)
+
+    # DuckDB regexp_replace replaces only the first match unless the
+    # 'g' flag is passed; Spark replaces all. Same semantics, two texts.
+    o["string_functions"] = REL_SQL["string_functions"].replace(
+        "regexp_replace(p_name, '[aeiou]', '_')",
+        "regexp_replace(p_name, '[aeiou]', '_', 'g')")
 
     o["rec_itemcos_topk"] = _item_predict_sql(
         ITEMCOS_MODEL_CTES, "userid < 20", TOPK_TAIL.format(k=50))
@@ -825,6 +888,13 @@ JOIN part p ON p.p_partkey = t.itemid
 WHERE lower(p.p_name) LIKE '%red%'
 ORDER BY t.score DESC, t.userid, t.itemid
 LIMIT 20
+"""
+    o["rec_peruser_topk"] = f"""
+SELECT userid, itemid, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT userid, itemid, score,
+         ROW_NUMBER() OVER (PARTITION BY userid ORDER BY score DESC, itemid) AS rank
+  FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 15", "")}) t
+) r WHERE rank <= 3
 """
     o["quantile_prices"] = """
 SELECT l_returnflag,

@@ -25,6 +25,7 @@ class RecommenderInfo:
     itemkey: str
     eventval: str
     method: str
+    eventtable: str = ""  # RecModelsCatalogue.eventTable (utility.c:886)
     event_total: int = 0
     update_counter: int = 0   # <name>Index.updateCounter (utility.c:917-921)
     query_counter: int = 0    # bumped on first materialized query (execRecommend.c:831-836)
@@ -61,10 +62,14 @@ class RecCatalog:
     def get(self, name: Optional[str]) -> Optional[RecommenderInfo]:
         return self._mem.get(name) if name else None
 
-    def find(self, method: str) -> Optional[RecommenderInfo]:
-        """retrieveRecommender analog (recathon.c:706-747)."""
+    def find(self, method: str, eventtable: Optional[str] = None
+             ) -> Optional[RecommenderInfo]:
+        """retrieveRecommender analog (recathon.c:706-747): match on
+        (eventtable, method) — this is what flips a query from
+        GenerateRecommend to FilterRecommend (parse_rec.c:554-678)."""
         for i in self._mem.values():
-            if i.method == method:
+            if i.method == method and (eventtable is None
+                                       or i.eventtable == eventtable):
                 return i
         return None
 

@@ -66,7 +66,8 @@ class RecEngine:
     # DDL surface
     # ------------------------------------------------------------------
     def create_recommender(self, name: str, events: DataFrame, userkey: str,
-                           itemkey: str, eventval: str, method: str) -> RecommenderInfo:
+                           itemkey: str, eventval: str, method: str,
+                           events_name: str = "") -> RecommenderInfo:
         """Validate, train, persist — mirrors ProcessUtility T_CreateRStmt
         (``utility.c:856-955``) + validateCreateRStmt (``recathon.c:821-881``)."""
         method = method.lower()
@@ -83,8 +84,8 @@ class RecEngine:
         event_total = events.count()
         info = RecommenderInfo(
             name=name, userkey=userkey, itemkey=itemkey, eventval=eventval,
-            method=method, event_total=event_total, update_counter=0,
-            query_counter=0,
+            method=method, eventtable=events_name, event_total=event_total,
+            update_counter=0, query_counter=0,
         )
         self.catalog.put(info, models, self.spark)
         return info

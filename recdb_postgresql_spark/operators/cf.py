@@ -123,8 +123,37 @@ def train_item_pearson(ratings: DataFrame) -> DataFrame:
             .where(F.col("similarity") != 0))  # pearson drops only ==0: recathon.c:1885
 
 
-def train_user_cos(ratings: DataFrame) -> DataFrame:
+def cap_coraters(ratings: DataFrame, entity: str, other: str,
+                 max_n: int) -> DataFrame:
+    """Deterministically keep at most ``max_n`` raters per ``other``
+    (e.g. 500 users per item) before the pairwise join.
+
+    The user-CF pair join is quadratic in raters-per-item: a 10x data
+    scale-up with fixed item count makes it 100x — at billions of
+    events a hot item has millions of raters and the exact join is
+    infeasible (the reference's dense O(U^2) matrix dies far earlier).
+    Capping by the md5 rank of (other, entity) is the standard
+    approximation: reproducible (no RNG), unbiased w.r.t. rating
+    values, and it bounds pair fan-out to max_n^2 per item. Not used
+    by the oracle-checked queries (which run exact); opt-in via
+    ``train_user_*(..., max_coraters=N)``.
+    """
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    w = Window.partitionBy(other).orderBy(
+        md5_long(F.concat_ws(":", F.col(other).cast("string"),
+                             F.col(entity).cast("string"))), entity)
+    return (ratings.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_n).drop("_rn"))
+
+
+def train_user_cos(ratings: DataFrame,
+                   max_coraters: int | None = None) -> DataFrame:
     """(user1, user2, similarity) — item-cos transposed (recathon.c:1969-2157)."""
+    if max_coraters:
+        ratings = cap_coraters(ratings, "user", "item", max_coraters)
     norms = ratings.groupBy("user").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm"))
     dots = (_pairwise(ratings, "user", "item", "rating")
@@ -138,8 +167,11 @@ def train_user_cos(ratings: DataFrame) -> DataFrame:
             .where(F.col("similarity") > 0))
 
 
-def train_user_pearson(ratings: DataFrame) -> DataFrame:
+def train_user_pearson(ratings: DataFrame,
+                       max_coraters: int | None = None) -> DataFrame:
     """(user1, user2, similarity) — item-pearson transposed (recathon.c:2168-2358)."""
+    if max_coraters:
+        ratings = cap_coraters(ratings, "user", "item", max_coraters)
     means = ratings.groupBy("user").agg(F.avg("rating").alias("mean"))
     centered = ratings.join(means, "user").select(
         "user", "item", (F.col("rating") - F.col("mean")).alias("c"))

@@ -85,7 +85,7 @@ class RecSQL:
             events = self.spark.table(m["table"])
             self.engine.create_recommender(
                 m["name"].lower(), events, m["ucol"], m["icol"], m["ecol"],
-                m["method"].lower())
+                m["method"].lower(), events_name=m["table"].lower())
             return None
         m = _DROP_RE.match(query)
         if m:
@@ -104,8 +104,12 @@ class RecSQL:
         def fix(s: Optional[str]) -> Optional[str]:
             return re.sub(r"\bILIKE\b", "ilike", s, flags=re.IGNORECASE) if s else None
 
+        # materialized-model substitution (parse_rec.c:554-678): a catalog
+        # hit on (eventtable, method) flips OP_GENERATE -> OP_FILTER
+        hit = self.engine.catalog.find(m["method"].lower(), m["table"].lower())
         out = self.engine.recommend(
             events, ucol, icol, ecol, m["method"].lower(),
+            name=hit.name if hit else None,
             user_where=F.expr(fix(user_sql)) if user_sql else None,
             where=None)
         if rest_sql:
