@@ -507,6 +507,23 @@ GROUP BY user_id, session_id
 """)
 
 
+def q_rec_als(spark, sf_dir):
+    """Distributed latent-factor path (MLlib ALS at the reference's
+    rank/L2 family) — the 100 TB replacement for sequential Funk-SGD.
+    Seeded but optimizer-dependent: rows-only driver check."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    ev = _ratings(spark, sf_dir)
+    ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
+    um, im = svd.train_als(ratings, rank=8, max_iter=5)
+    users = ratings.select("user").distinct().where(F.col("user") < 5)
+    items = ratings.select("item").distinct()
+    return (svd.predict_svd(um, im, users, items)
+            .select(F.col("user").alias("userid"), F.col("item").alias("itemid"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), "userid", "itemid").limit(20))
+
+
 def q_rec_peruser_topk(spark, sf_dir):
     """Per-user top-3 via window over the scored grid — the common
     serving shape (global top-k is the regression suite's shape)."""
@@ -598,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R10/R13: Funk-SGD (sequential — rows-only check, no oracle)
         "rec_svd_topk": lambda s, d: _rec(s, d, "svd",
                                           F.col("userid") < 5, k=20),
+        # R10 scale path: distributed ALS factorization (rows-only)
+        "rec_als_topk": q_rec_als,
         # pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
