@@ -406,6 +406,17 @@ def q_dedup_jaccard(spark, sf_dir):
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_lsh_verified(spark, sf_dir):
+    """The production near-dup flow: LSH candidates -> true-Jaccard
+    verify, so the quadratic check only touches candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    cands = dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands) \
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -621,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_fast": q_embedding_neardup_fast,
@@ -723,6 +735,39 @@ inter AS (
 j AS (
   SELECT id1, id2, i * 1.0 / (s1.sz + s2.sz - i) AS jaccard
   FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+)
+SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    o["dedup_lsh_verified"] = f"""
+WITH {SHINGLES_CTE_DUCK},
+base AS (SELECT id, ({base_h}) % 2147483647 AS h FROM shingled),
+sigs AS (
+  SELECT id, j, MIN(((1103515245 + j) * h + 12345 * j + 1) % 2147483647) AS minhash
+  FROM base, UNNEST(generate_series(0, 7)) AS gj(j)
+  GROUP BY id, j
+),
+banded AS (
+  SELECT id, CAST(j // 2 AS INT) AS band,
+         string_agg(concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR))) AS sig
+  FROM sigs GROUP BY id, CAST(j // 2 AS INT)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+hashed AS (SELECT id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT inter.id1, inter.id2, i * 1.0 / (s1.sz + s2.sz - i) AS jaccard
+  FROM inter
+  JOIN cands c ON c.id1 = inter.id1 AND c.id2 = inter.id2
+  JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
 """

@@ -41,6 +41,34 @@ def get_spark(app: str = "recdb_spark", cpus: Optional[int] = None) -> SparkSess
     )
 
 
+def cluster_conf(events_tb: float = 100.0, executors: int = 1000,
+                 cores_per_executor: int = 4) -> dict[str, str]:
+    """Recommended Spark conf for running this engine against ~100 TB
+    on a real cluster. Local[32] testing uses get_spark(); these are
+    the knobs that change at scale:
+
+    - shuffle partitions ~ 2-3x total cores, and at least
+      total_bytes / 200MB so no post-shuffle partition exceeds a few
+      hundred MB (AQE coalesces the small ones back);
+    - AQE + skew-join split hot user/item keys in the CF self-joins;
+    - 256MB scan partitions keep the parquet reader efficient;
+    - broadcast threshold raised: the item dimension and CF models are
+      far below 512MB and should never shuffle.
+    """
+    total_cores = executors * cores_per_executor
+    by_size = int(events_tb * 1024 * 1024 / 200)   # 200MB shuffle blocks
+    return {
+        "spark.sql.shuffle.partitions": str(max(2 * total_cores, by_size)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(512 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
+
+
 class RecEngine:
     """CREATE RECOMMENDER / DROP RECOMMENDER / RECOMMEND, Spark-first.
 
