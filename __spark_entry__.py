@@ -355,6 +355,21 @@ FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
 """,
+    # RecursiveUnion (PG nodeRecursiveunion.c) — native WITH RECURSIVE
+    # in Spark 4 and DuckDB; month spine left-joined to order counts
+    "recursive_month_spine": """
+WITH RECURSIVE months(m) AS (
+  SELECT 1
+  UNION ALL
+  SELECT m + 1 FROM months WHERE m < 12
+)
+SELECT m AS month_num,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS month_revenue
+FROM months
+LEFT JOIN orders o ON month(o.o_orderdate) = m
+GROUP BY m
+""",
     # conditional aggregation (CASE pivot shape)
     "case_priority_matrix": """
 SELECT o_orderpriority,
@@ -567,6 +582,25 @@ def q_multimodal_features(spark, sf_dir):
                         .alias("feature_sum"))
 
 
+def q_frame_plan(spark, sf_dir):
+    """Multimodal frame-sampling PLAN from metadata only (no byte
+    decode, payload column never read): documents stand in for a video
+    table with duration derived from n_chars."""
+    from recdb_postgresql_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(F.lit("video/mp4").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 (F.col("n_chars") * 10).cast("long").alias("duration_ms")).alias("meta"))
+    return (multimodal.frame_sample(media, every_ms=1000)
+            .select("media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+                    F.col("ts_ms").cast("long").alias("ts_ms")))
+
+
 def q_quantile_prices(spark, sf_dir):
     """Exact percentiles (PG 9.2 lacks percentile_cont — 9.4 added it —
     but the harness surface needs it): Spark `percentile` and DuckDB
@@ -648,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_join_ilike": q_rec_join_ilike,
         "rec_peruser_topk": q_rec_peruser_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_frame_plan,
         "quantile_prices": q_quantile_prices,
     }
     for name in REL_SQL:
@@ -959,6 +994,16 @@ SELECT userid, itemid, score, CAST(rank AS INTEGER) AS rank FROM (
          ROW_NUMBER() OVER (PARTITION BY userid ORDER BY score DESC, itemid) AS rank
   FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 15", "")}) t
 ) r WHERE rank <= 3
+"""
+    o["multimodal_frame_plan"] = """
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(n_chars * 10 AS BIGINT) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 0
+),
+n AS (SELECT media_id, duration_ms // 1000 AS cnt FROM media)
+SELECT media_id, CAST(gs.i AS INTEGER) AS frame_idx,
+       CAST(gs.i * 1000 AS BIGINT) AS ts_ms
+FROM n, UNNEST(generate_series(0, greatest(cnt - 1, 0))) AS gs(i)
 """
     o["quantile_prices"] = """
 SELECT l_returnflag,
