@@ -1,0 +1,41 @@
+"""Sinks tuned for re-reading at scale.
+
+Parquet append is the baseline sink (the reference's heap-table
+INSERT). The two here encode layout decisions that only matter when
+the SAME table is joined or scanned repeatedly at 100 TB:
+
+- ``write_bucketed``: hash-bucket by the join key at write time so
+  later equi-joins/aggregations on that key need no shuffle at all
+  (Spark reads bucket files as pre-partitioned). This is what the
+  events table should look like on disk for a recommender workload —
+  bucketed by user for item-CF training and per-user serving.
+- ``write_sorted``: partition-pruned + min/max-friendly layout:
+  coarse partition dirs on a low-cardinality column plus in-file sort
+  so parquet row-group statistics prune point/range scans (the
+  B-tree-index analog; SURVEY §2.2 IndexScan row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
+                   sort: bool = True) -> None:
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def write_sorted(df: DataFrame, path: str, partition_col: str,
+                 sort_col: str) -> None:
+    (df.repartition(partition_col)
+       .sortWithinPartitions(sort_col)
+       .write.mode("overwrite")
+       .partitionBy(partition_col)
+       .parquet(path))
