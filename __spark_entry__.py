@@ -432,6 +432,16 @@ def q_dedup_lsh_verified(spark, sf_dir):
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: Jaccard pairs -> connected components ->
+    (doc_id, canonical component id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    return dedup.connected_components(pairs) \
+        .select(F.col("id").alias("doc_id"), "component")
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -667,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_fast": q_embedding_neardup_fast,
@@ -805,6 +816,34 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {SHINGLES_CTE_DUCK},
+hashed AS (SELECT id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS id, r.lbl
+  FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, MIN(lbl) AS component
+FROM reach GROUP BY id
 """
     tok_h = MD5L.format(x="tok")
     o["dedup_simhash"] = f"""

@@ -127,6 +127,37 @@ def jaccard_pairs(shingled: DataFrame, threshold: float = 0.5,
             .where(F.col("jaccard") >= threshold))
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(id, component): connected components over near-dup pairs —
+    the clustering step that turns pairwise matches into canonical
+    dedup groups. component = min id reachable in the pair graph.
+
+    Label propagation to fixpoint: each iteration joins every node's
+    label against its neighbors' and keeps the min. Iterations are
+    O(diameter) — near-dup graphs are tiny chains/cliques, so a handful
+    of rounds; each round is one shuffle on id. The loop runs on the
+    driver but all data stays distributed (this is how GraphFrames'
+    CC works minus the library).
+    """
+    edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+             .unionByName(pairs.select(F.col("id2").alias("a"),
+                                       F.col("id1").alias("b"))).distinct())
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct().withColumn("lbl", F.col("id")))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels, edges["b"] == labels["id"])
+                 .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(neigh, labels["id"] == neigh["a"], "left")
+               .select("id", F.least(F.col("lbl"),
+                                     F.coalesce("nlbl", F.col("lbl"))).alias("lbl")))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """(id, simhash): sign-aggregated token-hash bits.

@@ -52,6 +52,16 @@ def test_simhash_similar_docs_close(docs):
     assert hamming(h[1], h[2]) < hamming(h[1], h[4])  # near-dup closer
 
 
+def test_connected_components_topology(spark):
+    # chain 1-2-3-4 and separate clique 10-11-12
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id1 long, id2 long")
+    cc = {r.id: r.component
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_brute_force_topk_self_excluded(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
