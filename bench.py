@@ -38,7 +38,10 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_ivf_topk", "text_token_stats", "text_quality", "doc_fingerprint",
         "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
-        "rollup_lineitem",
+        "rollup_lineitem", "rec_peruser_topk", "dedup_lsh_verified",
+        "dedup_clusters", "quantile_prices", "recursive_month_spine",
+        "semijoin_order_lines", "leftjoin_null_handling",
+        "multimodal_frame_plan", "multimodal_features",
     ]
 
     # one warm-up pass to amortize JVM/parquet-footer costs out of q1

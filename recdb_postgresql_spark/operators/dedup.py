@@ -139,9 +139,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     driver but all data stays distributed (this is how GraphFrames'
     CC works minus the library).
     """
+    # materialize the edge list once: it is tiny (near-dup pairs), but
+    # its lazy plan is the whole upstream similarity pipeline and every
+    # propagation round would otherwise recompute it (measured 2x+).
     edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
              .unionByName(pairs.select(F.col("id2").alias("a"),
-                                       F.col("id1").alias("b"))).distinct())
+                                       F.col("id1").alias("b"))).distinct()
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("id"))
               .distinct().withColumn("lbl", F.col("id")))
     for _ in range(max_iters):
@@ -149,10 +153,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                  .groupBy("a").agg(F.min("lbl").alias("nlbl")))
         new = (labels.join(neigh, labels["id"] == neigh["a"], "left")
                .select("id", F.least(F.col("lbl"),
-                                     F.coalesce("nlbl", F.col("lbl"))).alias("lbl")))
+                                     F.coalesce("nlbl", F.col("lbl"))).alias("lbl"))
+               .localCheckpoint(eager=True))  # materialize ONCE, truncate lineage
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("component"))
