@@ -182,8 +182,8 @@ class RecEngine:
         elif method == "svd":
             scored = svd_mod.predict_svd(models["user_model"], models["item_model"],
                                          users, items)
-        else:  # pragma: no cover
-            raise ValueError(method)
+        else:
+            raise ValueError(f"unknown method {method!r}; one of {METHODS}")
 
         out = scored.select(
             F.col("user").alias(userkey),

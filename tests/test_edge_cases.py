@@ -1,0 +1,69 @@
+"""Degenerate-input behavior: empty events, constant ratings, single
+user/item — the engine must return well-defined empties/zeros, never
+crash or emit NaN (the reference warns and skips instead —
+recathon.c:3893-3898)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.engine import RecEngine
+from recdb_postgresql_spark.operators import cf
+
+SCHEMA = "userid long, itemid long, ratingval double"
+
+
+def test_empty_events_recommend(spark):
+    empty = spark.createDataFrame([], SCHEMA)
+    out = RecEngine(spark).recommend(empty, "userid", "itemid", "ratingval",
+                                     "itemcoscf", k=5)
+    assert out.count() == 0
+
+
+def test_constant_ratings_pearson_all_zero(spark):
+    # identical ratings everywhere -> centered values all 0 -> p = 0
+    # for every item -> empty model -> every prediction scores 0
+    rows = [(u, i, 3.0) for u in range(1, 4) for i in range(1, 4)]
+    events = spark.createDataFrame(rows, SCHEMA)
+    out = RecEngine(spark).recommend(events, "userid", "itemid", "ratingval",
+                                     "itempearcf")
+    vals = [r.ratingval for r in out.collect()]
+    assert len(vals) == 9
+    assert all(v == 0.0 for v in vals)
+    assert not any(v != v for v in vals)  # no NaN
+
+
+def test_single_user_item_cos(spark):
+    events = spark.createDataFrame([(1, 10, 4.0), (1, 20, 5.0)], SCHEMA)
+    out = RecEngine(spark).recommend(events, "userid", "itemid", "ratingval",
+                                     "itemcoscf")
+    scored = {(r.userid, r.itemid): r.ratingval for r in out.collect()}
+    # one co-rating user -> sim(10,20)=1 -> each item predicted from the other
+    assert scored[(1, 10)] == pytest.approx(5.0)
+    assert scored[(1, 20)] == pytest.approx(4.0)
+
+
+def test_single_rating_user_cf_no_nan(spark):
+    # a user with exactly 1 rating and an item rated by exactly 1 user
+    # (FIXTURES.md degenerate-denominator cases)
+    rows = [(1, 10, 4.0), (2, 10, 2.0), (3, 99, 5.0)]
+    events = spark.createDataFrame(rows, SCHEMA)
+    out = RecEngine(spark).recommend(events, "userid", "itemid", "ratingval",
+                                     "usercoscf")
+    vals = out.collect()
+    assert len(vals) == 6  # 3 users x 2 items
+    assert all(r.ratingval == r.ratingval for r in vals)  # no NaN
+
+
+def test_user_where_matching_nobody(spark):
+    events = spark.createDataFrame([(1, 10, 4.0), (2, 20, 3.0)], SCHEMA)
+    out = RecEngine(spark).recommend(events, "userid", "itemid", "ratingval",
+                                     "itemcoscf", user_where=F.col("userid") > 100)
+    assert out.count() == 0
+
+
+def test_normalize_drops_nulls(spark):
+    events = spark.createDataFrame(
+        [(1, 10, 4.0), (None, 10, 2.0), (2, None, 3.0), (3, 30, None)],
+        SCHEMA)
+    r = cf.normalize_events(events, "userid", "itemid", "ratingval")
+    assert r.count() == 1
