@@ -355,6 +355,13 @@ FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
 """,
+    # ValuesScan (PG nodeValuesscan.c) — inline VALUES joined to a table
+    "values_scan_join": """
+SELECT pr.label, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM (VALUES ('1-URGENT', 'hot'), ('5-LOW', 'cold')) AS pr(pri, label)
+LEFT JOIN orders o ON o.o_orderpriority = pr.pri
+GROUP BY pr.label
+""",
     # RecursiveUnion (PG nodeRecursiveunion.c) — native WITH RECURSIVE
     # in Spark 4 and DuckDB; month spine left-joined to order counts
     "recursive_month_spine": """
