@@ -429,22 +429,25 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_lsh_verified(spark, sf_dir):
-    """The production near-dup flow: LSH candidates -> true-Jaccard
-    verify, so the quadratic check only touches candidate pairs."""
+    """The production near-dup flow: LSH candidates -> candidate-only
+    true-Jaccard verify (one shared md5 pass, checkpointed), so the
+    quadratic inverted-index join never runs."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
-    cands = dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
-    return dedup.jaccard_pairs(sh, threshold=0.5, candidates=cands) \
+    return dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                    bands=4, rows_per_band=2) \
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clustering: Jaccard pairs -> connected components ->
-    (doc_id, canonical component id)."""
+    """Near-dup clustering, production flow: LSH candidates ->
+    candidate-only Jaccard verify -> connected components ->
+    (doc_id, canonical component id). The quadratic inverted-index
+    self-join never runs; pair cost is O(|candidates| x shingles/doc)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    pairs = dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                     bands=4, rows_per_band=2)
     return dedup.connected_components(pairs) \
         .select(F.col("id").alias("doc_id"), "component")
 
@@ -826,11 +829,29 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
 """
     o["dedup_clusters"] = f"""
 WITH RECURSIVE {SHINGLES_CTE_DUCK},
+base AS (SELECT id, ({base_h}) % 2147483647 AS h FROM shingled),
+sigs AS (
+  SELECT id, j, MIN(((1103515245 + j) * h + 12345 * j + 1) % 2147483647) AS minhash
+  FROM base, UNNEST(generate_series(0, 7)) AS gj(j)
+  GROUP BY id, j
+),
+banded AS (
+  SELECT id, CAST(j // 2 AS INT) AS band,
+         string_agg(concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR))) AS sig
+  FROM sigs GROUP BY id, CAST(j // 2 AS INT)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
 hashed AS (SELECT id, {base_h} AS sh FROM shingled),
 sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
 inter AS (
-  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
-  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  SELECT c.id1, c.id2, COUNT(*) AS i
+  FROM cands c
+  JOIN hashed a ON a.id = c.id1
+  JOIN hashed b ON b.id = c.id2 AND b.sh = a.sh
   GROUP BY 1, 2
 ),
 pairs AS (

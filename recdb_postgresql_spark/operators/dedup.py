@@ -40,20 +40,36 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "canonical_id", "content_hash"))
 
 
+def spread_small(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the source has fewer
+    partitions — a small parquet file arrives as 1 partition and would
+    pin the whole expression-heavy stage to one core (measured 4.5s ->
+    0.3s on shingling). At real scale input partitions >> cores, so
+    this is a no-op there; the check costs one plan conversion."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Tokenization = lowercase split on whitespace; shingle = the n-gram
     joined with single spaces. Expressed with higher-order functions
-    (filter/transform over the token array) — stays in codegen.
+    (filter/transform over the token array). ``array_distinct`` already
+    dedups within a document, so (id, shingle) is unique with no global
+    distinct shuffle.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.array_distinct(sh)).alias("shingle"))
-            .where(F.length("shingle") > 0).distinct())
+    return (spread_small(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(sh)).alias("shingle"))
+            .where(F.length("shingle") > 0))
 
 
 # Affine rehash family over one base hash: h_j = (A_j * (h mod P) + B_j) mod P
@@ -64,21 +80,33 @@ MINHASH_A = 1_103_515_245
 MINHASH_B = 12_345
 
 
-def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(id, j, minhash): for each of ``num_hashes`` hash functions, the
-    min over the document's shingle set.
+def hash_shingles(shingled: DataFrame) -> DataFrame:
+    """(id, sh): the 60-bit md5 hash of each distinct shingle — the ONE
+    expensive hashing pass every downstream dedup step shares. Callers
+    composing several steps (signatures + verify) should compute this
+    once and ``localCheckpoint`` it: Catalyst does not share subtrees
+    across plan legs, so an uncheckpointed plan re-runs md5 per leg."""
+    return shingled.select("id", md5_long(F.col("shingle")).alias("sh"))
 
-    One md5 per shingle (the expensive part), then j cheap affine
-    rehashes h_j = ((A+j)*(h%P) + B*j+1) % P — 8x less hashing than
-    md5-per-(j,shingle). One explode by j then a single groupBy,
-    shuffle keyed on id."""
-    base = shingled.select("id", (md5_long(F.col("shingle")) % MINHASH_P).alias("h"))
+
+def minhash_from_hashes(hashed: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, j, minhash) from pre-hashed shingles (``hash_shingles``):
+    j cheap affine rehashes h_j = ((A+j)*(h%P) + B*j+1) % P — 8x less
+    hashing than md5-per-(j,shingle). One explode by j then a single
+    groupBy, shuffle keyed on id."""
+    base = hashed.select("id", (F.col("sh") % MINHASH_P).alias("h"))
     js = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
     return (base.select("id", "h", js)
             .select("id", "j",
                     (((F.lit(MINHASH_A) + F.col("j")) * F.col("h")
                       + F.lit(MINHASH_B) * F.col("j") + 1) % MINHASH_P).alias("hj"))
             .groupBy("id", "j").agg(F.min("hj").alias("minhash")))
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, j, minhash): for each of ``num_hashes`` hash functions, the
+    min over the document's shingle set (one md5 per shingle)."""
+    return minhash_from_hashes(hash_shingles(shingled), num_hashes)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
@@ -99,25 +127,49 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             .select("id1", "id2").distinct())
 
 
-def jaccard_pairs(shingled: DataFrame, threshold: float = 0.5,
-                  candidates: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(shingled: DataFrame | None, threshold: float = 0.5,
+                  candidates: DataFrame | None = None,
+                  hashed: DataFrame | None = None) -> DataFrame:
     """True n-gram Jaccard over shingle sets: (id1, id2, jaccard).
 
-    With ``candidates`` given (e.g. from LSH) only those pairs are
-    scored; otherwise all co-shingling pairs (inverted-index join —
-    pairs sharing zero shingles never materialize).
+    Without ``candidates``: all co-shingling pairs via the
+    inverted-index self-join (pairs sharing zero shingles never
+    materialize). This is the exact-oracle baseline — quadratic in
+    co-shingling pairs, never the production path.
+
+    With ``candidates`` (e.g. from LSH): the pair join is driven FROM
+    the candidate list, so non-candidate pairs never materialize
+    anywhere in the plan — cost is O(|candidates| x shingles/doc), not
+    O(co-shingling pairs). Candidate rows must be distinct (id1 < id2)
+    pairs; ``lsh_candidate_pairs`` output qualifies. Pairs whose true
+    intersection is empty drop out of the inner join, which is correct
+    for any threshold > 0.
+
+    ``hashed`` (from ``hash_shingles``, ideally checkpointed) skips the
+    per-leg md5 recomputation; pass one of ``shingled``/``hashed``.
     """
     # join on the 60-bit shingle hash, not the string: ~2-4x smaller
     # shuffle and integer key comparison (collisions are 2^-60-rare and
     # the oracle applies the identical hashing, so parity is exact).
-    hashed = shingled.select("id", md5_long(F.col("shingle")).alias("sh"))
+    if hashed is None:
+        hashed = hash_shingles(shingled)
     sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = hashed.select(F.col("id").alias("id1"), "sh")
-    b = hashed.select(F.col("id").alias("id2"), "sh")
-    inter = (a.join(b, "sh").where(F.col("id1") < F.col("id2"))
-             .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
+    if candidates is None:
+        a = hashed.select(F.col("id").alias("id1"), "sh")
+        b = hashed.select(F.col("id").alias("id2"), "sh")
+        inter = (a.join(b, "sh").where(F.col("id1") < F.col("id2"))
+                 .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
+    else:
+        # candidate-first plan: expand each candidate pair by id1's
+        # shingles (one equi-join on id1), then keep only the shingles
+        # id2 also has (one equi-join on (id2, sh)). The inverted-index
+        # self-join keyed on sh alone never appears in this plan —
+        # pinned by tests/test_plan_quality.py.
+        cand = candidates.select("id1", "id2")
+        a = hashed.select(F.col("id").alias("id1"), "sh")
+        b = hashed.select(F.col("id").alias("id2"), "sh")
+        inter = (cand.join(a, "id1").join(b, ["id2", "sh"])
+                 .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
     s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
     return (inter.join(s1, "id1").join(s2, "id2")
@@ -125,6 +177,27 @@ def jaccard_pairs(shingled: DataFrame, threshold: float = 0.5,
                     (F.col("inter") /
                      (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,
+                       num_hashes: int = 8, bands: int = 4,
+                       rows_per_band: int = 2,
+                       checkpoint: bool = True) -> DataFrame:
+    """The production near-dup flow: MinHash -> LSH bucket join ->
+    candidate-only true-Jaccard verify, sharing ONE md5 pass.
+
+    ``checkpoint`` materializes the (id, shingle-hash) table once
+    (localCheckpoint) so the signature and verify legs both read it
+    instead of re-hashing — without it Catalyst re-runs the md5 scan
+    per leg. The checkpointed table is two longs per shingle, orders of
+    magnitude smaller than the documents themselves.
+    """
+    hashed = hash_shingles(shingled)
+    if checkpoint:
+        hashed = hashed.localCheckpoint(eager=True)
+    sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band)
+    return jaccard_pairs(None, threshold, candidates=cands, hashed=hashed)
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -148,6 +221,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("id"))
               .distinct().withColumn("lbl", F.col("id")))
+    changed = 0
     for _ in range(max_iters):
         neigh = (edges.join(labels, edges["b"] == labels["id"])
                  .groupBy("a").agg(F.min("lbl").alias("nlbl")))
@@ -160,6 +234,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # long chains (templated/boilerplate corpora) can exceed
+        # max_iters; silently returning split clusters would diverge
+        # from the reachability oracle with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise max_iters")
     return labels.select("id", F.col("lbl").alias("component"))
 
 
@@ -172,15 +253,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sum(+/-1 over tokens for that bit) > 0. Tokens are weighted by
     their multiplicity (classic SimHash).
     """
-    tok = (docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-                       .alias("tok"))
+    tok = (spread_small(docs)
+           .select(F.col(id_col).alias("id"),
+                   F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                   .alias("tok"))
            .where(F.length("tok") > 0)
            .select("id", md5_long(F.col("tok")).alias("h")))
+    # pre-aggregate (id, token-hash) -> multiplicity BEFORE the x bits
+    # explode: the shuffled row count drops by the token-duplication
+    # factor (weights are exact, so the signature is unchanged).
+    counted = tok.groupBy("id", "h").agg(F.count(F.lit(1)).alias("cnt"))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p")
-    per_bit = tok.select("id", "h", bit).select(
+    per_bit = counted.select("id", "h", "cnt", bit).select(
         "id", "p",
-        F.when(F.expr("(h >> p) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+        F.when(F.expr("(h >> p) & 1") == 1, F.col("cnt"))
+        .otherwise(-F.col("cnt")).alias("s"))
     return (per_bit.groupBy("id", "p").agg(F.sum("s").alias("tot"))
             .select("id", F.when(F.col("tot") > 0,
                                  F.expr("shiftleft(CAST(1 AS BIGINT), p)"))

@@ -48,6 +48,21 @@ def test_multimodal_uses_arrow_batches(spark):
     assert "MapInPandas" in plan   # Arrow-batched, not row-at-a-time
 
 
+def test_lsh_verified_flow_has_no_invertedindex_selfjoin(spark):
+    """The LSH-verified flow must be candidate-driven: no join keyed on
+    the shingle hash ALONE (the quadratic inverted-index self-join) may
+    appear anywhere in its physical plan — the verify step touches only
+    candidate pairs (VERDICT r1 fix #1)."""
+    import re
+    sh_selfjoin = re.compile(r"Join \[sh#\d+L?\]")
+    # sanity: the pattern does detect the exact all-pairs plan
+    exact = _plan(entrymod.queries()["dedup_ngram_jaccard"](spark, SF))
+    assert sh_selfjoin.search(exact), "detector pattern went stale"
+    for name in ("dedup_lsh_verified", "dedup_clusters"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert not sh_selfjoin.search(plan), name
+
+
 def test_events_projection_prunes_columns(spark):
     from recdb_postgresql_spark.sources.readers import load_table, ratings_from_events
     plan = _plan(ratings_from_events(load_table(spark, SF, "events")))
