@@ -209,7 +209,9 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _engine(spark: SparkSession) -> RecEngine:
-    return RecEngine(spark, svd_features=8, svd_epochs=2)
+    # reference constants (50 features x 100 epochs, recathon.c:2707,
+    # 2788) — affordable since the SGD loop runs natively (_svd_native)
+    return RecEngine(spark)
 
 
 def _rec(spark, sf_dir, method, user_pred_col, k=None, where=None):
@@ -677,7 +679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                               F.col("userid") < 10, k=50),
         "rec_userpear_topk": lambda s, d: _rec(s, d, "userpearcf",
                                                F.col("userid") < 10, k=50),
-        # R10/R13: Funk-SGD (sequential — rows-only check, no oracle)
+        # R10/R13: Funk-SGD at full reference constants (50x100) via
+        # the native kernel. Sequential SGD is non-SQL-expressible, so
+        # no DuckDB oracle; correctness is covered by
+        # tests/test_svd_accuracy.py (hand-unrolled SGD trace, golden
+        # top-k, holdout accuracy vs popularity baseline)
         "rec_svd_topk": lambda s, d: _rec(s, d, "svd",
                                           F.col("userid") < 5, k=20),
         # R10 scale path: distributed ALS factorization (rows-only)

@@ -19,11 +19,15 @@ Reference: ``recathon.c:2699-2940`` (SVDtrain). The exact loop shape:
   (``recathon.c:2762-2763``); accumulation is C ``float`` (float32).
 
 SGD with residual caching is inherently sequential, so the faithful
-trainer runs driver-side in NumPy over collected (user, item, rating)
-triples — the reference itself is a single backend process holding all
-events in memory, so its practical scale is the same. For 100 TB use
-``train_als`` (same latent-factor family, distributed optimizer);
-prediction is the identical factor-join either way.
+trainer runs driver-side over collected (user, item, rating) triples —
+the reference itself is a single backend process holding all events in
+memory, so its practical scale is the same. The sequential loop runs
+through a ctypes-compiled C kernel (``_svd_native``, identical float32
+semantics to the reference's C) so the reference constants (50x100)
+complete in seconds; a pure-Python replica of the same loop is kept as
+the no-compiler fallback and the semantics oracle for tests. For
+100 TB use ``train_als`` (same latent-factor family, distributed
+optimizer); prediction is the identical factor-join either way.
 """
 
 from __future__ import annotations
@@ -65,12 +69,48 @@ def _baseline(u_idx: np.ndarray, i_idx: np.ndarray, vals: np.ndarray,
     return item_avgs.astype(np.float32), user_off.astype(np.float32)
 
 
+def _train_python(u_idx, i_idx, vals, baseline, n_u, n_i,
+                  num_features, num_epochs, lr, pen):
+    """Pure-Python replica of the C kernel — the no-compiler fallback
+    and the semantics oracle the native path is tested against. Same
+    float32 rounding per operation (np.float32 scalar arithmetic)."""
+    uf = np.full((num_features, n_u), INIT_VALUE, dtype=np.float32)
+    itf = np.full((num_features, n_i), INIT_VALUE, dtype=np.float32)
+    residual = np.zeros(len(vals), dtype=np.float32)
+    z = np.float32(0.0)
+    for j in range(num_epochs):
+        for i in range(num_features):
+            uv = uf[i]; iv = itf[i]
+            for e in range(len(vals)):
+                u = u_idx[e]; it = i_idx[e]
+                if i == 0 and j == 0:
+                    err = vals[e] - baseline[e]
+                else:
+                    # predictRating: residual + features i..numFeatures-1
+                    tail = z
+                    for f2 in range(i, num_features):
+                        tail += uf[f2, u] * itf[f2, it]
+                    err = vals[e] - ((residual[e] if i > 0 else z) + tail)
+                temp = uv[u]
+                uv[u] += lr * (err * iv[it] - pen * uv[u])
+                iv[it] += lr * (err * temp - pen * iv[it])
+                if i == 0:
+                    residual[e] = uv[u] * iv[it]
+                else:
+                    residual[e] += uv[u] * iv[it]
+    return uf, itf
+
+
 def train_funk_svd(spark: SparkSession, ratings_df: DataFrame,
                    num_features: int = NUM_FEATURES,
                    num_epochs: int = NUM_EPOCHS) -> tuple[DataFrame, DataFrame]:
     """Returns (user_model, item_model) DataFrames shaped like the
     reference model tables (users, feature, value) / (items, feature,
-    value) (``utility.c:305-310``)."""
+    value) (``utility.c:305-310``). Runs the native kernel when a C
+    compiler is present (reference constants in seconds), else the
+    Python replica."""
+    from recdb_postgresql_spark.operators import _svd_native
+
     pdf = (ratings_df.select("user", "item", "rating")
            .orderBy("user", "item")  # ORDER BY userkey scan (recathon.c:2762)
            .toPandas())
@@ -79,44 +119,32 @@ def train_funk_svd(spark: SparkSession, ratings_df: DataFrame,
     vals = pdf["rating"].to_numpy(dtype=np.float32)
     user_ids, u_idx = np.unique(users, return_inverse=True)
     item_ids, i_idx = np.unique(items, return_inverse=True)
-    n_u, n_i, n_e = len(user_ids), len(item_ids), len(vals)
+    n_u, n_i = len(user_ids), len(item_ids)
 
     item_avgs, user_off = _baseline(u_idx, i_idx, vals.astype(np.float64), n_u, n_i)
-    uf = np.full((num_features, n_u), INIT_VALUE, dtype=np.float32)
-    itf = np.full((num_features, n_i), INIT_VALUE, dtype=np.float32)
-    residual = np.zeros(n_e, dtype=np.float32)
+    # baseline[e] seeds only the (epoch 0, feature 0) error
+    baseline = (item_avgs[i_idx] + user_off[u_idx]).astype(np.float32)
+    if _svd_native.available():
+        uf, itf = _svd_native.train(u_idx, i_idx, vals, baseline, n_u, n_i,
+                                    num_features, num_epochs,
+                                    float(LEARNING_RATE), float(PENALTY))
+    else:
+        uf, itf = _train_python(u_idx, i_idx, vals, baseline, n_u, n_i,
+                                num_features, num_epochs,
+                                LEARNING_RATE, PENALTY)
 
-    lr, pen = LEARNING_RATE, PENALTY
-    for j in range(num_epochs):
-        for i in range(num_features):
-            uv = uf[i]; iv = itf[i]
-            for e in range(n_e):
-                u = u_idx[e]; it = i_idx[e]
-                if i == 0:
-                    residual[e] = 0.0 if j == 0 else residual[e]
-                if i == 0 and j == 0:
-                    err = vals[e] - (item_avgs[it] + user_off[u])
-                else:
-                    # predictRating: residual + features i..numFeatures-1
-                    tail = np.float32(0.0)
-                    for f2 in range(i, num_features):
-                        tail += uf[f2, u] * itf[f2, it]
-                    err = vals[e] - ((residual[e] if i > 0 else np.float32(0.0)) + tail)
-                temp = uv[u]
-                uv[u] += lr * (err * iv[it] - pen * uv[u])
-                iv[it] += lr * (err * temp - pen * iv[it])
-                if i == 0:
-                    residual[e] = uv[u] * iv[it]
-                else:
-                    residual[e] += uv[u] * iv[it]
-
-    um = spark.createDataFrame(
-        [(int(user_ids[u]), f_i, float(uf[f_i, u]))
-         for u in range(n_u) for f_i in range(num_features)],
+    import pandas as pd
+    feats = np.tile(np.arange(num_features, dtype=np.int32), n_u)
+    um = spark.createDataFrame(pd.DataFrame({
+        "users": np.repeat(user_ids.astype(np.int64), num_features),
+        "feature": feats,
+        "value": uf.T.reshape(-1).astype(np.float64)}),
         "users long, feature int, value double")
-    im = spark.createDataFrame(
-        [(int(item_ids[i]), f_i, float(itf[f_i, i]))
-         for i in range(n_i) for f_i in range(num_features)],
+    feats_i = np.tile(np.arange(num_features, dtype=np.int32), n_i)
+    im = spark.createDataFrame(pd.DataFrame({
+        "items": np.repeat(item_ids.astype(np.int64), num_features),
+        "feature": feats_i,
+        "value": itf.T.reshape(-1).astype(np.float64)}),
         "items long, feature int, value double")
     return um, im
 
