@@ -474,6 +474,17 @@ def q_embedding_neardup_fast(spark, sf_dir):
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
 
 
+def q_embedding_neardup_ivf(spark, sf_dir):
+    """Flagship near-dup path at scale: IVF cell assignment (broadcast
+    centroids + argmin) then exact pairwise cosine WITHIN cells only —
+    O(sum n_cell^2) instead of the O(n^2) crossJoin. Deterministic
+    first-k centroids keep it SQL-expressible for the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.first_k_centroids(emb, k=8)
+    return dedup.embedding_near_duplicates_ivf(emb, cents, threshold=0.30) \
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
@@ -697,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_fast": q_embedding_neardup_fast,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
         "text_token_stats": q_text_stats,
@@ -899,6 +911,31 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.30
+"""
+    o["embedding_neardup_ivf"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a
+JOIN assign aa ON aa.vec_id = a.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.30
 """

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
+from recdb_postgresql_spark.functions.layout import spread_small
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -38,19 +39,6 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
               .where(F.col("n") > 1))
     return (hashed.join(groups, "content_hash")
             .select(id_col, "canonical_id", "content_hash"))
-
-
-def spread_small(df: DataFrame) -> DataFrame:
-    """Repartition up to cluster parallelism when the source has fewer
-    partitions — a small parquet file arrives as 1 partition and would
-    pin the whole expression-heavy stage to one core (measured 4.5s ->
-    0.3s on shingling). At real scale input partitions >> cores, so
-    this is a no-op there; the check costs one plan conversion."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
 
 
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
@@ -296,10 +284,11 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     # Precompute each vector's norm AND its double-cast copy once
     # (identical double arithmetic to folding/casting per pair, but the
     # O(n^2) pair space then does a single add-mul fold per pair).
-    with_norm = emb.select(F.col(id_col).alias("id"),
-                           F.transform(F.col(vec_col),
-                                       lambda x: x.cast("double")).alias("v"),
-                           l2_norm(F.col(vec_col)).alias("nrm"))
+    with_norm = spread_small(emb).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double")).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"))
     pair_dot = F.aggregate(F.zip_with(F.col("v1"), F.col("v2"),
                                       lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
@@ -308,6 +297,46 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     b = with_norm.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
                          F.col("nrm").alias("n2"))
     return (a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2",
+                    (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
+def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  threshold: float = 0.95) -> DataFrame:
+    """(id1, id2, cos) near-duplicate pairs, scored only WITHIN IVF
+    cells — the scale path that replaces the O(n^2) crossJoin.
+
+    Every vector is assigned to its nearest centroid
+    (``similarity.ivf_assign``: one broadcast join + argmin), then the
+    exact pairwise check runs per cell: cost O(sum_cell n_cell^2)
+    instead of O(n^2) — a ~|cells| reduction for balanced cells. Pairs
+    split across cells are missed (recall < 1 by design, same trade as
+    IVF ANN); raise recall by training better centroids or probing
+    neighbor cells. With deterministic centroids the whole operator is
+    SQL-expressible and oracle-checked.
+    """
+    from recdb_postgresql_spark.functions.vector import l2_norm
+    from recdb_postgresql_spark.operators.similarity import ivf_assign
+
+    emb = spread_small(emb)
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    with_norm = (emb.join(assign, id_col)
+                 .select(F.col(id_col).alias("id"), "cell",
+                         F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double")).alias("v"),
+                         l2_norm(F.col(vec_col)).alias("nrm")))
+    pair_dot = F.aggregate(F.zip_with(F.col("v1"), F.col("v2"),
+                                      lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+    a = with_norm.select(F.col("id").alias("id1"), "cell",
+                         F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = with_norm.select(F.col("id").alias("id2"), F.col("cell").alias("cell2"),
+                         F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    return (a.join(b, (F.col("cell") == F.col("cell2"))
+                   & (F.col("id1") < F.col("id2")))
             .select("id1", "id2",
                     (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
             .where(F.col("cos") >= threshold))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from recdb_postgresql_spark.functions.layout import spread_small
 from recdb_postgresql_spark.functions.vector import cosine_sim, dot
 
 
@@ -31,7 +32,7 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     determinism. Scores are rounded BEFORE ranking so the ordering is
     reproducible across engines.
     """
-    scored = (emb.crossJoin(F.broadcast(queries))
+    scored = (spread_small(emb).crossJoin(F.broadcast(queries))
               .where(F.col(id_col) != F.col(qid_col))
               .select(F.col(qid_col).alias("qid"), F.col(id_col),
                       F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)),
@@ -47,7 +48,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     """(vec_id, cell): nearest centroid by cosine (tie -> lowest cid).
     One broadcast join + window argmin; this is the partitioning key
     for bucketed ANN storage."""
-    scored = (emb.crossJoin(F.broadcast(centroids))
+    scored = (spread_small(emb).crossJoin(F.broadcast(centroids))
               .select(F.col(id_col), F.col(cid_col),
                       F.round(cosine_sim(F.col(vec_col), F.col(cvec_col)), 9)
                       .alias("sim")))
