@@ -537,6 +537,24 @@ def q_rec_join_ilike(spark, sf_dir):
             .limit(20))
 
 
+def q_recsql_join_topk(spark, sf_dir):
+    """The SQL front door end-to-end with JOIN ... ON syntax (round-2
+    grammar extension; the reference's regression suite uses comma
+    joins — ``recdb_regression_test.sql:38``): RECOMMEND over the
+    events view joined to the part dimension inside RecSQL."""
+    from recdb_postgresql_spark.plans import RecSQL
+
+    _register(spark, sf_dir, "part")
+    _ratings(spark, sf_dir).createOrReplaceTempView("ratings_ev")
+    rs = RecSQL(_engine(spark))
+    return rs.sql("""
+SELECT r.userid, r.itemid, ROUND(r.ratingval, 6) AS score, p.p_name
+FROM ratings_ev r JOIN part p ON r.itemid = p.p_partkey
+RECOMMEND r.itemid TO r.userid ON r.ratingval USING ItemCosCF
+WHERE r.userid < 10 AND lower(p.p_name) LIKE '%red%'
+ORDER BY ROUND(r.ratingval, 6) DESC, r.userid, r.itemid LIMIT 20""")
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via window lag +
     running sum — the batch shape of a streaming session window."""
@@ -719,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "rec_join_ilike": q_rec_join_ilike,
+        "recsql_join_topk": q_recsql_join_topk,
         "rec_peruser_topk": q_rec_peruser_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_frame_plan,
@@ -1096,6 +1115,14 @@ FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 10", "")}) t
 JOIN part p ON p.p_partkey = t.itemid
 WHERE lower(p.p_name) LIKE '%red%'
 ORDER BY t.score DESC, t.userid, t.itemid
+LIMIT 20
+"""
+    o["recsql_join_topk"] = f"""
+SELECT t.userid, t.itemid, ROUND(t.score, 6) AS score, p.p_name
+FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 10", "")}) t
+JOIN part p ON p.p_partkey = t.itemid
+WHERE lower(p.p_name) LIKE '%red%'
+ORDER BY ROUND(t.score, 6) DESC, t.userid, t.itemid
 LIMIT 20
 """
     o["rec_peruser_topk"] = f"""

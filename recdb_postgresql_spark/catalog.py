@@ -29,6 +29,12 @@ class RecommenderInfo:
     event_total: int = 0
     update_counter: int = 0   # <name>Index.updateCounter (utility.c:917-921)
     query_counter: int = 0    # bumped on first materialized query (execRecommend.c:831-836)
+    # declared <name>Index surface (utility.c:917-921): the reference
+    # seeds 0.0/0.0/localtimestamp at CREATE (utility.c:171) and never
+    # writes them again; kept for catalog parity
+    update_rate: float = 0.0
+    query_rate: float = 0.0
+    levelone_timestamp: str = ""
     model_tables: list = field(default_factory=list)
 
 
@@ -83,6 +89,10 @@ class RecCatalog:
                 path = os.path.join(self.workdir, info.name, key)
                 df.write.mode("overwrite").parquet(path)
         else:
+            # unpersist the replaced generation's cached models first or
+            # every threshold retrain leaks executor storage
+            for df in (self._mem_models.get(info.name) or {}).values():
+                df.unpersist()
             self._mem_models[info.name] = {k: df.cache() for k, df in models.items()}
         self._mem[info.name] = info
         self._save_manifest()

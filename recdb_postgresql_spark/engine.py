@@ -108,12 +108,19 @@ class RecEngine:
         if self.catalog.get(name) is not None:
             raise ValueError(f"recommender {name!r} already exists")
 
+        import datetime
+
         models = self._train(events, userkey, itemkey, eventval, method)
         event_total = events.count()
         info = RecommenderInfo(
             name=name, userkey=userkey, itemkey=itemkey, eventval=eventval,
             method=method, eventtable=events_name, event_total=event_total,
             update_counter=0, query_counter=0,
+            # <name>Index declared surface: the reference seeds
+            # 0.0/0.0/localtimestamp at CREATE (utility.c:171)
+            update_rate=0.0, query_rate=0.0,
+            levelone_timestamp=datetime.datetime.now(
+                datetime.timezone.utc).isoformat(),
         )
         self.catalog.put(info, models, self.spark)
         return info
@@ -250,24 +257,34 @@ class RecEngine:
     # ------------------------------------------------------------------
     # Maintenance (R15): INSERT-hook counter + threshold retrain
     # ------------------------------------------------------------------
-    def append_events(self, name: str, events: DataFrame, new_events: DataFrame,
-                      userkey: str, itemkey: str, eventval: str) -> DataFrame:
-        """updateCellCounter analog (``nodeModifyTable.c:271``,
-        ``recathon.c:960-1203``): bump the counter; full retrain when
-        counter >= update_threshold * eventtotal, then reset."""
+    def record_insert(self, name: str, new_events: DataFrame,
+                      all_events: DataFrame) -> None:
+        """The INSERT hook (``nodeModifyTable.c:271`` ->
+        ``updateCellCounter``, ``recathon.c:960-1203``): bump the
+        counter; full retrain from ``all_events`` (the table's current
+        contents) when counter >= update_threshold * eventtotal, then
+        reset. Called by ``EventStore.append`` for bound recommenders —
+        an INSERT through the store surface retrains with no manual
+        maintenance call, as in the reference."""
         info = self.catalog.get(name)
         if info is None:
             raise ValueError(f"no recommender {name!r}")
-        combined = events.unionByName(new_events)
-        n_new = new_events.count()
-        info.update_counter += n_new
+        info.update_counter += new_events.count()
         if info.update_counter >= self.update_threshold * max(info.event_total, 1):
-            models = self._train(combined, userkey, itemkey, eventval, info.method)
+            models = self._train(all_events, info.userkey, info.itemkey,
+                                 info.eventval, info.method)
             info.event_total += info.update_counter
             info.update_counter = 0
             self.catalog.put(info, models, self.spark, replace=True)
         else:
             self.catalog.update_meta(info)
+
+    def append_events(self, name: str, events: DataFrame, new_events: DataFrame,
+                      userkey: str, itemkey: str, eventval: str) -> DataFrame:
+        """Batch-caller convenience over ``record_insert``: returns the
+        combined events table the caller should use from now on."""
+        combined = events.unionByName(new_events)
+        self.record_insert(name, new_events, combined)
         return combined
 
     # ------------------------------------------------------------------

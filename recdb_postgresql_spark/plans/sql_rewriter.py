@@ -25,8 +25,13 @@ Supported statements (the whole reference regression suite,
         USING <method>
     DROP RECOMMENDER <name>
     SELECT <cols> FROM <table> [alias][, <table2> [alias2]...]
+                               [JOIN <table2> [alias2] ON <cond> ...]
         RECOMMEND [a.]<icol> TO [a.]<ucol> ON [a.]<ecol> USING <method>
         [WHERE ...] [ORDER BY ...] [LIMIT k]
+
+Like the reference (validateClauses, ``parse_rec.c:119-157``),
+DISTINCT / INTO / GROUP BY / HAVING / WINDOW / FOR / WITH are rejected
+in a RECOMMEND statement with the reference's error message.
 """
 
 from __future__ import annotations
@@ -53,13 +58,52 @@ _REC_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _top_level_conjuncts(where: str) -> Optional[list[str]]:
+    """Split on AND at parenthesis depth 0 only. Returns None when a
+    top-level OR is present: ``a = 1 OR b = 2 AND c = 3`` parses as
+    ``a OR (b AND c)``, so splitting its ANDs would change semantics —
+    the caller must then treat the whole clause as residual."""
+    up = where.upper()
+    depth = 0
+    cuts, has_or = [], False
+    i = 0
+    while i < len(up):
+        c = up[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c.isspace():
+            m = re.match(r"\s+(AND|OR)\s+", up[i:])
+            if m:
+                if m.group(1) == "OR":
+                    has_or = True
+                else:
+                    cuts.append((i, i + m.end()))
+                i += m.end()
+                continue
+        i += 1
+    if has_or:
+        return None
+    parts, start = [], 0
+    for a, b in cuts:
+        parts.append(where[start:a].strip())
+        start = b
+    parts.append(where[start:].strip())
+    return [p for p in parts if p]
+
+
 def _split_where(where: Optional[str], ucol: str) -> tuple[Optional[str], Optional[str]]:
     """Split top-level AND conjuncts into user-only vs residual — the
     TRUE-substitution rewrite of ``parse_rec.c:1109-1211``. Used by
-    DataFrame-API callers; the SQL path gets this from Catalyst."""
+    DataFrame-API callers; the SQL path gets this from Catalyst.
+    A clause with a top-level OR is not conjunct-splittable and comes
+    back whole as the residual."""
     if not where:
         return None, None
-    conjuncts = re.split(r"\s+AND\s+", where, flags=re.IGNORECASE)
+    conjuncts = _top_level_conjuncts(where)
+    if conjuncts is None:
+        return None, where
     keywords = {"and", "or", "not", "in", "like", "ilike", "between",
                 "is", "null", "true", "false"}
     user_parts, rest_parts = [], []
@@ -70,15 +114,23 @@ def _split_where(where: Optional[str], ucol: str) -> tuple[Optional[str], Option
     return (" AND ".join(user_parts) or None, " AND ".join(rest_parts) or None)
 
 
+_JOIN_SPLIT_RE = re.compile(
+    r",|\b(?:NATURAL\s+)?(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?"
+    r"|FULL\s+(?:OUTER\s+)?|CROSS\s+)?JOIN\b",
+    re.IGNORECASE)
+
+
 def _parse_from(from_sql: str) -> list[tuple[str, str]]:
-    """`t1 a, t2 b` -> [(table, alias), ...] (alias defaults to table)."""
+    """``t1 a, t2 b JOIN t3 AS c ON ...`` -> [(table, alias), ...]
+    (alias defaults to table; ON conditions ignored)."""
     out = []
-    for item in from_sql.split(","):
+    for item in _JOIN_SPLIT_RE.split(from_sql):
+        item = re.split(r"\bON\b", item, flags=re.IGNORECASE)[0].strip()
         toks = item.split()
         if not toks:
             continue
         table = toks[0]
-        alias = toks[1] if len(toks) > 1 else toks[0]
+        alias = toks[-1] if len(toks) > 1 and toks[-1].upper() != "AS" else toks[0]
         out.append((table, alias))
     return out
 
@@ -96,6 +148,28 @@ class RecSQL:
         self.engine = engine
         self.spark: SparkSession = engine.spark
 
+    @staticmethod
+    def _validate_recommend(query: str, m: re.Match) -> None:
+        """validateClauses (``parse_rec.c:119-157``): the reference is
+        'very picky' — RECOMMEND composes with none of these clauses."""
+        def err(clause: str):
+            raise ValueError(
+                f"RECOMMEND clause is not allowed with {clause} clause")
+        if re.match(r"\s*WITH\b", query, re.IGNORECASE):
+            err("WITH")
+        if m is None:
+            return
+        if re.match(r"\s*DISTINCT\b", m["select"], re.IGNORECASE):
+            err("DISTINCT")
+        rest = m["rest"] or ""
+        for pat, clause in ((r"\bGROUP\s+BY\b", "GROUP BY"),
+                            (r"\bHAVING\b", "HAVING"),
+                            (r"\bWINDOW\b", "WINDOW"),
+                            (r"\bINTO\b", "INTO"),
+                            (r"\bFOR\s+(UPDATE|SHARE)\b", "FOR")):
+            if re.search(pat, rest, re.IGNORECASE):
+                err(clause)
+
     def sql(self, query: str) -> Optional[DataFrame]:
         m = _CREATE_RE.match(query)
         if m:
@@ -110,7 +184,12 @@ class RecSQL:
             return None
         m = _REC_RE.match(query)
         if m:
+            self._validate_recommend(query, m)
             return self._recommend(m)
+        if re.match(r"\s*WITH\b.*\bRECOMMEND\b.*\bTO\b", query,
+                    re.IGNORECASE | re.DOTALL):
+            # a WITH-wrapped RECOMMEND misses _REC_RE by design
+            self._validate_recommend(query, None)
         return self.spark.sql(query)
 
     def _recommend(self, m: re.Match) -> DataFrame:
@@ -142,8 +221,16 @@ class RecSQL:
         view = f"__rec_scored_{RecSQL._view_seq}"
         scored.createOrReplaceTempView(view)
 
-        from_parts = [f"{view} {ev_alias}" if t == ev_table and a == ev_alias
-                      else f"{t} {a}" for t, a in tables]
+        # swap the events table for the scored view IN PLACE so comma
+        # lists and JOIN ... ON syntax both survive verbatim; aliasing
+        # the view as the original alias (or table name) keeps every
+        # qualified column reference valid
+        if ev_alias != ev_table:
+            pat = rf"\b{re.escape(ev_table)}\s+(?:AS\s+)?{re.escape(ev_alias)}\b"
+        else:
+            pat = rf"\b{re.escape(ev_table)}\b"
+        new_from = re.sub(pat, f"{view} {ev_alias}", m["from"], count=1,
+                          flags=re.IGNORECASE)
         rest = re.sub(r"\bILIKE\b", "ilike", m["rest"] or "", flags=re.IGNORECASE)
-        plain = f"SELECT {m['select']} FROM {', '.join(from_parts)}{rest}"
+        plain = f"SELECT {m['select']} FROM {new_from}{rest}"
         return self.spark.sql(plain)

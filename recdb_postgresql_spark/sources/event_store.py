@@ -37,7 +37,20 @@ class EventStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # recommenders whose event table this store backs: every
+        # INSERT notifies them (PG hooks ExecInsert itself,
+        # ``nodeModifyTable.c:271`` -> updateCellCounter)
+        self._maintained: list[tuple] = []
         os.makedirs(path, exist_ok=True)
+
+    def bind_recommender(self, engine, name: str) -> None:
+        """Register recommender ``name`` for INSERT-driven maintenance:
+        appends through this store bump its update counter and trigger
+        the threshold retrain, with no manual ``append_events`` call —
+        the ``nodeModifyTable.c:271`` hook surface."""
+        if engine.catalog.get(name) is None:
+            raise ValueError(f"no recommender {name!r}")
+        self._maintained.append((engine, name))
 
     # -- manifest ------------------------------------------------------
     def _manifest(self) -> dict:
@@ -73,9 +86,14 @@ class EventStore:
         d = self._new_dir("append")
         df.write.mode("overwrite").parquet(os.path.join(self.path, d))
         self._commit(self._manifest()["dirs"] + [d])
+        for engine, name in self._maintained:
+            engine.record_insert(name, df, self.read())
 
     def delete(self, predicate: Column) -> None:
-        survivors = self.read().where(~predicate)
+        # survivors are rows where the predicate is NOT TRUE: a NULL
+        # predicate (NULL in a predicate column) must KEEP the row,
+        # matching SQL DELETE ... WHERE three-valued logic
+        survivors = self.read().where(~F.coalesce(predicate, F.lit(False)))
         d = self._new_dir("delete")
         survivors.write.mode("overwrite").parquet(os.path.join(self.path, d))
         self._commit([d])

@@ -50,3 +50,61 @@ def test_auto_resolution_uses_materialized(rs):
 
 def test_passthrough_plain_sql(rs):
     assert rs.sql("SELECT COUNT(*) AS n FROM sqlrat").collect()[0].n == 35
+
+
+def test_split_where_top_level_or_not_split():
+    # 'a = 1 OR b = 2 AND c = 3' parses as a OR (b AND c): must NOT be
+    # split into conjuncts applied at different stages
+    u, rest = _split_where("userid = 1 OR itemid = 2 AND ratingval = 3",
+                           "userid")
+    assert u is None
+    assert rest == "userid = 1 OR itemid = 2 AND ratingval = 3"
+    # parenthesized OR inside one conjunct still splits fine
+    u, rest = _split_where("(userid = 1 OR userid = 2) AND itemid < 7",
+                           "userid")
+    assert u == "(userid = 1 OR userid = 2)"
+    assert rest == "itemid < 7"
+
+
+def test_recommend_join_on_syntax(rs, spark):
+    spark.createDataFrame([(1, "red thing"), (2, "blue thing"),
+                           (3, "red other")],
+                          "pid long, pname string") \
+        .createOrReplaceTempView("sqldim")
+    out = rs.sql(
+        "SELECT r.userid, r.itemid, r.ratingval, d.pname "
+        "FROM sqlrat r JOIN sqldim d ON r.itemid = d.pid "
+        "RECOMMEND r.itemid TO r.userid ON r.ratingval USING ItemCosCF "
+        "WHERE r.userid = 2 AND d.pname LIKE '%red%' "
+        "ORDER BY r.ratingval DESC LIMIT 5")
+    rows = out.collect()
+    assert rows, "join produced no rows"
+    assert all(r.userid == 2 and "red" in r.pname for r in rows)
+    # same result through the comma-join form
+    comma = rs.sql(
+        "SELECT r.userid, r.itemid, r.ratingval, d.pname "
+        "FROM sqlrat r, sqldim d "
+        "RECOMMEND r.itemid TO r.userid ON r.ratingval USING ItemCosCF "
+        "WHERE r.userid = 2 AND r.itemid = d.pid AND d.pname LIKE '%red%' "
+        "ORDER BY r.ratingval DESC LIMIT 5").collect()
+    assert [(r.userid, r.itemid, r.pname) for r in rows] == \
+        [(r.userid, r.itemid, r.pname) for r in comma]
+
+
+@pytest.mark.parametrize("stmt,clause", [
+    ("SELECT DISTINCT userid FROM sqlrat RECOMMEND itemid TO userid "
+     "ON ratingval USING ItemCosCF", "DISTINCT"),
+    ("SELECT userid FROM sqlrat RECOMMEND itemid TO userid ON ratingval "
+     "USING ItemCosCF GROUP BY userid", "GROUP BY"),
+    ("SELECT userid FROM sqlrat RECOMMEND itemid TO userid ON ratingval "
+     "USING ItemCosCF WHERE userid = 1 HAVING COUNT(*) > 1", "HAVING"),
+    ("SELECT userid FROM sqlrat RECOMMEND itemid TO userid ON ratingval "
+     "USING ItemCosCF WINDOW w AS (PARTITION BY userid)", "WINDOW"),
+    ("WITH t AS (SELECT 1) SELECT userid FROM sqlrat RECOMMEND itemid "
+     "TO userid ON ratingval USING ItemCosCF", "WITH"),
+])
+def test_recommend_rejects_clauses_like_reference(rs, stmt, clause):
+    """validateClauses parity (parse_rec.c:119-157): same error text."""
+    with pytest.raises(ValueError,
+                       match=f"RECOMMEND clause is not allowed with {clause}"):
+        rs.sql(stmt)
