@@ -291,17 +291,22 @@ class RecEngine:
     def _train(self, events: DataFrame, userkey: str, itemkey: str,
                eventval: str, method: str) -> dict[str, DataFrame]:
         ratings = cf.normalize_events(events, userkey, itemkey, eventval)
-        return self._train_ratings(ratings, method)
+        # materialized builds get the hot-key rater cap by default: the
+        # persisted model must be buildable even with a viral item,
+        # and there is no per-query predicate to prune the pair join
+        return self._train_ratings(ratings, method,
+                                   max_coraters=cf.AUTO_CORATER_CAP)
 
-    def _train_ratings(self, ratings: DataFrame, method: str) -> dict[str, DataFrame]:
+    def _train_ratings(self, ratings: DataFrame, method: str,
+                       max_coraters: Optional[int] = None) -> dict[str, DataFrame]:
         if method == "itemcoscf":
             return {"model": cf.train_item_cos(ratings)}
         if method == "itempearcf":
             return {"model": cf.train_item_pearson(ratings)}
         if method == "usercoscf":
-            return {"model": cf.train_user_cos(ratings)}
+            return {"model": cf.train_user_cos(ratings, max_coraters=max_coraters)}
         if method == "userpearcf":
-            return {"model": cf.train_user_pearson(ratings)}
+            return {"model": cf.train_user_pearson(ratings, max_coraters=max_coraters)}
         if method == "svd":
             um, im = svd_mod.train_funk_svd(self.spark, ratings,
                                             num_features=self.svd_features,

