@@ -480,7 +480,7 @@ def q_embedding_neardup_ivf(spark, sf_dir):
     O(sum n_cell^2) instead of the O(n^2) crossJoin. Deterministic
     first-k centroids keep it SQL-expressible for the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.first_k_centroids(emb, k=8)
+    cents = similarity.first_k_centroids(emb, k=16)
     return dedup.embedding_near_duplicates_ivf(emb, cents, threshold=0.30) \
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
 
@@ -935,7 +935,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
     o["embedding_neardup_ivf"] = """
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
 ),
 assign AS (
   SELECT vec_id, cid AS cell FROM (
