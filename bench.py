@@ -44,8 +44,12 @@ def main() -> None:
         "multimodal_frame_plan", "multimodal_features",
     ]
 
-    # one warm-up pass to amortize JVM/parquet-footer costs out of q1
+    # one warm-up pass to amortize JVM/parquet-footer costs out of the
+    # first query touching each big table (lineitem via q1, events via
+    # the ratings projection — recomputed lazily by every CF query, so
+    # nothing is unfairly cached, only footers/JIT warmed)
     queries["q1_pricing_summary"](spark, sf_dir).count()
+    entrymod._ratings(spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in headline:
