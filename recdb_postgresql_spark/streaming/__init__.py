@@ -1,3 +1,7 @@
 from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
+from recdb_postgresql_spark.streaming.rollup import (count_milestones,
+                                                     hourly_rollup,
+                                                     sessionize)
 
-__all__ = ["StreamingMaintainer"]
+__all__ = ["StreamingMaintainer", "hourly_rollup", "sessionize",
+           "count_milestones"]

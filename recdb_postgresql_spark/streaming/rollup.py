@@ -1,0 +1,98 @@
+"""Streaming analytics over the events stream — the Structured
+Streaming counterparts of the batch rollup/sessionize queries.
+
+The reference has no streaming surface (SURVEY §1.4); these are the
+pipeline extensions a training-data feed needs, expressed with the
+built-in streaming operators wherever possible:
+
+- ``hourly_rollup``: watermarked tumbling-window aggregate. Late rows
+  inside the watermark update their window; older rows are dropped —
+  the streaming form of the batch ``events_hourly_rollup``.
+- ``sessionize``: native ``session_window`` (gap-merged), the
+  streaming form of the batch lag+running-sum sessionize.
+- ``count_milestones``: a custom STATEFUL operator via
+  ``applyInPandasWithState`` — emits a row whenever a user's
+  cumulative event count crosses a multiple of ``every``; the
+  cumulative counter lives in group state across micro-batches.
+  This shape (cross-batch per-key state with append output) is not
+  expressible with the built-in windowed aggregates.
+
+events.ts arrives as int64 nanos (TESTDATA parquet); helpers convert
+to a proper timestamp column for event-time semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """int64-nanos ts -> TIMESTAMP 'etime' (event-time column)."""
+    return events.withColumn(
+        "etime", F.timestamp_seconds(F.col(ts_col) / F.lit(1_000_000_000)))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windows per event_type with late-data handling:
+    rows later than ``watermark`` behind the max seen event time are
+    dropped, everything else updates its hour bucket. State is bounded
+    by (#open windows x #event types)."""
+    return (with_event_time(events)
+            .withWatermark("etime", watermark)
+            .groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions per user via the native session_window:
+    windows merge while successive events are within ``gap``. Emitted
+    once the watermark passes the session end (append mode)."""
+    return (with_event_time(events)
+            .withWatermark("etime", watermark)
+            .groupBy(F.session_window("etime", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+MILESTONE_OUTPUT = "user_id long, milestone long"
+MILESTONE_STATE = "cnt long"
+
+
+def _milestone_fn(every: int):
+    import pandas as pd
+
+    def fn(key: Any, pdfs: Iterator["pd.DataFrame"], state) -> Iterable["pd.DataFrame"]:
+        (user_id,) = key
+        (cnt,) = state.get if state.exists else (0,)
+        new = sum(len(p) for p in pdfs)
+        crossed = list(range((cnt // every + 1) * every, cnt + new + 1, every))
+        state.update((cnt + new,))
+        if crossed:
+            yield pd.DataFrame({"user_id": [user_id] * len(crossed),
+                                "milestone": crossed})
+
+    return fn
+
+
+def count_milestones(events: DataFrame, every: int = 100) -> DataFrame:
+    """Emit (user_id, milestone) whenever a user's cumulative event
+    count crosses a multiple of ``every``. Cross-batch state = one
+    long per user; output mode append — the canonical
+    applyInPandasWithState shape for operators the built-in windowed
+    aggs can't express."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(_milestone_fn(every),
+                                    outputStructType=MILESTONE_OUTPUT,
+                                    stateStructType=MILESTONE_STATE,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
