@@ -50,6 +50,9 @@ def main() -> None:
     # nothing is unfairly cached, only footers/JIT warmed)
     queries["q1_pricing_summary"](spark, sf_dir).count()
     entrymod._ratings(spark, sf_dir).count()
+    from recdb_postgresql_spark.sources.readers import load_table
+    for t in ("documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
     for name in headline:

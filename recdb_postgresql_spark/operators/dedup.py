@@ -32,7 +32,8 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     """Groups of byte-identical texts: (doc_id, canonical_id, content_hash).
     canonical_id is the smallest doc id of the group; only actual
     duplicates (group size > 1) are returned."""
-    hashed = docs.select(F.col(id_col), md5_long(F.col(text_col)).alias("content_hash"))
+    hashed = spread_small(docs).select(
+        F.col(id_col), md5_long(F.col(text_col)).alias("content_hash"))
     groups = (hashed.groupBy("content_hash")
               .agg(F.min(id_col).alias("canonical_id"),
                    F.count(F.lit(1)).alias("n"))

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
+from recdb_postgresql_spark.functions.layout import spread_small
 
 # BPE-ish word/number/punct tokenizer — identical regex runs in DuckDB.
 TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -42,7 +43,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     words = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
     puncts = F.filter(toks, lambda t: ~t.rlike("^[a-z0-9]+$"))
     stops = F.filter(words, lambda t: t.isin(*STOPWORDS))
-    return docs.select(
+    return spread_small(docs).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(words).cast("long").alias("n_words"),
@@ -84,7 +85,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.filter(toks, lambda t: t.isin(*marks))).alias(f"c_{lang}")
         for lang, marks in sorted(LANG_MARKERS.items())
     ]
-    d = docs.select(F.col(id_col), *counts)
+    d = spread_small(docs).select(F.col(id_col), *counts)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"c_{lg}") for lg in langs])
     pred = F.lit("und")
@@ -104,7 +105,7 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    words = (docs.select(F.col(id_col).alias("id"),
+    words = (spread_small(docs).select(F.col(id_col).alias("id"),
                          F.explode(F.regexp_extract_all(
                              F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
                          .alias("term")))
@@ -131,7 +132,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return docs.select(
+    return spread_small(docs).select(
         F.col(id_col),
         F.array_min(F.transform(F.array_distinct(sh),
                                 lambda s: md5_long(s))).alias("fingerprint"))
