@@ -30,11 +30,16 @@ class RecommenderInfo:
     update_counter: int = 0   # <name>Index.updateCounter (utility.c:917-921)
     query_counter: int = 0    # bumped on first materialized query (execRecommend.c:831-836)
     # declared <name>Index surface (utility.c:917-921): the reference
-    # seeds 0.0/0.0/localtimestamp at CREATE (utility.c:171) and never
-    # writes them again; kept for catalog parity
+    # seeds 0.0/0.0/localtimestamp at CREATE (utility.c:171); the rate
+    # refresh loop (experiments/recathon_rateupdate.c:133-153) derives
+    # them from SEPARATE interval counters so the retrain counter is
+    # never clobbered, then classifies the cell Alpha/Beta/Gamma/Delta
     update_rate: float = 0.0
     query_rate: float = 0.0
     levelone_timestamp: str = ""
+    query_counter2: int = 0   # interval counters, reset by refresh_rates
+    update_counter2: int = 0
+    celltype: str = "Delta"   # cold/cold default (rateupdate.c:149)
     model_tables: list = field(default_factory=list)
 
 

@@ -162,8 +162,9 @@ class RecEngine:
             models = self.catalog.load_models(info, self.spark)
             method = info.method
             # R16: materialized queries bump the query counter
-            # (execRecommend.c:831-836)
+            # (execRecommend.c:831-836) and the rate-interval counter
             info.query_counter += 1
+            info.query_counter2 += 1
             self.catalog.update_meta(info)
         else:
             # on-the-fly "GenerateRecommend" path: train at query time,
@@ -269,7 +270,9 @@ class RecEngine:
         info = self.catalog.get(name)
         if info is None:
             raise ValueError(f"no recommender {name!r}")
-        info.update_counter += new_events.count()
+        n_new = new_events.count()
+        info.update_counter += n_new
+        info.update_counter2 += n_new
         if info.update_counter >= self.update_threshold * max(info.event_total, 1):
             models = self._train(all_events, info.userkey, info.itemkey,
                                  info.eventval, info.method)
@@ -278,6 +281,33 @@ class RecEngine:
             self.catalog.put(info, models, self.spark, replace=True)
         else:
             self.catalog.update_meta(info)
+
+    def refresh_rates(self, name: str, interval_s: float = 10.0,
+                      query_threshold: float = 0.1,
+                      update_threshold: float = 0.1) -> str:
+        """The rate-updater loop body
+        (``experiments/recathon_rateupdate.c:133-153``): derive
+        query/update rates from the interval counters, reset them
+        (NOT the retrain counter), and classify the recommender cell —
+        Alpha (hot/hot), Gamma (query-hot), Beta (update-hot), Delta
+        (cold). Returns the cell type. Call periodically (the reference
+        runs it every 10s from a sidecar client)."""
+        info = self.catalog.get(name)
+        if info is None:
+            raise ValueError(f"no recommender {name!r}")
+        info.query_rate = info.query_counter2 / interval_s
+        info.update_rate = info.update_counter2 / interval_s
+        info.query_counter2 = 0
+        info.update_counter2 = 0
+        if info.query_rate >= query_threshold:
+            info.celltype = ("Alpha" if info.update_rate >= update_threshold
+                             else "Gamma")
+        elif info.update_rate >= update_threshold:
+            info.celltype = "Beta"
+        else:
+            info.celltype = "Delta"
+        self.catalog.update_meta(info)
+        return info.celltype
 
     def append_events(self, name: str, events: DataFrame, new_events: DataFrame,
                       userkey: str, itemkey: str, eventval: str) -> DataFrame:

@@ -52,3 +52,35 @@ def test_neardup_numpy_matches_sql(spark):
             dedup.embedding_near_duplicates(emb, threshold=0.30,
                                             impl="numpy").collect()}
     assert exact == fast and len(exact) > 0
+
+
+def test_refresh_rates_and_celltype(spark):
+    """recathon_rateupdate.c:133-153 analog: rates from the interval
+    counters, counters reset WITHOUT touching the retrain counter,
+    cell classified Alpha/Beta/Gamma/Delta."""
+    from recdb_postgresql_spark.engine import RecEngine
+
+    rows = [(u, i, float(u + i)) for u in range(1, 5) for i in range(1, 5)]
+    ev = spark.createDataFrame(rows, "userid long, itemid long, ratingval double")
+    eng = RecEngine(spark, update_threshold=100.0)  # never retrain here
+    eng.create_recommender("raterec", ev, "userid", "itemid",
+                           "ratingval", "itemcoscf")
+    assert eng.catalog.get("raterec").celltype == "Delta"
+    # 2 materialized queries + 3 inserted events in a 10s interval
+    for _ in range(2):
+        eng.recommend(ev, "userid", "itemid", "ratingval",
+                      name="raterec", k=1).collect()
+    eng.record_insert("raterec",
+                      spark.createDataFrame([(9, 1, 1.0)] * 3,
+                                            "userid long, itemid long, ratingval double"),
+                      ev)
+    cell = eng.refresh_rates("raterec", interval_s=10.0)
+    info = eng.catalog.get("raterec")
+    assert (info.query_rate, info.update_rate) == (0.2, 0.3)
+    assert cell == "Alpha"                       # both above 0.1
+    assert (info.query_counter2, info.update_counter2) == (0, 0)
+    assert info.update_counter == 3              # retrain counter intact
+    assert info.query_counter == 2
+    # a quiet interval decays the cell back to Delta
+    assert eng.refresh_rates("raterec", interval_s=10.0) == "Delta"
+    eng.drop_recommender("raterec")
