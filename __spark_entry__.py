@@ -652,6 +652,25 @@ def q_frame_plan(spark, sf_dir):
                     F.col("ts_ms").cast("long").alias("ts_ms")))
 
 
+def q_resize_plan(spark, sf_dir):
+    """Multimodal resize PLANNING from metadata only (payload column
+    never read — the execution half is `multimodal.resize_image`,
+    Arrow-batched, pytest-pinned to agree with this plan): documents
+    stand in for an image table with synthetic dims from n_chars."""
+    from recdb_postgresql_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(F.lit("image/png").alias("mime"),
+                 (F.col("n_chars") % 800 + 32).cast("int").alias("width"),
+                 (F.col("n_chars") * 3 % 600 + 32).cast("int").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    return multimodal.resize_plan(media, max_side=256) \
+        .select("media_id", "out_width", "out_height", "scale")
+
+
 def q_quantile_prices(spark, sf_dir):
     """Exact percentiles (PG 9.2 lacks percentile_cont — 9.4 added it —
     but the harness surface needs it): Spark `percentile` and DuckDB
@@ -741,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_peruser_topk": q_rec_peruser_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_frame_plan,
+        "multimodal_resize_plan": q_resize_plan,
         "quantile_prices": q_quantile_prices,
     }
     for name in REL_SQL:
@@ -1141,6 +1161,25 @@ n AS (SELECT media_id, duration_ms // 1000 AS cnt FROM media)
 SELECT media_id, CAST(gs.i AS INTEGER) AS frame_idx,
        CAST(gs.i * 1000 AS BIGINT) AS ts_ms
 FROM n, UNNEST(generate_series(0, greatest(cnt - 1, 0))) AS gs(i)
+"""
+    o["multimodal_resize_plan"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(n_chars % 800 + 32 AS INT) AS w,
+         CAST((n_chars * 3) % 600 + 32 AS INT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+s AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 256
+              THEN 256.0 / greatest(w, h) ELSE 1.0 END AS scale
+  FROM m
+)
+SELECT media_id,
+       CAST(FLOOR(w * scale) AS INT) AS out_width,
+       CAST(FLOOR(h * scale) AS INT) AS out_height,
+       ROUND(scale, 6) AS scale
+FROM s
 """
     o["quantile_prices"] = """
 SELECT l_returnflag,

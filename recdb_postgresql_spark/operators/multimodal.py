@@ -98,6 +98,66 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     (F.col("col") * every_ms).alias("ts_ms")))
 
 
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """(media_id, out_width, out_height, scale) — aspect-preserving
+    resize targets from metadata ONLY (payload never read): the
+    planning half of a resize stage, SQL-expressible and
+    oracle-checkable. Media already within ``max_side`` keep their
+    dimensions (scale 1.0)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    long_side = F.greatest(w, h)
+    scale = F.when(long_side > max_side,
+                   F.lit(max_side) / long_side).otherwise(F.lit(1.0))
+    return (media.where(F.col("kind") == "image")
+            .where(w.isNotNull() & h.isNotNull())
+            .select("media_id",
+                    F.floor(w * scale).cast("int").alias("out_width"),
+                    F.floor(h * scale).cast("int").alias("out_height"),
+                    F.round(scale, 6).alias("scale")))
+
+
+def resize_image(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """(media_id, out_width, out_height, payload) — the execution half
+    of the resize stage: Arrow-batched ``mapInPandas`` with the
+    deterministic fake 'resizer' (payload md5-rehashed with the target
+    dims; swap ``_fake_resize`` for PIL.Image.resize in production —
+    the batch shape, schema and partitioning are exactly what a real
+    decode stage uses)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    planned = (media.where(F.col("kind") == "image")
+               .select("media_id", "payload",
+                       F.col("meta.width").alias("w"),
+                       F.col("meta.height").alias("h")))
+
+    def _fake_resize(payload, ow, oh):
+        if payload is None:
+            return None
+        return hashlib.md5(bytes(payload) + f":{ow}x{oh}".encode()).digest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["w"].to_numpy(dtype=float)
+            h = pdf["h"].to_numpy(dtype=float)
+            long_side = np.maximum(w, h)
+            scale = np.where(long_side > max_side, max_side / long_side, 1.0)
+            ow = np.floor(w * scale).astype("int32")
+            oh = np.floor(h * scale).astype("int32")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "out_width": ow,
+                "out_height": oh,
+                "payload": [_fake_resize(p, a, b) for p, a, b
+                            in zip(pdf["payload"], ow, oh)],
+            })
+
+    return planned.mapInPandas(run, schema=out_schema)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = md5-derived
     bytes keyed by id)."""

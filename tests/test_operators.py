@@ -142,3 +142,25 @@ def test_catalog_workdir_roundtrip(spark, tmp_path):
     out = eng2.recommend(events, "userid", "itemid", "ratingval", name="p1",
                          user_where=F.col("userid") == 1, k=2, round_to=6)
     assert out.count() == 2
+
+
+def test_multimodal_resize_plan_and_execute_agree(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    plan = {r.media_id: (r.out_width, r.out_height)
+            for r in multimodal.resize_plan(media, max_side=40).collect()}
+    done = {r.media_id: (r.out_width, r.out_height)
+            for r in multimodal.resize_image(media, max_side=40).collect()}
+    assert plan and plan == done                  # plan == execution dims
+    # aspect ratio preserved within floor rounding; long side <= max
+    for r in multimodal.resize_plan(media, max_side=40).collect():
+        assert max(r.out_width, r.out_height) <= 40
+    # images already small enough keep their dims (scale 1.0)
+    small = {r.media_id: r.scale
+             for r in multimodal.resize_plan(media, max_side=4096).collect()}
+    assert all(s == 1.0 for s in small.values())
+    # deterministic fake resize bytes
+    p1 = {r.media_id: bytes(r.payload)
+          for r in multimodal.resize_image(media, max_side=40).collect()}
+    p2 = {r.media_id: bytes(r.payload)
+          for r in multimodal.resize_image(media, max_side=40).collect()}
+    assert p1 == p2
