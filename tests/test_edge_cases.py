@@ -67,3 +67,49 @@ def test_normalize_drops_nulls(spark):
         SCHEMA)
     r = cf.normalize_events(events, "userid", "itemid", "ratingval")
     assert r.count() == 1
+
+
+def test_lsh_verified_subset_of_exact(spark):
+    """Invariant: the LSH-verified flow returns a SUBSET of the exact
+    Jaccard pairs (candidates can only lose recall, never add pairs or
+    change a surviving pair's score)."""
+    from recdb_postgresql_spark.operators import dedup
+
+    rows = [(i, f"common base text tokens {'x' * (i % 3)} tail {i % 5}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.word_shingles(docs)
+    exact = {(r.id1, r.id2): round(r.jaccard, 9)
+             for r in dedup.jaccard_pairs(sh, threshold=0.3).collect()}
+    verified = {(r.id1, r.id2): round(r.jaccard, 9)
+                for r in dedup.lsh_verified_pairs(sh, threshold=0.3,
+                                                  num_hashes=8, bands=4,
+                                                  rows_per_band=2).collect()}
+    assert set(verified) <= set(exact)
+    for k, v in verified.items():
+        assert exact[k] == v                      # identical scores
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iters propagation rounds must raise, not
+    return silently-split clusters (ADVICE r1)."""
+    from recdb_postgresql_spark.operators import dedup
+
+    chain = [(i, i + 1) for i in range(12)]       # diameter 12
+    pairs = spark.createDataFrame(chain, "id1 long, id2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=2)
+    # and converges fine with enough rounds: one component
+    comp = dedup.connected_components(pairs, max_iters=15).collect()
+    assert {r.component for r in comp} == {0}
+
+
+def test_jaccard_with_empty_candidates(spark):
+    from recdb_postgresql_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")],
+                                 "doc_id long, text string")
+    sh = dedup.word_shingles(docs)
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    out = dedup.jaccard_pairs(sh, threshold=0.1, candidates=empty)
+    assert out.count() == 0
