@@ -63,6 +63,26 @@ def test_lsh_verified_flow_has_no_invertedindex_selfjoin(spark):
         assert not sh_selfjoin.search(plan), name
 
 
+def test_resize_plan_scan_is_metadata_only(spark):
+    """The resize PLANNING query must never read document text or the
+    (stand-in) payload bytes — only ids + n_chars reach the scan."""
+    plan = _plan(entrymod.queries()["multimodal_resize_plan"](spark, SF))
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_ivf_neardup_has_no_crossjoin_on_vectors(spark):
+    """The IVF near-dup flow must not contain the O(n^2) vector
+    crossJoin: its only cartesian node is the tiny broadcast of the 16
+    centroids for cell assignment; the pair join is keyed on cell."""
+    plan = _plan(entrymod.queries()["embedding_neardup_ivf"](spark, SF))
+    import re
+    nested = re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)
+    # exactly the two centroid-assignment broadcasts (emb + none for pairs)
+    assert len(nested) <= 2, nested
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # cell-keyed pair join
+
+
 def test_events_projection_prunes_columns(spark):
     from recdb_postgresql_spark.sources.readers import load_table, ratings_from_events
     plan = _plan(ratings_from_events(load_table(spark, SF, "events")))
