@@ -361,8 +361,16 @@ def _near_dup_numpy(emb: DataFrame, id_col: str, vec_col: str,
     import numpy as np
     import pandas as pd
 
+    import math
+
     sc = emb.sparkSession.sparkContext
-    B = blocks or sc.defaultParallelism
+    # B(B+1)/2 block-pair tasks should ~saturate the cluster; more
+    # blocks only shrink the per-task matmul below BLAS efficiency and
+    # multiply the Arrow group overhead (measured: B=32 -> 528 tiny
+    # groups was 2x slower than B=8 -> 36 right-sized ones). At real
+    # scale pass `blocks` so one block (~n/B vectors) fits executor
+    # memory.
+    B = blocks or max(4, math.isqrt(2 * sc.defaultParallelism))
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                       F.pmod(F.col(id_col), F.lit(B)).alias("blk"))
     # replicate each row to every block pair it participates in:
