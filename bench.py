@@ -42,6 +42,7 @@ def main() -> None:
         "dedup_clusters", "quantile_prices", "recursive_month_spine",
         "semijoin_order_lines", "leftjoin_null_handling",
         "multimodal_frame_plan", "multimodal_features",
+        "multimodal_resize_plan",
     ]
 
     # one warm-up pass to amortize JVM/parquet-footer costs out of the
