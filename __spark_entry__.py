@@ -502,6 +502,18 @@ def q_ann_ivf(spark, sf_dir):
         .select("qid", "vec_id", "cos", "rank")
 
 
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN: bucket by the 8-bit sign signature
+    (deterministic md5-derived planes — regenerable in any engine),
+    score only same-bucket vectors. The training-free complement to
+    the IVF scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return similarity.lsh_topk(emb, qs, k=10, n_planes=8, dim=64) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
 def q_text_stats(spark, sf_dir):
     return text.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -748,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_lsh_topk": q_ann_lsh,
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
@@ -1021,6 +1034,48 @@ scored AS (
   FROM embeddings e
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN q ON a.cell = q.qcell
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+    o["ann_lsh_topk"] = """
+WITH planes AS (
+  SELECT p, d,
+         (CAST(concat('0x', substring(md5(concat('hp', CAST(p AS VARCHAR), ':',
+                                                 CAST(d AS VARCHAR))), 1, 15))
+               AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+  FROM UNNEST(generate_series(0, 7)) AS gp(p),
+       UNNEST(generate_series(0, 63)) AS gd(d)
+),
+plist AS (SELECT p, list(c ORDER BY d) AS plane FROM planes GROUP BY p),
+dp AS (
+  SELECT e.vec_id, pl.p,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), plane) AS dp
+  FROM embeddings e CROSS JOIN plist pl
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM dp GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qvec, s.sig AS qsig
+  FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+  WHERE e.vec_id < 5
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+  FROM embeddings e
+  JOIN sigs s ON s.vec_id = e.vec_id
+  JOIN q ON s.sig = q.qsig
   WHERE e.vec_id <> q.qid
 ),
 ranked AS (

@@ -67,6 +67,68 @@ def first_k_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id",
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
 
 
+def hyperplane_planes(spark, n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """(p, plane array<double>): deterministic pseudo-random hyperplanes
+    from the portable md5 family — coeff(p,d) =
+    (md5_long('hp{p}:{d}') % 2001 - 1000)/1000 in [-1, 1]. No RNG, so
+    the identical planes regenerate in any SQL engine."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    return spark.range(n_planes).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: ((md5_long(F.concat(F.lit("hp"),
+                                          F.col("id").cast("string"),
+                                          F.lit(":"), d.cast("string")))
+                        % 2001 - 1000) / 1000.0)).alias("plane"))
+
+
+def lsh_signatures(emb: DataFrame, planes: DataFrame,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, sig): the n-bit random-hyperplane signature — bit p is the
+    sign of dot(v, plane_p). One broadcast join + one groupBy; sig is
+    the LSH bucket key for cosine similarity (SimHash for vectors)."""
+    dotted = (spread_small(emb).crossJoin(F.broadcast(planes))
+              .select(F.col(id_col), "p",
+                      dot(F.col(vec_col), F.col("plane")).alias("dp")))
+    return (dotted.groupBy(id_col)
+            .agg(F.sum(F.when(F.col("dp") >= 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+                       .otherwise(F.lit(0).cast("long"))).alias("sig")))
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 8, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             round_to: int = 6) -> DataFrame:
+    """Approximate top-k: score only vectors whose full hyperplane
+    signature matches the query's (single-probe; multi-probe = also
+    search 1-bit-flipped buckets). The complementary LSH scale path to
+    ``ivf_topk`` — bucket count 2^n_planes needs no centroid training
+    and adapts to any data distribution; recall < 1 by design."""
+    planes = hyperplane_planes(emb.sparkSession, n_planes, dim)
+    sigs = lsh_signatures(emb, planes, id_col, vec_col)
+    qsigs = (lsh_signatures(
+        queries.select(F.col(qid_col).alias(id_col),
+                       F.col(qvec_col).alias(vec_col)),
+        planes, id_col, vec_col)
+        .withColumnRenamed(id_col, qid_col)
+        .withColumnRenamed("sig", "qsig"))
+    cand = (emb.join(sigs, id_col)
+            .join(F.broadcast(queries.join(qsigs, qid_col)),
+                  F.col("sig") == F.col("qsig"))
+            .where(F.col(id_col) != F.col(qid_col)))
+    scored = cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
+                         F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)),
+                                 round_to).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "qvec",
