@@ -466,12 +466,16 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_embedding_neardup_fast(spark, sf_dir):
-    """Scale path: BLAS matmul via mapInPandas — same pair set as the
-    exact query (verified in tests), float accumulation differs in the
-    last ulps so it takes the rows-only driver check."""
+    """Scale path: distributed block-pair BLAS matmul via applyInPandas.
+    Returns the pair SET only (id1, id2): the float accumulation order
+    differs from the SQL fold in the last ulps, but the set of pairs
+    above threshold is identical, so dropping the cos column makes this
+    hash-checkable against the same oracle as ``embedding_neardup``.
+    The matmul (and its threshold filter) still runs in full — the
+    bench measures identical work."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_duplicates(emb, threshold=0.30, impl="numpy") \
-        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+        .select("id1", "id2")
 
 
 def q_embedding_neardup_ivf(spark, sf_dir):
@@ -505,8 +509,9 @@ def q_ann_ivf(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN: bucket by the 8-bit sign signature
     (deterministic md5-derived planes — regenerable in any engine),
-    score only same-bucket vectors. The training-free complement to
-    the IVF scale path."""
+    score vectors in the query's bucket plus every 1-bit-flipped
+    bucket (multi-probe: the standard recall fix, still a pure
+    equi-join). The training-free complement to the IVF scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -627,8 +632,10 @@ def q_rec_peruser_topk(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract: documents' text
     bytes stand in for encoded media payloads; features come from the
-    deterministic fake encoder via Arrow-batched mapInPandas. No SQL
-    oracle (Python-side md5-derived floats) — rows-only check."""
+    deterministic fake encoder via Arrow-batched mapInPandas. The
+    encoder is (md5_byte - 128)/128 — exact multiples of 2^-7, so
+    feature_sum is bit-exact in both engines and the SQL oracle
+    hash-checks the whole Arrow flow (no rounding tolerance needed)."""
     from recdb_postgresql_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
@@ -640,8 +647,8 @@ def q_multimodal_features(spark, sf_dir):
                         ).alias("meta"))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind",
-                        F.round(F.aggregate("features", F.lit(0.0),
-                                            lambda a, x: a + x.cast("double")), 6)
+                        F.aggregate("features", F.lit(0.0),
+                                    lambda a, x: a + x.cast("double"))
                         .alias("feature_sum"))
 
 
@@ -966,6 +973,15 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.30
 """
+    # pair-set-only oracle for the BLAS block-matmul path: the pair SET
+    # above threshold is order-of-accumulation independent (pytest pins
+    # set parity vs the fold impl), so it hash-checks without the cos.
+    o["embedding_neardup_fast"] = """
+SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.30
+"""
     o["embedding_neardup_ivf"] = """
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
@@ -1069,14 +1085,20 @@ q AS (
   FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
   WHERE e.vec_id < 5
 ),
+probes AS (
+  SELECT qid, qvec, qsig AS psig FROM q
+  UNION ALL
+  SELECT qid, qvec, xor(qsig, CAST(1 AS BIGINT) << p) AS psig
+  FROM q, UNNEST(generate_series(0, 7)) AS gp(p)
+),
 scored AS (
-  SELECT q.qid, e.vec_id,
+  SELECT pr.qid, e.vec_id,
          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+                                      CAST(pr.qvec AS DOUBLE[])), 6) AS cos
   FROM embeddings e
   JOIN sigs s ON s.vec_id = e.vec_id
-  JOIN q ON s.sig = q.qsig
-  WHERE e.vec_id <> q.qid
+  JOIN probes pr ON s.sig = pr.psig
+  WHERE e.vec_id <> pr.qid
 ),
 ranked AS (
   SELECT qid, vec_id, cos,
@@ -1206,6 +1228,21 @@ SELECT userid, itemid, score, CAST(rank AS INTEGER) AS rank FROM (
          ROW_NUMBER() OVER (PARTITION BY userid ORDER BY score DESC, itemid) AS rank
   FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 15", "")}) t
 ) r WHERE rank <= 3
+"""
+    # SQL re-expression of the fake encoder (operators/multimodal.py
+    # _fake_decode_features): feature i = (byte_i(md5(payload)) - 128)
+    # / 128, payload = UTF-8 text bytes. Exact multiples of 2^-7, so
+    # the double SUM is bit-exact against the Arrow mapInPandas path.
+    o["multimodal_features"] = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+b AS (
+  SELECT media_id,
+         SUM((CAST(concat('0x', substring(hx, 2*i+1, 2)) AS INT) - 128) / 128.0)
+           AS feature_sum
+  FROM h, UNNEST(generate_series(0, 15)) AS gi(i)
+  GROUP BY media_id
+)
+SELECT media_id, 'image' AS kind, feature_sum FROM b
 """
     o["multimodal_frame_plan"] = """
 WITH media AS (

@@ -46,14 +46,20 @@ FEATURE_DIM = 16
 
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder+encoder: md5 bytes of
-    the payload, repeated/scaled into [-1, 1]. Replace with e.g.
+    the payload, repeated/scaled into [-1, 1). Replace with e.g.
     PIL.Image.open + a vision tower in production.
+
+    Feature = (byte - 128) / 128: every value is an exact multiple of
+    2^-7, exactly representable in float32 AND double, so the encoder
+    is SQL-re-expressible from the md5 hex string (per-byte
+    ``substring`` + hex parse) and the whole flow is oracle-checkable
+    with bit-exact arithmetic — no float-rounding tolerance needed.
     """
     if payload is None:
         return np.zeros(dim, dtype=np.float32)
     digest = hashlib.md5(payload).digest()
     raw = np.frombuffer((digest * ((dim // len(digest)) + 1))[:dim], dtype=np.uint8)
-    return (raw.astype(np.float32) - 127.5) / 127.5
+    return (raw.astype(np.float32) - np.float32(128.0)) / np.float32(128.0)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - real decoder absent

@@ -103,12 +103,21 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "qvec",
-             round_to: int = 6) -> DataFrame:
+             round_to: int = 6, multi_probe: bool = True) -> DataFrame:
     """Approximate top-k: score only vectors whose full hyperplane
-    signature matches the query's (single-probe; multi-probe = also
-    search 1-bit-flipped buckets). The complementary LSH scale path to
-    ``ivf_topk`` — bucket count 2^n_planes needs no centroid training
-    and adapts to any data distribution; recall < 1 by design."""
+    signature lands in the query's probe set. The complementary LSH
+    scale path to ``ivf_topk`` — bucket count 2^n_planes needs no
+    centroid training and adapts to any data distribution; recall < 1
+    by design.
+
+    ``multi_probe`` (the standard recall fix for sign-LSH) also probes
+    every 1-bit-flipped bucket: the query's probe set becomes its exact
+    signature plus ``n_planes`` neighbors — still a pure equi-join on
+    (sig == probe), candidate volume grows ~(n_planes+1)x while recall
+    jumps from the single-bucket sliver toward brute-force (measured
+    9 -> 48 of 50 possible rows at sf0.01). A vector matches at most
+    one probe per query (probe values are distinct), so no dedup
+    shuffle is needed."""
     planes = hyperplane_planes(emb.sparkSession, n_planes, dim)
     sigs = lsh_signatures(emb, planes, id_col, vec_col)
     qsigs = (lsh_signatures(
@@ -117,9 +126,18 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         planes, id_col, vec_col)
         .withColumnRenamed(id_col, qid_col)
         .withColumnRenamed("sig", "qsig"))
+    qp = queries.join(qsigs, qid_col)
+    probes = qp.select(qid_col, qvec_col, F.col("qsig").alias("psig"))
+    if multi_probe:
+        flips = (qp.select(
+            qid_col, qvec_col, "qsig",
+            F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"))
+            .select(qid_col, qvec_col,
+                    F.col("qsig").bitwiseXOR(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), p)")).alias("psig")))
+        probes = probes.unionByName(flips)
     cand = (emb.join(sigs, id_col)
-            .join(F.broadcast(queries.join(qsigs, qid_col)),
-                  F.col("sig") == F.col("qsig"))
+            .join(F.broadcast(probes), F.col("sig") == F.col("psig"))
             .where(F.col(id_col) != F.col(qid_col)))
     scored = cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
                          F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)),
