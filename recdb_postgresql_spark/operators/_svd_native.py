@@ -56,13 +56,17 @@ void funk_sgd_train(int64_t n_e, int64_t n_u, int64_t n_i,
                 if (i == 0 && j == 0) {
                     err = vals[e] - baseline[e];
                 } else {
-                    /* predictRating: residual-of-earlier-features +
-                       dot over current and trailing features */
-                    float tail = 0.0f;
+                    /* predictRating: rating STARTS at the residual of
+                       earlier features (0 when i==0 — the reference
+                       resets it each epoch) and accumulates the
+                       current+trailing feature products onto it, in
+                       that order — the float32 rounding sequence is
+                       bit-identical to recathon.c:2680-2690 */
+                    float acc = (i > 0) ? residual[e] : 0.0f;
                     for (int32_t f2 = i; f2 < num_features; f2++)
-                        tail += uf[(int64_t)f2 * n_u + u]
-                              * itf[(int64_t)f2 * n_i + it];
-                    err = vals[e] - ((i > 0 ? residual[e] : 0.0f) + tail);
+                        acc += uf[(int64_t)f2 * n_u + u]
+                             * itf[(int64_t)f2 * n_i + it];
+                    err = vals[e] - acc;
                 }
                 const float temp = uv[u];
                 uv[u] += lr * (err * iv[it] - pen * uv[u]);
@@ -81,25 +85,61 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir for compiled kernels. NOT the shared
+    temp dir: a world-writable location with a predictable
+    content-addressed name would let any local user pre-plant a .so
+    that CDLL then loads into the driver. The dir is created 0700 and
+    verified to be owned by us and non-writable by others before any
+    pre-existing artifact is trusted."""
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(base, "recdb_spark_native")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise RuntimeError(f"unsafe native cache dir {d!r}: "
+                           "not owned by us or group/other-writable")
+    return d
+
+
 def _compile() -> Optional[ctypes.CDLL]:
-    """Compile the kernel into a content-addressed .so under the system
-    temp dir; reuse across sessions. Returns None when no compiler."""
+    """Compile the kernel into a content-addressed .so under the
+    per-user cache dir; reuse across sessions. The .so is written via
+    mkstemp + os.rename so concurrent first-use compiles never race a
+    half-written object into CDLL. Returns None when no compiler."""
     tag = hashlib.md5(_C_SOURCE.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"funk_sgd_{tag}.so")
+    cache = _cache_dir()
+    so_path = os.path.join(cache, f"funk_sgd_{tag}.so")
     if not os.path.exists(so_path):
-        src = os.path.join(tempfile.gettempdir(), f"funk_sgd_{tag}.c")
-        with open(src, "w") as f:
+        src_fd, src = tempfile.mkstemp(suffix=".c", dir=cache)
+        with os.fdopen(src_fd, "w") as f:
             f.write(_C_SOURCE)
-        for cc in ("cc", "gcc", "clang"):
-            try:
-                subprocess.run([cc, "-O2", "-shared", "-fPIC", src,
-                                "-o", so_path], check=True,
-                               capture_output=True, timeout=60)
-                break
-            except (OSError, subprocess.SubprocessError):
-                continue
-        else:
-            return None
+        out_fd, out_tmp = tempfile.mkstemp(suffix=".so", dir=cache)
+        os.close(out_fd)
+        try:
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    # -ffp-contract=off: no FMA fusion — every float32
+                    # operation rounds individually, matching both the
+                    # reference's pre-FMA-era build and the Python
+                    # replica the parity test compares against
+                    subprocess.run([cc, "-O2", "-ffp-contract=off",
+                                    "-shared", "-fPIC", src,
+                                    "-o", out_tmp], check=True,
+                                   capture_output=True, timeout=60)
+                    os.rename(out_tmp, so_path)  # atomic publish
+                    break
+                except (OSError, subprocess.SubprocessError):
+                    continue
+            else:
+                return None
+        finally:
+            for p in (src, out_tmp):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
     lib = ctypes.CDLL(so_path)
     fn = lib.funk_sgd_train
     fn.restype = None

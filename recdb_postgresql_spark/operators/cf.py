@@ -152,7 +152,11 @@ def cap_coraters(ratings: DataFrame, entity: str, other: str,
     values, and it bounds pair fan-out to max_n^2 per item. The window
     partitions on the same key the pair join shuffles on, so the
     exchange is shared — the cap costs one md5 + sort, no extra
-    shuffle. Default-on in ``train_user_*`` at ``AUTO_CORATER_CAP``.
+    shuffle. ``train_user_*`` themselves default to uncapped
+    (``max_coraters=None``); the default-on policy lives in
+    ``RecEngine._train``, which passes ``AUTO_CORATER_CAP`` for
+    MATERIALIZED builds only — the lazy on-the-fly path stays uncapped
+    so its user-WHERE pushdown is never blocked.
     """
     from pyspark.sql import Window
 

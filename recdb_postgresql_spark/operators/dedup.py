@@ -31,8 +31,12 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (doc_id, canonical_id, content_hash).
     canonical_id is the smallest doc id of the group; only actual
-    duplicates (group size > 1) are returned."""
-    hashed = spread_small(docs).select(
+    duplicates (group size > 1) are returned.
+
+    No ``spread_small`` here: one md5 per document is too cheap to pay
+    a repartition shuffle for (measured +0.6 s at sf0.1); the groupBy
+    restores parallelism anyway."""
+    hashed = docs.select(
         F.col(id_col), md5_long(F.col(text_col)).alias("content_hash"))
     groups = (hashed.groupBy("content_hash")
               .agg(F.min(id_col).alias("canonical_id"),
@@ -51,6 +55,13 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id",
     (filter/transform over the token array). ``array_distinct`` already
     dedups within a document, so (id, shingle) is unique with no global
     distinct shuffle.
+
+    PRECONDITION: ``id_col`` must be unique in ``docs`` (one row per
+    document). Duplicate id rows would emit duplicate (id, shingle)
+    rows, silently inflating intersection counts and per-doc sizes in
+    ``jaccard_pairs``/``minhash_signatures``. This is deliberate — a
+    defensive ``dropDuplicates`` would add a full shuffle to every
+    dedup flow to guard an input contract the caller owns.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -241,8 +252,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     md5 hash; for bit position p the signature bit is 1 iff
     sum(+/-1 over tokens for that bit) > 0. Tokens are weighted by
     their multiplicity (classic SimHash).
+
+    No ``spread_small``: the per-doc split+md5 stage is light and the
+    (id, h) groupBy re-parallelizes immediately after — the repartition
+    cost ~0.5 s of pure shuffle at sf0.1 for no win (measured).
     """
-    tok = (spread_small(docs)
+    tok = (docs
            .select(F.col(id_col).alias("id"),
                    F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
                    .alias("tok"))

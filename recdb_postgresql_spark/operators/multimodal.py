@@ -135,7 +135,13 @@ def resize_image(media: DataFrame, max_side: int = 256) -> DataFrame:
         T.StructField("out_height", T.IntegerType(), True),
         T.StructField("payload", T.BinaryType(), True),
     ])
+    # same null-dimension filter as resize_plan: without it, NaN from
+    # to_numpy(float) would floor to INT_MIN garbage for rows with
+    # missing metadata — both halves of the stage must agree on which
+    # rows are resizable
     planned = (media.where(F.col("kind") == "image")
+               .where(F.col("meta.width").isNotNull()
+                      & F.col("meta.height").isNotNull())
                .select("media_id", "payload",
                        F.col("meta.width").alias("w"),
                        F.col("meta.height").alias("h")))

@@ -86,11 +86,14 @@ def _train_python(u_idx, i_idx, vals, baseline, n_u, n_i,
                 if i == 0 and j == 0:
                     err = vals[e] - baseline[e]
                 else:
-                    # predictRating: residual + features i..numFeatures-1
-                    tail = z
+                    # predictRating (recathon.c:2680-2690): rating
+                    # starts AT the residual and accumulates features
+                    # i..numFeatures-1 onto it — same float32 rounding
+                    # order as the reference, bit for bit
+                    acc = residual[e] if i > 0 else z
                     for f2 in range(i, num_features):
-                        tail += uf[f2, u] * itf[f2, it]
-                    err = vals[e] - ((residual[e] if i > 0 else z) + tail)
+                        acc += uf[f2, u] * itf[f2, it]
+                    err = vals[e] - acc
                 temp = uv[u]
                 uv[u] += lr * (err * iv[it] - pen * uv[u])
                 iv[it] += lr * (err * temp - pen * iv[it])

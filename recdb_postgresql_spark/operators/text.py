@@ -38,12 +38,17 @@ def _tokens(text: Column) -> Column:
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_words, avg_word_len, stopword_ratio,
-    punct_ratio) — regex token count plus whitespace word stats."""
+    punct_ratio) — regex token count plus whitespace word stats.
+
+    One output row per input row and moderate per-row expression cost:
+    ``spread_small``'s repartition shuffle costs more than the
+    single-pass projection saves (measured 0.28 s -> 0.50 s at sf0.1),
+    so this stays a pure map over the source partitions."""
     toks = _tokens(F.col(text_col))
     words = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
     puncts = F.filter(toks, lambda t: ~t.rlike("^[a-z0-9]+$"))
     stops = F.filter(words, lambda t: t.isin(*STOPWORDS))
-    return spread_small(docs).select(
+    return docs.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(words).cast("long").alias("n_words"),
@@ -85,7 +90,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.filter(toks, lambda t: t.isin(*marks))).alias(f"c_{lang}")
         for lang, marks in sorted(LANG_MARKERS.items())
     ]
-    d = spread_small(docs).select(F.col(id_col), *counts)
+    # map-only projection like token_stats: no spread_small (see there)
+    d = docs.select(F.col(id_col), *counts)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"c_{lg}") for lg in langs])
     pred = F.lit("und")

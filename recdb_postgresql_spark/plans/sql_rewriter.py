@@ -59,16 +59,33 @@ _REC_RE = re.compile(
 
 
 def _top_level_conjuncts(where: str) -> Optional[list[str]]:
-    """Split on AND at parenthesis depth 0 only. Returns None when a
-    top-level OR is present: ``a = 1 OR b = 2 AND c = 3`` parses as
-    ``a OR (b AND c)``, so splitting its ANDs would change semantics —
-    the caller must then treat the whole clause as residual."""
+    """Split on AND at parenthesis depth 0 only, skipping quoted spans.
+    Returns None when a top-level OR is present: ``a = 1 OR b = 2 AND
+    c = 3`` parses as ``a OR (b AND c)``, so splitting its ANDs would
+    change semantics — the caller must then treat the whole clause as
+    residual.
+
+    Single-quoted literals (with ``''`` escapes) and double-quoted
+    identifiers are opaque: ``name = 'rock AND roll'`` is ONE conjunct,
+    and an ``'OR'`` inside a literal does not force the residual path."""
     up = where.upper()
     depth = 0
     cuts, has_or = [], False
     i = 0
     while i < len(up):
         c = up[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < len(up):
+                if up[i] == q:
+                    if q == "'" and i + 1 < len(up) and up[i + 1] == "'":
+                        i += 2  # '' escape inside a string literal
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
         if c == "(":
             depth += 1
         elif c == ")":
@@ -108,7 +125,10 @@ def _split_where(where: Optional[str], ucol: str) -> tuple[Optional[str], Option
                 "is", "null", "true", "false"}
     user_parts, rest_parts = [], []
     for c in conjuncts:
-        idents = {x for x in re.findall(r"[A-Za-z_]\w*", c)
+        # words inside string literals are values, not identifiers:
+        # ``u = 'the thing'`` must still classify as a user predicate
+        unquoted = re.sub(r"'(?:[^']|'')*'", "''", c)
+        idents = {x for x in re.findall(r"[A-Za-z_]\w*", unquoted)
                   if x.lower() not in keywords and not x.isdigit()}
         (user_parts if idents <= {ucol} else rest_parts).append(c)
     return (" AND ".join(user_parts) or None, " AND ".join(rest_parts) or None)

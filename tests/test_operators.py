@@ -164,3 +164,25 @@ def test_multimodal_resize_plan_and_execute_agree(spark):
     p2 = {r.media_id: bytes(r.payload)
           for r in multimodal.resize_image(media, max_side=40).collect()}
     assert p1 == p2
+
+
+def test_multimodal_resize_excludes_null_dims(spark):
+    """ADVICE r2: rows with missing width/height must be excluded by
+    BOTH halves of the resize stage — previously the execution half
+    floored NaN to INT_MIN garbage instead of dropping the row."""
+    rows = [(1, "image", bytearray(b"x"),
+             {"mime": "image/png", "width": 100, "height": 50,
+              "duration_ms": None}),
+            (2, "image", bytearray(b"y"),
+             {"mime": "image/png", "width": None, "height": 50,
+              "duration_ms": None}),
+            (3, "image", bytearray(b"z"),
+             {"mime": "image/png", "width": None, "height": None,
+              "duration_ms": None})]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    plan_ids = {r.media_id for r in
+                multimodal.resize_plan(media, max_side=40).collect()}
+    exec_rows = multimodal.resize_image(media, max_side=40).collect()
+    assert plan_ids == {1}
+    assert {r.media_id for r in exec_rows} == {1}
+    assert all(r.out_width > 0 and r.out_height > 0 for r in exec_rows)

@@ -66,6 +66,27 @@ def test_split_where_top_level_or_not_split():
     assert rest == "itemid < 7"
 
 
+def test_split_where_quoted_literals():
+    """ADVICE r2: AND/OR inside string literals are data, not
+    operators — the scanner must skip quoted spans."""
+    # AND inside a literal: ONE conjunct, classified by its column
+    u, rest = _split_where("name = 'rock AND roll' AND userid = 1", "userid")
+    assert u == "userid = 1"
+    assert rest == "name = 'rock AND roll'"
+    # OR inside a literal must NOT force the whole clause residual
+    u, rest = _split_where("genre = 'rock OR bust' AND userid < 5", "userid")
+    assert u == "userid < 5"
+    assert rest == "genre = 'rock OR bust'"
+    # '' escape keeps the literal open across the doubled quote
+    u, rest = _split_where("note = 'it''s AND more' AND userid = 2", "userid")
+    assert u == "userid = 2"
+    assert rest == "note = 'it''s AND more'"
+    # literal value on the user column still pushes down as user-only
+    u, rest = _split_where("userid = 'u AND v' AND itemid = 1", "userid")
+    assert u == "userid = 'u AND v'"
+    assert rest == "itemid = 1"
+
+
 def test_recommend_join_on_syntax(rs, spark):
     spark.createDataFrame([(1, "red thing"), (2, "blue thing"),
                            (3, "red other")],

@@ -80,22 +80,25 @@ def test_funk_sgd_hand_trace():
     uf[0, 1] = uf[0, 1] + lr * (err * itf[0, 1] - pen * uf[0, 1])
     itf[0, 1] = itf[0, 1] + lr * (err * t - pen * itf[0, 1])
     res[1] = uf[0, 1] * itf[0, 1]
-    # ---- epoch 0, feature 1 (i>0): err = v - (residual + tail i..) --
+    # ---- epoch 0, feature 1 (i>0): predictRating starts acc AT the
+    # residual and accumulates features 1.. onto it (recathon.c:2686-7)
     for e in (0, 1):
         u, i = u_idx[e], i_idx[e]
-        tail = uf[1, u] * itf[1, i]              # features 1..1
-        err = vals[e] - (res[e] + tail)
+        acc = res[e]
+        acc = acc + uf[1, u] * itf[1, i]         # features 1..1
+        err = vals[e] - acc
         t = uf[1, u]
         uf[1, u] = uf[1, u] + lr * (err * itf[1, i] - pen * uf[1, u])
         itf[1, i] = itf[1, i] + lr * (err * t - pen * itf[1, i])
         res[e] = res[e] + uf[1, u] * itf[1, i]   # i>0: accumulate
-    # ---- epoch 1, feature 0 (j>0, i==0): err = v - full dot, no res --
+    # ---- epoch 1, feature 0 (j>0, i==0): residual reset to 0, acc
+    # accumulates the full dot from 0 ----
     for e in (0, 1):
         u, i = u_idx[e], i_idx[e]
-        tail = np.float32(0.0)
-        tail = tail + uf[0, u] * itf[0, i]
-        tail = tail + uf[1, u] * itf[1, i]
-        err = vals[e] - tail
+        acc = np.float32(0.0)
+        acc = acc + uf[0, u] * itf[0, i]
+        acc = acc + uf[1, u] * itf[1, i]
+        err = vals[e] - acc
         t = uf[0, u]
         uf[0, u] = uf[0, u] + lr * (err * itf[0, i] - pen * uf[0, u])
         itf[0, i] = itf[0, i] + lr * (err * t - pen * itf[0, i])
@@ -103,8 +106,9 @@ def test_funk_sgd_hand_trace():
     # ---- epoch 1, feature 1 ----
     for e in (0, 1):
         u, i = u_idx[e], i_idx[e]
-        tail = uf[1, u] * itf[1, i]
-        err = vals[e] - (res[e] + tail)
+        acc = res[e]
+        acc = acc + uf[1, u] * itf[1, i]
+        err = vals[e] - acc
         t = uf[1, u]
         uf[1, u] = uf[1, u] + lr * (err * itf[1, i] - pen * uf[1, u])
         itf[1, i] = itf[1, i] + lr * (err * t - pen * itf[1, i])
