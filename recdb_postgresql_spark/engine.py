@@ -244,13 +244,46 @@ class RecEngine:
 
     def explain(self, events: DataFrame, userkey: str, itemkey: str,
                 eventval: str, method: str = "itemcoscf",
-                name: Optional[str] = None) -> str:
-        """R19 (explain.c:767-793): report the chosen rec-strategy —
-        FilterRecommend (materialized model) vs GenerateRecommend
-        (train-at-query) — plus Spark's formatted physical plan."""
+                name: Optional[str] = None,
+                join_with: Optional[DataFrame] = None,
+                join_on: Optional[Column] = None,
+                use_view: bool = False) -> str:
+        """R19 (explain.c:767-793): report the chosen rec-strategy plus
+        Spark's formatted physical plan. Strategy labels mirror the
+        reference's opType switch exactly:
+
+        - ``GenerateRecommend`` — train-at-query (OP_GENERATE);
+        - ``FilterRecommend`` — materialized model (OP_FILTER);
+        - ``JoinRecommend`` / ``GenerateJoinRecommend`` — the scored
+          view feeds a join (OP_JOIN / OP_GENERATEJOIN,
+          parse_rec.c:575-580, createplan.c:634-639): pass
+          ``join_with`` (+ optional ``join_on``) to explain the joined
+          plan;
+        - ``IndexRecommend`` — the RecView read path (OP_INDEX; dead in
+          the reference — execRecommend.c:935-940 — live here): pass
+          ``use_view=True`` with a materialized ``name``.
+
+        (The reference's remaining label, ``StandardRecommend`` for
+        OP_NOFILTER, is never assigned anywhere in its parser — dead
+        enum value, not reproduced.)"""
         info = self.catalog.get(name) if name else None
-        strategy = "FilterRecommend" if info is not None else "GenerateRecommend"
-        df = self.recommend(events, userkey, itemkey, eventval, method, name=name)
+        if use_view:
+            if info is None:
+                raise ValueError("IndexRecommend explain needs a "
+                                 "materialized recommender name")
+            strategy = "IndexRecommend"
+            df = self.recommend_from_view(name)
+        else:
+            df = self.recommend(events, userkey, itemkey, eventval, method,
+                                name=name)
+            if join_with is not None:
+                strategy = ("JoinRecommend" if info is not None
+                            else "GenerateJoinRecommend")
+                df = (df.join(join_with, join_on) if join_on is not None
+                      else df.crossJoin(join_with))
+            else:
+                strategy = ("FilterRecommend" if info is not None
+                            else "GenerateRecommend")
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         return f"Recommend strategy: {strategy}\n{plan}"

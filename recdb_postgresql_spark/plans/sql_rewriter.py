@@ -24,10 +24,18 @@ Supported statements (the whole reference regression suite,
         USERS FROM <ucol> ITEMS FROM <icol> EVENTS FROM <ecol>
         USING <method>
     DROP RECOMMENDER <name>
-    SELECT <cols> FROM <table> [alias][, <table2> [alias2]...]
-                               [JOIN <table2> [alias2] ON <cond> ...]
+    SELECT <cols> FROM <item> [alias][, <item2> [alias2]...]
+                              [JOIN <item2> [alias2] ON <cond> ...]
         RECOMMEND [a.]<icol> TO [a.]<ucol> ON [a.]<ecol> USING <method>
         [WHERE ...] [ORDER BY ...] [LIMIT k]
+
+where each FROM <item> is a table name or a parenthesized subquery
+``(SELECT ...) alias``. A subquery may also BE the events source the
+RECOMMEND columns qualify to: it is trained over on-the-fly (the
+reference disables all recommend-time subquery optimizations —
+``allpaths.c:1533-1535``, ``subselect.c:1460`` — so there is no
+materialized substitution to resolve; OP_GENERATE over the derived
+table is the analog).
 
 Like the reference (validateClauses, ``parse_rec.c:119-157``),
 DISTINCT / INTO / GROUP BY / HAVING / WINDOW / FOR / WITH are rejected
@@ -134,24 +142,129 @@ def _split_where(where: Optional[str], ucol: str) -> tuple[Optional[str], Option
     return (" AND ".join(user_parts) or None, " AND ".join(rest_parts) or None)
 
 
-_JOIN_SPLIT_RE = re.compile(
-    r",|\b(?:NATURAL\s+)?(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?"
+_JOIN_KW_RE = re.compile(
+    r"\b(?:NATURAL\s+)?(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?"
     r"|FULL\s+(?:OUTER\s+)?|CROSS\s+)?JOIN\b",
     re.IGNORECASE)
 
 
-def _parse_from(from_sql: str) -> list[tuple[str, str]]:
-    """``t1 a, t2 b JOIN t3 AS c ON ...`` -> [(table, alias), ...]
-    (alias defaults to table; ON conditions ignored)."""
+class _FromItem:
+    """One FROM item: a table or a parenthesized subquery, with its
+    alias and the [start, end) span of the item core (table/subquery +
+    alias, EXCLUDING any trailing ON condition) in the FROM text."""
+
+    __slots__ = ("table", "alias", "subquery", "start", "end")
+
+    def __init__(self, table, alias, subquery, start, end):
+        self.table = table          # None for subqueries
+        self.alias = alias
+        self.subquery = subquery    # inner SELECT text, None for tables
+        self.start = start
+        self.end = end
+
+
+def _scan_state(s: str):
+    """depth[i] = paren depth BEFORE s[i]; quoted[i] = inside a quoted
+    span (single-quoted literal with '' escapes, or double-quoted
+    identifier)."""
+    depth = [0] * (len(s) + 1)
+    quoted = [False] * (len(s) + 1)
+    d = 0
+    inq = None
+    i = 0
+    while i < len(s):
+        depth[i] = d
+        c = s[i]
+        if inq:
+            quoted[i] = True
+            if c == inq:
+                if inq == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    quoted[i + 1] = True
+                    i += 2
+                    depth[i - 1] = d
+                    continue
+                inq = None
+        elif c in ("'", '"'):
+            quoted[i] = True
+            inq = c
+        elif c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        i += 1
+    depth[len(s)] = d
+    return depth, quoted
+
+
+def _parse_from(from_sql: str) -> list[_FromItem]:
+    """``t1 a, (SELECT ...) b JOIN t3 AS c ON ...`` -> [_FromItem, ...]
+    (alias defaults to the table name; ON conditions are not part of
+    the item span). Splits on top-level commas/JOIN keywords only —
+    commas and JOINs inside subqueries stay put."""
+    depth, quoted = _scan_state(from_sql)
+
+    def top_level(m_start: int) -> bool:
+        return depth[m_start] == 0 and not quoted[m_start]
+
+    seps = [(m.start(), m.end()) for m in _JOIN_KW_RE.finditer(from_sql)
+            if top_level(m.start())]
+    seps += [(i, i + 1) for i, c in enumerate(from_sql)
+             if c == "," and top_level(i)]
+    seps.sort()
+    bounds, last = [], 0
+    for a, b in seps:
+        bounds.append((last, a))
+        last = b
+    bounds.append((last, len(from_sql)))
+
     out = []
-    for item in _JOIN_SPLIT_RE.split(from_sql):
-        item = re.split(r"\bON\b", item, flags=re.IGNORECASE)[0].strip()
-        toks = item.split()
-        if not toks:
+    for seg_start, seg_end in bounds:
+        seg = from_sql[seg_start:seg_end]
+        # strip the ON condition: first top-level ON keyword in the seg
+        on_at = None
+        for m in re.finditer(r"\bON\b", seg, re.IGNORECASE):
+            p = seg_start + m.start()
+            if depth[p] == 0 and not quoted[p]:
+                on_at = m.start()
+                break
+        core = seg[:on_at] if on_at is not None else seg
+        stripped = core.strip()
+        if not stripped:
             continue
-        table = toks[0]
-        alias = toks[-1] if len(toks) > 1 and toks[-1].upper() != "AS" else toks[0]
-        out.append((table, alias))
+        lead = seg_start + len(core) - len(core.lstrip())
+        span_end = lead + len(stripped)
+        if stripped.startswith("("):
+            # subquery item: find the matching close paren
+            d = 0
+            close = None
+            sub_abs = lead
+            for j in range(sub_abs, span_end):
+                if quoted[j]:
+                    continue
+                if from_sql[j] == "(":
+                    d += 1
+                elif from_sql[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        close = j
+                        break
+            if close is None:
+                raise ValueError(f"unbalanced parentheses in FROM item {stripped!r}")
+            inner = from_sql[sub_abs + 1:close]
+            tail = from_sql[close + 1:span_end].split()
+            alias = None
+            if tail:
+                alias = tail[-1] if tail[-1].upper() != "AS" else None
+            if not alias:
+                raise ValueError(
+                    f"subquery FROM item needs an alias: {stripped!r}")
+            out.append(_FromItem(None, alias, inner.strip(), lead, span_end))
+        else:
+            toks = stripped.split()
+            table = toks[0]
+            alias = (toks[-1] if len(toks) > 1 and toks[-1].upper() != "AS"
+                     else table)
+            out.append(_FromItem(table, alias, None, lead, span_end))
     return out
 
 
@@ -213,8 +326,8 @@ class RecSQL:
         return self.spark.sql(query)
 
     def _recommend(self, m: re.Match) -> DataFrame:
-        tables = _parse_from(m["from"])
-        # the events table is the one the RECOMMEND columns qualify
+        items = _parse_from(m["from"])
+        # the events source is the one the RECOMMEND columns qualify
         # (events-table resolution, parse_rec.c:187-297)
         def split_qual(col: str) -> tuple[Optional[str], str]:
             return tuple(col.split(".", 1)) if "." in col else (None, col)  # type: ignore
@@ -223,34 +336,46 @@ class RecSQL:
         _, icol = split_qual(m["icol"])
         _, ecol = split_qual(m["ecol"])
         if qual is None:
-            ev_table, ev_alias = tables[0]
+            ev = items[0]
         else:
-            hits = [(t, a) for t, a in tables if a == qual or t == qual]
+            hits = [it for it in items if it.alias == qual or it.table == qual]
             if not hits:
-                raise ValueError(f"RECOMMEND qualifier {qual!r} not in FROM {tables}")
-            ev_table, ev_alias = hits[0]
+                raise ValueError(
+                    f"RECOMMEND qualifier {qual!r} not in FROM "
+                    f"{[(it.table or '(subquery)', it.alias) for it in items]}")
+            ev = hits[0]
 
-        # materialized-model substitution (parse_rec.c:554-678): a catalog
-        # hit on (eventtable, method) flips OP_GENERATE -> OP_FILTER
-        hit = self.engine.catalog.find(m["method"].lower(), ev_table.lower())
+        if ev.subquery is not None:
+            # parenthesized FROM item as the events source: train over
+            # the derived table, always on-the-fly. The reference keeps
+            # subqueries OUT of its recommend optimizations (pushdown/
+            # pull-up disabled, allpaths.c:1533-1535, subselect.c:1460),
+            # so there is no materialized substitution to look up —
+            # OP_GENERATE over the subquery output is the exact analog.
+            events_df = self.spark.sql(ev.subquery)
+            hit = None
+        else:
+            events_df = self.spark.table(ev.table)
+            # materialized-model substitution (parse_rec.c:554-678): a
+            # catalog hit on (eventtable, method) flips OP_GENERATE ->
+            # OP_FILTER
+            hit = self.engine.catalog.find(m["method"].lower(),
+                                           ev.table.lower())
         scored = self.engine.recommend(
-            self.spark.table(ev_table), ucol, icol, ecol,
+            events_df, ucol, icol, ecol,
             m["method"].lower(), name=hit.name if hit else None)
 
         RecSQL._view_seq += 1
         view = f"__rec_scored_{RecSQL._view_seq}"
         scored.createOrReplaceTempView(view)
 
-        # swap the events table for the scored view IN PLACE so comma
-        # lists and JOIN ... ON syntax both survive verbatim; aliasing
-        # the view as the original alias (or table name) keeps every
-        # qualified column reference valid
-        if ev_alias != ev_table:
-            pat = rf"\b{re.escape(ev_table)}\s+(?:AS\s+)?{re.escape(ev_alias)}\b"
-        else:
-            pat = rf"\b{re.escape(ev_table)}\b"
-        new_from = re.sub(pat, f"{view} {ev_alias}", m["from"], count=1,
-                          flags=re.IGNORECASE)
+        # swap the events item for the scored view IN PLACE (exact
+        # span, so comma lists, JOIN ... ON syntax and sibling
+        # subqueries survive verbatim); aliasing the view as the
+        # original alias (or table name) keeps every qualified column
+        # reference valid
+        new_from = (m["from"][:ev.start] + f"{view} {ev.alias}"
+                    + m["from"][ev.end:])
         rest = re.sub(r"\bILIKE\b", "ilike", m["rest"] or "", flags=re.IGNORECASE)
         plain = f"SELECT {m['select']} FROM {new_from}{rest}"
         return self.spark.sql(plain)

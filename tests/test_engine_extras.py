@@ -54,6 +54,36 @@ def test_neardup_numpy_matches_sql(spark):
     assert exact == fast and len(exact) > 0
 
 
+def test_explain_strategy_labels(spark, events, tmp_path):
+    """R19 parity (explain.c:767-793): all four live strategy labels,
+    chosen by (materialized?, joined?, view?) exactly like the
+    reference's opType machine."""
+    eng = RecEngine(spark, workdir=str(tmp_path))
+    args = (events, "userid", "itemid", "ratingval", "itemcoscf")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "itemid long, nm string")
+
+    assert eng.explain(*args).startswith(
+        "Recommend strategy: GenerateRecommend")
+    assert "Recommend strategy: GenerateJoinRecommend" in eng.explain(
+        *args, join_with=dim, join_on="itemid")
+
+    eng.create_recommender("exprec", events, "userid", "itemid",
+                           "ratingval", "itemcoscf")
+    assert eng.explain(*args, name="exprec").startswith(
+        "Recommend strategy: FilterRecommend")
+    assert "Recommend strategy: JoinRecommend" in eng.explain(
+        *args, name="exprec", join_with=dim, join_on="itemid")
+
+    eng.materialize_predictions("exprec", events)
+    out = eng.explain(*args, name="exprec", use_view=True)
+    assert out.startswith("Recommend strategy: IndexRecommend")
+    with pytest.raises(ValueError, match="IndexRecommend"):
+        eng.explain(*args, use_view=True)
+    # the formatted Spark physical plan rides along
+    assert "== Physical Plan ==" in out
+    eng.drop_recommender("exprec")
+
+
 def test_refresh_rates_and_celltype(spark):
     """recathon_rateupdate.c:133-153 analog: rates from the interval
     counters, counters reset WITHOUT touching the retrain counter,

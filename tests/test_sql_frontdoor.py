@@ -112,6 +112,53 @@ def test_recommend_join_on_syntax(rs, spark):
         [(r.userid, r.itemid, r.pname) for r in comma]
 
 
+def test_recommend_over_subquery_from_item(rs):
+    """RECOMMEND with a parenthesized FROM item as the events source:
+    trained on-the-fly over the derived table (the reference disables
+    recommend subquery optimizations, allpaths.c:1533-1535 — the
+    derived table itself is legal)."""
+    out = rs.sql(
+        "SELECT t.userid, t.itemid, t.ratingval "
+        "FROM (SELECT userid, itemid, ratingval FROM sqlrat "
+        "      WHERE itemid < 5) t "
+        "RECOMMEND t.itemid TO t.userid ON t.ratingval USING ItemCosCF "
+        "WHERE t.userid = 2 ORDER BY t.ratingval DESC LIMIT 3")
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.userid == 2 and r.itemid < 5 for r in rows)
+    scores = [r.ratingval for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # parity: same result as pre-registering the filtered view
+    direct = rs.sql(
+        "SELECT userid, itemid, ratingval FROM sqlrat "
+        "RECOMMEND itemid TO userid ON ratingval USING ItemCosCF "
+        "WHERE userid = 2 AND itemid < 5 "
+        "ORDER BY ratingval DESC LIMIT 3").collect()
+    assert [(r.userid, r.itemid) for r in rows] == \
+        [(r.userid, r.itemid) for r in direct]
+
+
+def test_recommend_subquery_sibling_join(rs, spark):
+    """A subquery as a NON-events FROM item passes through verbatim
+    next to the scored view."""
+    spark.createDataFrame([(i, f"name{i}") for i in range(1, 6)],
+                          "pid long, pname string") \
+        .createOrReplaceTempView("sqldim2")
+    rows = rs.sql(
+        "SELECT r.userid, r.itemid, d.pname "
+        "FROM sqlrat r JOIN (SELECT pid, pname FROM sqldim2 "
+        "                    WHERE pid <= 3) d ON r.itemid = d.pid "
+        "RECOMMEND r.itemid TO r.userid ON r.ratingval USING ItemCosCF "
+        "WHERE r.userid = 1 ORDER BY r.ratingval DESC LIMIT 3").collect()
+    assert rows and all(r.itemid <= 3 for r in rows)
+
+
+def test_subquery_from_item_requires_alias(rs):
+    with pytest.raises(ValueError, match="needs an alias"):
+        rs.sql("SELECT * FROM (SELECT userid, itemid, ratingval FROM sqlrat) "
+               "RECOMMEND itemid TO userid ON ratingval USING ItemCosCF")
+
+
 @pytest.mark.parametrize("stmt,clause", [
     ("SELECT DISTINCT userid FROM sqlrat RECOMMEND itemid TO userid "
      "ON ratingval USING ItemCosCF", "DISTINCT"),
