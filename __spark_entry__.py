@@ -506,6 +506,56 @@ def q_ann_ivf(spark, sf_dir):
         .select("qid", "vec_id", "cos", "rank")
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with nprobe=2: each query searches its TWO nearest
+    cells — the classic IVF recall knob, zero reindexing (data stays
+    single-assigned; only the query side fans out in the broadcast
+    join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    cents = similarity.first_k_centroids(emb, k=8)
+    return similarity.ivf_topk(emb, qs, cents, k=10, nprobe=2) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
+def q_embedding_neardup_ivf2(spark, sf_dir):
+    """Multi-assignment IVF near-dup (n_assign=2): every vector lives
+    in its two nearest cells, so boundary-straddling near-dup pairs
+    that single-assignment misses still meet — the recall knob for the
+    flagship scale path (cost x4 cell-pair work, still crossJoin-free)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.first_k_centroids(emb, k=16)
+    return dedup.embedding_near_duplicates_ivf(emb, cents, threshold=0.30,
+                                               n_assign=2) \
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+
+
+def q_pipeline_clean_docs(spark, sf_dir):
+    """End-to-end training-data pipeline COMPOSITION: language filter
+    (en) -> quality floor -> exact-dedup (keep canonical) -> near-dedup
+    (LSH-verified pairs, keep the lower doc_id) -> clean corpus. Every
+    stage is one of this engine's oracle-checked operators; the
+    composition itself is one lazy Catalyst plan — filters and the
+    doc_id anti-joins all collapse into the same scan pipeline."""
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = text_ops.lang_id(docs).where(F.col("pred_lang") == "en")
+    qual = text_ops.quality_score(docs).where(F.col("quality") >= 0.5)
+    ex = dedup.exact_duplicates(docs)
+    drop_exact = (ex.where(F.col("doc_id") != F.col("canonical_id"))
+                  .select("doc_id"))
+    near = dedup.lsh_verified_pairs(dedup.word_shingles(docs), threshold=0.5,
+                                    num_hashes=8, bands=4, rows_per_band=2)
+    drop_near = near.select(F.col("id2").alias("doc_id")).distinct()
+    return (docs.select("doc_id")
+            .join(lang.select("doc_id"), "doc_id")
+            .join(qual.select("doc_id", "quality"), "doc_id")
+            .join(drop_exact, "doc_id", "left_anti")
+            .join(drop_near, "doc_id", "left_anti"))
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN: bucket by the 8-bit sign signature
     (deterministic md5-derived planes — regenerable in any engine),
@@ -767,7 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_lsh_topk": q_ann_lsh,
+        "embedding_neardup_ivf2": q_embedding_neardup_ivf2,
+        "pipeline_clean_docs": q_pipeline_clean_docs,
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
@@ -1059,6 +1112,78 @@ ranked AS (
 )
 SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
 """
+    o["ann_ivf_multiprobe"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+qassign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn <= 2
+),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qvec, a.cell AS qcell
+  FROM embeddings e JOIN qassign a ON a.vec_id = e.vec_id
+  WHERE e.vec_id < 5
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN q ON a.cell = q.qcell
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+    o["embedding_neardup_ivf2"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn <= 2
+)
+SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a
+JOIN assign aa ON aa.vec_id = a.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.30
+"""
     o["ann_lsh_topk"] = """
 WITH planes AS (
   SELECT p, d,
@@ -1179,6 +1304,87 @@ c AS (SELECT doc_id,
   {cnt_cols}
   FROM t)
 SELECT doc_id, {case} AS pred_lang FROM c
+"""
+    # end-to-end pipeline composition: lang filter + quality floor +
+    # exact dedup (keep canonical) + LSH-verified near-dedup (keep the
+    # lower id). Every stage reuses the fragment of its standalone
+    # oracle query, so the composition is checked with the same
+    # semantics as its parts.
+    o["pipeline_clean_docs"] = f"""
+WITH {SHINGLES_CTE_DUCK},
+base AS (SELECT id, ({base_h}) % 2147483647 AS h FROM shingled),
+sigs AS (
+  SELECT id, j, MIN(((1103515245 + j) * h + 12345 * j + 1) % 2147483647) AS minhash
+  FROM base, UNNEST(generate_series(0, 7)) AS gj(j)
+  GROUP BY id, j
+),
+banded AS (
+  SELECT id, CAST(j // 2 AS INT) AS band,
+         string_agg(concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR))) AS sig
+  FROM sigs GROUP BY id, CAST(j // 2 AS INT)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+hashed AS (SELECT id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS i
+  FROM cands c
+  JOIN hashed a ON a.id = c.id1
+  JOIN hashed b ON b.id = c.id2 AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+drop_near AS (
+  SELECT DISTINCT inter.id2 AS doc_id
+  FROM inter JOIN sizes s1 ON s1.id = inter.id1
+             JOIN sizes s2 ON s2.id = inter.id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+hx AS (SELECT doc_id, {MD5L.format(x='text')} AS content_hash FROM documents),
+grp AS (SELECT content_hash, MIN(doc_id) AS canonical_id FROM hx GROUP BY 1),
+drop_exact AS (
+  SELECT hx.doc_id FROM hx JOIN grp ON grp.content_hash = hx.content_hash
+  WHERE hx.doc_id > grp.canonical_id
+),
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{token_re}', 0) AS toks
+  FROM documents
+),
+lc AS (SELECT doc_id,
+  {cnt_cols}
+  FROM tk),
+lang_en AS (SELECT doc_id FROM lc WHERE {case} = 'en'),
+dd AS (
+  SELECT doc_id, toks,
+         list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')) AS words,
+         list_filter(toks, x -> NOT regexp_matches(x, '^[a-z0-9]+$')) AS puncts
+  FROM tk
+),
+st AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens, len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(words)
+              ELSE 0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0 THEN len(puncts) * 1.0 / len(toks) ELSE 0 END AS punct_ratio
+  FROM dd
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(n_words / 50.0, 1.0)
+             + 0.3 * LEAST(ROUND(stopword_ratio, 6) * 4, 1.0)
+             + 0.2 * GREATEST(1.0 - ROUND(punct_ratio, 6) * 2, 0.0), 6) AS quality
+  FROM st
+)
+SELECT q.doc_id, q.quality
+FROM qual q
+JOIN lang_en le ON le.doc_id = q.doc_id
+WHERE q.quality >= 0.5
+  AND q.doc_id NOT IN (SELECT doc_id FROM drop_exact)
+  AND q.doc_id NOT IN (SELECT doc_id FROM drop_near)
 """
     o["text_tfidf_top_terms"] = """
 WITH words AS (

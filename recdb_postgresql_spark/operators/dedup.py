@@ -321,24 +321,34 @@ def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
 def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
                                   id_col: str = "vec_id",
                                   vec_col: str = "embedding",
-                                  threshold: float = 0.95) -> DataFrame:
+                                  threshold: float = 0.95,
+                                  n_assign: int = 1) -> DataFrame:
     """(id1, id2, cos) near-duplicate pairs, scored only WITHIN IVF
     cells — the scale path that replaces the O(n^2) crossJoin.
 
-    Every vector is assigned to its nearest centroid
-    (``similarity.ivf_assign``: one broadcast join + argmin), then the
-    exact pairwise check runs per cell: cost O(sum_cell n_cell^2)
-    instead of O(n^2) — a ~|cells| reduction for balanced cells. Pairs
-    split across cells are missed (recall < 1 by design, same trade as
-    IVF ANN); raise recall by training better centroids or probing
-    neighbor cells. With deterministic centroids the whole operator is
-    SQL-expressible and oracle-checked.
+    Every vector is assigned to its ``n_assign`` nearest centroids
+    (``similarity.ivf_assign``: one broadcast join + window top-n),
+    then the exact pairwise check runs per cell: cost
+    O(n_assign^2 * sum_cell n_cell^2) instead of O(n^2) — a
+    ~|cells|/n_assign^2 reduction for balanced cells.
+
+    ``n_assign`` is the near-dup recall knob (multi-assignment — the
+    symmetric analog of query-side nprobe, which can't work here
+    because BOTH members of a missed pair are data): with n_assign=2 a
+    pair is found unless the two vectors share NEITHER of their two
+    nearest cells, which for near-identical vectors (the ones above a
+    dedup threshold) is rare — their centroid rankings nearly agree,
+    so a boundary-straddling pair still meets in the second choice.
+    Pairs sharing two cells would surface twice; the final distinct
+    dedups them (tiny: only above-threshold pairs reach it). With
+    deterministic centroids the whole operator stays SQL-expressible
+    and oracle-checked.
     """
     from recdb_postgresql_spark.functions.vector import l2_norm
     from recdb_postgresql_spark.operators.similarity import ivf_assign
 
     emb = spread_small(emb)
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    assign = ivf_assign(emb, centroids, id_col, vec_col, n=n_assign)
     with_norm = (emb.join(assign, id_col)
                  .select(F.col(id_col).alias("id"), "cell",
                          F.transform(F.col(vec_col),
@@ -351,11 +361,16 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
                          F.col("v").alias("v1"), F.col("nrm").alias("n1"))
     b = with_norm.select(F.col("id").alias("id2"), F.col("cell").alias("cell2"),
                          F.col("v").alias("v2"), F.col("nrm").alias("n2"))
-    return (a.join(b, (F.col("cell") == F.col("cell2"))
-                   & (F.col("id1") < F.col("id2")))
-            .select("id1", "id2",
-                    (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
-            .where(F.col("cos") >= threshold))
+    out = (a.join(b, (F.col("cell") == F.col("cell2"))
+                  & (F.col("id1") < F.col("id2")))
+           .select("id1", "id2",
+                   (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
+           .where(F.col("cos") >= threshold))
+    if n_assign > 1:
+        # same pair via two shared cells -> identical cos (same fold
+        # over the same vectors); distinct collapses the duplicates
+        out = out.distinct()
+    return out
 
 
 def _near_dup_numpy(emb: DataFrame, id_col: str, vec_col: str,

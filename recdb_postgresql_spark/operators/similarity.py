@@ -44,17 +44,19 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cid_col: str = "cid", cvec_col: str = "cvec") -> DataFrame:
-    """(vec_id, cell): nearest centroid by cosine (tie -> lowest cid).
-    One broadcast join + window argmin; this is the partitioning key
-    for bucketed ANN storage."""
+               cid_col: str = "cid", cvec_col: str = "cvec",
+               n: int = 1) -> DataFrame:
+    """(vec_id, cell): the ``n`` nearest centroids by cosine (tie ->
+    lowest cid). One broadcast join + window top-n; with n=1 this is
+    the partitioning key for bucketed ANN storage, with n>1 it is the
+    probe set (queries) or multi-assignment (near-dup recall)."""
     scored = (spread_small(emb).crossJoin(F.broadcast(centroids))
               .select(F.col(id_col), F.col(cid_col),
                       F.round(cosine_sim(F.col(vec_col), F.col(cvec_col)), 9)
                       .alias("sim")))
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cid_col))
     return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            .where(F.col("rn") <= n)
             .select(id_col, F.col(cid_col).alias("cell")))
 
 
@@ -150,14 +152,19 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "qvec",
-             round_to: int = 6) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's cell.
-    (qid, vec_id, cos, rank) — recall < 1 by design; the candidate set
-    shrinks by ~|cells| versus brute force."""
+             round_to: int = 6, nprobe: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's ``nprobe``
+    nearest cells. (qid, vec_id, cos, rank) — recall < 1 by design; the
+    candidate set shrinks by ~|cells|/nprobe versus brute force.
+    ``nprobe`` is the classic IVF recall knob: data vectors stay
+    single-assigned (the index is unchanged), only each query fans out
+    to nprobe cell keys in the same broadcast join — recall rises with
+    zero reindexing cost. A vector is in exactly one cell, so a (query,
+    vector) pair matches at most one probe — no dedup shuffle."""
     assign = ivf_assign(emb, centroids, id_col, vec_col)
     q_assign = ivf_assign(
         queries.select(F.col(qid_col).alias(id_col), F.col(qvec_col).alias(vec_col)),
-        centroids, id_col, vec_col).withColumnRenamed(id_col, qid_col) \
+        centroids, id_col, vec_col, n=nprobe).withColumnRenamed(id_col, qid_col) \
         .withColumnRenamed("cell", "qcell")
     cand = (emb.join(assign, id_col)
             .join(F.broadcast(queries.join(q_assign, qid_col)),

@@ -144,6 +144,64 @@ def test_catalog_workdir_roundtrip(spark, tmp_path):
     assert out.count() == 2
 
 
+def test_ivf_multiprobe_improves_recall(spark):
+    """nprobe is the IVF recall knob: top-k hits vs brute force must
+    not decrease with nprobe=2, and multi-probe candidates strictly
+    widen the search."""
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    cents = similarity.first_k_centroids(emb, k=8)
+    truth = {(r.qid, r.vec_id)
+             for r in similarity.brute_force_topk(emb, qs, k=10).collect()}
+    one = {(r.qid, r.vec_id)
+           for r in similarity.ivf_topk(emb, qs, cents, k=10).collect()}
+    two = {(r.qid, r.vec_id)
+           for r in similarity.ivf_topk(emb, qs, cents, k=10,
+                                        nprobe=2).collect()}
+    assert len(two & truth) >= len(one & truth)
+    assert len(two) >= len(one)
+
+
+def test_neardup_multiassign_superset(spark):
+    """n_assign=2 pairs are a superset of single-assignment pairs and
+    a subset of the exact all-pairs result (same scores where found)."""
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.first_k_centroids(emb, k=16)
+    exact = {(r.id1, r.id2) for r in dedup.embedding_near_duplicates(
+        emb, threshold=0.30).collect()}
+    one = {(r.id1, r.id2) for r in dedup.embedding_near_duplicates_ivf(
+        emb, cents, threshold=0.30).collect()}
+    two = {(r.id1, r.id2) for r in dedup.embedding_near_duplicates_ivf(
+        emb, cents, threshold=0.30, n_assign=2).collect()}
+    assert one <= two <= exact
+    assert len(two) > len(one)      # the knob actually buys recall here
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe LSH hits vs brute force must not decrease, and the
+    probe expansion must widen the candidate set."""
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    truth = {(r.qid, r.vec_id)
+             for r in similarity.brute_force_topk(emb, qs, k=10).collect()}
+    single = {(r.qid, r.vec_id)
+              for r in similarity.lsh_topk(emb, qs, k=10,
+                                           multi_probe=False).collect()}
+    multi = {(r.qid, r.vec_id)
+             for r in similarity.lsh_topk(emb, qs, k=10,
+                                          multi_probe=True).collect()}
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi) > len(single)
+
+
 def test_multimodal_resize_plan_and_execute_agree(spark):
     media = multimodal.synthetic_media(spark, n=12)
     plan = {r.media_id: (r.out_width, r.out_height)
