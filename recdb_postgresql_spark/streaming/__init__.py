@@ -1,7 +1,8 @@
 from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
 from recdb_postgresql_spark.streaming.rollup import (count_milestones,
+                                                     dedup_stream,
                                                      hourly_rollup,
                                                      sessionize)
 
 __all__ = ["StreamingMaintainer", "hourly_rollup", "sessionize",
-           "count_milestones"]
+           "count_milestones", "dedup_stream"]

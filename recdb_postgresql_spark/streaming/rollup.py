@@ -62,6 +62,32 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_end"), "n_events"))
 
 
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", ts_col: str = "etime",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT dedup for a training-data ingest feed: emit each
+    distinct content exactly once within the watermark horizon.
+
+    The content key is the same portable 60-bit md5 hash the batch
+    ``dedup.exact_duplicates`` groups on, so a stream + batch lambda
+    architecture dedups identically. State = one row per distinct hash
+    inside the watermark; ``dropDuplicatesWithinWatermark`` expires
+    state once the watermark passes, so memory is bounded by the
+    ingest-rate x horizon product, not by corpus size — the only way
+    exact streaming dedup survives an unbounded feed. (Near-dup LSH at
+    stream time would need a bucket-keyed state join; run it in the
+    batch layer instead — its candidates need a corpus-wide index.)
+
+    ``docs`` must carry an event-time column ``ts_col`` (use
+    ``with_event_time`` for int64-nanos sources)."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    hashed = docs.withColumn("content_hash", md5_long(F.col(text_col)))
+    return (hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .select(id_col, "content_hash", ts_col))
+
+
 MILESTONE_OUTPUT = "user_id long, milestone long"
 MILESTONE_STATE = "cnt long"
 

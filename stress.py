@@ -67,6 +67,43 @@ def dedup_probe(spark, sf_dir: str, mult: int) -> None:
           f"speedup={t_exact / max(t_ver, 1e-9):.1f}x", flush=True)
 
 
+def amplified_embeddings(spark, sf_dir: str, mult: int):
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = [emb.select((F.col("vec_id") + F.lit(i * 10_000_000))
+                        .alias("vec_id"), "embedding")
+             for i in range(mult)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_probe(spark, sf_dir: str, mult: int) -> None:
+    """Brute-force vs IVF vs multi-probe LSH top-k at amplified vector
+    counts: brute force grows O(n) per query (all-pairs scored), the
+    bucketed paths grow with candidates-per-bucket only — the
+    'would the ANN survive 100x vectors' probe."""
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = amplified_embeddings(spark, sf_dir, mult).localCheckpoint()
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    timings = {}
+    t0 = time.perf_counter()
+    timings["brute"] = (similarity.brute_force_topk(emb, qs, k=10).count(),
+                        time.perf_counter() - t0)
+    cents = similarity.first_k_centroids(emb, k=16)
+    t0 = time.perf_counter()
+    timings["ivf_np2"] = (similarity.ivf_topk(emb, qs, cents, k=10,
+                                              nprobe=2).count(),
+                          time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    timings["lsh_mp"] = (similarity.lsh_topk(emb, qs, k=10).count(),
+                         time.perf_counter() - t0)
+    msg = " ".join(f"{k}_rows={n} {k}_s={t:.1f}" for k, (n, t) in timings.items())
+    print(f"mult={mult} {msg}", flush=True)
+
+
 def main():
     mults = [int(x) for x in sys.argv[1:]] or [10, 30]
     spark = get_spark("recdb_stress")
@@ -74,6 +111,8 @@ def main():
     sf_dir = "/root/testdata/sf0.1"
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
+    for mult in mults:
+        ann_probe(spark, sf_dir, mult)
     for mult in mults:
         r = amplified_ratings(spark, sf_dir, mult)
         n = r.count()

@@ -8,7 +8,8 @@ from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.sources.readers import load_table
 from recdb_postgresql_spark.streaming import (count_milestones,
-                                              hourly_rollup, sessionize)
+                                              dedup_stream, hourly_rollup,
+                                              sessionize)
 from recdb_postgresql_spark.streaming.rollup import with_event_time
 
 SF = "/root/testdata/sf0.001"
@@ -75,6 +76,30 @@ def test_streaming_sessionize_matches_batch_sessions(spark, events_dir,
     assert got_m, "no sessions emitted"
     for k, v in got_m.items():
         assert exp_m[k] == v
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: duplicated texts across micro-batches
+    collapse to one emission per distinct content (state keyed on the
+    same md5 hash the batch dedup groups on)."""
+    import datetime
+
+    d = str(tmp_path / "docs")
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, ["alpha text", "beta text", "gamma text"][i % 3],
+             base + datetime.timedelta(seconds=i)) for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string, etime timestamp") \
+        .repartition(3).write.parquet(d)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, etime timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    got = _run_stream(spark, dedup_stream(stream), str(tmp_path / "c4"))
+    # exactly one row per distinct content, hashes match the batch op
+    from recdb_postgresql_spark.functions.hashing import md5_long
+    batch = {r.h for r in spark.read.parquet(d)
+             .select(md5_long(F.col("text")).alias("h")).distinct().collect()}
+    assert len(got) == 3
+    assert {r.content_hash for r in got} == batch
 
 
 def test_stateful_milestones_across_microbatches(spark, events_dir,
