@@ -556,6 +556,18 @@ def q_pipeline_clean_docs(spark, sf_dir):
             .join(drop_near, "doc_id", "left_anti"))
 
 
+def q_ann_sq8(spark, sf_dir):
+    """Int8 scalar-quantized exact-scan top-k: 4x less memory traffic
+    than float32 brute force; cosine is scale-invariant so the
+    per-vector quantization scale cancels, and integer dots are exact
+    in double — bit-reproducible against the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return similarity.sq8_topk(emb, qs, k=10) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN: bucket by the 8-bit sign signature
     (deterministic md5-derived planes — regenerable in any engine),
@@ -819,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_sq8_topk": q_ann_sq8,
         "embedding_neardup_ivf2": q_embedding_neardup_ivf2,
         "pipeline_clean_docs": q_pipeline_clean_docs,
         "text_token_stats": q_text_stats,
@@ -1183,6 +1196,34 @@ JOIN embeddings b ON a.vec_id < b.vec_id
 JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.30
+"""
+    # int8 scalar quantization: q_i = ROUND(x_i / (max|x|/127)); scale
+    # cancels in cosine, integer dots are exact in double -> bit-match
+    o["ann_sq8_topk"] = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(ROUND(x / greatest(
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> abs(y))) / 127.0,
+                  1e-300)) AS INT)) AS qvec
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, qvec AS qq FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, z.vec_id,
+         ROUND(list_cosine_similarity(CAST(z.qvec AS DOUBLE[]),
+                                      CAST(q.qq AS DOUBLE[])), 6) AS cos
+  FROM qz z CROSS JOIN q
+  WHERE z.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
 """
     o["ann_lsh_topk"] = """
 WITH planes AS (

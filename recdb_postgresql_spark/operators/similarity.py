@@ -69,6 +69,52 @@ def first_k_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id",
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
 
 
+def sq8_quantize(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, qvec array<int>): symmetric per-vector int8 scalar
+    quantization — q_i = round(x_i / scale) with scale = max|x| / 127,
+    so every component lands in [-127, 127].
+
+    The 100 TB memory lever for ANN: a quantized corpus is 4x smaller
+    than float32 (scan bandwidth and executor cache drop with it), and
+    because COSINE is scale-invariant the per-vector scale cancels —
+    cos(qa, qb) IS the quantized approximation, no dequantization
+    anywhere. Integer dot products are exact in double arithmetic, so
+    the operator is bit-reproducible against a SQL oracle (no
+    accumulation-order tolerance at all). Deterministic (no RNG);
+    recall loss comes only from the ~0.8% per-component rounding."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x)))
+                       / F.lit(127.0), F.lit(1e-300))  # zero-vector guard
+    return spread_small(emb).select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("qvec"))
+
+
+def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             round_to: int = 6) -> DataFrame:
+    """(qid, vec_id, cos, rank<=k): exact-scan top-k over the int8
+    QUANTIZED vectors — brute-force's memory-optimized sibling (4x
+    less scan traffic; compose with IVF cells for sub-linear work the
+    same way ``ivf_topk`` does)."""
+    qdata = sq8_quantize(emb, id_col, vec_col)
+    qquery = (sq8_quantize(queries.select(F.col(qid_col).alias(id_col),
+                                          F.col(qvec_col).alias(vec_col)),
+                           id_col, vec_col)
+              .select(F.col(id_col).alias(qid_col),
+                      F.col("qvec").alias("qq")))
+    scored = (qdata.crossJoin(F.broadcast(qquery))
+              .where(F.col(id_col) != F.col(qid_col))
+              .select(F.col(qid_col).alias("qid"), F.col(id_col),
+                      F.round(cosine_sim(F.col("qvec"), F.col("qq")),
+                              round_to).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def hyperplane_planes(spark, n_planes: int = 8, dim: int = 64) -> DataFrame:
     """(p, plane array<double>): deterministic pseudo-random hyperplanes
     from the portable md5 family — coeff(p,d) =

@@ -182,6 +182,29 @@ def test_neardup_multiassign_superset(spark):
     assert len(two) > len(one)      # the knob actually buys recall here
 
 
+def test_sq8_quantized_topk_high_recall(spark):
+    """int8 quantization distorts cosine by <~1%: top-10 overlap with
+    float brute force stays high, and qvec components are in range."""
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    truth = {(r.qid, r.vec_id)
+             for r in similarity.brute_force_topk(emb, qs, k=10).collect()}
+    got = {(r.qid, r.vec_id)
+           for r in similarity.sq8_topk(emb, qs, k=10).collect()}
+    assert len(got & truth) >= 45, len(got & truth)  # >=90% overlap
+    qz = similarity.sq8_quantize(emb)
+    stats = qz.select(
+        F.max(F.array_max("qvec")).alias("mx"),
+        F.min(F.array_min("qvec")).alias("mn"),
+        # every non-zero vector quantizes its max-|x| component to +/-127
+        F.min(F.array_max(F.transform("qvec", lambda x: F.abs(x))))
+        .alias("peak")).collect()[0]
+    assert stats.mx <= 127 and stats.mn >= -127 and stats.peak == 127
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe LSH hits vs brute force must not decrease, and the
     probe expansion must widen the candidate set."""
