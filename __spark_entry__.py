@@ -597,6 +597,14 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: every shared >=6-word substring
+    between two documents is guaranteed to share a fingerprint —
+    substring-level dedup granularity the whole-doc sketches lack."""
+    return text.winnow_fingerprints(load_table(spark, sf_dir, "documents"),
+                                    k=3, w=4)
+
+
 def q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
@@ -839,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_tfidf_top_terms": q_tfidf,
         "doc_fingerprint": q_fingerprint,
+        "doc_winnow_fingerprints": q_winnow,
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "rec_join_ilike": q_rec_join_ilike,
@@ -1452,6 +1461,29 @@ SELECT id AS doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 WITH {SHINGLES_CTE_DUCK}
 SELECT id AS doc_id, MIN({sh_h}) AS fingerprint
 FROM shingled GROUP BY id
+"""
+    # winnowing: positional k-gram hashes (k=3), min per w=4 window,
+    # distinct minima. Window wi covers gram positions wi..wi+3; when
+    # a doc has fewer than w grams the single window covers them all
+    # (same truncating-slice semantics as the Spark side).
+    gram_h = MD5L.format(x="array_to_string(toks[i+1:i+3], ' ')")
+    o["doc_winnow_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, {gram_h} AS h
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS gi(i)
+),
+n AS (SELECT doc_id, MAX(i) AS mx FROM g GROUP BY doc_id),
+wins AS (
+  SELECT g.doc_id, w.wi, MIN(g.h) AS fp
+  FROM n, UNNEST(generate_series(0, greatest(n.mx - 3, 0))) AS w(wi), g
+  WHERE g.doc_id = n.doc_id AND g.i BETWEEN w.wi AND w.wi + 3
+  GROUP BY g.doc_id, w.wi
+)
+SELECT DISTINCT doc_id, fp FROM wins
 """
     o["rec_join_ilike"] = f"""
 SELECT t.userid, t.itemid, t.score, p.p_name

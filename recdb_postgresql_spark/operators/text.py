@@ -130,6 +130,33 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                     F.col("rank").cast("int").alias("rank")))
 
 
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """(doc_id, fp): winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm) — hash every POSITIONAL word k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum;
+    the distinct minima are the document's fingerprint set.
+
+    Guarantees at least one fingerprint per w consecutive k-grams, so
+    any shared substring of >= k+w-1 words between two documents shares
+    a fingerprint — the local-dedup property the single min-hash
+    ``fingerprint`` lacks. Pure higher-order functions over the token
+    array (positions matter, so no distinct until the final set);
+    output rows ~ |tokens| / w on average per doc.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    hashes = F.transform(grams, lambda g: md5_long(g))
+    nwin = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    wins = F.transform(F.sequence(F.lit(0), nwin - 1),
+                       lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    return (spread_small(docs)
+            .select(F.col(id_col),
+                    F.explode(F.array_distinct(wins)).alias("fp")))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, fingerprint): min-shingle-hash document fingerprint

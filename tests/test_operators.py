@@ -182,6 +182,24 @@ def test_neardup_multiassign_superset(spark):
     assert len(two) > len(one)      # the knob actually buys recall here
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a
+    substring of >= k+w-1 words (here 6) MUST share a fingerprint;
+    disjoint texts share none."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta shared tail one"),
+        (2, "totally different prefix alpha beta gamma delta epsilon zeta"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in text.winnow_fingerprints(docs, k=3, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]          # 6-word shared run -> shared fp
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
 def test_sq8_quantized_topk_high_recall(spark):
     """int8 quantization distorts cosine by <~1%: top-10 overlap with
     float brute force stays high, and qvec components are in range."""
