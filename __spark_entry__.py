@@ -605,6 +605,14 @@ def q_winnow(spark, sf_dir):
                                     k=3, w=4)
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-overlap candidate pairs: docs sharing >= 2 winnowing
+    fingerprints (i.e. embedding common >=6-word passages)."""
+    fps = text.winnow_fingerprints(load_table(spark, sf_dir, "documents"),
+                                   k=3, w=4)
+    return text.winnow_overlap_pairs(fps, min_shared=2)
+
+
 def q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
@@ -848,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_tfidf,
         "doc_fingerprint": q_fingerprint,
         "doc_winnow_fingerprints": q_winnow,
+        "doc_winnow_overlap_pairs": q_winnow_pairs,
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "rec_join_ilike": q_rec_join_ilike,
@@ -1484,6 +1493,28 @@ wins AS (
   GROUP BY g.doc_id, w.wi
 )
 SELECT DISTINCT doc_id, fp FROM wins
+"""
+    o["doc_winnow_overlap_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, {gram_h} AS h
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS gi(i)
+),
+n AS (SELECT doc_id, MAX(i) AS mx FROM g GROUP BY doc_id),
+wins AS (
+  SELECT g.doc_id, w.wi, MIN(g.h) AS fp
+  FROM n, UNNEST(generate_series(0, greatest(n.mx - 3, 0))) AS w(wi), g
+  WHERE g.doc_id = n.doc_id AND g.i BETWEEN w.wi AND w.wi + 3
+  GROUP BY g.doc_id, w.wi
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
 """
     o["rec_join_ilike"] = f"""
 SELECT t.userid, t.itemid, t.score, p.p_name

@@ -157,6 +157,26 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                     F.explode(F.array_distinct(wins)).alias("fp")))
 
 
+def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
+    """(id1, id2, shared): document pairs sharing >= ``min_shared``
+    winnowing fingerprints — substring-level overlap candidates (two
+    docs embedding the same >=k+w-1-word passage always surface).
+
+    Inverted-index self-join on the fingerprint — the exact-baseline
+    shape, like ``dedup.jaccard_pairs`` without candidates: pairs
+    sharing no fingerprint never materialize, but a fingerprint shared
+    by m docs fans out m^2/2 pairs. At corpus scale, winnow
+    fingerprints are near-unique (they encode k+w-1 words), so the
+    fan-out stays tame; a stop-fingerprint cap (drop fps appearing in
+    > F docs, boilerplate by definition) is the production lever —
+    same hot-key reasoning as ``cf.cap_coraters``."""
+    a = fps.select(F.col("doc_id").alias("id1"), "fp")
+    b = fps.select(F.col("doc_id").alias("id2"), "fp")
+    return (a.join(b, "fp").where(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= min_shared))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, fingerprint): min-shingle-hash document fingerprint
