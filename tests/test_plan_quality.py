@@ -37,10 +37,13 @@ def test_rec_topk_uses_take_ordered(spark):
 
 def test_text_pipeline_stays_jvm_side(spark):
     for name in ("text_token_stats", "text_quality", "dedup_minhash_lsh",
-                 "dedup_simhash", "doc_fingerprint"):
+                 "dedup_simhash", "doc_fingerprint",
+                 "doc_winnow_fingerprints", "doc_winnow_overlap_pairs",
+                 "ann_sq8_topk", "pipeline_clean_docs"):
         plan = _plan(entrymod.queries()[name](spark, SF))
         assert "BatchEvalPython" not in plan, name   # no row-at-a-time UDFs
         assert "ArrowEvalPython" not in plan, name   # no pandas UDFs either
+        assert "MapInPandas" not in plan, name       # fully JVM-side
 
 
 def test_multimodal_uses_arrow_batches(spark):
