@@ -597,6 +597,18 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Classifier evaluation as a query: confusion counts of the
+    lang-ID heuristic against the table's ground-truth lang column —
+    the quality-monitoring shape a production labeling pipeline runs
+    after every model/heuristic change."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs)
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprints: every shared >=6-word substring
     between two documents is guaranteed to share a fingerprint —
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
+        "text_lang_confusion": q_lang_confusion,
         "text_tfidf_top_terms": q_tfidf,
         "doc_fingerprint": q_fingerprint,
         "doc_winnow_fingerprints": q_winnow,
@@ -1363,6 +1376,19 @@ c AS (SELECT doc_id,
   {cnt_cols}
   FROM t)
 SELECT doc_id, {case} AS pred_lang FROM c
+"""
+    o["text_lang_confusion"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{token_re}', 0) AS toks
+  FROM documents
+),
+c AS (SELECT doc_id,
+  {cnt_cols}
+  FROM t),
+pred AS (SELECT doc_id, {case} AS pred_lang FROM c)
+SELECT d.lang, p.pred_lang, COUNT(*) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
 """
     # end-to-end pipeline composition: lang filter + quality floor +
     # exact dedup (keep canonical) + LSH-verified near-dedup (keep the
