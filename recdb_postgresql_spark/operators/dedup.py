@@ -361,16 +361,36 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
                          F.col("v").alias("v1"), F.col("nrm").alias("n1"))
     b = with_norm.select(F.col("id").alias("id2"), F.col("cell").alias("cell2"),
                          F.col("v").alias("v2"), F.col("nrm").alias("n2"))
-    out = (a.join(b, (F.col("cell") == F.col("cell2"))
-                  & (F.col("id1") < F.col("id2")))
-           .select("id1", "id2",
-                   (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
-           .where(F.col("cos") >= threshold))
-    if n_assign > 1:
-        # same pair via two shared cells -> identical cos (same fold
-        # over the same vectors); distinct collapses the duplicates
-        out = out.distinct()
-    return out
+    if n_assign == 1:
+        return (a.join(b, (F.col("cell") == F.col("cell2"))
+                       & (F.col("id1") < F.col("id2")))
+                .select("id1", "id2",
+                        (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
+                .where(F.col("cos") >= threshold))
+    # multi-assignment: dedup the CANDIDATE pair ids (two longs) before
+    # any vector travels — pairs sharing both cells would otherwise
+    # ship their payloads twice and run the fold twice (measured ~35%
+    # slower when the distinct ran after scoring instead)
+    ca = assign.select(F.col(id_col).alias("id1"), "cell")
+    cb = assign.select(F.col(id_col).alias("id2"),
+                       F.col("cell").alias("cell2"))
+    cand = (ca.join(cb, (F.col("cell") == F.col("cell2"))
+                    & (F.col("id1") < F.col("id2")))
+            .select("id1", "id2").distinct())
+    # vectors WITHOUT the assignment join: with_norm carries one row
+    # per (id, cell) here, which would fan the pair join out n_assign x
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"),
+                      l2_norm(F.col(vec_col)).alias("nrm"))
+    v1 = vecs.select(F.col("id").alias("id1"), F.col("v").alias("v1"),
+                     F.col("nrm").alias("n1"))
+    v2 = vecs.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
+                     F.col("nrm").alias("n2"))
+    return (cand.join(v1, "id1").join(v2, "id2")
+            .select("id1", "id2",
+                    (pair_dot / (F.col("n1") * F.col("n2"))).alias("cos"))
+            .where(F.col("cos") >= threshold))
 
 
 def _near_dup_numpy(emb: DataFrame, id_col: str, vec_col: str,
