@@ -597,6 +597,35 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_docs_chunked(spark, sf_dir):
+    """Context-window chunking: 64-token chunks with index and size —
+    the max-sequence-length preparation every training corpus needs."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"),
+                                chunk_tokens=64)
+
+
+def q_docs_hash_sample(spark, sf_dir):
+    """Deterministic 25% corpus sample: membership decided per row by
+    md5(doc_id) — reproducible across runs, partitionings and engines,
+    composable with incremental ingest (unlike df.sample's
+    partition-layout-dependent RNG)."""
+    from recdb_postgresql_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, F.col("doc_id"), 0.25).select("doc_id", "lang")
+
+
+def q_docs_lang_cap(spark, sf_dir):
+    """Deterministic stratified cap: at most 30 documents per language,
+    prioritized by the doc_id hash (unbiased, no RNG) — the corpus
+    balancing step of a multilingual training pipeline."""
+    from recdb_postgresql_spark.functions.sampling import group_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_cap(docs, "lang", F.col("doc_id"), 30) \
+        .select("doc_id", "lang")
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -866,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_lang_confusion": q_lang_confusion,
+        "docs_chunked": q_docs_chunked,
+        "docs_hash_sample": q_docs_hash_sample,
+        "docs_lang_cap": q_docs_lang_cap,
         "text_tfidf_top_terms": q_tfidf,
         "doc_fingerprint": q_fingerprint,
         "doc_winnow_fingerprints": q_winnow,
@@ -1470,6 +1502,38 @@ JOIN lang_en le ON le.doc_id = q.doc_id
 WHERE q.quality >= 0.5
   AND q.doc_id NOT IN (SELECT doc_id FROM drop_exact)
   AND q.doc_id NOT IN (SELECT doc_id FROM drop_near)
+"""
+    # chunking: DuckDB list slices are 1-based inclusive, so chunk i
+    # covers toks[i*64+1 : i*64+64] — same truncating semantics as
+    # Spark's slice
+    o["docs_chunked"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil(len(toks) / 64.0) AS INT), 1) AS nc
+  FROM t
+)
+SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+       array_to_string(toks[g.i*64+1 : g.i*64+64], ' ') AS chunk_text,
+       CAST(least(64, len(toks) - g.i*64) AS BIGINT) AS n_tokens
+FROM n, UNNEST(generate_series(0, nc - 1)) AS g(i)
+"""
+    doc_h = MD5L.format(x="CAST(doc_id AS VARCHAR)")
+    o["docs_hash_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({doc_h}) % 1000000 < 250000
+"""
+    o["docs_lang_cap"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ({doc_h}) % 1000000, doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 30
 """
     o["text_tfidf_top_terms"] = """
 WITH words AS (

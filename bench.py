@@ -62,6 +62,7 @@ def main() -> None:
         "multimodal_resize_plan", "rec_als_topk",
         "ann_ivf_multiprobe", "embedding_neardup_ivf2",
         "pipeline_clean_docs", "ann_sq8_topk", "doc_winnow_fingerprints",
+        "docs_chunked", "docs_hash_sample",
     ]
     # (query, sf_dir override) entries timed at a pinned reduced scale
     special = [("rec_svd_topk", SVD_SF_DIR)]

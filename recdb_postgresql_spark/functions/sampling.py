@@ -1,0 +1,49 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-dependent per partition layout, so two runs (or
+two engines) disagree row-by-row — useless for reproducible corpus
+construction or oracle checking. Hash sampling decides per ROW from a
+stable key: a row is in the sample iff md5(key) mod M < fraction * M.
+Properties a 100 TB pipeline needs:
+
+- reproducible across runs, partitionings, engines (md5 is md5);
+- composable: the same row set is selected no matter how the data is
+  split or ordered — sampling commutes with repartition/union;
+- incremental: new data samples itself consistently (no global pass);
+- per-group caps use the same hash as a deterministic priority, so
+  "at most N docs per language" is one window, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.functions.hashing import md5_long
+
+_MOD = 1_000_000
+
+
+def hash_bucket(key: Column, mod: int = _MOD) -> Column:
+    """Stable bucket in [0, mod) from the row key."""
+    return md5_long(key.cast("string")) % mod
+
+
+def hash_sample(df: DataFrame, key: Column, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls under fraction * MOD. Exact same rows every run/engine."""
+    return df.where(hash_bucket(key) < int(fraction * _MOD))
+
+
+def group_cap(df: DataFrame, group_col: str, key: Column,
+              max_rows: int) -> DataFrame:
+    """Deterministically keep at most ``max_rows`` rows per group,
+    prioritized by the row-key hash (unbiased w.r.t. any value column).
+    One window over the group key — the same pattern as
+    ``cf.cap_coraters`` minus the hot/cold split (use that one when a
+    pushdown-sensitive query follows)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(hash_bucket(key), key)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_rows).drop("_rn"))

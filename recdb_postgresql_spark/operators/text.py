@@ -165,6 +165,38 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    chunk_tokens: int = 64) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens): split each document's
+    whitespace-token stream into fixed-size chunks — the
+    context-window preparation step of a training pipeline (every LLM
+    corpus ends up chunked to a max sequence length somewhere).
+
+    Pure higher-order functions: one non-overlapping slice per chunk
+    (total copy volume = |tokens|, O(n)), exploded with its index.
+    Text case/punctuation are preserved — chunking must not normalize.
+    The last chunk is short; empty documents yield one empty chunk
+    rather than disappearing (count-preserving for audits)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = spread_small(docs).select(F.col(id_col), toks.alias("_t"))
+    t = F.col("_t")
+    nchunks = F.greatest(F.ceil(F.size(t) / F.lit(float(chunk_tokens))),
+                         F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * chunk_tokens + 1,
+                                           chunk_tokens)))
+    return (staged.select(id_col, F.size(t).alias("_n"),
+                          F.posexplode(chunks).alias("chunk_idx",
+                                                     "chunk_text"))
+            .select(id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    "chunk_text",
+                    F.least(F.lit(chunk_tokens),
+                            F.col("_n") - F.col("chunk_idx") * chunk_tokens)
+                    .cast("long").alias("n_tokens")))
+
+
 def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
     """(id1, id2, shared): document pairs sharing >= ``min_shared``
     winnowing fingerprints — substring-level overlap candidates (two

@@ -182,6 +182,62 @@ def test_neardup_multiassign_superset(spark):
     assert len(two) > len(one)      # the knob actually buys recall here
 
 
+def test_chunk_documents_reconstructs(docs):
+    """Chunking is lossless on the token stream: concatenating a doc's
+    chunks in order reproduces its whitespace-normalized text, and the
+    chunk token counts sum to the doc's token count."""
+    out = text.chunk_documents(docs, chunk_tokens=4).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for r in docs.collect():
+        chunks = by_doc[r.doc_id]
+        assert " ".join(c.chunk_text for c in chunks) == \
+            " ".join(r.text.strip().split())
+        toks = len(r.text.strip().split())
+        assert sum(c.n_tokens for c in chunks) == toks
+        assert all(c.n_tokens == 4 for c in chunks[:-1])  # only tail short
+
+
+def test_hash_sample_composes_and_is_deterministic(spark):
+    """Hash sampling commutes with union/repartition and is stable
+    across calls — the properties df.sample lacks."""
+    from pyspark.sql import functions as SF
+
+    from recdb_postgresql_spark.functions import sampling
+
+    df = spark.range(0, 2000).select(SF.col("id").alias("doc_id"))
+    a = df.where(SF.col("doc_id") < 1000)
+    b = df.where(SF.col("doc_id") >= 1000)
+    whole = {r.doc_id for r in
+             sampling.hash_sample(df, SF.col("doc_id"), 0.3).collect()}
+    parts = {r.doc_id for r in
+             sampling.hash_sample(a, SF.col("doc_id"), 0.3).collect()} | \
+            {r.doc_id for r in
+             sampling.hash_sample(b, SF.col("doc_id"), 0.3).collect()}
+    again = {r.doc_id for r in
+             sampling.hash_sample(df.repartition(7), SF.col("doc_id"),
+                                  0.3).collect()}
+    assert whole == parts == again
+    assert 0.2 < len(whole) / 2000 < 0.4          # ~fraction sized
+
+
+def test_group_cap_bounds_and_determinism(spark):
+    from pyspark.sql import functions as SF
+
+    from recdb_postgresql_spark.functions import sampling
+
+    df = spark.range(0, 500).select(
+        SF.col("id").alias("doc_id"), (SF.col("id") % 3).alias("grp"))
+    out1 = sampling.group_cap(df, "grp", SF.col("doc_id"), 20)
+    out2 = sampling.group_cap(df.repartition(5), "grp", SF.col("doc_id"), 20)
+    counts = {r.grp: r.n for r in
+              out1.groupBy("grp").agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    assert all(n == 20 for n in counts.values())
+    assert {r.doc_id for r in out1.collect()} == \
+        {r.doc_id for r in out2.collect()}
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing's defining property: two documents sharing a
     substring of >= k+w-1 words (here 6) MUST share a fingerprint;
