@@ -25,6 +25,37 @@ def test_bucketed_join_no_shuffle(spark):
     spark.sql("DROP TABLE ev_bucketed")
 
 
+def test_ivf_cells_persist_as_bucketed_layout(spark):
+    """The 100 TB shape of the IVF near-dup/ANN index: persist the
+    (vector, cell) assignment bucketed BY CELL, and the within-cell
+    pair self-join — the expensive step of embedding_neardup_ivf —
+    runs with no Exchange at all (bucket files are the partitions).
+    Results must equal the on-the-fly operator's."""
+    from recdb_postgresql_spark.operators import dedup, similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.first_k_centroids(emb, k=8)
+    assign = similarity.ivf_assign(emb, cents)
+    write_bucketed(emb.join(assign, "vec_id"), "emb_cells", "cell",
+                   buckets=8, sort=False)
+    t = spark.table("emb_cells")
+    a = t.select(F.col("vec_id").alias("id1"), "cell",
+                 F.col("embedding").alias("v1"))
+    b = t.select(F.col("vec_id").alias("id2"), F.col("cell").alias("cell2"),
+                 F.col("embedding").alias("v2"))
+    pairs = a.join(b, (F.col("cell") == F.col("cell2"))
+                   & (F.col("id1") < F.col("id2")))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    # same pair set as the on-the-fly operator (cos column aside)
+    from pyspark.sql import functions as SF
+    got = {(r.id1, r.id2) for r in pairs.select("id1", "id2").collect()}
+    ref = {(r.id1, r.id2) for r in dedup.embedding_near_duplicates_ivf(
+        emb, cents, threshold=-2.0).select("id1", "id2").collect()}
+    assert got == ref and got
+    spark.sql("DROP TABLE emb_cells")
+
+
 def test_salted_join_equivalent(spark):
     left = spark.createDataFrame(
         [(1, i) for i in range(50)] + [(2, i) for i in range(5)],
