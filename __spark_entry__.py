@@ -597,6 +597,13 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-2gram ratio
+    and top-2gram share per document — flags boilerplate/looping text
+    the length/stopword score misses."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"), n=2)
+
+
 def q_docs_chunked(spark, sf_dir):
     """Context-window chunking: 64-token chunks with index and size —
     the max-sequence-length preparation every training corpus needs."""
@@ -895,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_lang_confusion": q_lang_confusion,
+        "text_repetition": q_text_repetition,
         "docs_chunked": q_docs_chunked,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_lang_cap": q_docs_lang_cap,
@@ -1502,6 +1510,26 @@ JOIN lang_en le ON le.doc_id = q.doc_id
 WHERE q.quality >= 0.5
   AND q.doc_id NOT IN (SELECT doc_id FROM drop_exact)
   AND q.doc_id NOT IN (SELECT doc_id FROM drop_near)
+"""
+    o["text_repetition"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS gram
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-2, 0))) AS gi(i)
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         1.0 - COUNT(*) * 1.0 / CAST(SUM(c) AS BIGINT) AS dup,
+         MAX(c) AS top_c
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_ngrams, ROUND(dup, 6) AS dup_ngram_ratio,
+       ROUND(top_c * 1.0 / n_ngrams, 6) AS top_ngram_ratio
+FROM s
 """
     # chunking: DuckDB list slices are 1-based inclusive, so chunk i
     # covers toks[i*64+1 : i*64+64] — same truncating semantics as

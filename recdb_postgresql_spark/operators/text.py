@@ -165,6 +165,36 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """(doc_id, n_ngrams, dup_ngram_ratio, top_ngram_ratio): the
+    Gopher-style repetition signals — the fraction of n-grams that are
+    repeats of an earlier occurrence, and the share of the single most
+    frequent n-gram. High values flag boilerplate/looping text that
+    the length/stopword quality score misses.
+
+    Pure higher-order functions over the token array: distinct count
+    via array_distinct, the top n-gram share via one explode+groupBy
+    (two shuffles on doc_id, both map-side combined)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    base = spread_small(docs).select(
+        F.col(id_col),
+        F.size(grams).alias("n_ngrams"),
+        (F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams))
+        .alias("dup_ngram_ratio"),
+        F.explode(grams).alias("gram"))
+    counts = (base.groupBy(id_col, "n_ngrams", "dup_ngram_ratio", "gram")
+              .agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy(id_col, "n_ngrams", "dup_ngram_ratio")
+            .agg(F.max("c").alias("top_c"))
+            .select(id_col, F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                    F.round("dup_ngram_ratio", 6).alias("dup_ngram_ratio"),
+                    F.round(F.col("top_c") / F.col("n_ngrams"), 6)
+                    .alias("top_ngram_ratio")))
+
+
 def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     chunk_tokens: int = 64) -> DataFrame:

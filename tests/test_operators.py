@@ -182,6 +182,18 @@ def test_neardup_multiassign_superset(spark):
     assert len(two) > len(one)      # the knob actually buys recall here
 
 
+def test_repetition_stats_flags_looping_text(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one gram repeated
+        (2, "every word here is used exactly once"),   # no repeats
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(d, n=2).collect()}
+    assert out[1].dup_ngram_ratio > 0.7 and out[1].top_ngram_ratio == 1.0
+    assert out[2].dup_ngram_ratio == 0.0
+    assert out[2].top_ngram_ratio == round(1 / out[2].n_ngrams, 6)
+
+
 def test_chunk_documents_reconstructs(docs):
     """Chunking is lossless on the token stream: concatenating a doc's
     chunks in order reproduces its whitespace-normalized text, and the
