@@ -335,6 +335,46 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
+    # CUBE grouping sets (beyond PG 9.2, table stakes for Spark)
+    "cube_order_matrix": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 4) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    # WindowAgg frame variants: ROWS running frame vs RANGE peers frame
+    # (differ exactly on order-by ties) + lag/lead navigation
+    "window_running_revenue": """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_rows,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_peers,
+       ROUND(COALESCE(LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 4) AS prev_price,
+       ROUND(COALESCE(LEAD(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 4) AS next_price
+FROM orders
+WHERE o_custkey < 100
+""",
+    # scalar date functions (PG adt/ date surface; names/semantics
+    # shared by Spark and DuckDB: year/quarter/month/day/last_day/
+    # date_trunc)
+    "date_functions": """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders
+WHERE o_orderkey < 200
+""",
     # scalar string functions (PG adt/ surface -> pyspark.sql.functions)
     "string_functions": """
 SELECT p_partkey,

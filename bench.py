@@ -55,7 +55,7 @@ def main() -> None:
         "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id", "text_repetition",
         "doc_fingerprint",
         "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
-        "rollup_lineitem", "rec_peruser_topk", "dedup_lsh_verified",
+        "rollup_lineitem", "cube_order_matrix", "window_running_revenue", "rec_peruser_topk", "dedup_lsh_verified",
         "dedup_clusters", "quantile_prices", "recursive_month_spine",
         "semijoin_order_lines", "leftjoin_null_handling",
         "multimodal_frame_plan", "multimodal_features",
