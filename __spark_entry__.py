@@ -335,6 +335,18 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
+    # Q18 shape: join + agg + HAVING (post-aggregation filter) + top-k
+    "q18_big_volume_customers": """
+SELECT c.c_custkey, o.o_orderkey,
+       ROUND(SUM(l.l_quantity), 4) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, o.o_orderkey
+HAVING SUM(l.l_quantity) > 250
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+""",
     # CUBE grouping sets (beyond PG 9.2, table stakes for Spark)
     "cube_order_matrix": """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,

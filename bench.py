@@ -46,7 +46,7 @@ def main() -> None:
     headline = [
         "rec_itemcos_topk", "rec_itempear_topk", "rec_usercos_topk",
         "rec_userpear_topk", "rec_itemcos_scorefilter",
-        "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+        "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue", "q18_big_volume_customers",
         "window_top_orders_per_customer", "subquery_above_avg_customers",
         "events_hourly_rollup",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
