@@ -121,6 +121,9 @@ def run(spark: SparkSession, workdir: str, verbose: bool = True) -> dict:
 
 
 def main() -> None:
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from recdb_postgresql_spark.engine import get_spark
 
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()

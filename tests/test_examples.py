@@ -7,6 +7,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from examples.movielens_example import run
+from examples.pipeline_example import run as run_pipeline
+
+
+def test_pipeline_example_end_to_end(spark):
+    c = run_pipeline(spark, verbose=False)
+    # every stage must actually remove something from the messy corpus
+    assert c["raw"] > c["after_lang_quality_repetition"]     # de + spam out
+    assert c["after_lang_quality_repetition"] > c["after_exact_dedup"]
+    assert c["after_exact_dedup"] > c["after_near_dedup"]
+    assert c["after_near_dedup"] > 0
+    assert c["chunks"] > c["after_near_dedup"]               # docs split
+    assert 0 < c["sampled_chunks"] < c["chunks"]
 
 
 def test_movielens_example_end_to_end(spark, tmp_path):
