@@ -363,9 +363,9 @@ class RecEngine:
     def _train_ratings(self, ratings: DataFrame, method: str,
                        max_coraters: Optional[int] = None) -> dict[str, DataFrame]:
         if method == "itemcoscf":
-            return {"model": cf.train_item_cos(ratings)}
+            return {"model": cf.train_item_cos(ratings, max_coraters=max_coraters)}
         if method == "itempearcf":
-            return {"model": cf.train_item_pearson(ratings)}
+            return {"model": cf.train_item_pearson(ratings, max_coraters=max_coraters)}
         if method == "usercoscf":
             return {"model": cf.train_user_cos(ratings, max_coraters=max_coraters)}
         if method == "userpearcf":

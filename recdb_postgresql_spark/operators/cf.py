@@ -80,11 +80,17 @@ def _pairwise(ratings: DataFrame, entity: str, other: str, value: str) -> DataFr
     return a.join(b, "o").where(F.col("e1") < F.col("e2"))
 
 
-def train_item_cos(ratings: DataFrame) -> DataFrame:
+def train_item_cos(ratings: DataFrame,
+                   max_coraters: int | None = None) -> DataFrame:
     """(item1, item2, similarity), item1 < item2, sim > 0.
 
     recathon.c:1378-1562 (updateItemCosModel) re-expressed as
-    norms + sparse self-join."""
+    norms + sparse self-join. ``max_coraters`` caps rated ITEMS per
+    USER (the item-CF pair join is quadratic in items-per-user — the
+    symmetric hot key to user-CF's raters-per-item); default-on for
+    materialized builds via ``RecEngine._train``."""
+    if max_coraters:
+        ratings = cap_coraters(ratings, "item", "user", max_coraters)
     norms = ratings.groupBy("item").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm"))
     dots = (_pairwise(ratings, "item", "user", "rating")
@@ -98,12 +104,16 @@ def train_item_cos(ratings: DataFrame) -> DataFrame:
             .where(F.col("similarity") > 0))  # cosine drops sim<=0: recathon.c:1493
 
 
-def train_item_pearson(ratings: DataFrame) -> DataFrame:
+def train_item_pearson(ratings: DataFrame,
+                       max_coraters: int | None = None) -> DataFrame:
     """(item1, item2, similarity), item1 < item2, sim != 0 (negatives kept).
 
     recathon.c:1768-1958 (updateItemPearModel). Per-item stats over ALL
     raters (recathon.c:1575-1697); the pair dot subtracts each item's own
-    mean over co-raters only."""
+    mean over co-raters only. ``max_coraters`` caps rated items per
+    user (see ``train_item_cos``)."""
+    if max_coraters:
+        ratings = cap_coraters(ratings, "item", "user", max_coraters)
     # two-pass (join the mean back) rather than a window: one shuffle on
     # item either way, and the join side is a tiny aggregate.
     means = ratings.groupBy("item").agg(F.avg("rating").alias("mean"))

@@ -103,3 +103,31 @@ def test_materialized_user_cf_build_applies_cap(spark, monkeypatch):
                                     spark)["model"]
     assert model.count() <= 3
     eng.drop_recommender("capped_rec")
+
+
+def test_materialized_item_cf_build_caps_power_users(spark, monkeypatch):
+    """The symmetric hot key: item-CF's pair join is quadratic in
+    items-per-USER. A power user rating 10 items would emit C(10,2)=45
+    pairs; capped at 3 items per user the materialized build emits
+    <= 3, and a below-cap build is bit-identical to the exact model."""
+    from recdb_postgresql_spark.engine import RecEngine
+
+    monkeypatch.setattr(cf, "AUTO_CORATER_CAP", 3)
+    rows = [(1, i, float(i % 4 + 1)) for i in range(1, 11)]
+    ev = spark.createDataFrame(rows, "userid long, itemid long, ratingval double")
+    eng = RecEngine(spark)
+    eng.create_recommender("capped_item_rec", ev, "userid", "itemid",
+                           "ratingval", "itemcoscf")
+    model = eng.catalog.load_models(eng.catalog.get("capped_item_rec"),
+                                    spark)["model"]
+    assert model.count() <= 3
+    eng.drop_recommender("capped_item_rec")
+    # below the cap the filter is a no-op: exact parity
+    cold = spark.createDataFrame(
+        [(u, i, float(u + i)) for u in range(1, 4) for i in range(1, 4)],
+        "user long, item long, rating double")
+    exact = {(r.item1, r.item2, round(r.similarity, 9))
+             for r in cf.train_item_cos(cold).collect()}
+    capped = {(r.item1, r.item2, round(r.similarity, 9))
+              for r in cf.train_item_cos(cold, max_coraters=3).collect()}
+    assert exact == capped and exact
