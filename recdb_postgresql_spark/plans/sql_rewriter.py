@@ -326,6 +326,15 @@ class RecSQL:
         return self.spark.sql(query)
 
     def _recommend(self, m: re.Match) -> DataFrame:
+        # one RECOMMEND per statement: the reference isolates set-op
+        # leaves (analyze.c:1616) so each leaf carries at most one
+        # clause; a second RECOMMEND in the remainder would be pasted
+        # through un-rewritten and silently misread
+        if re.search(r"\bRECOMMEND\b.*\bTO\b", m["rest"] or "",
+                     re.IGNORECASE | re.DOTALL):
+            raise ValueError(
+                "only one RECOMMEND clause per statement is supported; "
+                "run each set-op leaf separately and union the results")
         items = _parse_from(m["from"])
         # the events source is the one the RECOMMEND columns qualify
         # (events-table resolution, parse_rec.c:187-297)

@@ -153,6 +153,27 @@ def test_recommend_subquery_sibling_join(rs, spark):
     assert rows and all(r.itemid <= 3 for r in rows)
 
 
+def test_recommend_in_setop_leaf(rs):
+    """The reference isolates set-op leaves (analyze.c:1616): one leg
+    carries the RECOMMEND, the other passes through verbatim."""
+    out = rs.sql(
+        "SELECT userid, itemid, ratingval FROM sqlrat "
+        "RECOMMEND itemid TO userid ON ratingval USING ItemCosCF "
+        "WHERE userid = 2 "
+        "UNION ALL SELECT userid, itemid, ratingval FROM sqlrat "
+        "WHERE userid = 3 AND itemid = 1")
+    rows = out.collect()
+    assert {r.userid for r in rows} == {2, 3}
+    assert len([r for r in rows if r.userid == 2]) == 5   # all items scored
+    assert len([r for r in rows if r.userid == 3]) == 1   # raw leg verbatim
+    # two RECOMMEND clauses: clean rejection, not silent misreading
+    with pytest.raises(ValueError, match="one RECOMMEND clause"):
+        rs.sql("SELECT userid FROM sqlrat RECOMMEND itemid TO userid ON "
+               "ratingval USING ItemCosCF UNION ALL SELECT userid FROM "
+               "sqlrat RECOMMEND itemid TO userid ON ratingval USING "
+               "UserCosCF")
+
+
 def test_subquery_from_item_requires_alias(rs):
     with pytest.raises(ValueError, match="needs an alias"):
         rs.sql("SELECT * FROM (SELECT userid, itemid, ratingval FROM sqlrat) "
