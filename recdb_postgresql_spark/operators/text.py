@@ -149,17 +149,19 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     # staged selects so each array materializes once per row; the
-    # window minimum is least(h[i..i+w-1]) via O(1) element_at — NOT
-    # array_min(slice(...)): a slice copy per window made this 5x
-    # slower (element_at past the end is null; least skips nulls, which
-    # reproduces the truncating single-window semantics for short docs)
+    # window minimum is least(h[i..i+w-1]) via O(1) try_element_at —
+    # NOT array_min(slice(...)): a slice copy per window made this 5x
+    # slower. try_element_at (not element_at: ANSI mode THROWS past the
+    # array end, and a doc with < w grams has exactly one short window)
+    # yields null out of bounds; least skips nulls, which reproduces
+    # the truncating single-window semantics for short docs.
     hashed = (spread_small(docs)
               .select(F.col(id_col),
                       F.transform(grams, lambda g: md5_long(g)).alias("_h")))
     h = F.col("_h")
     nwin = F.greatest(F.size(h) - (w - 1), F.lit(1))
     wins = F.transform(F.sequence(F.lit(0), nwin - 1),
-                       lambda i: F.least(*[F.element_at(h, i + j + 1)
+                       lambda i: F.least(*[F.try_element_at(h, i + j + 1)
                                            for j in range(w)]))
     return hashed.select(F.col(id_col),
                          F.explode(F.array_distinct(wins)).alias("fp"))

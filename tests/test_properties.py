@@ -46,6 +46,67 @@ def test_item_pearson_invariants(spark, rows):
         assert -1.0 - 1e-9 <= m.similarity <= 1.0 + 1e-9
 
 
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2"]),
+             min_size=0, max_size=30).map(" ".join),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=texts_strategy)
+def test_chunking_roundtrip_property(spark, texts):
+    """For ANY token stream: chunks reconstruct the normalized text and
+    chunk sizes sum to the token count (empty docs keep one row)."""
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = sorted(text_ops.chunk_documents(docs, chunk_tokens=5).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else [""]
+        chunks = by_doc[i]
+        assert " ".join(c.chunk_text for c in chunks) == " ".join(toks)
+        assert sum(c.n_tokens for c in chunks) == len(toks)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=texts_strategy)
+def test_winnowing_fingerprints_property(spark, texts):
+    """For ANY document: >=1 fingerprint, every fingerprint is one of
+    the doc's own k-gram hashes, and fingerprints are distinct per
+    doc (the winnowing set, not a multiset)."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+    from recdb_postgresql_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    fps = text_ops.winnow_fingerprints(docs, k=3, w=4).collect()
+    per_doc = {}
+    for r in fps:
+        per_doc.setdefault(r.doc_id, []).append(r.fp)
+    toks3 = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks3) - 3, F.lit(0)))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx, lambda i: md5_long(F.concat_ws(" ", F.slice(toks3, i + 1, 3))))
+        ).alias("h")).collect()
+    hashes = {}
+    for r in grams:
+        hashes.setdefault(r.doc_id, set()).add(r.h)
+    for i in range(len(texts)):
+        assert per_doc.get(i), f"doc {i} lost all fingerprints"
+        assert len(per_doc[i]) == len(set(per_doc[i]))
+        assert set(per_doc[i]) <= hashes[i]
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(rows=ratings_tables())
