@@ -649,6 +649,33 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """Compliance pass: deterministically salt documents with synthetic
+    emails/SSNs/phones (same expression in both engines), then scrub
+    them. The hash check covers the EXACT redacted strings (clean_fp =
+    md5 of clean_text), so replacement order and boundaries are
+    verified byte-for-byte."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call 555-123-4567 soon")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" ssn 123-45-6789 end")).otherwise(F.lit("")),
+        ).alias("text"))
+    out = text.redact_pii(salted)
+    return out.select("doc_id", "n_email", "n_ssn", "n_phone",
+                      md5_long(F.col("clean_text")).alias("clean_fp"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: duplicate-2gram ratio
     and top-2gram share per document — flags boilerplate/looping text
@@ -955,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_lang_confusion": q_lang_confusion,
         "text_repetition": q_text_repetition,
+        "text_pii_redaction": q_pii_redaction,
         "docs_chunked": q_docs_chunked,
         "docs_hash_sample": q_docs_hash_sample,
         "docs_lang_cap": q_docs_lang_cap,
@@ -1562,6 +1590,37 @@ JOIN lang_en le ON le.doc_id = q.doc_id
 WHERE q.quality >= 0.5
   AND q.doc_id NOT IN (SELECT doc_id FROM drop_exact)
   AND q.doc_id NOT IN (SELECT doc_id FROM drop_near)
+"""
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ssn_re = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    phone_re = "\\b\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+    o["text_pii_redaction"] = f"""
+WITH salted AS (
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com now') ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567 soon' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789 end' ELSE '' END
+         ) AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email_re}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '{ssn_re}')) AS BIGINT) AS n_ssn,
+         CAST(len(regexp_extract_all(text, '{phone_re}')) AS BIGINT) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{email_re}', '[EMAIL]', 'g'),
+             '{ssn_re}', '[SSN]', 'g'),
+           '{phone_re}', '[PHONE]', 'g') AS clean_text
+  FROM salted
+)
+SELECT doc_id, n_email, n_ssn, n_phone,
+       {MD5L.format(x='clean_text')} AS clean_fp
+FROM red
 """
     o["text_repetition"] = """
 WITH t AS (

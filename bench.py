@@ -52,7 +52,7 @@ def main() -> None:
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "embedding_neardup", "embedding_neardup_fast",
         "embedding_neardup_ivf", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id", "text_repetition",
+        "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id", "text_repetition", "text_pii_redaction",
         "doc_fingerprint",
         "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
         "rollup_lineitem", "cube_order_matrix", "window_running_revenue", "rec_peruser_topk", "dedup_lsh_verified",

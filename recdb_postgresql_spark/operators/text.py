@@ -167,6 +167,32 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB,
+# Go, etc.) agree on: no backrefs, no lookaround. Order matters: SSN
+# before phone (a dashed SSN also matches loose phone shapes).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\b\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ssn, n_phone, clean_text): scrub emails,
+    SSNs and structured phone numbers — the compliance pass every
+    training corpus runs before anything else sees the text. Counts
+    come from ``regexp_count`` BEFORE replacement; replacements chain
+    in declaration order (SSN before the looser phone shape). Pure
+    Catalyst regex — codegen'd, reproducible in any RE2/Java engine."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 2) -> DataFrame:
     """(doc_id, n_ngrams, dup_ngram_ratio, top_ngram_ratio): the

@@ -182,6 +182,22 @@ def test_neardup_multiassign_superset(spark):
     assert len(two) > len(one)      # the knob actually buys recall here
 
 
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org or call 555-123-4567"),
+        (2, "ssn 123-45-6789 twice 123-45-6789"),
+        (3, "nothing sensitive here 12345"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.redact_pii(d).collect()}
+    assert (out[1].n_email, out[1].n_phone) == (1, 1)
+    assert "[EMAIL]" in out[1].clean_text and "[PHONE]" in out[1].clean_text
+    assert "@" not in out[1].clean_text
+    assert out[2].n_ssn == 2 and out[2].clean_text == "ssn [SSN] twice [SSN]"
+    assert out[3].clean_text == rows[2][1]      # untouched text survives
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone) == (0, 0, 0)
+
+
 def test_repetition_stats_flags_looping_text(spark):
     rows = [
         (1, "spam spam spam spam spam spam"),          # one gram repeated
