@@ -571,6 +571,21 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         .select("qid", "vec_id", "cos", "rank")
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """The production IVF shape end-to-end: MLlib-KMeans-trained
+    centroids (seeded, trained on the corpus itself) + the same
+    broadcast-assign / cell-join / window-top-k plan as ann_ivf_topk.
+    Centroid floats are optimizer-dependent -> rows-only driver check
+    (no oracle_sql entry); the deterministic first-k variant carries
+    the value-hash parity for the identical plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    cents = similarity.kmeans_centroids(emb, k=8, max_iter=5)
+    return similarity.ivf_topk(emb, qs, cents, k=10) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
 def q_embedding_neardup_ivf2(spark, sf_dir):
     """Multi-assignment IVF near-dup (n_assign=2): every vector lives
     in its two nearest cells, so boundary-straddling near-dup pairs
@@ -973,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh_topk": q_ann_lsh,
         "ann_sq8_topk": q_ann_sq8,
         "embedding_neardup_ivf2": q_embedding_neardup_ivf2,

@@ -4,19 +4,31 @@
 Each query runs $SPARK_GRAFT_REPS times (default 2); the reported
 per-query number is the MIN across reps (the warm, steady-state cost —
 single-run numbers drifted +/-30% on unchanged queries between rounds
-purely from JIT/suite-order noise). "queries_spread" records max-min
-per query so regressions can be told apart from variance.
+purely from JIT/suite-order noise).
+
+Output contract (the driver tail-captures stdout): exactly ONE JSON
+line, kept deliberately small —
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "reps": N, "sf": <float>}
+Everything verbose (per-query spread across reps, error tracebacks,
+the scaling-slope section) goes to BENCH_DETAIL.json next to this
+file instead: round 3's official record was lost when adding the
+spread dict pushed the printed line past the driver's capture buffer.
+
+Resilience: a query that raises is recorded in "errors" (name ->
+first line of the exception) and costs the suite nothing else — one
+broken query must not zero out the whole round's record (round 4's
+record was an rc=1 traceback).
+
+Scaling slopes: the priciest queries also run at sf0.01
+(key suffixed "@sf0.01") so round-over-round numbers carry two data
+points per expensive operator, not one.
 
 rec_svd_topk runs at a pinned reduced scale (sf0.01, key suffixed) —
 the faithful sequential-SGD mode is the one driver-side operator and
 would dominate the sf0.1 suite; timing it separately still tracks its
 regressions round over round. rec_als_topk (the distributed scale
 path) runs at full suite scale.
-
-Prints exactly ONE JSON line:
-{"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "queries_spread": {...}, "reps": N,
- "sf": <float>}
 """
 
 from __future__ import annotations
@@ -25,8 +37,44 @@ import json
 import os
 import sys
 import time
+import traceback
 
 SVD_SF_DIR = "/root/testdata/sf0.01"
+SLOPE_SF_DIR = "/root/testdata/sf0.01"
+
+HEADLINE = [
+    "rec_itemcos_topk", "rec_itempear_topk", "rec_usercos_topk",
+    "rec_userpear_topk", "rec_itemcos_scorefilter",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+    "q18_big_volume_customers",
+    "window_top_orders_per_customer", "subquery_above_avg_customers",
+    "events_hourly_rollup",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "embedding_neardup", "embedding_neardup_fast",
+    "embedding_neardup_ivf", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id",
+    "text_repetition", "text_pii_redaction",
+    "doc_fingerprint",
+    "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
+    "rollup_lineitem", "cube_order_matrix", "window_running_revenue",
+    "rec_peruser_topk", "dedup_lsh_verified",
+    "dedup_clusters", "quantile_prices", "recursive_month_spine",
+    "semijoin_order_lines", "leftjoin_null_handling",
+    "multimodal_frame_plan", "multimodal_features",
+    "multimodal_resize_plan", "rec_als_topk",
+    "ann_ivf_multiprobe", "embedding_neardup_ivf2",
+    "pipeline_clean_docs", "ann_sq8_topk", "doc_winnow_fingerprints",
+    "docs_chunked", "docs_hash_sample",
+    "setop_customer_activity", "values_scan_join", "string_functions",
+    "date_functions", "case_priority_matrix", "agg_distinct_segments",
+]
+
+# the priciest operators also timed at sf0.01 for a scaling slope
+SLOPE = [
+    "text_repetition", "embedding_neardup_ivf2", "rec_als_topk",
+    "pipeline_clean_docs", "embedding_neardup_ivf", "dedup_clusters",
+    "ann_ivf_multiprobe", "dedup_minhash_lsh",
+]
 
 
 def main() -> None:
@@ -43,29 +91,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
-    headline = [
-        "rec_itemcos_topk", "rec_itempear_topk", "rec_usercos_topk",
-        "rec_userpear_topk", "rec_itemcos_scorefilter",
-        "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue", "q18_big_volume_customers",
-        "window_top_orders_per_customer", "subquery_above_avg_customers",
-        "events_hourly_rollup",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "embedding_neardup", "embedding_neardup_fast",
-        "embedding_neardup_ivf", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id", "text_repetition", "text_pii_redaction",
-        "doc_fingerprint",
-        "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
-        "rollup_lineitem", "cube_order_matrix", "window_running_revenue", "rec_peruser_topk", "dedup_lsh_verified",
-        "dedup_clusters", "quantile_prices", "recursive_month_spine",
-        "semijoin_order_lines", "leftjoin_null_handling",
-        "multimodal_frame_plan", "multimodal_features",
-        "multimodal_resize_plan", "rec_als_topk",
-        "ann_ivf_multiprobe", "embedding_neardup_ivf2",
-        "pipeline_clean_docs", "ann_sq8_topk", "doc_winnow_fingerprints",
-        "docs_chunked", "docs_hash_sample",
-    ]
-    # (query, sf_dir override) entries timed at a pinned reduced scale
-    special = [("rec_svd_topk", SVD_SF_DIR)]
+    # (key, query, sf_dir) runs; slope entries rep=1 (already min-biased
+    # at the small scale, and 8 extra cold runs cost ~nothing at sf0.01)
+    plan = [(n, n, sf_dir, reps) for n in HEADLINE]
+    plan += [("rec_svd_topk@sf0.01", "rec_svd_topk", SVD_SF_DIR, reps)]
+    if os.path.abspath(sf_dir) != os.path.abspath(SLOPE_SF_DIR):
+        plan += [(f"{n}@sf0.01", n, SLOPE_SF_DIR, 1) for n in SLOPE]
 
     # one warm-up pass to amortize JVM/parquet-footer costs out of the
     # first query touching each big table (lineitem via q1, events via
@@ -77,30 +108,49 @@ def main() -> None:
     for t in ("documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
-    def timed(name: str, d: str) -> float:
-        t0 = time.perf_counter()
-        queries[name](spark, d).count()  # forces full execution
-        return time.perf_counter() - t0
-
     runs: dict[str, list[float]] = {}
-    for rep in range(reps):
-        for name in headline:
-            runs.setdefault(name, []).append(timed(name, sf_dir))
-        for name, d in special:
-            key = f"{name}@{os.path.basename(d.rstrip('/'))}"
-            runs.setdefault(key, []).append(timed(name, d))
+    errors: dict[str, str] = {}
+    tracebacks: dict[str, str] = {}
+    max_reps = max(r for _, _, _, r in plan)
+    for rep in range(max_reps):
+        for key, name, d, nreps in plan:
+            if rep >= nreps or key in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, d).count()  # forces full execution
+                runs.setdefault(key, []).append(time.perf_counter() - t0)
+            except Exception as exc:  # record, keep benching the rest
+                errors[key] = f"{type(exc).__name__}: {exc}".split("\n")[0][:160]
+                tracebacks[key] = traceback.format_exc()
+                runs.pop(key, None)
 
     times = {n: round(min(ts), 3) for n, ts in runs.items()}
-    spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
+    # value = headline suite + the pinned SVD entry (the r1-r3 total's
+    # composition); the new @sf0.01 slope entries are informational only
+    in_total = set(HEADLINE) | {"rec_svd_topk@sf0.01"}
+    total = round(sum(t for n, t in times.items() if n in in_total), 3)
     out = {
         "metric": "recdb_spark headline suite wall-clock",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": times,
-        "queries_spread": spread,
         "reps": reps,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
+    detail = {
+        "queries_spread": {n: round(max(ts) - min(ts), 3)
+                           for n, ts in runs.items() if len(ts) > 1},
+        "slope_sf": SLOPE,
+        "errors": tracebacks,
+        "n_queries": len(times),
+        "cpus": cpus,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
     print(json.dumps(out))
 
 

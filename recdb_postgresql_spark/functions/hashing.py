@@ -11,8 +11,11 @@ Spark:  conv(substring(md5(x), 1, 15), 16, 10) :: long
 DuckDB: cast('0x' || substring(md5(x), 1, 15) as bigint)
 
 md5 is computed JVM-side (codegen'd); this is not the fast path you
-would pick for a pure-Spark deployment (xxhash64 is ~5x faster) but the
-operators take the hash column as a parameter, so swapping is trivial.
+would pick for a pure-Spark deployment (xxhash64 is ~5x faster). The
+sketch operators accept a ``hash_fn`` parameter (any Column -> Column
+producing a non-negative int64): pass ``md5_long`` (default) for
+oracle-verifiable runs, ``xxhash64_long`` for production throughput —
+the sketches' semantics only need a deterministic well-mixed hash.
 """
 
 from __future__ import annotations
@@ -24,6 +27,15 @@ from pyspark.sql import functions as F
 def md5_long(col: Column) -> Column:
     """60-bit non-negative int64 hash of a string column, portable."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def xxhash64_long(col: Column) -> Column:
+    """60-bit non-negative int64 via Spark's native xxhash64 — the
+    production hash (~5x faster than md5, one codegen'd intrinsic, no
+    hex round-trip). Same range as ``md5_long`` so every downstream
+    band/rehash/bit trick behaves identically; NOT reproducible outside
+    Spark, so oracle-checked queries keep the md5 default."""
+    return F.pmod(F.xxhash64(col), F.lit(1 << 60)).cast("long")
 
 
 def seeded_hash(col: Column, seed: int) -> Column:

@@ -28,7 +28,8 @@ from recdb_postgresql_spark.functions.layout import spread_small
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     hash_fn=md5_long) -> DataFrame:
     """Groups of byte-identical texts: (doc_id, canonical_id, content_hash).
     canonical_id is the smallest doc id of the group; only actual
     duplicates (group size > 1) are returned.
@@ -37,7 +38,7 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     a repartition shuffle for (measured +0.6 s at sf0.1); the groupBy
     restores parallelism anyway."""
     hashed = docs.select(
-        F.col(id_col), md5_long(F.col(text_col)).alias("content_hash"))
+        F.col(id_col), hash_fn(F.col(text_col)).alias("content_hash"))
     groups = (hashed.groupBy("content_hash")
               .agg(F.min(id_col).alias("canonical_id"),
                    F.count(F.lit(1)).alias("n"))
@@ -80,13 +81,13 @@ MINHASH_A = 1_103_515_245
 MINHASH_B = 12_345
 
 
-def hash_shingles(shingled: DataFrame) -> DataFrame:
+def hash_shingles(shingled: DataFrame, hash_fn=md5_long) -> DataFrame:
     """(id, sh): the 60-bit md5 hash of each distinct shingle — the ONE
     expensive hashing pass every downstream dedup step shares. Callers
     composing several steps (signatures + verify) should compute this
     once and ``localCheckpoint`` it: Catalyst does not share subtrees
     across plan legs, so an uncheckpointed plan re-runs md5 per leg."""
-    return shingled.select("id", md5_long(F.col("shingle")).alias("sh"))
+    return shingled.select("id", hash_fn(F.col("shingle")).alias("sh"))
 
 
 def minhash_from_hashes(hashed: DataFrame, num_hashes: int = 16) -> DataFrame:
@@ -103,10 +104,11 @@ def minhash_from_hashes(hashed: DataFrame, num_hashes: int = 16) -> DataFrame:
             .groupBy("id", "j").agg(F.min("hj").alias("minhash")))
 
 
-def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 16,
+                       hash_fn=md5_long) -> DataFrame:
     """(id, j, minhash): for each of ``num_hashes`` hash functions, the
-    min over the document's shingle set (one md5 per shingle)."""
-    return minhash_from_hashes(hash_shingles(shingled), num_hashes)
+    min over the document's shingle set (one base hash per shingle)."""
+    return minhash_from_hashes(hash_shingles(shingled, hash_fn), num_hashes)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
@@ -182,7 +184,8 @@ def jaccard_pairs(shingled: DataFrame | None, threshold: float = 0.5,
 def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,
                        num_hashes: int = 8, bands: int = 4,
                        rows_per_band: int = 2,
-                       checkpoint: bool = True) -> DataFrame:
+                       checkpoint: bool = True,
+                       hash_fn=md5_long) -> DataFrame:
     """The production near-dup flow: MinHash -> LSH bucket join ->
     candidate-only true-Jaccard verify, sharing ONE md5 pass.
 
@@ -192,7 +195,7 @@ def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,
     per leg. The checkpointed table is two longs per shingle, orders of
     magnitude smaller than the documents themselves.
     """
-    hashed = hash_shingles(shingled)
+    hashed = hash_shingles(shingled, hash_fn)
     if checkpoint:
         hashed = hashed.localCheckpoint(eager=True)
     sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
@@ -211,6 +214,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     of rounds; each round is one shuffle on id. The loop runs on the
     driver but all data stays distributed (this is how GraphFrames'
     CC works minus the library).
+
+    If the graph has a longer diameter than ``max_iters`` (templated/
+    boilerplate corpora chain near-dups into long paths), the loop
+    hands the already-materialized edges to the O(log n)-round
+    ``connected_components_star`` instead of raising — propagation
+    stays the fast path (1 shuffle/round, no restructuring) for the
+    tiny chains/cliques that dominate real near-dup graphs.
     """
     # materialize the edge list once: it is tiny (near-dup pairs), but
     # its lazy plan is the whole upstream similarity pipeline and every
@@ -235,17 +245,85 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # long chains (templated/boilerplate corpora) can exceed
-        # max_iters; silently returning split clusters would diverge
-        # from the reachability oracle with no signal.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} "
-            f"iterations ({changed} labels still changing); raise max_iters")
+        # diameter > max_iters: escalate to the logarithmic algorithm
+        # rather than silently returning split clusters (which would
+        # diverge from the reachability oracle with no signal).
+        return _star_components(edges)
     return labels.select("id", F.col("lbl").alias("component"))
 
 
+def connected_components_star(pairs: DataFrame,
+                              max_iters: int = 50) -> DataFrame:
+    """(id, component) via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the
+    100 TB path: converges in O(log n) rounds regardless of graph
+    diameter, where plain label propagation needs O(diameter) rounds
+    (a 10M-doc boilerplate chain would need 10M shuffles).
+
+    Each round is two grouped joins on node id; edges only ever point
+    from larger id to smaller, and at fixpoint the edge set IS the
+    component map (every node points at its component's min id).
+    """
+    edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+             .unionByName(pairs.select(F.col("id2").alias("a"),
+                                       F.col("id1").alias("b"))).distinct()
+             .localCheckpoint(eager=True))
+    return _star_components(edges, max_iters)
+
+
+def _star_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Core star rounds over a symmetric, materialized edge list
+    (a, b). Convergence test = (count, xor-of-pair-hashes) fingerprint
+    of the directed edge set — one cheap aggregate per round instead
+    of a full anti-join diff (xor, not sum: ANSI mode makes a long sum
+    overflow-raise, and the edge set is distinct so xor never
+    self-cancels)."""
+    nodes = edges.select(F.col("a").alias("id")).distinct()
+    # canonical orientation: u -> v with v < u
+    e = (edges.where(F.col("a") > F.col("b"))
+         .select(F.col("a").alias("u"), F.col("b").alias("v")).distinct()
+         .localCheckpoint(eager=True))
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
+        return row["n"], row["h"]
+
+    fp = fingerprint(e)
+    for _ in range(max_iters):
+        # large-star: for every node u, link each LARGER neighbor to
+        # the minimum of N(u) + {u}
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("m"))
+                .select("u", F.least("m", F.col("u")).alias("m")))
+        large = (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # small-star: for every node u (all neighbors now smaller),
+        # link each neighbor + u itself to the minimum neighbor
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small_nbr = (large.join(mins2, "u").where(F.col("v") != F.col("m"))
+                     .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        small_self = mins2.select("u", F.col("m").alias("v"))
+        e = (small_nbr.unionByName(small_self).distinct()
+             .localCheckpoint(eager=True))
+        new_fp = fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"star connected components did not converge in {max_iters} "
+            f"rounds — not expected for any graph of < 2^{max_iters} nodes")
+    non_root = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (nodes.join(non_root, "id", "left")
+            .select("id", F.coalesce("component", F.col("id"))
+                    .alias("component")))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, hash_fn=md5_long) -> DataFrame:
     """(id, simhash): sign-aggregated token-hash bits.
 
     For each token (split on whitespace, lowercased) take its 60-bit
@@ -262,7 +340,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
                    .alias("tok"))
            .where(F.length("tok") > 0)
-           .select("id", md5_long(F.col("tok")).alias("h")))
+           .select("id", hash_fn(F.col("tok")).alias("h")))
     # pre-aggregate (id, token-hash) -> multiplicity BEFORE the x bits
     # explode: the shuffled row count drops by the token-duplication
     # factor (weights are exact, so the signature is unchanged).

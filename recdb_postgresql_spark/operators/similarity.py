@@ -63,10 +63,42 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
 def first_k_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """Deterministic centroids: the k lowest-id vectors. Good enough to
-    exercise/verify the IVF plumbing; swap for MLlib KMeans centers in
-    production."""
+    exercise/verify the IVF plumbing (and to oracle-check it — no
+    RNG); ``kmeans_centroids`` is the production path."""
     return (emb.orderBy(id_col).limit(k)
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")))
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id",
+                     vec_col: str = "embedding", seed: int = 42,
+                     max_iter: int = 10,
+                     sample_fraction: float | None = None) -> DataFrame:
+    """Trained IVF centroids via MLlib KMeans — the production
+    replacement for ``first_k_centroids``: balanced cells mean the
+    per-cell brute-force work is even instead of hostage to whichever
+    vectors happen to have low ids.
+
+    At 100 TB, train on a sample (``sample_fraction``): KMeans quality
+    saturates long before the full corpus, and the fit then reads a
+    few million vectors instead of everything — the standard
+    IVF-build recipe (train on sample, assign everything). The
+    returned (cid, cvec) frame is k rows (driver-built from the fitted
+    centers, like any broadcast dimension); centroid floats are
+    optimizer-dependent, so queries built on it get the driver's
+    rows-only check rather than a value-hash oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter,
+                   featuresCol="features").fit(train)
+    centers = [(i, [float(x) for x in c])
+               for i, c in enumerate(model.clusterCenters())]
+    return emb.sparkSession.createDataFrame(
+        centers, schema="cid int, cvec array<double>")
 
 
 def sq8_quantize(emb: DataFrame, id_col: str = "vec_id",

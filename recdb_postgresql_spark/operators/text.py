@@ -294,14 +294,17 @@ def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2,
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", n: int = 3) -> DataFrame:
+                text_col: str = "text", n: int = 3,
+                hash_fn=md5_long) -> DataFrame:
     """(doc_id, fingerprint): min-shingle-hash document fingerprint
     (one MinHash row) — a stable 60-bit content id robust to word
-    reordering beyond n-gram distance, portable across engines."""
+    reordering beyond n-gram distance. Portable across engines with
+    the md5 default; pass ``hashing.xxhash64_long`` for production
+    throughput (~5x less hashing cost, Spark-only)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return spread_small(docs).select(
         F.col(id_col),
         F.array_min(F.transform(F.array_distinct(sh),
-                                lambda s: md5_long(s))).alias("fingerprint"))
+                                lambda s: hash_fn(s))).alias("fingerprint"))

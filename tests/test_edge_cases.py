@@ -90,18 +90,43 @@ def test_lsh_verified_subset_of_exact(spark):
         assert exact[k] == v                      # identical scores
 
 
-def test_connected_components_raises_on_non_convergence(spark):
-    """A chain longer than max_iters propagation rounds must raise, not
-    return silently-split clusters (ADVICE r1)."""
+def test_connected_components_long_chain_escalates(spark):
+    """A chain longer than max_iters propagation rounds escalates to
+    the O(log n) star algorithm instead of raising (VERDICT r3 #3) —
+    silently-split clusters (ADVICE r1) stay impossible either way."""
     from recdb_postgresql_spark.operators import dedup
 
-    chain = [(i, i + 1) for i in range(12)]       # diameter 12
+    chain = [(i, i + 1) for i in range(25)]       # diameter 25 > 20
     pairs = spark.createDataFrame(chain, "id1 long, id2 long")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iters=2)
-    # and converges fine with enough rounds: one component
-    comp = dedup.connected_components(pairs, max_iters=15).collect()
+    comp = dedup.connected_components(pairs, max_iters=2).collect()
     assert {r.component for r in comp} == {0}
+    assert len(comp) == 26
+    # and converges fine within propagation rounds too: same answer
+    comp = dedup.connected_components(pairs, max_iters=30).collect()
+    assert {r.component for r in comp} == {0}
+
+
+def test_star_components_matches_propagation(spark):
+    """Large-star/small-star agrees with label propagation on a mixed
+    graph (chains + cliques + isolated pair), including component ids
+    (= min id per component)."""
+    import random
+
+    from recdb_postgresql_spark.operators import dedup
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]            # long chain 0..40
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+    edges += [(200, 201)]
+    edges += [(rng.randrange(300, 330), rng.randrange(300, 330))
+              for _ in range(40)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(sorted(set(edges)), "id1 long, id2 long")
+    star = {r.id: r.component
+            for r in dedup.connected_components_star(pairs).collect()}
+    prop = {r.id: r.component
+            for r in dedup.connected_components(pairs, max_iters=50).collect()}
+    assert star == prop
 
 
 def test_jaccard_with_empty_candidates(spark):

@@ -369,3 +369,68 @@ def test_multimodal_resize_excludes_null_dims(spark):
     assert plan_ids == {1}
     assert {r.media_id for r in exec_rows} == {1}
     assert all(r.out_width > 0 and r.out_height > 0 for r in exec_rows)
+
+
+def test_hash_seam_xxhash64(docs):
+    """The production hash seam (VERDICT r3 #5): the dedup flows accept
+    hash_fn=xxhash64_long, and every hash-agnostic output — exact-dup
+    groups, true-Jaccard scores, per-doc fingerprint stability — is
+    identical to the md5 run (the hash is only a join/bucket key)."""
+    from recdb_postgresql_spark.functions.hashing import (md5_long,
+                                                          xxhash64_long)
+
+    md5_groups = {(r.doc_id, r.canonical_id)
+                  for r in dedup.exact_duplicates(docs).collect()}
+    xx_groups = {(r.doc_id, r.canonical_id)
+                 for r in dedup.exact_duplicates(
+                     docs, hash_fn=xxhash64_long).collect()}
+    assert md5_groups == xx_groups == {(1, 1), (3, 1)}
+
+    sh = dedup.word_shingles(docs)
+    md5_j = {(r.id1, r.id2): round(r.jaccard, 9)
+             for r in dedup.jaccard_pairs(
+                 None, 0.3, hashed=dedup.hash_shingles(sh)).collect()}
+    xx_j = {(r.id1, r.id2): round(r.jaccard, 9)
+            for r in dedup.jaccard_pairs(
+                None, 0.3,
+                hashed=dedup.hash_shingles(sh, xxhash64_long)).collect()}
+    assert md5_j == xx_j and md5_j
+
+    # the full verified flow runs end-to-end on the production hash and
+    # its scores agree with exact Jaccard wherever candidates surface
+    xx_ver = {(r.id1, r.id2): round(r.jaccard, 9)
+              for r in dedup.lsh_verified_pairs(
+                  sh, threshold=0.3, num_hashes=8, bands=4,
+                  rows_per_band=2, hash_fn=xxhash64_long).collect()}
+    assert set(xx_ver) <= set(xx_j)
+    for k, v in xx_ver.items():
+        assert xx_j[k] == v
+
+    # simhash on the production hash: exact dups identical, output runs
+    xx_sim = {r.id: r.simhash
+              for r in dedup.simhash(docs, hash_fn=xxhash64_long).collect()}
+    assert xx_sim[1] == xx_sim[3]
+
+
+def test_kmeans_ivf_trained_path(spark):
+    """The production ANN path (VERDICT r3 #6): MLlib-KMeans centroids
+    feed the same ivf_topk plan, and on well-separated clusters the
+    trained cells recover the exact brute-force top-k (each query's
+    true neighbors all live in its own cell)."""
+    import random
+
+    rng = random.Random(3)
+    axes = ([1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0])
+    rows = [(i, [c + rng.uniform(-0.05, 0.05) for c in axes[i % 3]])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_centroids(emb, k=3, max_iter=10)
+    assert cents.count() == 3
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    ivf = {(r.qid, r.vec_id)
+           for r in similarity.ivf_topk(emb, qs, cents, k=5).collect()}
+    brute = {(r.qid, r.vec_id)
+             for r in similarity.brute_force_topk(emb, qs, k=5).collect()}
+    assert ivf == brute and len(ivf) == 15
