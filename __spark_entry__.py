@@ -506,6 +506,37 @@ def q_dedup_clusters(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """The same production near-dup clustering flow, with components
+    via alternating large-star/small-star (the O(log n)-round 100 TB
+    path that label propagation escalates to on high-diameter graphs)
+    — value-hash-checked against the SAME reachability oracle as
+    dedup_clusters, so both algorithms are pinned to one answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    pairs = dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                     bands=4, rows_per_band=2)
+    return dedup.connected_components_star(pairs) \
+        .select(F.col("id").alias("doc_id"), "component")
+
+
+def q_dedup_lsh_verified_xxhash(spark, sf_dir):
+    """The identical verified near-dup flow on the production hash
+    (xxhash64_long instead of md5_long): same plan, ~5x cheaper
+    hashing. Not reproducible outside Spark, so rows-only driver
+    check; the md5 twin (dedup_lsh_verified) carries the value-hash
+    parity and tests/test_operators.py proves the two agree on every
+    hash-agnostic output."""
+    from recdb_postgresql_spark.functions.hashing import xxhash64_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    return dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                    bands=4, rows_per_band=2,
+                                    hash_fn=xxhash64_long) \
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -980,7 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_lsh_verified": q_dedup_lsh_verified,
+        "dedup_lsh_verified_xxhash": q_dedup_lsh_verified_xxhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_fast": q_embedding_neardup_fast,
@@ -1865,4 +1898,7 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
 FROM events
 GROUP BY 1, 2
 """
+    # the star-CC variant must produce the exact same component map as
+    # propagation — one reachability oracle pins both algorithms
+    o["dedup_clusters_star"] = o["dedup_clusters"]
     return o

@@ -58,7 +58,9 @@ HEADLINE = [
     "text_tfidf_top_terms", "events_sessionize", "rec_join_ilike",
     "rollup_lineitem", "cube_order_matrix", "window_running_revenue",
     "rec_peruser_topk", "dedup_lsh_verified",
-    "dedup_clusters", "quantile_prices", "recursive_month_spine",
+    "dedup_clusters", "dedup_clusters_star", "dedup_lsh_verified_xxhash",
+    "ann_ivf_trained",
+    "quantile_prices", "recursive_month_spine",
     "semijoin_order_lines", "leftjoin_null_handling",
     "multimodal_frame_plan", "multimodal_features",
     "multimodal_resize_plan", "rec_als_topk",
