@@ -722,6 +722,50 @@ def q_pii_redaction(spark, sf_dir):
                       md5_long(F.col("clean_text")).alias("clean_fp"))
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (kdb aj / DuckDB ASOF / pandas merge_asof), the
+    temporal feature-engineering operator: each purchase event picks
+    up the user's most recent click value at-or-before its timestamp.
+    Union+window shape (operators/temporal.py) — one shuffle on
+    user_id, NO range join / per-key cross product anywhere; the
+    oracle states the same semantics as a LATERAL top-1 subquery."""
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("purchase_value"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"))
+    out = temporal.asof_join(purchases, clicks, on="user_id",
+                             value_cols=("click_value",),
+                             right_tiebreak="click_id")
+    return out.select("event_id", "user_id", "ts", "purchase_value",
+                      F.round("click_value", 6).alias("click_value"),
+                      "matched_ts")
+
+
+def q_text_bigram_commonality(spark, sf_dir):
+    """Corpus-statistics quality signal: average document frequency of
+    each doc's distinct bigrams — the exact-arithmetic stand-in for an
+    n-gram-LM perplexity filter (rare transitions = noise candidates,
+    high = boilerplate)."""
+    return text.bigram_commonality(load_table(spark, sf_dir, "documents"))
+
+
+def q_docs_contamination(spark, sf_dir):
+    """Decontamination: distinct 5-gram overlap counts between the
+    corpus (doc_id % 50 != 0) and a held-out 'benchmark' slice
+    (doc_id % 50 == 0) — the n-gram-overlap protocol that keeps eval
+    questions out of training data. Benchmark n-gram set is broadcast;
+    corpus rows never shuffle until the per-doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    benchmark = docs.where(F.col("doc_id") % 50 == 0)
+    return text.contamination_flags(corpus, benchmark, n=5)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: duplicate-2gram ratio
     and top-2gram share per document — flags boilerplate/looping text
@@ -1031,6 +1075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_lang_confusion": q_lang_confusion,
         "text_repetition": q_text_repetition,
+        "text_bigram_commonality": q_text_bigram_commonality,
+        "docs_contamination": q_docs_contamination,
+        "events_asof_join": q_events_asof_join,
         "text_pii_redaction": q_pii_redaction,
         "docs_chunked": q_docs_chunked,
         "docs_hash_sample": q_docs_hash_sample,
@@ -1897,6 +1944,57 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+    o["text_bigram_commonality"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+2], ' ') AS gram
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-2, 0))) AS gi(i)
+),
+df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(df) * 1.0 / COUNT(*), 6) AS avg_df
+FROM g JOIN df USING (gram)
+GROUP BY 1
+"""
+    o["docs_contamination"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS gram
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-5, 0))) AS gi(i)
+  WHERE length(array_to_string(toks[i+1:i+5], ' ')) > 0
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g JOIN bench USING (gram)
+WHERE doc_id % 50 != 0
+GROUP BY 1
+"""
+    # the oracle states as-of semantics declaratively (LATERAL top-1
+    # per row) — a deliberately different evaluation strategy from the
+    # engine's union+window plan, so the check is semantic, not plan
+    # mirroring
+    o["events_asof_join"] = """
+SELECT l.event_id, l.user_id, epoch_ns(l.ts) AS ts,
+       ROUND(l.value, 6) AS purchase_value,
+       ROUND(r.value, 6) AS click_value,
+       r.mts AS matched_ts
+FROM events l
+LEFT JOIN LATERAL (
+  SELECT r.value, epoch_ns(r.ts) AS mts
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'click'
+        AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC
+  LIMIT 1
+) r ON TRUE
+WHERE l.event_type = 'purchase'
 """
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms

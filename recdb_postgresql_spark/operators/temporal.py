@@ -1,0 +1,98 @@
+"""Temporal joins over event streams — the as-of/range operators a
+feature-engineering pipeline needs and vanilla SQL joins express badly.
+
+Not part of the RecDB reference surface (it has no time-series
+operators at all — SURVEY §1.4); these are pipeline extensions in the
+spirit of kdb's ``aj`` / DuckDB's ``ASOF JOIN`` / Flink's temporal
+join, built Spark-first.
+
+The classic formulation — an inequality join ``l.ts >= r.ts`` plus a
+per-row argmax — is a range join: Catalyst can only nested-loop it,
+and at 100 TB the l×r blowup within each key is fatal. The scalable
+shape used here is union + window:
+
+1. tag both sides, union them into ONE stream,
+2. one window per key ordered by (ts, side-tag) carrying
+   ``last(right-value, ignorenulls)`` forward,
+3. keep left rows; each has the most recent right row at or before
+   its timestamp.
+
+Cost: one shuffle on the key (same as any keyed join), one sort per
+partition — no cross product anywhere, skew bounded by the hottest
+key exactly like a regular join. This is the standard distributed
+as-of recipe (pandas' merge_asof per-group, made shuffle-parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: tuple[str, ...] = (),
+              strict: bool = False,
+              tolerance: int | None = None,
+              right_tiebreak: str | None = None) -> DataFrame:
+    """For every left row, attach the latest right row with the same
+    ``on`` key and ``right.ts <= left.ts`` (``strict=True``: < instead
+    of <=, the lookahead-safe variant for feature generation — a
+    feature computed AT the label's timestamp is leakage).
+
+    ``value_cols``: the right-side columns to carry (default: all
+    non-key, non-ts columns). ``tolerance``: optional max staleness in
+    the ts unit — matches older than ``left.ts - tolerance`` become
+    NULL, like pandas ``merge_asof(tolerance=...)``.
+
+    Left rows with no prior right row keep NULLs (left-outer
+    semantics). Ties on (key, ts): the right row sorts before the left
+    row (non-strict) so a same-instant match is visible; among
+    same-instant right rows the one with the highest
+    ``right_tiebreak`` value wins ("most recent state at time t").
+    Pass a unique right column (an event id) whenever right
+    timestamps can collide per key — without it Spark's sort leaves
+    equal-key order undefined and the result is nondeterministic.
+
+    Output: all left columns + ``value_cols`` (NULL-filled) +
+    ``matched_ts`` (the matched right row's timestamp, NULL if none).
+    """
+    if not value_cols:
+        value_cols = tuple(c for c in right.columns
+                           if c not in (on, right_ts))
+    # side tag orders right (0) before left (1) at equal ts, so a
+    # same-timestamp right row is visible to the left row unless strict
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    lhs = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(l_tag).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_vts"))
+    tie_type = (right.schema[right_tiebreak].dataType
+                if right_tiebreak else "long")
+    lhs = lhs.withColumn("_tie", F.lit(None).cast(tie_type))
+    rhs = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(r_tag).alias("_side"),
+        F.lit(None).cast(lhs.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(right_ts).alias("_vts"),
+        (F.col(right_tiebreak) if right_tiebreak
+         else F.lit(None).cast("long")).alias("_tie"))
+    w = (Window.partitionBy("_k").orderBy("_ts", "_side", "_tie")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = lhs.unionByName(rhs).select(
+        "_lrow", "_ts",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+          for c in value_cols],
+        F.last("_vts", ignorenulls=True).over(w).alias("_cts"))
+    out = carried.where(F.col("_lrow").isNotNull())
+    fresh: Column = F.lit(True)
+    if tolerance is not None:
+        fresh = F.col("_cts") >= F.col("_ts") - F.lit(tolerance)
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.when(fresh, F.col(f"_c_{c}")).alias(c) for c in value_cols],
+        F.when(fresh, F.col("_cts")).alias("matched_ts"))

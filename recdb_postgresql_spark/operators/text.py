@@ -293,6 +293,75 @@ def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2,
             .where(F.col("shared") >= min_shared))
 
 
+def bigram_commonality(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_df): the corpus-statistics quality
+    signal — the average document frequency of the document's distinct
+    bigrams. The cheap exact-arithmetic stand-in for an n-gram-LM
+    perplexity filter (CCNet-style): documents whose word transitions
+    are rare across the corpus (low avg_df) are jargon/noise/other-
+    language candidates; boilerplate scores high. All-integer counts
+    and one final division, so it hash-checks against a SQL oracle —
+    no logs, no float accumulation order.
+
+    Two map-side-combined shuffles (bigram-hash df, then per-doc agg);
+    the df join lands on the same hash key the aggregate just
+    partitioned by, so Catalyst reuses the exchange. Only (doc_id,
+    int64) rows ever shuffle — the ``repetition_stats`` staging idiom.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    staged = spread_small(docs).select(
+        F.col(id_col),
+        F.transform(F.array_distinct(grams), lambda g: md5_long(g))
+        .alias("_h"))
+    per = staged.select(id_col, F.explode("_h").alias("h"))
+    df = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (per.join(df, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("df").alias("_s"))
+            .select(id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.round(F.col("_s") / F.col("n_bigrams"), 6)
+                    .alias("avg_df")))
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5) -> DataFrame:
+    """(doc_id, n_shared): how many distinct word n-grams each corpus
+    document shares with a benchmark/eval set — the decontamination
+    pass every training corpus runs so test questions don't leak into
+    training data (the standard n-gram-overlap protocol).
+
+    The benchmark's distinct n-gram hash set is tiny next to the
+    corpus (eval sets are thousands of docs, corpora are billions), so
+    the membership probe is a BROADCAST semi-join against the corpus
+    n-gram stream — no shuffle of corpus data at all beyond the final
+    per-doc count. Returns only contaminated docs (n_shared >= 1);
+    anti-join the ids against the corpus to drop them."""
+    def hashed_grams(d: DataFrame) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(idx,
+                            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        # drop the "" gram of empty docs: an empty training doc is not
+        # "contaminated" by an empty benchmark doc
+        nonempty = F.filter(F.array_distinct(grams),
+                            lambda g: F.length(g) > 0)
+        return d.select(
+            F.col(id_col),
+            F.explode(F.transform(nonempty, lambda g: md5_long(g)))
+            .alias("h"))
+
+    bench = hashed_grams(benchmark).select("h").distinct()
+    return (hashed_grams(spread_small(docs))
+            .join(F.broadcast(bench), "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3,
                 hash_fn=md5_long) -> DataFrame:
