@@ -434,3 +434,26 @@ def test_kmeans_ivf_trained_path(spark):
     brute = {(r.qid, r.vec_id)
              for r in similarity.brute_force_topk(emb, qs, k=5).collect()}
     assert ivf == brute and len(ivf) == 15
+
+
+def test_winnow_overlap_stop_fingerprint_cap(spark):
+    """max_doc_freq (VERDICT r3 #4): a boilerplate fingerprint shared
+    by many docs contributes ZERO pairs once capped, while genuine
+    low-frequency overlaps survive untouched."""
+    boiler = "all rights reserved contact us for terms of service"
+    rows = [(i, f"{boiler} page {i}") for i in range(10)]       # template
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta unique one"),
+             (101, "prefix alpha beta gamma delta epsilon zeta eta tail")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = text.winnow_fingerprints(docs, k=3, w=4)
+
+    uncapped = {(r.id1, r.id2)
+                for r in text.winnow_overlap_pairs(fps, min_shared=1).collect()}
+    capped = {(r.id1, r.id2)
+              for r in text.winnow_overlap_pairs(
+                  fps, min_shared=1, max_doc_freq=5).collect()}
+    # the 10-doc template fans out 45 pairs uncapped; all of them die
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 45
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # the genuine 2-doc overlap survives the cap
+    assert (100, 101) in capped and (100, 101) in uncapped
