@@ -904,7 +904,7 @@ def q_rec_als(spark, sf_dir):
 
     ev = _ratings(spark, sf_dir)
     ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
-    um, im = svd.train_als(ratings, rank=8, max_iter=5)
+    um, im = svd.train_als(ratings, rank=8, max_iter=5, num_blocks=4)
     users = ratings.select("user").distinct().where(F.col("user") < 5)
     items = ratings.select("item").distinct()
     return (svd.predict_svd(um, im, users, items)

@@ -153,18 +153,29 @@ def train_funk_svd(spark: SparkSession, ratings_df: DataFrame,
 
 
 def train_als(ratings_df: DataFrame, rank: int = NUM_FEATURES,
-              reg: float = float(PENALTY), max_iter: int = 10) -> tuple[DataFrame, DataFrame]:
+              reg: float = float(PENALTY), max_iter: int = 10,
+              num_blocks: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Distributed path: MLlib ALS with the reference's rank and L2
     strength. Not bit-compatible with Funk SGD, but the same latent
-    factor family — this is what you run at 100 TB."""
+    factor family — this is what you run at 100 TB.
+
+    ``num_blocks`` sizes the user/item factor blocks (MLlib default
+    10). ALS runs 2 shuffles per iteration over those blocks, so at
+    toy scale the fixed per-task cost of ~100 tiny stages IS the
+    runtime — pass a small value (bench uses 4) when ratings fit in a
+    few MB; at real scale size blocks so each holds ~100-500 MB of
+    factors (the same rule as shuffle partitions)."""
     from pyspark.ml.recommendation import ALS
 
     df = ratings_df.select(F.col("user").cast("int").alias("user"),
                            F.col("item").cast("int").alias("item"),
                            F.col("rating").cast("float").alias("rating"))
-    model = ALS(rank=rank, regParam=reg, maxIter=max_iter, seed=42,
-                userCol="user", itemCol="item", ratingCol="rating",
-                coldStartStrategy="drop").fit(df)
+    als = ALS(rank=rank, regParam=reg, maxIter=max_iter, seed=42,
+              userCol="user", itemCol="item", ratingCol="rating",
+              coldStartStrategy="drop")
+    if num_blocks is not None:
+        als = als.setNumBlocks(num_blocks)
+    model = als.fit(df)
     um = (model.userFactors.select(F.col("id").cast("long").alias("users"),
                                    F.posexplode("features"))
           .select("users", F.col("pos").alias("feature"),

@@ -201,23 +201,26 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     frequent n-gram. High values flag boilerplate/looping text that
     the length/stopword quality score misses.
 
-    One pass: the gram array is staged once per row (the
-    ``winnow_fingerprints`` idiom — referencing the array expression in
-    several selects re-evaluates the whole split+transform pipeline per
-    reference), each gram is hashed to a long BEFORE the explode so the
+    One pass: each gram is hashed to a long BEFORE the explode so the
     shuffle carries (doc_id, int64) not gram strings, and all three
     stats fall out of the per-(doc, gram-hash) counts themselves:
     ``n_ngrams = sum(c)``, ``dup_ratio = 1 - count(*)/sum(c)``,
     ``top share = max(c)/sum(c)`` — two map-side-combined aggregations,
-    no join, no stat columns riding through the shuffles. (Was a 14 s
-    triple-recompute plan at sf0.1; this shape runs ~3 s.)"""
+    no join, no stat columns riding through the shuffles. The hash
+    transform is INLINE in the explode, not staged in a named column
+    first: Catalyst collapses the inline form into the Generate, while
+    the select-then-explode form leaves a separate per-row
+    array-materializing Project (measured 8x slower — the inverse of
+    the ``winnow_fingerprints`` case, whose staged array is referenced
+    by w window expressions and must not be recomputed per reference).
+    (Was a 14 s triple-recompute plan at sf0.1; this shape runs ~1 s.)"""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    staged = spread_small(docs).select(
-        F.col(id_col),
-        F.transform(grams, lambda g: md5_long(g)).alias("_h"))
-    counts = (staged.select(id_col, F.explode("_h").alias("h"))
+    counts = (spread_small(docs)
+              .select(F.col(id_col),
+                      F.explode(F.transform(grams, lambda g: md5_long(g)))
+                      .alias("h"))
               .groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c")))
     return (counts.groupBy(id_col)
             .agg(F.sum("c").alias("n_ngrams"),
@@ -304,19 +307,23 @@ def bigram_commonality(docs: DataFrame, id_col: str = "doc_id",
     and one final division, so it hash-checks against a SQL oracle —
     no logs, no float accumulation order.
 
-    Two map-side-combined shuffles (bigram-hash df, then per-doc agg);
-    the df join lands on the same hash key the aggregate just
-    partitioned by, so Catalyst reuses the exchange. Only (doc_id,
-    int64) rows ever shuffle — the ``repetition_stats`` staging idiom.
+    The (doc_id, gram-hash) stream feeds BOTH the corpus-df aggregate
+    and the join leg, so it is localCheckpoint-ed once (the
+    ``lsh_verified_pairs`` idiom — Catalyst does not share subtrees
+    across plan legs, and an uncheckpointed plan re-runs the
+    split+hash scan per leg). The hash transform is INLINE in the
+    explode (see ``repetition_stats`` — the staged-column form defeats
+    Generate collapse and ran 8x slower). Only (doc_id, int64) rows
+    shuffle anywhere.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-    staged = spread_small(docs).select(
-        F.col(id_col),
-        F.transform(F.array_distinct(grams), lambda g: md5_long(g))
-        .alias("_h"))
-    per = staged.select(id_col, F.explode("_h").alias("h"))
+    per = (spread_small(docs)
+           .select(F.col(id_col),
+                   F.explode(F.transform(F.array_distinct(grams),
+                                         lambda g: md5_long(g))).alias("h"))
+           .localCheckpoint(eager=False))
     df = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (per.join(df, "h")
             .groupBy(id_col)

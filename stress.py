@@ -104,11 +104,31 @@ def ann_probe(spark, sf_dir: str, mult: int) -> None:
     print(f"mult={mult} {msg}", flush=True)
 
 
+def cc_probe(spark, n_chain: int) -> None:
+    """Star connected components on a PATH graph of n nodes — the
+    worst case (diameter = n) where label propagation needs n shuffle
+    rounds and a boilerplate-chained 100 TB corpus would stall; the
+    alternating large-star/small-star path must finish in O(log n)
+    rounds regardless."""
+    from recdb_postgresql_spark.operators import dedup
+
+    pairs = (spark.range(n_chain - 1)
+             .select(F.col("id").alias("id1"),
+                     (F.col("id") + 1).alias("id2")))
+    t0 = time.perf_counter()
+    n_comp = (dedup.connected_components_star(pairs)
+              .select("component").distinct().count())
+    t = time.perf_counter() - t0
+    assert n_comp == 1, f"path graph must collapse to 1 component, got {n_comp}"
+    print(f"chain={n_chain} components={n_comp} star_cc_s={t:.1f}", flush=True)
+
+
 def main():
     mults = [int(x) for x in sys.argv[1:]] or [10, 30]
     spark = get_spark("recdb_stress")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = "/root/testdata/sf0.1"
+    cc_probe(spark, 100_000)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     for mult in mults:
