@@ -91,3 +91,34 @@ def test_events_projection_prunes_columns(spark):
     plan = _plan(ratings_from_events(load_table(spark, SF, "events")))
     # ts / event_id / event_type must not be read for the ratings projection
     assert "ReadSchema: struct<user_id:bigint,value:double,props:string>" in plan
+
+
+def test_asof_join_has_no_range_join(spark):
+    """The as-of join must stay a single keyed window — no
+    BroadcastNestedLoopJoin/CartesianProduct (the range-join shape a
+    naive l.ts >= r.ts formulation produces), exactly one Window node,
+    and no join node at all."""
+    plan = _plan(entrymod.queries()["events_asof_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """Decontamination probes the benchmark n-gram set via broadcast:
+    corpus gram rows must NOT shuffle into a SortMergeJoin."""
+    plan = _plan(entrymod.queries()["docs_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_and_bigram_inline_generate(spark):
+    """The gram pipelines must collapse the hash transform INTO the
+    Generate (explode): a separate array-materializing Project defeats
+    whole-stage codegen of the scan leg and ran 8x slower (round 5).
+    Detector: no intermediate array column (`_h`) in the plan."""
+    for name in ("text_repetition", "text_bigram_commonality"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "_h#" not in plan, name
+        assert "BatchEvalPython" not in plan, name
