@@ -722,6 +722,25 @@ def q_pii_redaction(spark, sf_dir):
                       md5_long(F.col("clean_text")).alias("clean_fp"))
 
 
+def q_agg_approx_sketches(spark, sf_dir):
+    """Sketch aggregates — the 100 TB form of COUNT(DISTINCT) and
+    percentiles: HLL++ (approx_count_distinct) and KLL-style quantile
+    sketches (approx_percentile) merge partially on the map side, so
+    no shuffle ever carries distinct values or sorted runs, only
+    constant-size sketches. Estimates are sketch-implementation-
+    specific -> rows-only driver check; the exact twins
+    (agg_distinct_segments, quantile_prices) carry value parity for
+    the same questions, and pytest bounds the relative error."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql("""
+SELECT o_orderpriority,
+       approx_count_distinct(o_custkey, 0.01) AS approx_customers,
+       ROUND(approx_percentile(o_totalprice, 0.5), 6) AS approx_p50
+FROM orders
+GROUP BY o_orderpriority
+""")
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (kdb aj / DuckDB ASOF / pandas merge_asof), the
     temporal feature-engineering operator: each purchase event picks
@@ -1078,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_commonality": q_text_bigram_commonality,
         "docs_contamination": q_docs_contamination,
         "events_asof_join": q_events_asof_join,
+        "agg_approx_sketches": q_agg_approx_sketches,
         "text_pii_redaction": q_pii_redaction,
         "docs_chunked": q_docs_chunked,
         "docs_hash_sample": q_docs_hash_sample,

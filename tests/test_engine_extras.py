@@ -114,3 +114,30 @@ def test_refresh_rates_and_celltype(spark):
     # a quiet interval decays the cell back to Delta
     assert eng.refresh_rates("raterec", interval_s=10.0) == "Delta"
     eng.drop_recommender("raterec")
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL++ distinct counts within 5% of exact; approx_percentile
+    lands between the exact p25 and p75 (it returns a true element at
+    most one rank off at this scale)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.o_orderpriority: (r.approx_customers, r.approx_p50)
+              for r in entrymod.queries()["agg_approx_sketches"](
+                  spark, sf).collect()}
+    from recdb_postgresql_spark.sources.readers import load_table
+    orders = load_table(spark, sf, "orders")
+    exact = {r.o_orderpriority: (r.n, r.p25, r.p50, r.p75)
+             for r in orders.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("n"),
+                  F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+                  F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                  F.expr("percentile(o_totalprice, 0.75)").alias("p75"))
+             .collect()}
+    assert set(approx) == set(exact)
+    for k, (ac, ap50) in approx.items():
+        n, p25, p50, p75 = exact[k]
+        assert abs(ac - n) / n < 0.05, (k, ac, n)
+        assert p25 <= ap50 <= p75, (k, ap50, p50)
