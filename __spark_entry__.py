@@ -765,6 +765,29 @@ def q_events_asof_join(spark, sf_dir):
                       "matched_ts")
 
 
+def q_events_asof_strict(spark, sf_dir):
+    """Leakage-safe as-of variant: strictly-before matches only
+    (strict=True) plus a 1-hour staleness tolerance — the shape a
+    feature pipeline uses so a label's own instant can never leak into
+    its features and stale state nulls out instead of silently
+    matching."""
+    from recdb_postgresql_spark.operators import temporal
+
+    HOUR_NS = 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"))
+    out = temporal.asof_join(purchases, clicks, on="user_id",
+                             value_cols=("click_value",), strict=True,
+                             tolerance=HOUR_NS, right_tiebreak="click_id")
+    return out.select("event_id", "user_id", "ts",
+                      F.round("click_value", 6).alias("click_value"),
+                      "matched_ts")
+
+
 def q_text_bigram_commonality(spark, sf_dir):
     """Corpus-statistics quality signal: average document frequency of
     each doc's distinct bigrams — the exact-arithmetic stand-in for an
@@ -1097,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_commonality": q_text_bigram_commonality,
         "docs_contamination": q_docs_contamination,
         "events_asof_join": q_events_asof_join,
+        "events_asof_strict": q_events_asof_strict,
         "agg_approx_sketches": q_agg_approx_sketches,
         "text_pii_redaction": q_pii_redaction,
         "docs_chunked": q_docs_chunked,
@@ -2011,6 +2035,26 @@ LEFT JOIN LATERAL (
   FROM events r
   WHERE r.user_id = l.user_id AND r.event_type = 'click'
         AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC
+  LIMIT 1
+) r ON TRUE
+WHERE l.event_type = 'purchase'
+"""
+    # strictly-before + staleness window: the most recent prior click
+    # is either inside the tolerance (both sides match it) or not
+    # (both sides yield NULL) — so bounding the LATERAL's scan below
+    # is equivalent to the engine's null-out-stale formulation
+    o["events_asof_strict"] = """
+SELECT l.event_id, l.user_id, epoch_ns(l.ts) AS ts,
+       ROUND(r.value, 6) AS click_value,
+       r.mts AS matched_ts
+FROM events l
+LEFT JOIN LATERAL (
+  SELECT r.value, epoch_ns(r.ts) AS mts
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'click'
+        AND r.ts < l.ts
+        AND epoch_ns(r.ts) >= epoch_ns(l.ts) - 3600000000000
   ORDER BY r.ts DESC, r.event_id DESC
   LIMIT 1
 ) r ON TRUE
