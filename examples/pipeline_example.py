@@ -10,10 +10,15 @@ exercise individually:
   1. language ID            (text.lang_id, keep 'en')
   2. quality floor          (text.quality_score)
   3. repetition filter      (text.repetition_stats, Gopher-style)
-  4. exact dedup            (dedup.exact_duplicates, keep canonical)
-  5. near-dedup             (dedup.lsh_verified_pairs, keep lower id)
-  6. context-window chunks  (text.chunk_documents)
-  7. deterministic sample   (functions.sampling.hash_sample)
+  4. decontamination        (text.contamination_flags vs a held-out
+                             eval slice; n=8 — the corpus's common
+                             closing phrase is only 5 words, so the
+                             8-gram window skips shared boilerplate
+                             and flags real copies only)
+  5. exact dedup            (dedup.exact_duplicates, keep canonical)
+  6. near-dedup             (dedup.lsh_verified_pairs, keep lower id)
+  7. context-window chunks  (text.chunk_documents)
+  8. deterministic sample   (functions.sampling.hash_sample)
 
 Every stage stays one lazy Catalyst plan until the stage counts are
 printed; nothing leaves the JVM (the dedup/verify flow is the
@@ -71,6 +76,14 @@ def run(spark, verbose: bool = True):
         .select("doc_id")
     kept = docs.join(en, "doc_id").join(good, "doc_id").join(tight, "doc_id")
     counts["after_lang_quality_repetition"] = kept.count()
+
+    # decontamination: docs with id % 40 == 2 stand in for the eval
+    # set; drop them from the corpus and anything sharing an 8-gram
+    bench = docs.where(F.col("doc_id") % 40 == 2)
+    kept = kept.where(F.col("doc_id") % 40 != 2)
+    contam = text.contamination_flags(kept, bench, n=8)
+    kept = kept.join(contam.select("doc_id"), "doc_id", "left_anti")
+    counts["after_decontamination"] = kept.count()
 
     ex = dedup.exact_duplicates(kept)
     kept = kept.join(ex.where(F.col("doc_id") != F.col("canonical_id"))
