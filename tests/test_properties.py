@@ -120,3 +120,42 @@ def test_predict_emits_full_grid(spark, rows):
     scored = cf.predict_item_cf(model, r, users, items)
     assert scored.count() == n_u * n_i                # all pairs, incl. rated
     assert scored.where(cf.F.isnan("score")).count() == 0
+
+
+asof_events = st.lists(
+    st.tuples(st.integers(0, 2),          # key
+              st.integers(0, 20),         # ts
+              st.booleans()),             # side: True = right
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=asof_events)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """asof_join == the O(n^2) per-row spec: for each left row, the
+    right row with max (ts, rid) among same-key rows with ts <= l.ts —
+    on arbitrary key/ts collision patterns, including duplicate
+    timestamps on both sides."""
+    from recdb_postgresql_spark.operators import temporal
+
+    left = [(i, k, ts) for i, (k, ts, r) in enumerate(rows) if not r]
+    right = [(i, k, ts, float(i)) for i, (k, ts, r) in enumerate(rows) if r]
+    if not left:
+        return
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(
+        right or [(-1, -999, -999, 0.0)],   # empty right: no matches
+        "rid long, k long, ts long, v double")
+    got = {r.lid: (r.v, r.matched_ts)
+           for r in temporal.asof_join(
+               ldf, rdf, on="k", value_cols=("v",),
+               right_tiebreak="rid").collect()}
+    for lid, k, lts in left:
+        cands = [(ts, rid, v) for rid, rk, ts, v in right
+                 if rk == k and ts <= lts]
+        want = (None, None)
+        if cands:
+            ts, rid, v = max(cands)
+            want = (v, ts)
+        assert got[lid] == want, (lid, got[lid], want)
