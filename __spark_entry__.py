@@ -612,7 +612,8 @@ def q_ann_ivf_trained(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    cents = similarity.kmeans_centroids(emb, k=8, max_iter=5)
+    cents = similarity.kmeans_centroids(emb, k=8, max_iter=5,
+                                        sample_fraction=0.2)
     return similarity.ivf_topk(emb, qs, cents, k=10) \
         .select("qid", "vec_id", "cos", "rank")
 
