@@ -101,6 +101,53 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id",
         centers, schema="cid int, cvec array<double>")
 
 
+def write_ivf_index(emb: DataFrame, centroids: DataFrame, path: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the corpus as an on-disk IVF index: parquet partitioned
+    BY CELL (``.../cell=7/part-*.parquet``). This is the piece that
+    turns IVF from a per-query shuffle into storage layout: at query
+    time only the probed cells' directories are even LISTED, so a
+    100 TB corpus with 10k cells and nprobe=2 reads ~0.02% of its
+    files (static partition pruning — pinned in
+    tests/test_scale_layout.py). Same layout trick as
+    ``sinks.write_bucketed``, keyed by learned cell instead of a
+    column hash."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    (emb.join(assign, id_col)
+     .write.partitionBy("cell").mode("overwrite").parquet(path))
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame,
+                     centroids: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid", qvec_col: str = "qvec",
+                     round_to: int = 6, nprobe: int = 1) -> DataFrame:
+    """``ivf_topk`` against a ``write_ivf_index`` layout: assign each
+    query its ``nprobe`` cells, collect that tiny cell list to the
+    driver (|queries| x nprobe ints — the one legitimate collect: it
+    becomes the pruning predicate), and scan ONLY those partitions.
+    The scored candidate join is the same broadcast + window top-k
+    plan as the in-memory variant."""
+    q_assign = ivf_assign(
+        queries.select(F.col(qid_col).alias(id_col),
+                       F.col(qvec_col).alias(vec_col)),
+        centroids, id_col, vec_col, n=nprobe) \
+        .withColumnRenamed(id_col, qid_col) \
+        .withColumnRenamed("cell", "qcell")
+    probes = queries.join(q_assign, qid_col)
+    cells = [r.qcell for r in probes.select("qcell").distinct().collect()]
+    data = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    cand = (data.join(F.broadcast(probes), F.col("cell") == F.col("qcell"))
+            .where(F.col(id_col) != F.col(qid_col)))
+    scored = cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
+                         F.round(cosine_sim(F.col(vec_col), F.col(qvec_col)),
+                                 round_to).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def sq8_quantize(emb: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """(id, qvec array<int>): symmetric per-vector int8 scalar

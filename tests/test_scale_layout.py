@@ -67,3 +67,33 @@ def test_salted_join_equivalent(spark):
     p = sorted((r.k, r.v, r.name) for r in plain.collect())
     s = sorted((r.k, r.v, r.name) for r in salted.collect())
     assert p == s and len(p) == 55
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the persisted cell layout
+    must (a) return the exact same top-k as in-memory ivf_topk and
+    (b) PRUNE — the scan's partition filter keeps only the probed
+    cells, so unprobed cell directories are never read."""
+    from recdb_postgresql_spark.operators import similarity
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.first_k_centroids(emb, k=8)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, cents, path)
+
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = similarity.ivf_topk_indexed(spark, path, qs, cents, k=5, nprobe=2)
+    mem = similarity.ivf_topk(emb, qs, cents, k=5, nprobe=2)
+    got = sorted((r.qid, r.vec_id, r.cos, r.rank) for r in out.collect())
+    want = sorted((r.qid, r.vec_id, r.cos, r.rank) for r in mem.collect())
+    assert got == want and got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # at most 3 queries x 2 probes distinct cells survive the filter
+    import re
+    m = re.search(r"cell#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:1500]
+    assert len(m.group(1).split(",")) <= 6
