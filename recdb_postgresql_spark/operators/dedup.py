@@ -47,6 +47,48 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "canonical_id", "content_hash"))
 
 
+def write_hash_index(docs: DataFrame, table: str, id_col: str = "doc_id",
+                     text_col: str = "text", hash_fn=md5_long,
+                     buckets: int = 32) -> None:
+    """Persist the corpus's exact-dedup state: one (content_hash,
+    canonical_id) row per distinct content, hash-BUCKETED on disk
+    (``sinks.write_bucketed``) so every later probe joins against it
+    with zero shuffle on the index side. This is the cross-batch half
+    of exact dedup: ``exact_duplicates`` dedups within one frame;
+    an ingest pipeline receiving batch after batch needs yesterday's
+    hashes on disk, not in memory."""
+    from recdb_postgresql_spark.sources.sinks import write_bucketed
+
+    hashed = (docs.select(hash_fn(F.col(text_col)).alias("content_hash"),
+                          F.col(id_col).alias("canonical_id"))
+              .groupBy("content_hash")
+              .agg(F.min("canonical_id").alias("canonical_id")))
+    write_bucketed(hashed, table, "content_hash", buckets=buckets)
+
+
+def dedup_against_index(docs: DataFrame, spark, table: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_fn=md5_long) -> DataFrame:
+    """Incremental-ingest exact dedup: the subset of ``docs`` whose
+    content is NOT already in the persisted hash index, one survivor
+    per distinct new content (min id; intra-batch dups collapse too).
+
+    The anti-join is keyed on the index's bucket column, so the index
+    side reads pre-partitioned with no Exchange (plan-pinned) — at
+    100 TB the index is billions of 16-byte rows but never shuffles;
+    only the (small) incoming batch hashes move. Append the survivors
+    back via ``write_hash_index``-shaped rows (saveAsTable append) to
+    advance the state."""
+    hashed = docs.select(F.col(id_col), F.col(text_col),
+                         hash_fn(F.col(text_col)).alias("content_hash"))
+    w_first = (hashed.groupBy("content_hash")
+               .agg(F.min(id_col).alias(id_col)))
+    fresh_in_batch = hashed.join(w_first, [id_col, "content_hash"])
+    known = spark.table(table).select("content_hash")
+    return fresh_in_batch.join(known, "content_hash", "left_anti") \
+        .select(id_col, text_col, "content_hash")
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).

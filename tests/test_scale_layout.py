@@ -97,3 +97,29 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     m = re.search(r"cell#\d+ IN \(([^)]*)\)", plan)
     assert m, plan[:1500]
     assert len(m.group(1).split(",")) <= 6
+
+
+def test_incremental_dedup_against_hash_index(spark):
+    """Cross-batch exact dedup: batch 2 drops content already indexed
+    from batch 1 AND intra-batch dups, and the probe join reads the
+    bucketed index with no Exchange on the index side."""
+    from recdb_postgresql_spark.operators import dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "seen text one"), (2, "seen text two")],
+        "doc_id long, text string")
+    dedup.write_hash_index(b1, "dedup_idx", buckets=4)
+    b2 = spark.createDataFrame(
+        [(10, "seen text one"),       # known from batch 1 -> dropped
+         (11, "brand new text"),      # survives
+         (12, "brand new text"),      # intra-batch dup -> dropped
+         (13, "another new one")],    # survives
+        "doc_id long, text string")
+    out = dedup.dedup_against_index(b2, spark, "dedup_idx")
+    assert {r.doc_id for r in out.collect()} == {11, 13}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index side must be a bucket-aware scan (pre-partitioned read,
+    # no Exchange needed to align with the join key)
+    assert "SelectedBucketsCount" in plan, plan[:2000]
+    spark.sql("DROP TABLE dedup_idx")
