@@ -3,9 +3,12 @@
 ``entry(spark)`` — flagship RECOMMEND query at sf0.001.
 ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
 the pipeline extensions); each takes (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; keys missing
-here (rec_svd_topk) are non-SQL-expressible (sequential SGD) and get
-the driver's rows-only check.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; the keys
+missing here are non-SQL-expressible BY NATURE and get the driver's
+rows-only check: rec_svd_topk / rec_als_topk (sequential SGD / MLlib
+optimizer), ann_ivf_trained (KMeans centroid floats),
+dedup_lsh_verified_xxhash (Spark-native hash, no DuckDB twin) — each
+has an oracle-checked deterministic twin of the same plan shape.
 
 Column names and float rounding (6 dp unless noted) are matched
 between both sides so the driver's order-insensitive value-hash

@@ -141,3 +141,22 @@ def test_approx_sketches_error_bounds(spark):
         n, p25, p50, p75 = exact[k]
         assert abs(ac - n) / n < 0.05, (k, ac, n)
         assert p25 <= ap50 <= p75, (k, ap50, p50)
+
+
+def test_cluster_conf_scales_with_inputs(spark):
+    """cluster_conf (the 100 TB knob sheet) must scale shuffle
+    partitions with BOTH total cores and data volume, keep AQE +
+    skew-join on, and stay consumable by SparkSession.conf.set
+    (string values only)."""
+    from recdb_postgresql_spark.engine import cluster_conf
+
+    small = cluster_conf(events_tb=1.0, executors=10, cores_per_executor=4)
+    big = cluster_conf(events_tb=100.0, executors=1000, cores_per_executor=4)
+    assert int(big["spark.sql.shuffle.partitions"]) > \
+        int(small["spark.sql.shuffle.partitions"])
+    # volume floor: 100 TB / 200 MB blocks
+    assert int(big["spark.sql.shuffle.partitions"]) >= 100 * 1024 * 1024 // 200
+    for conf in (small, big):
+        assert conf["spark.sql.adaptive.enabled"] == "true"
+        assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+        assert all(isinstance(v, str) for v in conf.values())
