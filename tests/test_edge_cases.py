@@ -138,3 +138,16 @@ def test_jaccard_with_empty_candidates(spark):
     empty = spark.createDataFrame([], "id1 long, id2 long")
     out = dedup.jaccard_pairs(sh, threshold=0.1, candidates=empty)
     assert out.count() == 0
+
+
+def test_star_components_trivial_graphs(spark):
+    """Star CC edges: empty pair set -> empty result; single pair ->
+    one two-node component labeled by the min id."""
+    from recdb_postgresql_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    assert dedup.connected_components_star(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "id1 long, id2 long")
+    got = {(r.id, r.component)
+           for r in dedup.connected_components_star(one).collect()}
+    assert got == {(3, 3), (7, 3)}
