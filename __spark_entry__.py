@@ -726,6 +726,28 @@ def q_pii_redaction(spark, sf_dir):
                       md5_long(F.col("clean_text")).alias("clean_fp"))
 
 
+def q_geo_knn_join(spark, sf_dir):
+    """Grid-bucketed spatial k-NN join (operators/geo.py) — the range
+    join the reference's orphaned GeoSocial/venues.dat would need:
+    deterministic synthetic coordinates from customer keys (portable
+    md5 arithmetic), 3x3 neighbor-cell equi-join, squared planar
+    distance, per-query top-5. No inequality join or cross product
+    anywhere (plan-pinned)."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+    from recdb_postgresql_spark.operators import geo
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((md5_long(F.concat(F.lit("gx:"), key)) % 10000) / 100.0).alias("x"),
+        ((md5_long(F.concat(F.lit("gy:"), key)) % 10000) / 100.0).alias("y"))
+    qs = pts.where(F.col("pid") <= 5).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx"),
+        F.col("y").alias("qy"))
+    return geo.grid_knn_join(pts, qs, k=5, cell=5.0)
+
+
 def q_agg_approx_sketches(spark, sf_dir):
     """Sketch aggregates — the 100 TB form of COUNT(DISTINCT) and
     percentiles: HLL++ (approx_count_distinct) and KLL-style quantile
@@ -1126,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_asof_strict": q_events_asof_strict,
         "agg_approx_sketches": q_agg_approx_sketches,
+        "geo_knn_join": q_geo_knn_join,
         "text_pii_redaction": q_pii_redaction,
         "docs_chunked": q_docs_chunked,
         "docs_hash_sample": q_docs_hash_sample,
@@ -2063,6 +2086,34 @@ LEFT JOIN LATERAL (
   LIMIT 1
 ) r ON TRUE
 WHERE l.event_type = 'purchase'
+"""
+    # the oracle mirrors the grid contract declaratively: candidates =
+    # points whose cell is within +-1 of the query's cell on both axes
+    gx = MD5L.format(x="concat('gx:', CAST(c_custkey AS VARCHAR))")
+    gy = MD5L.format(x="concat('gy:', CAST(c_custkey AS VARCHAR))")
+    o["geo_knn_join"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         (({gx}) % 10000) / 100.0 AS x,
+         (({gy}) % 10000) / 100.0 AS y
+  FROM customer
+),
+q AS (SELECT pid AS qid, x AS qx, y AS qy FROM pts WHERE pid <= 5),
+cand AS (
+  SELECT q.qid, p.pid,
+         ROUND((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy), 6) AS dist2
+  FROM pts p, q
+  WHERE p.pid != q.qid
+    AND floor(p.x/5.0) BETWEEN floor(q.qx/5.0)-1 AND floor(q.qx/5.0)+1
+    AND floor(p.y/5.0) BETWEEN floor(q.qy/5.0)-1 AND floor(q.qy/5.0)+1
+),
+r AS (
+  SELECT qid, pid, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dist2, pid) AS INT) AS rank
+  FROM cand
+)
+SELECT qid, pid, dist2, rank FROM r WHERE rank <= 5
 """
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms

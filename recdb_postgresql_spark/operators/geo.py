@@ -1,0 +1,75 @@
+"""Spatial joins — the grid-bucketed k-NN/range pattern.
+
+The reference ships a location dataset with no consuming operator
+(``PostgreSQL/GeoSocial/venues.dat`` — id;lat;lon rows, an orphaned
+asset: no recathon code reads it). This module is the Spark-first
+counterpart a location-aware recommender (LARS-style) would need, and
+the second member of the "joins Spark expresses badly" family next to
+``temporal.asof_join``: a naive distance join is an inequality join
+(``dist(p, q) <= r``), which Catalyst can only nested-loop — fatal at
+scale.
+
+The scalable shape is GRID BUCKETING (the integer-cell form of a
+geohash index): snap every point to a cell of side ``cell``; a query
+fans out to its 3x3 neighbor cells and equi-joins on the cell id, so
+candidate volume is O(points in 9 cells), never |P| x |Q|. Standard
+guarantee: every neighbor within ``cell`` distance is found
+(a radius-r query needs cell >= r); distant same-cell stragglers are
+scored and ranked out, never wrongly dropped.
+
+Distances here are squared planar deltas — pure arithmetic, so the
+operator value-hash-checks against a SQL oracle (haversine's libm
+trig is last-ulp engine-dependent; at city scale the planar error is
+irrelevant and a production variant would swap the distance lambda).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_grid_cell(df: DataFrame, x_col: str, y_col: str,
+                   cell: float) -> DataFrame:
+    """Append integer grid coordinates (cx, cy): floor(coord / cell).
+    One narrow projection — the write-side of a spatial layout (pair
+    with ``sinks.write_bucketed`` on (cx, cy) or partitionBy for a
+    persisted spatial index, exactly like ``similarity.write_ivf_index``)."""
+    return df.withColumn("cx", F.floor(F.col(x_col) / cell).cast("long")) \
+             .withColumn("cy", F.floor(F.col(y_col) / cell).cast("long"))
+
+
+def grid_knn_join(points: DataFrame, queries: DataFrame, k: int = 5,
+                  cell: float = 1.0,
+                  id_col: str = "pid", x_col: str = "x", y_col: str = "y",
+                  qid_col: str = "qid", qx_col: str = "qx",
+                  qy_col: str = "qy", round_to: int = 6) -> DataFrame:
+    """(qid, pid, dist2, rank<=k): each query's k nearest points by
+    squared planar distance among candidates in its 3x3 neighbor
+    cells. Exact for any neighbor within ``cell`` distance; beyond
+    that the grid contract applies (raise ``cell`` or probe wider).
+
+    Plan shape: points get a cell id (narrow map); each query expands
+    to 9 (cell, query) probe rows — a broadcast, queries are the small
+    side — and the candidate join is a pure equi-join on (cx, cy).
+    No inequality join, no cross product (plan-pinned). Ties break on
+    pid for determinism."""
+    p = with_grid_cell(points, x_col, y_col, cell)
+    q = with_grid_cell(queries, qx_col, qy_col, cell)
+    probes = (q.select(qid_col, qx_col, qy_col, "cx", "cy")
+              .withColumn("dx", F.explode(F.expr("sequence(-1, 1)")))
+              .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
+              .select(qid_col, qx_col, qy_col,
+                      (F.col("cx") + F.col("dx")).alias("pcx"),
+                      (F.col("cy") + F.col("dy")).alias("pcy")))
+    cand = (p.join(F.broadcast(probes),
+                   (F.col("cx") == F.col("pcx"))
+                   & (F.col("cy") == F.col("pcy")))
+            .where(F.col(id_col) != F.col(qid_col)))
+    d2 = ((F.col(x_col) - F.col(qx_col)) * (F.col(x_col) - F.col(qx_col))
+          + (F.col(y_col) - F.col(qy_col)) * (F.col(y_col) - F.col(qy_col)))
+    scored = cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
+                         F.round(d2, round_to).alias("dist2"))
+    w = Window.partitionBy("qid").orderBy("dist2", id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,57 @@
+"""Grid-bucketed spatial k-NN join (operators/geo.py): exactness
+within the grid contract, and the no-cross-product plan shape."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import geo
+
+
+def _pts(spark, rows, schema="pid long, x double, y double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_grid_knn_matches_bruteforce_when_cell_covers_space(spark):
+    """With cell >= the space's extent, the 3x3 probe covers every
+    point, so grid k-NN must equal exact brute-force k-NN."""
+    rng = random.Random(11)
+    rows = [(i, rng.uniform(0, 9.9), rng.uniform(0, 9.9))
+            for i in range(60)]
+    pts = _pts(spark, rows)
+    qs = pts.where(F.col("pid") < 4).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx"),
+        F.col("y").alias("qy"))
+    got = {(r.qid, r.rank): r.pid
+           for r in geo.grid_knn_join(pts, qs, k=3, cell=10.0).collect()}
+    brute = {}
+    for qid, qx, qy in ((r.pid, r.x, r.y) for r in pts.collect()
+                        if r.pid < 4):
+        ds = sorted((round((x - qx) ** 2 + (y - qy) ** 2, 6), pid)
+                    for pid, x, y in rows if pid != qid)
+        for rank, (d, pid) in enumerate(ds[:3], 1):
+            brute[(qid, rank)] = pid
+    assert got == brute
+
+
+def test_grid_contract_finds_all_within_cell_radius(spark):
+    """Every point within `cell` distance of a query MUST appear among
+    its candidates (rank holds under k=large), even across cell
+    boundaries."""
+    rows = [(1, 0.95, 0.95), (2, 1.05, 1.05),    # straddle cell corner
+            (3, 0.05, 0.05), (4, 1.95, 1.95)]
+    pts = _pts(spark, rows)
+    qs = _pts(spark, [(1, 0.95, 0.95)], "qid long, qx double, qy double")
+    got = {r.pid for r in geo.grid_knn_join(pts, qs, k=10, cell=1.0).collect()}
+    assert {2, 3, 4} <= got                      # all within sqrt(2) <= ... found
+
+
+def test_grid_knn_plan_has_no_cross_product(spark):
+    from recdb_postgresql_spark.sources.readers import load_table
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["geo_knn_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
