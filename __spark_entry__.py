@@ -748,6 +748,25 @@ def q_geo_knn_join(spark, sf_dir):
     return geo.grid_knn_join(pts, qs, k=5, cell=5.0)
 
 
+def q_geo_range_join(spark, sf_dir):
+    """Grid-bucketed spatial RANGE join: every point within radius 5 of
+    each probe customer. Exact (cell side = radius -> the 3x3 cover is
+    complete); the inequality only filters inside neighbor cells."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+    from recdb_postgresql_spark.operators import geo
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((md5_long(F.concat(F.lit("gx:"), key)) % 10000) / 100.0).alias("x"),
+        ((md5_long(F.concat(F.lit("gy:"), key)) % 10000) / 100.0).alias("y"))
+    qs = pts.where(F.col("pid") <= 3).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx"),
+        F.col("y").alias("qy"))
+    return geo.grid_range_join(pts, qs, radius=5.0)
+
+
 def q_agg_approx_sketches(spark, sf_dir):
     """Sketch aggregates — the 100 TB form of COUNT(DISTINCT) and
     percentiles: HLL++ (approx_count_distinct) and KLL-style quantile
@@ -1149,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_strict": q_events_asof_strict,
         "agg_approx_sketches": q_agg_approx_sketches,
         "geo_knn_join": q_geo_knn_join,
+        "geo_range_join": q_geo_range_join,
         "text_pii_redaction": q_pii_redaction,
         "docs_chunked": q_docs_chunked,
         "docs_hash_sample": q_docs_hash_sample,
@@ -2114,6 +2134,22 @@ r AS (
   FROM cand
 )
 SELECT qid, pid, dist2, rank FROM r WHERE rank <= 5
+"""
+    o["geo_range_join"] = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         (({gx}) % 10000) / 100.0 AS x,
+         (({gy}) % 10000) / 100.0 AS y
+  FROM customer
+),
+q AS (SELECT pid AS qid, x AS qx, y AS qy FROM pts WHERE pid <= 3)
+SELECT q.qid, p.pid,
+       ROUND((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy), 6) AS dist2
+FROM pts p, q
+WHERE p.pid != q.qid
+  AND floor(p.x/5.0) BETWEEN floor(q.qx/5.0)-1 AND floor(q.qx/5.0)+1
+  AND floor(p.y/5.0) BETWEEN floor(q.qy/5.0)-1 AND floor(q.qy/5.0)+1
+  AND ROUND((p.x-q.qx)*(p.x-q.qx) + (p.y-q.qy)*(p.y-q.qy), 6) <= 25.0
 """
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms

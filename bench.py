@@ -67,7 +67,7 @@ HEADLINE = [
     "ann_ivf_multiprobe", "embedding_neardup_ivf2",
     "pipeline_clean_docs", "ann_sq8_topk", "doc_winnow_fingerprints",
     "docs_chunked", "docs_hash_sample",
-    "events_asof_join", "text_bigram_commonality", "docs_contamination", "geo_knn_join",
+    "events_asof_join", "text_bigram_commonality", "docs_contamination", "geo_knn_join", "geo_range_join",
     "setop_customer_activity", "values_scan_join", "string_functions",
     "date_functions", "case_priority_matrix", "agg_distinct_segments",
 ]

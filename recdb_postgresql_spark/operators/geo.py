@@ -39,6 +39,37 @@ def with_grid_cell(df: DataFrame, x_col: str, y_col: str,
              .withColumn("cy", F.floor(F.col(y_col) / cell).cast("long"))
 
 
+def grid_range_join(points: DataFrame, queries: DataFrame, radius: float,
+                    id_col: str = "pid", x_col: str = "x", y_col: str = "y",
+                    qid_col: str = "qid", qx_col: str = "qx",
+                    qy_col: str = "qy", round_to: int = 6) -> DataFrame:
+    """(qid, pid, dist2): ALL points within ``radius`` of each query —
+    the literal range join, grid-bucketed so the inequality predicate
+    only ever filters within 3x3 neighbor cells (cell side = radius,
+    which makes the neighbor-cell cover exact: any point within
+    ``radius`` is at most one cell away on each axis). EXACT, unlike
+    k-NN's grid contract — the cell size is derived from the radius.
+    Candidate volume is O(|Q| x density x 9 cells), never |P| x |Q|."""
+    cell = radius
+    p = with_grid_cell(points, x_col, y_col, cell)
+    q = with_grid_cell(queries, qx_col, qy_col, cell)
+    probes = (q.select(qid_col, qx_col, qy_col, "cx", "cy")
+              .withColumn("dx", F.explode(F.expr("sequence(-1, 1)")))
+              .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
+              .select(qid_col, qx_col, qy_col,
+                      (F.col("cx") + F.col("dx")).alias("pcx"),
+                      (F.col("cy") + F.col("dy")).alias("pcy")))
+    cand = (p.join(F.broadcast(probes),
+                   (F.col("cx") == F.col("pcx"))
+                   & (F.col("cy") == F.col("pcy")))
+            .where(F.col(id_col) != F.col(qid_col)))
+    d2 = ((F.col(x_col) - F.col(qx_col)) * (F.col(x_col) - F.col(qx_col))
+          + (F.col(y_col) - F.col(qy_col)) * (F.col(y_col) - F.col(qy_col)))
+    return (cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
+                        F.round(d2, round_to).alias("dist2"))
+            .where(F.col("dist2") <= radius * radius))
+
+
 def grid_knn_join(points: DataFrame, queries: DataFrame, k: int = 5,
                   cell: float = 1.0,
                   id_col: str = "pid", x_col: str = "x", y_col: str = "y",

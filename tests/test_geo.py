@@ -55,3 +55,22 @@ def test_grid_knn_plan_has_no_cross_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_grid_range_join_exact_vs_bruteforce(spark):
+    """Range join is EXACT (cell = radius): equals the brute-force
+    radius filter on random points, including cross-cell neighbors."""
+    rng = random.Random(23)
+    rows = [(i, rng.uniform(0, 30), rng.uniform(0, 30)) for i in range(80)]
+    pts = _pts(spark, rows)
+    qs = pts.where(F.col("pid") < 5).select(
+        F.col("pid").alias("qid"), F.col("x").alias("qx"),
+        F.col("y").alias("qy"))
+    got = {(r.qid, r.pid) for r in
+           geo.grid_range_join(pts, qs, radius=4.0).collect()}
+    brute = {(qid, pid)
+             for qid, qx, qy in ((r.pid, r.x, r.y) for r in pts.collect()
+                                 if r.pid < 5)
+             for pid, x, y in rows
+             if pid != qid and round((x - qx) ** 2 + (y - qy) ** 2, 6) <= 16.0}
+    assert got == brute and got
