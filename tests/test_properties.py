@@ -159,3 +159,29 @@ def test_asof_join_matches_bruteforce(spark, rows):
             ts, rid, v = max(cands)
             want = (v, ts)
         assert got[lid] == want, (lid, got[lid], want)
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=graph_edges)
+def test_star_cc_equals_propagation(spark, edges):
+    """Alternating large-star/small-star produces the identical
+    (id -> min-reachable-id) map as label propagation on arbitrary
+    random graphs — self-loops dropped, duplicates collapsed."""
+    from recdb_postgresql_spark.operators import dedup
+
+    edges = sorted({(a, b) if a < b else (b, a)
+                    for a, b in edges if a != b})
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    star = {r.id: r.component
+            for r in dedup.connected_components_star(pairs).collect()}
+    prop = {r.id: r.component
+            for r in dedup.connected_components(pairs, max_iters=40).collect()}
+    assert star == prop
