@@ -70,6 +70,9 @@ HEADLINE = [
     "events_asof_join", "text_bigram_commonality", "docs_contamination", "geo_knn_join", "geo_range_join",
     "setop_customer_activity", "values_scan_join", "string_functions",
     "date_functions", "case_priority_matrix", "agg_distinct_segments",
+    "agg_approx_sketches", "doc_winnow_overlap_pairs", "docs_lang_cap",
+    "events_asof_strict", "rec_itemcos_model", "recsql_join_topk",
+    "text_lang_confusion",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
