@@ -6,19 +6,28 @@ per-query number is the MIN across reps (the warm, steady-state cost —
 single-run numbers drifted +/-30% on unchanged queries between rounds
 purely from JIT/suite-order noise).
 
-Output contract (the driver tail-captures stdout): exactly ONE JSON
-line, kept deliberately small —
-{"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "reps": N, "sf": <float>}
-Everything verbose (per-query spread across reps, error tracebacks,
-the scaling-slope section) goes to BENCH_DETAIL.json next to this
-file instead: round 3's official record was lost when adding the
-spread dict pushed the printed line past the driver's capture buffer.
+Output contract (the driver keeps the LAST 2000 CHARS of stdout —
+measured from BENCH_r05.json, whose "tail" field is exactly 2000
+chars and starts mid-line): exactly ONE JSON line, and the line must
+fit the window WHOLE. Rounds 3-5 all lost the official record to this
+(spread dict, rc=1 crash, then the 85-entry per-query dict at ~2.5 KB
+— the start of the line, with "value", fell out of the window). So
+the printed line now carries only scalars plus a FIXED dozen flagship
+timings (~600 bytes, asserted < 1500 in build_output and pinned by
+tests/test_bench_contract.py); the full per-query min dict, spreads,
+slope section, and error tracebacks all live in BENCH_DETAIL.json
+next to this file. "r1_common_value" is the sum over the 35 queries
+shared with the r1 recorded baseline (BASELINE.md's round-over-round
+comparison number, 83.3 s at r1) computed here so the record carries
+it directly.
 
-Resilience: a query that raises is recorded in "errors" (name ->
-first line of the exception) and costs the suite nothing else — one
-broken query must not zero out the whole round's record (round 4's
-record was an rc=1 traceback).
+Resilience: a query that raises is recorded in "errors" (count on
+the printed line, name -> traceback in BENCH_DETAIL.json) and costs
+the suite nothing else — one broken query must not zero out the whole
+round's record (round 4's record was an rc=1 traceback). A query that
+succeeded on an earlier rep KEEPS that timing (the error is recorded
+alongside, "partial" in the detail file) — dropping it silently
+shrank round-over-round totals.
 
 Scaling slopes: the priciest queries also run at sf0.01
 (key suffixed "@sf0.01") so round-over-round numbers carry two data
@@ -73,14 +82,73 @@ HEADLINE = [
     "agg_approx_sketches", "doc_winnow_overlap_pairs", "docs_lang_cap",
     "events_asof_strict", "rec_itemcos_model", "recsql_join_topk",
     "text_lang_confusion",
+    # round 6: persisted-index probes (indexes built in warmup, so the
+    # timed reps measure the amortized probe), time-decay CF, and the
+    # skew-bounded as-of variant
+    "ann_ivf_indexed", "dedup_incremental", "ann_ivf_trained_probe",
+    "rec_itemcos_halflife", "events_asof_bucketed",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
+# (+ events_hourly_rollup: crashed r4 on the timestamp encoding — a
+# slope row guards the readers.py normalization fix round over round)
 SLOPE = [
     "text_repetition", "embedding_neardup_ivf2", "rec_als_topk",
     "pipeline_clean_docs", "embedding_neardup_ivf", "dedup_clusters",
-    "ann_ivf_multiprobe", "dedup_minhash_lsh",
+    "ann_ivf_multiprobe", "dedup_minhash_lsh", "events_hourly_rollup",
 ]
+
+# the 35 queries shared with the r1 recorded baseline (BENCH_r01.json)
+# — BASELINE.md's round-over-round comparison set. Do not edit: the
+# point is a stable basket.
+R1_COMMON = [
+    "ann_cosine_topk", "ann_ivf_topk", "dedup_clusters", "dedup_exact",
+    "dedup_lsh_verified", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprint", "embedding_neardup",
+    "embedding_neardup_fast", "events_hourly_rollup", "events_sessionize",
+    "leftjoin_null_handling", "multimodal_features", "multimodal_frame_plan",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+    "quantile_prices", "rec_itemcos_scorefilter", "rec_itemcos_topk",
+    "rec_itempear_topk", "rec_join_ilike", "rec_peruser_topk",
+    "rec_usercos_topk", "rec_userpear_topk", "recursive_month_spine",
+    "rollup_lineitem", "semijoin_order_lines",
+    "subquery_above_avg_customers", "text_quality", "text_tfidf_top_terms",
+    "text_token_stats", "window_top_orders_per_customer",
+]
+
+# fixed flagship basket printed on the headline line (small by design;
+# everything else is in BENCH_DETAIL.json)
+FLAGSHIP = [
+    "q1_pricing_summary", "rec_itemcos_topk", "rec_als_topk",
+    "dedup_minhash_lsh", "dedup_clusters_star", "embedding_neardup_ivf",
+    "ann_ivf_topk", "ann_ivf_indexed", "dedup_incremental",
+    "text_repetition", "pipeline_clean_docs", "events_asof_join",
+]
+
+
+def build_output(times: dict, errors: dict, reps: int, sf: float) -> dict:
+    """The printed headline record. MUST serialize well under the
+    driver's 2000-char stdout tail window (asserted here; pinned with
+    a worst-case registry in tests/test_bench_contract.py)."""
+    in_total = set(HEADLINE) | {"rec_svd_topk@sf0.01"}
+    total = round(sum(t for n, t in times.items() if n in in_total), 3)
+    common = {n: t for n, t in times.items() if n in R1_COMMON}
+    out = {
+        "metric": "recdb_spark headline suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "r1_common_value": round(sum(common.values()), 3),
+        "r1_common_n": len(common),
+        "errors": len(errors),
+        "reps": reps,
+        "sf": sf,
+        "queries": {n: times[n] for n in FLAGSHIP if n in times},
+    }
+    if len(json.dumps(out)) > 1500:  # belt + suspenders vs the window
+        out.pop("queries")
+    assert len(json.dumps(out)) <= 1500, "headline line outgrew the driver window"
+    return out
 
 
 def main() -> None:
@@ -113,6 +181,10 @@ def main() -> None:
     from recdb_postgresql_spark.sources.readers import load_table
     for t in ("documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
+    # persisted indexes + trained centroids: built ONCE here so the
+    # timed reps of ann_ivf_indexed / dedup_incremental /
+    # ann_ivf_trained_probe measure the probe, not the build
+    entrymod.build_bench_indexes(spark, sf_dir)
 
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -126,31 +198,22 @@ def main() -> None:
             try:
                 queries[name](spark, d).count()  # forces full execution
                 runs.setdefault(key, []).append(time.perf_counter() - t0)
-            except Exception as exc:  # record, keep benching the rest
+            except Exception as exc:  # record, keep benching the rest;
+                # an earlier successful rep's timing is KEPT (partial)
                 errors[key] = f"{type(exc).__name__}: {exc}".split("\n")[0][:160]
                 tracebacks[key] = traceback.format_exc()
-                runs.pop(key, None)
 
     times = {n: round(min(ts), 3) for n, ts in runs.items()}
     # value = headline suite + the pinned SVD entry (the r1-r3 total's
     # composition); the new @sf0.01 slope entries are informational only
-    in_total = set(HEADLINE) | {"rec_svd_topk@sf0.01"}
-    total = round(sum(t for n, t in times.items() if n in in_total), 3)
-    out = {
-        "metric": "recdb_spark headline suite wall-clock",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "reps": reps,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = errors
+    out = build_output(times, errors, reps, sf)
     detail = {
+        "queries": times,
         "queries_spread": {n: round(max(ts) - min(ts), 3)
                            for n, ts in runs.items() if len(ts) > 1},
         "slope_sf": SLOPE,
         "errors": tracebacks,
+        "partial": sorted(set(errors) & set(times)),
         "n_queries": len(times),
         "cpus": cpus,
     }

@@ -138,7 +138,9 @@ class RecEngine:
                   user_where: Optional[Column] = None,
                   where: Optional[Column] = None,
                   k: Optional[int] = None,
-                  round_to: Optional[int] = None) -> DataFrame:
+                  round_to: Optional[int] = None,
+                  ts_col: Optional[str] = None,
+                  half_life: Optional[float] = None) -> DataFrame:
         """The RECOMMEND clause as a DataFrame pipeline.
 
         Semantics follow ExecFilterRecommend (``execRecommend.c:302-595``):
@@ -156,7 +158,10 @@ class RecEngine:
         # pushable predicates (user-WHERE prunes the rated-list branch at
         # the parquet scan); a cache would materialize the unfiltered
         # aggregate and block that pushdown (measured 2-5x slower).
-        ratings = cf.normalize_events(events, userkey, itemkey, eventval)
+        # ts_col/half_life: recency weighting (cf.normalize_events);
+        # None = the reference's unweighted semantics, identical plan
+        ratings = cf.normalize_events(events, userkey, itemkey, eventval,
+                                      ts_col=ts_col, half_life=half_life)
         info = self.catalog.get(name) if name else None
         if info is not None:
             models = self.catalog.load_models(info, self.spark)

@@ -42,24 +42,48 @@ from pyspark.sql import functions as F
 # ----------------------------------------------------------------------
 
 def normalize_events(events: DataFrame, userkey: str, itemkey: str,
-                     eventval: str) -> DataFrame:
+                     eventval: str, ts_col: str | None = None,
+                     half_life: float | None = None) -> DataFrame:
     """Canonical (user, item, rating) with one row per (user, item).
 
     The reference streams raw event rows into its model builders; when
     the same (user,item) occurs more than once this engine defines the
     rating as the average event value (a deliberate, documented choice —
     the oracle SQL in the test harness applies the same rule).
+
+    Time decay (``half_life``, in the units of ``ts_col``): each event
+    value is weighted 2^(-age/half_life), age measured from the NEWEST
+    event in the frame, so rating = avg(value * weight). Recency
+    weighting is the one capability a production recommender needs that
+    the reference stores data for but never uses: install.pl:74 creates
+    ``ratingts`` and no recathon code reads it. The reference epoch is
+    a broadcast one-row aggregate, NOT a global window — an OVER ()
+    window would drag the whole events table through one partition at
+    100 TB. The age difference is computed in exact integer arithmetic
+    before the cast to double. ``half_life=None`` takes the identical
+    plan as before (no extra nodes) — pinned in test_cf_semantics.
     """
-    return (
-        events.select(
-            F.col(userkey).alias("user"),
-            F.col(itemkey).alias("item"),
-            F.col(eventval).cast("double").alias("r"),
-        )
-        .where(F.col("user").isNotNull() & F.col("item").isNotNull() & F.col("r").isNotNull())
-        .groupBy("user", "item")
-        .agg(F.avg("r").alias("rating"))
-    )
+    cols = [
+        F.col(userkey).alias("user"),
+        F.col(itemkey).alias("item"),
+        F.col(eventval).cast("double").alias("r"),
+    ]
+    keep = (F.col("user").isNotNull() & F.col("item").isNotNull()
+            & F.col("r").isNotNull())
+    if half_life is not None:
+        if ts_col is None:
+            raise ValueError("half_life requires ts_col")
+        cols.append(F.col(ts_col).cast("long").alias("_ts"))
+        base = events.select(*cols).where(keep & F.col("_ts").isNotNull())
+        tmax = base.agg(F.max("_ts").alias("_tmax"))
+        base = base.crossJoin(F.broadcast(tmax)).withColumn(
+            "r", F.col("r") * F.pow(
+                F.lit(2.0),
+                (F.col("_ts") - F.col("_tmax")).cast("double")
+                / F.lit(float(half_life))))
+    else:
+        base = events.select(*cols).where(keep)
+    return base.groupBy("user", "item").agg(F.avg("r").alias("rating"))
 
 
 # ----------------------------------------------------------------------

@@ -57,6 +57,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Output: all left columns + ``value_cols`` (NULL-filled) +
     ``matched_ts`` (the matched right row's timestamp, NULL if none).
     """
+    value_cols, lhs, rhs = _tagged_sides(left, right, on, left_ts,
+                                         right_ts, value_cols, strict,
+                                         right_tiebreak)
+    w = (Window.partitionBy("_k").orderBy("_ts", "_side", "_tie")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = lhs.unionByName(rhs).select(
+        "_lrow", "_ts",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+          for c in value_cols],
+        F.last("_vts", ignorenulls=True).over(w).alias("_cts"))
+    out = carried.where(F.col("_lrow").isNotNull())
+    return _emit(out, left.columns, value_cols, tolerance)
+
+
+def _tagged_sides(left, right, on, left_ts, right_ts, value_cols,
+                  strict, right_tiebreak):
+    """The shared union prep: both sides projected onto
+    (_k, _ts, _side, _lrow, _v_*, _vts, _tie)."""
     if not value_cols:
         value_cols = tuple(c for c in right.columns
                            if c not in (on, right_ts))
@@ -81,18 +99,108 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col(right_ts).alias("_vts"),
         (F.col(right_tiebreak) if right_tiebreak
          else F.lit(None).cast("long")).alias("_tie"))
-    w = (Window.partitionBy("_k").orderBy("_ts", "_side", "_tie")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = lhs.unionByName(rhs).select(
-        "_lrow", "_ts",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-          for c in value_cols],
-        F.last("_vts", ignorenulls=True).over(w).alias("_cts"))
-    out = carried.where(F.col("_lrow").isNotNull())
+    return value_cols, lhs, rhs
+
+
+def _emit(out: DataFrame, left_cols, value_cols,
+          tolerance: int | None) -> DataFrame:
     fresh: Column = F.lit(True)
     if tolerance is not None:
         fresh = F.col("_cts") >= F.col("_ts") - F.lit(tolerance)
     return out.select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_lrow.{c}").alias(c) for c in left_cols],
         *[F.when(fresh, F.col(f"_c_{c}")).alias(c) for c in value_cols],
         F.when(fresh, F.col("_cts")).alias("matched_ts"))
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
+                       time_bucket: int,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       value_cols: tuple[str, ...] = (),
+                       strict: bool = False,
+                       tolerance: int | None = None,
+                       right_tiebreak: str | None = None) -> DataFrame:
+    """``asof_join`` with the hot-key bound — identical semantics
+    (parity-pinned against ``asof_join`` in tests/test_temporal.py and
+    the same brute-force property oracle), different skew behavior.
+
+    The plain union+window shape sorts a key's ENTIRE history in ONE
+    task: windows never split a partition key the way AQE splits a
+    skewed join, so at 100 TB a degenerate key (a null-ish default id
+    owning a big slice of the stream) is the straggler (measured by
+    stress.py's asof_hotkey probe). Two-pass fix:
+
+    1. within-bucket pass: the same union+window, but partitioned by
+       (key, ts div time_bucket) — the hot key's sort is capped at one
+       bucket's rows per task;
+    2. carry pass: per (key, bucket) the right side collapses to ONE
+       summary row (its bucket-end carried state, per-column last
+       non-null — the same ignorenulls semantics as the flat window);
+       a window over these tiny summaries carries state across buckets
+       (per key it holds #buckets rows, not #events), and a final
+       equi-join on (key, bucket) + per-column COALESCE(within-bucket,
+       prior-bucket carry) reassembles the exact flat-window answer.
+
+    Cost vs ``asof_join``: the same keyed shuffle (on a wider key) plus
+    one summary aggregate and one co-partitioned join — worth it only
+    when key skew is real. Pick ``time_bucket`` (in ts units) so the
+    hottest key sees ~1e3-1e5 rows per bucket.
+
+    Strictness note: the cross-bucket carry needs no side tag — any
+    prior bucket's right ts < the current bucket's start <= left ts,
+    so strict and non-strict agree on it; the tag only disambiguates
+    same-instant rows, which always share a bucket.
+    """
+    value_cols, lhs, rhs = _tagged_sides(left, right, on, left_ts,
+                                         right_ts, value_cols, strict,
+                                         right_tiebreak)
+    bucket = F.expr(f"_ts div {int(time_bucket)}")
+    lhs = lhs.withColumn("_b", bucket)
+    rhs = rhs.withColumn("_b", bucket)
+
+    # pass 1: flat-window semantics WITHIN each (key, bucket)
+    wb = (Window.partitionBy("_k", "_b").orderBy("_ts", "_side", "_tie")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = lhs.unionByName(rhs).select(
+        "_k", "_b", "_lrow", "_ts",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(wb).alias(f"_w_{c}")
+          for c in value_cols],
+        F.last("_vts", ignorenulls=True).over(wb).alias("_wts")) \
+        .where(F.col("_lrow").isNotNull())
+
+    # pass 2a: one bucket-end summary row per (key, bucket) of the
+    # right side — per-column last non-null, i.e. the state a flat
+    # window would carry out of the bucket
+    ws = (Window.partitionBy("_k", "_b").orderBy("_ts", "_tie")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    wlast = (Window.partitionBy("_k", "_b")
+             .orderBy(F.col("_ts").desc(), F.col("_tie").desc()))
+    summ = rhs.select(
+        "_k", "_b",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(ws).alias(f"_s_{c}")
+          for c in value_cols],
+        F.last("_vts", ignorenulls=True).over(ws).alias("_sts"),
+        F.row_number().over(wlast).alias("_rn")).where(F.col("_rn") == 1)
+
+    # pass 2b: carry summaries across buckets. The bucket spine is
+    # every (key, bucket) seen on either side, so left-only buckets
+    # still receive the carry; per key this frame holds #buckets rows,
+    # never #events — that is the whole point.
+    spine = lhs.select("_k", "_b").unionByName(rhs.select("_k", "_b")) \
+        .distinct()
+    wp = (Window.partitionBy("_k").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = spine.join(summ.drop("_rn"), ["_k", "_b"], "left").select(
+        "_k", "_b",
+        *[F.last(f"_s_{c}", ignorenulls=True).over(wp).alias(f"_p_{c}")
+          for c in value_cols],
+        F.last("_sts", ignorenulls=True).over(wp).alias("_pts"))
+
+    # reassemble: within-bucket state wins per column; else prior carry
+    out = within.join(carry, ["_k", "_b"]).select(
+        "_lrow", "_ts",
+        *[F.coalesce(F.col(f"_w_{c}"), F.col(f"_p_{c}")).alias(f"_c_{c}")
+          for c in value_cols],
+        F.coalesce(F.col("_wts"), F.col("_pts")).alias("_cts"))
+    return _emit(out, left.columns, value_cols, tolerance)

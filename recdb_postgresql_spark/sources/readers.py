@@ -48,19 +48,26 @@ def load_csv(spark: SparkSession, path: str, schema: str,
     return spark.read.schema(schema).option("sep", sep).csv(path)
 
 
-def ratings_from_events(events: DataFrame) -> DataFrame:
+def ratings_from_events(events: DataFrame, with_ts: bool = False) -> DataFrame:
     """Project the driver's events table onto the RecDB events-table
     shape ``(userkey int, itemkey int, eventval numeric)``
     (``parse_rec.c:187-297``): user_id is the user key and the ``k``
     field of the JSON props payload is the item key (100 distinct
     items), value is the event value. get_json_object is a codegen'd
     JVM expression — no Python in the scan path.
+
+    ``with_ts`` adds ``ratingts`` (int64 nanos) — the analog of the
+    reference's ``ratingts`` column (install.pl:74, stored but never
+    read by recathon); feeds cf.normalize_events' half_life weighting.
     """
-    return events.select(
+    cols = [
         F.col("user_id").alias("userid"),
         F.get_json_object("props", "$.k").cast("int").alias("itemid"),
         F.col("value").cast("double").alias("ratingval"),
-    ).where(F.col("itemid").isNotNull())
+    ]
+    if with_ts:
+        cols.append(F.col("ts").cast("long").alias("ratingts"))
+    return events.select(*cols).where(F.col("itemid").isNotNull())
 
 
 # DuckDB-side equivalent projection for oracle queries

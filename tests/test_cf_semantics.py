@@ -131,3 +131,54 @@ def test_materialized_item_cf_build_caps_power_users(spark, monkeypatch):
     capped = {(r.item1, r.item2, round(r.similarity, 9))
               for r in cf.train_item_cos(cold, max_coraters=3).collect()}
     assert exact == capped and exact
+
+
+def test_halflife_none_identical_plan_and_values(spark):
+    """half_life=None must be EXACTLY today's unweighted path — same
+    optimized plan (no decay nodes sneak in), same values — so every
+    existing CF caller is untouched by the new parameters."""
+    rows = [(1, 10, 4.0, 100), (1, 20, 2.0, 200), (2, 10, 5.0, 300)]
+    ev = spark.createDataFrame(
+        rows, "user long, item long, val double, ts long")
+    plain = cf.normalize_events(ev, "user", "item", "val")
+    none_hl = cf.normalize_events(ev, "user", "item", "val",
+                                  ts_col="ts", half_life=None)
+    import re
+
+    def norm(df):  # expression ids (#12) differ run to run
+        return re.sub(r"#\d+", "#",
+                      df._jdf.queryExecution().optimizedPlan().toString())
+
+    assert norm(none_hl) == norm(plain)
+    assert sorted(map(tuple, none_hl.collect())) \
+        == sorted(map(tuple, plain.collect()))
+
+
+def test_halflife_decay_math(spark):
+    """Hand-computed decay: age measured from the newest event in the
+    frame, weight 2^(-age/half_life), rating = avg of weighted values."""
+    rows = [(1, 10, 8.0, 0),      # age 20 at tmax=20
+            (1, 10, 4.0, 10),     # age 10
+            (2, 10, 6.0, 20)]     # the newest event: weight 1
+    ev = spark.createDataFrame(
+        rows, "user long, item long, val double, ts long")
+    got = {(r.user, r.item): r.rating
+           for r in cf.normalize_events(ev, "user", "item", "val",
+                                        ts_col="ts",
+                                        half_life=10.0).collect()}
+    # (8*2^-2 + 4*2^-1) / 2 = (2 + 2) / 2 = 2
+    assert got[(1, 10)] == pytest.approx(2.0)
+    assert got[(2, 10)] == pytest.approx(6.0)
+    # huge half-life converges to the unweighted average
+    near = {(r.user, r.item): r.rating
+            for r in cf.normalize_events(ev, "user", "item", "val",
+                                         ts_col="ts",
+                                         half_life=1e15).collect()}
+    assert near[(1, 10)] == pytest.approx(6.0, rel=1e-6)
+
+
+def test_halflife_requires_ts_col(spark):
+    ev = spark.createDataFrame([(1, 10, 4.0)],
+                               "user long, item long, val double")
+    with pytest.raises(ValueError, match="ts_col"):
+        cf.normalize_events(ev, "user", "item", "val", half_life=10.0)

@@ -161,6 +161,38 @@ def test_asof_join_matches_bruteforce(spark, rows):
         assert got[lid] == want, (lid, got[lid], want)
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=asof_events)
+def test_asof_bucketed_matches_bruteforce(spark, rows):
+    """asof_join_bucketed == the same O(n^2) spec. time_bucket=4 on
+    ts in [0, 20] forces real cross-bucket carries (a match 2+ buckets
+    back, left-only buckets, empty buckets) rather than degenerating
+    to one bucket."""
+    from recdb_postgresql_spark.operators import temporal
+
+    left = [(i, k, ts) for i, (k, ts, r) in enumerate(rows) if not r]
+    right = [(i, k, ts, float(i)) for i, (k, ts, r) in enumerate(rows) if r]
+    if not left:
+        return
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(
+        right or [(-1, -999, -999, 0.0)],   # empty right: no matches
+        "rid long, k long, ts long, v double")
+    got = {r.lid: (r.v, r.matched_ts)
+           for r in temporal.asof_join_bucketed(
+               ldf, rdf, on="k", time_bucket=4, value_cols=("v",),
+               right_tiebreak="rid").collect()}
+    for lid, k, lts in left:
+        cands = [(ts, rid, v) for rid, rk, ts, v in right
+                 if rk == k and ts <= lts]
+        want = (None, None)
+        if cands:
+            ts, rid, v = max(cands)
+            want = (v, ts)
+        assert got[lid] == want, (lid, got[lid], want)
+
+
 graph_edges = st.lists(
     st.tuples(st.integers(0, 15), st.integers(0, 15)),
     min_size=1, max_size=40)

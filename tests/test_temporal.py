@@ -59,3 +59,21 @@ def test_asof_preserves_left_rows_and_columns(frames):
                              right_tiebreak="rid")
     assert out.count() == left.count()
     assert out.columns == ["lid", "ts", "k", "v", "matched_ts"]
+
+
+@pytest.mark.parametrize("bucket", [1, 7, 1000])
+def test_asof_bucketed_identical_to_flat(frames, bucket):
+    """The skew-bounded two-pass variant must reproduce the flat
+    window bit-for-bit at every bucket size: 1 (pure cross-bucket
+    carry), 7 (mixed within/across), 1000 (everything in one bucket),
+    across plain/strict/tolerance modes."""
+    left, right = frames
+    for kwargs in ({}, {"strict": True}, {"tolerance": 1}):
+        flat = collect_map(temporal.asof_join(
+            left, right, on="k", value_cols=("v",),
+            right_tiebreak="rid", **kwargs))
+        bucketed = temporal.asof_join_bucketed(
+            left, right, on="k", time_bucket=bucket,
+            value_cols=("v",), right_tiebreak="rid", **kwargs)
+        assert bucketed.columns == ["lid", "ts", "k", "v", "matched_ts"]
+        assert collect_map(bucketed) == flat, (bucket, kwargs)
