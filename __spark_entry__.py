@@ -2018,6 +2018,18 @@ SELECT doc_id, n_email, n_ssn, n_phone,
        {MD5L.format(x='clean_text')} AS clean_fp
 FROM red
 """
+    # Collision assumption (deliberate, per ADVICE r5): this oracle and
+    # the bigram-commonality one below group grams by the STRING while
+    # the Spark side groups by the gram's 60-bit md5 prefix
+    # (operators/text.py inlines the hash into the Generate so only
+    # (doc_id, int64) shuffles — the whole point of the r5 perf fix).
+    # Parity therefore rests on collision-freedom over the corpus's
+    # distinct grams: at 60 bits a birthday collision needs ~2^30
+    # distinct grams (sf0.1 has ~1e5), and a collision would only merge
+    # two gram counts, surfacing as a hash mismatch here. jaccard_pairs
+    # hashes on the oracle side instead because its result EXPOSES the
+    # hash; these two only expose counts, so the string-grouped oracle
+    # is the stronger check (it verifies the hash didn't collide).
     o["text_repetition"] = """
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -2245,6 +2257,8 @@ SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
 FROM events
 GROUP BY 1, 2
 """
+    # String-grouped on purpose — see the collision note above
+    # text_repetition's oracle.
     o["text_bigram_commonality"] = """
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks

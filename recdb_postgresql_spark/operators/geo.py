@@ -39,18 +39,17 @@ def with_grid_cell(df: DataFrame, x_col: str, y_col: str,
              .withColumn("cy", F.floor(F.col(y_col) / cell).cast("long"))
 
 
-def grid_range_join(points: DataFrame, queries: DataFrame, radius: float,
-                    id_col: str = "pid", x_col: str = "x", y_col: str = "y",
-                    qid_col: str = "qid", qx_col: str = "qx",
-                    qy_col: str = "qy", round_to: int = 6) -> DataFrame:
-    """(qid, pid, dist2): ALL points within ``radius`` of each query —
-    the literal range join, grid-bucketed so the inequality predicate
-    only ever filters within 3x3 neighbor cells (cell side = radius,
-    which makes the neighbor-cell cover exact: any point within
-    ``radius`` is at most one cell away on each axis). EXACT, unlike
-    k-NN's grid contract — the cell size is derived from the radius.
-    Candidate volume is O(|Q| x density x 9 cells), never |P| x |Q|."""
-    cell = radius
+def _grid_candidates(points: DataFrame, queries: DataFrame, cell: float,
+                     id_col: str, x_col: str, y_col: str,
+                     qid_col: str, qx_col: str, qy_col: str,
+                     round_to: int) -> DataFrame:
+    """Shared candidate generator for the grid joins: snap both sides
+    to ``cell``-sized cells, fan each query out to its 3x3 neighbor
+    cells (a broadcast — queries are the small side), equi-join on the
+    cell id, and score squared planar distance. Returns
+    (qid, <id_col>, dist2) for every candidate in the 9-cell cover —
+    candidate volume is O(|Q| x density x 9 cells), never |P| x |Q|,
+    and the plan has no inequality join or cross product."""
     p = with_grid_cell(points, x_col, y_col, cell)
     q = with_grid_cell(queries, qx_col, qy_col, cell)
     probes = (q.select(qid_col, qx_col, qy_col, "cx", "cy")
@@ -65,9 +64,23 @@ def grid_range_join(points: DataFrame, queries: DataFrame, radius: float,
             .where(F.col(id_col) != F.col(qid_col)))
     d2 = ((F.col(x_col) - F.col(qx_col)) * (F.col(x_col) - F.col(qx_col))
           + (F.col(y_col) - F.col(qy_col)) * (F.col(y_col) - F.col(qy_col)))
-    return (cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
-                        F.round(d2, round_to).alias("dist2"))
-            .where(F.col("dist2") <= radius * radius))
+    return cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
+                       F.round(d2, round_to).alias("dist2"))
+
+
+def grid_range_join(points: DataFrame, queries: DataFrame, radius: float,
+                    id_col: str = "pid", x_col: str = "x", y_col: str = "y",
+                    qid_col: str = "qid", qx_col: str = "qx",
+                    qy_col: str = "qy", round_to: int = 6) -> DataFrame:
+    """(qid, pid, dist2): ALL points within ``radius`` of each query —
+    the literal range join, grid-bucketed so the inequality predicate
+    only ever filters within 3x3 neighbor cells (cell side = radius,
+    which makes the neighbor-cell cover exact: any point within
+    ``radius`` is at most one cell away on each axis). EXACT, unlike
+    k-NN's grid contract — the cell size is derived from the radius."""
+    scored = _grid_candidates(points, queries, radius, id_col, x_col,
+                              y_col, qid_col, qx_col, qy_col, round_to)
+    return scored.where(F.col("dist2") <= radius * radius)
 
 
 def grid_knn_join(points: DataFrame, queries: DataFrame, k: int = 5,
@@ -85,22 +98,8 @@ def grid_knn_join(points: DataFrame, queries: DataFrame, k: int = 5,
     side — and the candidate join is a pure equi-join on (cx, cy).
     No inequality join, no cross product (plan-pinned). Ties break on
     pid for determinism."""
-    p = with_grid_cell(points, x_col, y_col, cell)
-    q = with_grid_cell(queries, qx_col, qy_col, cell)
-    probes = (q.select(qid_col, qx_col, qy_col, "cx", "cy")
-              .withColumn("dx", F.explode(F.expr("sequence(-1, 1)")))
-              .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
-              .select(qid_col, qx_col, qy_col,
-                      (F.col("cx") + F.col("dx")).alias("pcx"),
-                      (F.col("cy") + F.col("dy")).alias("pcy")))
-    cand = (p.join(F.broadcast(probes),
-                   (F.col("cx") == F.col("pcx"))
-                   & (F.col("cy") == F.col("pcy")))
-            .where(F.col(id_col) != F.col(qid_col)))
-    d2 = ((F.col(x_col) - F.col(qx_col)) * (F.col(x_col) - F.col(qx_col))
-          + (F.col(y_col) - F.col(qy_col)) * (F.col(y_col) - F.col(qy_col)))
-    scored = cand.select(F.col(qid_col).alias("qid"), F.col(id_col),
-                         F.round(d2, round_to).alias("dist2"))
+    scored = _grid_candidates(points, queries, cell, id_col, x_col,
+                              y_col, qid_col, qx_col, qy_col, round_to)
     w = Window.partitionBy("qid").orderBy("dist2", id_col)
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

@@ -26,6 +26,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timezone-free and identical across both physical encodings. The
     # NTZ->TIMESTAMP cast interprets in the session timezone, so pin UTC
     # (the oracle's epoch_ns treats the naive value as UTC).
+    #
+    # Session-state invariant: engine.get_spark pins BOTH confs at
+    # session construction, so for engine-built sessions these sets are
+    # no-ops. They are repeated here only for FOREIGN sessions (the
+    # driver's correctness harness builds its own SparkSession and
+    # calls queries() directly) — which means load_table does mutate a
+    # foreign session's timezone to UTC. That is deliberate: every
+    # temporal operator and oracle in this repo assumes UTC, and a
+    # caller needing another session timezone must set it after loads.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -57,20 +57,28 @@ def test_grid_knn_plan_has_no_cross_product(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_grid_range_join_exact_vs_bruteforce(spark):
+import pytest
+
+
+@pytest.mark.parametrize("radius,seed", [(4.0, 23), (1.7, 31)])
+def test_grid_range_join_exact_vs_bruteforce(spark, radius, seed):
     """Range join is EXACT (cell = radius): equals the brute-force
-    radius filter on random points, including cross-cell neighbors."""
-    rng = random.Random(23)
+    radius filter on random points, including cross-cell neighbors.
+    Two radii — the cell cover must be exact regardless of how the
+    radius tiles the point cloud (a cell-boundary bug at one radius
+    can be invisible at another)."""
+    rng = random.Random(seed)
     rows = [(i, rng.uniform(0, 30), rng.uniform(0, 30)) for i in range(80)]
     pts = _pts(spark, rows)
     qs = pts.where(F.col("pid") < 5).select(
         F.col("pid").alias("qid"), F.col("x").alias("qx"),
         F.col("y").alias("qy"))
     got = {(r.qid, r.pid) for r in
-           geo.grid_range_join(pts, qs, radius=4.0).collect()}
+           geo.grid_range_join(pts, qs, radius=radius).collect()}
     brute = {(qid, pid)
              for qid, qx, qy in ((r.pid, r.x, r.y) for r in pts.collect()
                                  if r.pid < 5)
              for pid, x, y in rows
-             if pid != qid and round((x - qx) ** 2 + (y - qy) ** 2, 6) <= 16.0}
+             if pid != qid
+             and round((x - qx) ** 2 + (y - qy) ** 2, 6) <= radius * radius}
     assert got == brute and got
