@@ -1027,6 +1027,70 @@ def q_events_asof_strict(spark, sf_dir):
                       "matched_ts")
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Point-in-interval join — the third member of the
+    'joins Spark expresses badly' family (as-of: latest-before;
+    geo: within-radius; this: within-window). Each purchase opens a
+    48-hour lookback window; the query attributes ALL clicks inside
+    the window to it (not just the latest — that's the as-of join).
+    operators/temporal.interval_join explodes each window onto 48-hour
+    time cells and equi-joins clicks by (user, cell) — the 1-D grid
+    recipe, no inequality join, |P|x|C| never materializes. The oracle
+    states the same semantics as the naive BETWEEN join."""
+    from recdb_postgresql_spark.operators import temporal
+
+    WINDOW_NS = 48 * 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.lit(WINDOW_NS)).alias("start_ts"),
+        F.col("ts").alias("end_ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    j = temporal.interval_join(clicks, purchases, on="user_id",
+                               cell=WINDOW_NS)
+    return (j.groupBy("purchase_id", "user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.round(F.sum("value"), 6).alias("click_total")))
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the LLM pretraining layout):
+    every document hash-sharded (md5, engine-portable), packed in
+    doc_id order within its shard, running token cumsum turned into
+    (pack_id, offset) for a 256-token training sequence length. One
+    shuffle + one per-shard window (operators/text.pack_sequences);
+    the oracle restates the identical cumsum arithmetic."""
+    from recdb_postgresql_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.pack_sequences(docs, capacity=256, n_shards=8)
+    return out.select("doc_id", "shard", "n_tokens", "pack_id",
+                      F.col("offset").alias("pack_offset"),
+                      "n_packs_spanned")
+
+
+def q_events_resample_6h(spark, sf_dir):
+    """Resample + forward-fill (pandas resample().ffill() /
+    TimescaleDB time_bucket_gapfill + locf), distributed: each user's
+    event stream regularized onto a 6-hour grid from their first to
+    last active bucket, gap buckets emitted with n_events=0 and the
+    last observed value carried forward. The spine is GENERATED from a
+    two-long-per-key aggregate (gap rows never shuffle) and the carry
+    window holds #buckets rows per key, never #events — skew bounded
+    by time span, not event volume (operators/temporal.resample_ffill)."""
+    from recdb_postgresql_spark.operators import temporal
+
+    BUCKET_NS = 6 * 3_600_000_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    out = temporal.resample_ffill(ev, on="user_id", bucket=BUCKET_NS,
+                                  value_col="value",
+                                  tiebreak="event_id")
+    return out.select("user_id", "bucket_start", "n_events",
+                      F.round("value", 6).alias("value"))
+
+
 def q_text_bigram_commonality(spark, sf_dir):
     """Corpus-statistics quality signal: average document frequency of
     each doc's distinct bigrams — the exact-arithmetic stand-in for an
@@ -1320,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_probe": q_ann_ivf_trained_probe,
         "rec_itemcos_halflife": q_rec_itemcos_halflife,
         "events_asof_bucketed": q_events_asof_bucketed,
+        "events_interval_join": q_events_interval_join,
+        "events_resample_6h": q_events_resample_6h,
+        "docs_pack_sequences": q_docs_pack_sequences,
         # R4/R7/R11: item-cos on-the-fly recommend, top-k
         "rec_itemcos_topk": lambda s, d: _rec(s, d, "itemcoscf",
                                               F.col("userid") < 20, k=50),
@@ -2390,6 +2457,75 @@ WHERE p.pid != q.qid
     # the same oracle texts
     o["ann_ivf_indexed"] = o["ann_ivf_topk"]
     o["events_asof_bucketed"] = o["events_asof_join"]
+    # The naive BETWEEN join the grid-cell interval_join replaces —
+    # same semantics, opposite plan shape (the oracle nested-loops it,
+    # which is exactly what the operator avoids at scale).
+    o["events_interval_join"] = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       ROUND(SUM(c.value), 6) AS click_total
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 172800000000000
+                        AND epoch_ns(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+    # Identical cumsum arithmetic, stated declaratively; md5 shard is
+    # engine-portable (same MD5L both sides).
+    shard_h = MD5L.format(x="CAST(doc_id AS VARCHAR)")
+    o["docs_pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, {shard_h} % 8 AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       (e - n_tokens) // 256 AS pack_id,
+       (e - n_tokens) % 256 AS pack_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 1
+                 ELSE (e - 1) // 256 - (e - n_tokens) // 256 + 1 END
+            AS BIGINT) AS n_packs_spanned
+FROM c
+"""
+    # Spine via generate_series per user, carry via IGNORE NULLS
+    # last_value — the declarative statement of resample+ffill.
+    o["events_resample_6h"] = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id, value FROM events
+),
+b AS (
+  SELECT user_id, tns // 21600000000000 AS b, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, tns // 21600000000000
+           ORDER BY tns DESC, event_id DESC) AS rn
+  FROM e
+),
+pb AS (
+  SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN value END) AS v
+  FROM b GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(MIN(b), MAX(b))) AS b
+  FROM b GROUP BY user_id
+)
+SELECT s.user_id, s.b * 21600000000000 AS bucket_start,
+       COALESCE(pb.n_events, 0) AS n_events,
+       ROUND(LAST_VALUE(pb.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM spine s LEFT JOIN pb ON s.user_id = pb.user_id AND s.b = pb.b
+"""
     o["dedup_incremental"] = f"""
 WITH idx AS (
   SELECT DISTINCT {MD5L.format(x='text')} AS content_hash

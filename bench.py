@@ -87,6 +87,7 @@ HEADLINE = [
     # skew-bounded as-of variant
     "ann_ivf_indexed", "dedup_incremental", "ann_ivf_trained_probe",
     "rec_itemcos_halflife", "events_asof_bucketed",
+    "events_interval_join", "events_resample_6h", "docs_pack_sequences",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -204,3 +204,90 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
           for c in value_cols],
         F.coalesce(F.col("_wts"), F.col("_pts")).alias("_cts"))
     return _emit(out, left.columns, value_cols, tolerance)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, on: str,
+                  cell: int,
+                  point_ts: str = "ts",
+                  start_col: str = "start_ts",
+                  end_col: str = "end_ts") -> DataFrame:
+    """EXACT point-in-interval join: every (interval row, point row)
+    pair with the same ``on`` key and ``start <= point_ts <= end``
+    (closed ends). All interval and point columns come through
+    (key/ts columns once each).
+
+    The naive formulation is a range join — Catalyst nested-loops it,
+    |P|x|I| per key. This is the 1-D form of the geo grid recipe
+    (``operators/geo.py``): every interval explodes to the time cells
+    it covers (``sequence(start div cell, end div cell)``), every
+    point maps to ONE cell, and the join is a pure equi-join on
+    (key, cell) with the BETWEEN as a residual filter. A point lies in
+    exactly one cell, so no dedup pass is needed. Candidate volume is
+    O(points + Σ interval_length/cell x cell_density), never |P|x|I|.
+
+    Pick ``cell`` (ts units) near the TYPICAL interval length: each
+    interval then explodes to ~2 cells; much smaller cells inflate the
+    explode, much larger cells inflate residual-filtered candidates.
+    At 100 TB both sides shuffle once on (key, cell) — skew follows
+    the hottest (key, cell), which ``cell`` directly bounds."""
+    cell = int(cell)
+    iv = intervals.withColumn(
+        "_c", F.explode(F.expr(
+            f"sequence({start_col} div {cell}, {end_col} div {cell})")))
+    pt = points.withColumn("_c", F.expr(f"{point_ts} div {cell}"))
+    joined = iv.join(pt, [on, "_c"]).where(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col)))
+    return joined.drop("_c")
+
+
+def resample_ffill(df: DataFrame, on: str, bucket: int,
+                   ts_col: str = "ts",
+                   value_col: str = "value",
+                   tiebreak: str | None = None) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid: one row per
+    (key, bucket) from each key's FIRST to LAST observed bucket —
+    including empty gap buckets — carrying the last observed value
+    forward (the standard resample + ffill of a feature pipeline;
+    pandas ``resample().ffill()``, TimescaleDB ``time_bucket_gapfill``
+    + ``locf``).
+
+    Output: (on, bucket_start = bucket_id * bucket in ts units,
+    n_events = events in that bucket (0 for gaps), <value_col> = value
+    of the bucket's latest event, carried forward across gaps).
+    Within a bucket "latest" orders by (ts, tiebreak) — pass a unique
+    column when timestamps can collide per key, same contract as
+    ``asof_join``.
+
+    Plan shape: one aggregate to (key, bucket) rows, one per-key
+    min/max aggregate whose ``sequence()`` explode generates the
+    spine (the spine is GENERATED downstream of a shuffle that only
+    carried two longs per key — gap rows never travel), one
+    co-partitioned left join, one per-key window for the carry.
+    Per-key window size is #buckets (span/bucket), NOT #events — a
+    hot key is bounded by its time span, so the skew ceiling is
+    chosen, not data-driven. Guard the spine against adversarial
+    spans (one stray 1970 timestamp = millions of gap rows) by
+    filtering outliers or capping span/bucket upstream."""
+    bucket = int(bucket)
+    b = df.withColumn("_b", F.expr(f"{ts_col} div {bucket}"))
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak).desc()] if tiebreak else [])
+    wlast = Window.partitionBy(on, "_b").orderBy(*order)
+    per_bucket = (b.withColumn("_rn", F.row_number().over(wlast))
+                  .groupBy(on, "_b")
+                  .agg(F.count("*").alias("n_events"),
+                       F.max(F.when(F.col("_rn") == 1,
+                                    F.col(value_col))).alias("_v")))
+    spine = (b.groupBy(on)
+             .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+             .select(on, F.explode(F.expr("sequence(_lo, _hi)"))
+                     .alias("_b")))
+    wff = (Window.partitionBy(on).orderBy("_b")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(per_bucket, [on, "_b"], "left")
+            .select(F.col(on),
+                    (F.col("_b") * bucket).alias("bucket_start"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.last("_v", ignorenulls=True).over(wff)
+                    .alias(value_col)))

@@ -265,6 +265,55 @@ def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
                     .cast("long").alias("n_tokens")))
 
 
+def pack_sequences(docs: DataFrame, capacity: int, n_shards: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   hash_fn=None) -> DataFrame:
+    """(doc_id, shard, n_tokens, pack_id, offset, n_packs_spanned):
+    greedy concat-and-chunk sequence packing — the standard LLM
+    pretraining layout where documents are concatenated in a fixed
+    order and the token stream is split into ``capacity``-token
+    training sequences (a document may straddle a boundary;
+    ``n_packs_spanned`` counts how many sequences it touches).
+
+    Each document is hash-assigned to one of ``n_shards`` shards
+    (md5 of its id — deterministic across runs/engines, so packing is
+    reproducible and incremental reruns re-derive the same layout) and
+    packed in ``id_col`` order within the shard: a running token
+    cumsum turns directly into (pack_id, offset) arithmetic.
+
+    100 TB shape: ONE shuffle (by shard) + one per-shard window
+    cumsum. The shard is the parallel unit — a production run sizes
+    ``n_shards`` so each shard holds ~1e6-1e8 tokens (cluster-wide
+    parallelism AND bounded per-task window state); pack ids are only
+    meaningful within a shard, exactly like per-file sequence layout.
+    Token count is the whitespace-token count (``chunk_documents``'s
+    convention); swap ``text_col`` for a precomputed BPE count column
+    upstream when real tokenizer counts exist."""
+    from pyspark.sql import Window
+
+    hash_fn = hash_fn or md5_long
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        (hash_fn(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # integer `div`, not `/`: float division silently loses exactness
+    # past 2^53 cumulative tokens — reachable for a fat shard at corpus
+    # scale, and pack layout must never depend on rounding
+    cap = int(capacity)
+    cum = (base.withColumn("_end", F.sum("n_tokens").over(w))
+           .withColumn("_start", F.col("_end") - F.col("n_tokens")))
+    return cum.select(
+        id_col, "shard", "n_tokens",
+        F.expr(f"_start div {cap}").alias("pack_id"),
+        (F.col("_start") % cap).alias("offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(1)).otherwise(
+            F.expr(f"(_end - 1) div {cap}") - F.expr(f"_start div {cap}")
+            + 1).cast("long").alias("n_packs_spanned"))
+
+
 def winnow_overlap_pairs(fps: DataFrame, min_shared: int = 2,
                          max_doc_freq: int | None = None) -> DataFrame:
     """(id1, id2, shared): document pairs sharing >= ``min_shared``

@@ -77,3 +77,86 @@ def test_asof_bucketed_identical_to_flat(frames, bucket):
             value_cols=("v",), right_tiebreak="rid", **kwargs)
         assert bucketed.columns == ["lid", "ts", "k", "v", "matched_ts"]
         assert collect_map(bucketed) == flat, (bucket, kwargs)
+
+
+# ---- interval_join / resample_ffill ----------------------------------
+
+
+def test_interval_join_basic_and_closed_ends(spark):
+    """Closed [start, end]: boundary points included, outside excluded,
+    keys never mix; a point in two overlapping intervals matches both."""
+    intervals = spark.createDataFrame(
+        [(1, "a", 10, 20), (2, "a", 15, 30), (3, "b", 0, 100)],
+        "iid long, k string, start_ts long, end_ts long")
+    points = spark.createDataFrame(
+        [(101, "a", 10), (102, "a", 20), (103, "a", 31), (104, "b", 50),
+         (105, "c", 50)],
+        "pid long, k string, ts long")
+    got = {(r.iid, r.pid) for r in temporal.interval_join(
+        points, intervals, on="k", cell=10).collect()}
+    assert got == {(1, 101), (1, 102), (2, 102), (3, 104)}
+
+
+@pytest.mark.parametrize("cell", [3, 10, 50, 1000])
+def test_interval_join_cell_size_invariant_vs_bruteforce(spark, cell):
+    """EXACT at every cell size (cell only moves cost): matches the
+    brute-force BETWEEN filter on random intervals/points."""
+    import random
+
+    rng = random.Random(7)
+    ivs = [(i, rng.choice("xy"), (s := rng.randrange(0, 200)),
+            s + rng.randrange(0, 40)) for i in range(30)]
+    pts = [(100 + i, rng.choice("xy"), rng.randrange(0, 240))
+           for i in range(60)]
+    intervals = spark.createDataFrame(
+        ivs, "iid long, k string, start_ts long, end_ts long")
+    points = spark.createDataFrame(pts, "pid long, k string, ts long")
+    got = {(r.iid, r.pid) for r in temporal.interval_join(
+        points, intervals, on="k", cell=cell).collect()}
+    brute = {(iid, pid) for iid, ik, s, e in ivs
+             for pid, pk, t in pts if ik == pk and s <= t <= e}
+    assert got == brute and got
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    """The whole point: no cross product / nested-loop range join —
+    the BETWEEN must be a residual filter on a hash/sort equi-join."""
+    intervals = spark.createDataFrame(
+        [(1, "a", 10, 20)], "iid long, k string, start_ts long, end_ts long")
+    points = spark.createDataFrame([(101, "a", 10)],
+                                   "pid long, k string, ts long")
+    plan = temporal.interval_join(points, intervals, on="k", cell=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_ffill_gaps_counts_and_carry(spark):
+    """Dense spine first->last bucket per key, gap buckets n_events=0,
+    last-in-bucket value (by ts then tiebreak) carried forward."""
+    ev = spark.createDataFrame(
+        [(1, "a", 5, 10.0), (2, "a", 9, 20.0),    # bucket 0: last is id2
+         (3, "a", 35, 30.0),                       # bucket 3 (gap 1-2)
+         (4, "b", 12, 7.0)],
+        "event_id long, k string, ts long, value double")
+    out = {(r.k, r.bucket_start): (r.n_events, r.value)
+           for r in temporal.resample_ffill(
+               ev, on="k", bucket=10, tiebreak="event_id").collect()}
+    assert out == {
+        ("a", 0): (2, 20.0),    # ts=9 beats ts=5
+        ("a", 10): (0, 20.0),   # gap: carried
+        ("a", 20): (0, 20.0),
+        ("a", 30): (1, 30.0),
+        ("b", 10): (1, 7.0),    # spine never crosses keys
+    }
+
+
+def test_resample_ffill_tiebreak_deterministic(spark):
+    """Equal ts within a bucket: highest tiebreak wins (same contract
+    as asof_join's right_tiebreak)."""
+    ev = spark.createDataFrame(
+        [(1, "a", 5, 10.0), (2, "a", 5, 99.0)],
+        "event_id long, k string, ts long, value double")
+    [r] = temporal.resample_ffill(ev, on="k", bucket=10,
+                                  tiebreak="event_id").collect()
+    assert (r.n_events, r.value) == (2, 99.0)
