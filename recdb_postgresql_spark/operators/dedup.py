@@ -89,6 +89,23 @@ def dedup_against_index(docs: DataFrame, spark, table: str,
         .select(id_col, text_col, "content_hash")
 
 
+def append_hash_index(survivors: DataFrame, table: str,
+                      buckets: int = 32) -> None:
+    """Advance the persisted hash index with a batch's survivors —
+    (content_hash, canonical_id) rows appended with the SAME bucket
+    spec ``write_hash_index`` created, so the index stays
+    zero-shuffle-joinable after every ingest batch. Caller guarantees
+    the survivors' hashes are not already in the index (that is what
+    ``dedup_against_index`` returns)."""
+    (survivors.write.mode("append").bucketBy(buckets, "content_hash")
+     .sortBy("content_hash").format("parquet").saveAsTable(table))
+    # the write invalidates the WRITING session's file-listing cache
+    # only; under foreachBatch that is a micro-batch clone, so refresh
+    # here too — a reader holding a stale listing would silently dedup
+    # against yesterday's index
+    survivors.sparkSession.catalog.refreshTable(table)
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).

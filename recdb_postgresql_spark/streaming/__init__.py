@@ -1,8 +1,9 @@
+from recdb_postgresql_spark.streaming.ingest import StreamingIndexDeduper
 from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
 from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      dedup_stream,
                                                      hourly_rollup,
                                                      sessionize)
 
-__all__ = ["StreamingMaintainer", "hourly_rollup", "sessionize",
-           "count_milestones", "dedup_stream"]
+__all__ = ["StreamingMaintainer", "StreamingIndexDeduper", "hourly_rollup",
+           "sessionize", "count_milestones", "dedup_stream"]

@@ -1,0 +1,70 @@
+"""Unbounded-horizon streaming dedup against the persisted hash index
+(streaming/ingest.StreamingIndexDeduper): state on disk, not in stream
+memory — a duplicate from ANY earlier batch is dropped, and the index
+advances with each batch's survivors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import dedup
+from recdb_postgresql_spark.streaming import StreamingIndexDeduper
+
+SCHEMA = "doc_id long, text string"
+
+
+def test_index_deduper_across_batches(spark, tmp_path):
+    seed = spark.createDataFrame([(1, "day zero corpus")], SCHEMA)
+    dedup.write_hash_index(seed, "ingest_idx", buckets=4)
+    ded = StreamingIndexDeduper(spark, "ingest_idx",
+                                clean_path=str(tmp_path / "clean"),
+                                buckets=4)
+
+    b1 = spark.createDataFrame(
+        [(10, "day zero corpus"),     # known from the seed -> dropped
+         (11, "fresh one"),           # survives
+         (12, "fresh one"),           # intra-batch dup -> dropped
+         (13, "fresh two")], SCHEMA)  # survives
+    assert {r.doc_id for r in ded.on_batch(b1).collect()} == {11, 13}
+
+    # batch 2 dups against batch 1's survivors (disk state, no
+    # watermark horizon) AND the seed; only truly novel content passes
+    b2 = spark.createDataFrame(
+        [(20, "fresh one"),           # batch-1 survivor -> dropped
+         (21, "day zero corpus"),     # seed -> dropped
+         (22, "fresh three")], SCHEMA)
+    assert {r.doc_id for r in ded.on_batch(b2).collect()} == {22}
+
+    assert (ded.batches, ded.survivor_count) == (2, 3)
+    # the clean sink accumulated exactly the survivors
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r.doc_id for r in clean.collect()} == {11, 13, 22}
+    # index holds one row per distinct content ever seen
+    assert spark.table("ingest_idx").count() == 4
+    spark.sql("DROP TABLE ingest_idx")
+
+
+def test_index_deduper_through_real_stream(spark, tmp_path):
+    """The actual wiring: readStream -> foreachBatch(on_batch) with an
+    availableNow trigger, same contract as the direct calls."""
+    seed = spark.createDataFrame([(1, "already ingested")], SCHEMA)
+    dedup.write_hash_index(seed, "ingest_idx_s", buckets=4)
+    ded = StreamingIndexDeduper(spark, "ingest_idx_s",
+                                clean_path=str(tmp_path / "clean"),
+                                buckets=4)
+    incoming = tmp_path / "incoming"
+    spark.createDataFrame(
+        [(30, "already ingested"), (31, "novel stream doc"),
+         (32, "novel stream doc")], SCHEMA) \
+        .write.parquet(str(incoming))
+
+    q = (spark.readStream.schema(SCHEMA).parquet(str(incoming))
+         .writeStream.foreachBatch(ded.on_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r.doc_id for r in clean.collect()} == {31}
+    assert spark.table("ingest_idx_s").count() == 2
+    spark.sql("DROP TABLE ingest_idx_s")
