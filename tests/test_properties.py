@@ -217,3 +217,40 @@ def test_star_cc_equals_propagation(spark, edges):
     prop = {r.id: r.component
             for r in dedup.connected_components(pairs, max_iters=40).collect()}
     assert star == prop
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3),          # key
+              st.integers(0, 60),         # ts
+              st.floats(0.0, 9.0, allow_nan=False)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_resample_ffill_matches_bruteforce(spark, rows):
+    """resample_ffill == per-key python brute force: dense bucket
+    spine from first to last observed bucket, last-in-bucket value by
+    (ts, event_id), forward-filled across gaps."""
+    from recdb_postgresql_spark.operators import temporal
+
+    recs = [(i, k, t, v) for i, (k, t, v) in enumerate(rows)]
+    ev = spark.createDataFrame(
+        recs, "event_id long, k long, ts long, value double")
+    bucket = 7
+    got = {(r.k, r.bucket_start): (r.n_events, r.value)
+           for r in temporal.resample_ffill(
+               ev, on="k", bucket=bucket, tiebreak="event_id").collect()}
+
+    want = {}
+    for k in {k for _, k, _, _ in recs}:
+        mine = [(t, i, v) for i, kk, t, v in recs if kk == k]
+        bs = [t // bucket for t, _, _ in mine]
+        carry = None
+        for b in range(min(bs), max(bs) + 1):
+            inb = sorted((t, i, v) for t, i, v in mine if t // bucket == b)
+            if inb:
+                carry = inb[-1][2]
+            want[(k, b * bucket)] = (len(inb), carry)
+    assert got == want

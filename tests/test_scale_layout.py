@@ -123,3 +123,33 @@ def test_incremental_dedup_against_hash_index(spark):
     # no Exchange needed to align with the join key)
     assert "SelectedBucketsCount" in plan, plan[:2000]
     spark.sql("DROP TABLE dedup_idx")
+
+
+def test_bucketed_window_no_shuffle(spark):
+    """The storage half of the temporal-operator story: a per-key
+    window (sessionize / resample carry / pack cumsum) over a table
+    bucketed on that key needs NO Exchange — the bucketed scan already
+    satisfies the window's hashpartitioning requirement, so at 100 TB
+    the sort is the only per-task cost and the shuffle disappears into
+    the write-time layout (sources/sinks.write_bucketed)."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("user_id"), F.col("id").alias("ts"),
+        (F.col("id") % 7).alias("v"))
+    df.write.mode("overwrite").bucketBy(8, "user_id") \
+        .sortBy("user_id", "ts").format("parquet") \
+        .saveAsTable("bucketed_events_win")
+    try:
+        t = spark.table("bucketed_events_win")
+        w = (Window.partitionBy("user_id").orderBy("ts")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = t.select("user_id", "ts", F.sum("v").over(w).alias("s"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan
+        # and it computes the right thing, not just the right plan
+        got = {(r.user_id, r.ts): r.s for r in out.collect()}
+        assert got[(0, 0)] == 0 and got[(0, 50)] == 0 + 1
+    finally:
+        spark.sql("DROP TABLE bucketed_events_win")
