@@ -34,3 +34,15 @@ def test_movielens_example_end_to_end(spark, tmp_path):
     assert [(r.itemid, r.rating) for r in results["topk_join_on"]] == \
         [(r.itemid, r.rating) for r in results["topk_10"]]
     assert results["drop"] is None
+
+
+def test_feature_store_example_end_to_end(spark):
+    from examples.feature_store_example import run as run_features
+
+    out = run_features(spark, verbose=False)
+    assert out["asof_rows"] == 13                 # every purchase kept
+    assert out["asof_matched"] > out["strict_matched"]  # strict is stricter
+    assert out["same_instant_leak_blocked"]
+    assert out["windows_with_clicks"] > 0
+    assert out["grid_rows"] > 0 and out["grid_gap_rows_filled"] > 0
+    assert out["bucketed_identical"]
