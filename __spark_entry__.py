@@ -660,8 +660,7 @@ def q_ann_ivf_trained(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    cents = similarity.kmeans_centroids(emb, k=8, max_iter=5,
-                                        sample_fraction=0.2)
+    cents = similarity.kmeans_centroids(emb, **_TRAINED_KM)
     return similarity.ivf_topk(emb, qs, cents, k=10) \
         .select("qid", "vec_id", "cos", "rank")
 
@@ -681,6 +680,12 @@ def q_ann_ivf_trained(spark, sf_dir):
 _IVF_INDEX: dict[str, str] = {}
 _HASH_INDEX: dict[str, str] = {}
 _TRAINED_CENTERS: dict[str, list] = {}
+
+# the ONE set of sampled-KMeans hyperparameters behind both
+# ann_ivf_trained (fit inside the timed query — the build recipe) and
+# ann_ivf_trained_probe (fit cached — the amortized serving shape):
+# the probe is only "ann_ivf_trained amortized" if they never diverge
+_TRAINED_KM = {"k": 8, "max_iter": 5, "sample_fraction": 0.2}
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -702,8 +707,15 @@ def _ivf_index_path(spark, sf_dir: str) -> str:
 
 def _hash_index_table(spark, sf_dir: str) -> str:
     """Persisted exact-dedup state (bucketed saveAsTable): documents
-    with doc_id % 4 != 0 play the already-ingested corpus."""
-    if sf_dir not in _HASH_INDEX:
+    with doc_id % 4 != 0 play the already-ingested corpus.
+
+    Unlike its disk-path siblings this cache names a METASTORE table,
+    which lives in the building session's in-memory catalog — so the
+    cache hit is honored only if the CURRENT session can actually see
+    the table; a fresh session in the same process rebuilds instead of
+    throwing TABLE_OR_VIEW_NOT_FOUND."""
+    if sf_dir not in _HASH_INDEX or \
+            not spark.catalog.tableExists(_HASH_INDEX[sf_dir]):
         table = f"hash_idx_{_sf_tag(sf_dir)}"
         # the warehouse DIRECTORY outlives the per-process metastore:
         # a fresh session would hit LOCATION_ALREADY_EXISTS on the
@@ -728,8 +740,7 @@ def _trained_cents(spark, sf_dir: str):
     center list is tiny (k x dim floats) and session-independent."""
     if sf_dir not in _TRAINED_CENTERS:
         emb = load_table(spark, sf_dir, "embeddings")
-        df = similarity.kmeans_centroids(emb, k=8, max_iter=5,
-                                         sample_fraction=0.2)
+        df = similarity.kmeans_centroids(emb, **_TRAINED_KM)
         _TRAINED_CENTERS[sf_dir] = [(r["cid"], r["cvec"]) for r in df.collect()]
     return spark.createDataFrame(_TRAINED_CENTERS[sf_dir],
                                  schema="cid int, cvec array<double>")

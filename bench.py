@@ -134,6 +134,10 @@ def build_output(times: dict, errors: dict, reps: int, sf: float) -> dict:
     in_total = set(HEADLINE) | {"rec_svd_topk@sf0.01"}
     total = round(sum(t for n, t in times.items() if n in in_total), 3)
     common = {n: t for n, t in times.items() if n in R1_COMMON}
+    # a query failing ALL reps has no timing — its absence would make
+    # `value` shrink, reading as a speedup; name the casualties on the
+    # line (capped: full list in BENCH_DETAIL.json's errors)
+    missing = sorted(n for n in in_total if n not in times)
     out = {
         "metric": "recdb_spark headline suite wall-clock",
         "value": total,
@@ -142,6 +146,8 @@ def build_output(times: dict, errors: dict, reps: int, sf: float) -> dict:
         "r1_common_value": round(sum(common.values()), 3),
         "r1_common_n": len(common),
         "errors": len(errors),
+        "missing": len(missing),
+        "missing_names": missing[:3],
         "reps": reps,
         "sf": sf,
         "queries": {n: times[n] for n in FLAGSHIP if n in times},

@@ -68,8 +68,10 @@ def run(spark, verbose: bool = True):
     feats = temporal.asof_join(purchases, clicks, on="user_id",
                                value_cols=("click_value",),
                                right_tiebreak="click_id")
-    out["asof_rows"] = feats.count()
-    out["asof_matched"] = feats.where(F.col("click_value").isNotNull()).count()
+    fv = {r.purchase_id: (r.click_value, r.matched_ts)
+          for r in feats.collect()}
+    out["asof_rows"] = len(fv)
+    out["asof_matched"] = sum(1 for v, _ in fv.values() if v is not None)
 
     # 2. leakage-safe: strictly-before only, and clicks older than an
     # hour are too stale to use
@@ -79,10 +81,10 @@ def run(spark, verbose: bool = True):
     out["strict_matched"] = safe.where(F.col("click_value").isNotNull()).count()
     # the same-instant click is visible non-strict, invisible strict
     same_instant = 9999
-    nv = {r.purchase_id: r.click_value for r in feats.collect()}
     sv = {r.purchase_id: r.click_value for r in safe.collect()}
-    assert nv[same_instant] is not None
-    out["same_instant_leak_blocked"] = (sv[same_instant] != nv[same_instant])
+    assert fv[same_instant][0] is not None
+    out["same_instant_leak_blocked"] = (sv[same_instant]
+                                        != fv[same_instant][0])
 
     # 3. interval attribution: every click inside each purchase's
     # 1-hour lookback, aggregated per purchase
@@ -113,8 +115,6 @@ def run(spark, verbose: bool = True):
         value_cols=("click_value",), right_tiebreak="click_id")
     bv = {r.purchase_id: (r.click_value, r.matched_ts)
           for r in bucketed.collect()}
-    fv = {r.purchase_id: (r.click_value, r.matched_ts)
-          for r in feats.collect()}
     out["bucketed_identical"] = (bv == fv)
 
     if verbose:
@@ -124,9 +124,6 @@ def run(spark, verbose: bool = True):
 
 
 def main():
-    import os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from recdb_postgresql_spark.engine import get_spark
 
     spark = get_spark("feature_store_example", cpus=8)

@@ -235,9 +235,13 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
         "_c", F.explode(F.expr(
             f"sequence({start_col} div {cell}, {end_col} div {cell})")))
     pt = points.withColumn("_c", F.expr(f"{point_ts} div {cell}"))
+    # residual predicate via child-frame attribute references, so an
+    # intervals frame that ALSO carries a column named `point_ts`
+    # (e.g. windows derived from events keeping their raw ts) doesn't
+    # make F.col(point_ts) ambiguous; with such a clash the output
+    # simply has both same-named columns, like any Spark join
     joined = iv.join(pt, [on, "_c"]).where(
-        (F.col(point_ts) >= F.col(start_col))
-        & (F.col(point_ts) <= F.col(end_col)))
+        (pt[point_ts] >= iv[start_col]) & (pt[point_ts] <= iv[end_col]))
     return joined.drop("_c")
 
 

@@ -14,6 +14,7 @@ Run: python stress.py [multiplier ...]
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
@@ -40,6 +41,11 @@ def record(probe: str, **fields) -> None:
             RESULTS.update(json.load(f))
     RESULTS[probe] = {k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in fields.items()}
+    # every row is stamped so a merged file can't silently cite a
+    # probe from an older battery/codebase as current
+    RESULTS[probe]["recorded_at"] = (
+        datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%MZ"))
     with open(path, "w") as f:
         json.dump(RESULTS, f, indent=1)
     msg = " ".join(f"{k}={v}" for k, v in RESULTS[probe].items())
@@ -205,6 +211,14 @@ def asof_hotkey_probe(spark, n_right: int = 16_000_000,
 
 def main():
     mults = [int(x) for x in sys.argv[1:]] or [10, 30]
+    # a full battery starts a FRESH record — the merge in record() is
+    # only for ad-hoc single-probe reruns on top of a complete battery,
+    # never for rows from abandoned multipliers or older code to
+    # survive a fresh run
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "STRESS.json")
+    if os.path.exists(path):
+        os.remove(path)
     spark = get_spark("recdb_stress")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = "/root/testdata/sf0.1"

@@ -59,3 +59,14 @@ def test_r1_common_matches_recorded_baseline_set():
 def test_flagship_and_slope_are_benched_queries():
     assert set(bench.FLAGSHIP) <= set(bench.HEADLINE)
     assert set(bench.SLOPE) <= set(bench.HEADLINE)
+
+
+def test_headline_line_names_fully_failed_queries():
+    """A query failing ALL reps must surface on the line itself (a
+    shrunken total must not read as a speedup)."""
+    times = {n: 1.0 for n in bench.HEADLINE if n != "q1_pricing_summary"}
+    out = bench.build_output(times, {"q1_pricing_summary": "boom"},
+                             reps=2, sf=0.1)
+    assert out["missing"] >= 1
+    assert "q1_pricing_summary" in out["missing_names"]
+    assert len(json.dumps(out)) <= 1500

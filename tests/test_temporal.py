@@ -160,3 +160,17 @@ def test_resample_ffill_tiebreak_deterministic(spark):
     [r] = temporal.resample_ffill(ev, on="k", bucket=10,
                                   tiebreak="event_id").collect()
     assert (r.n_events, r.value) == (2, 99.0)
+
+
+def test_interval_join_tolerates_shared_column_names(spark):
+    """Intervals derived from events often keep their raw ts column —
+    the residual must resolve against the points side, not throw
+    AMBIGUOUS_REFERENCE."""
+    intervals = spark.createDataFrame(
+        [(1, "a", 20, 10, 20)],
+        "iid long, k string, ts long, start_ts long, end_ts long")
+    points = spark.createDataFrame(
+        [(101, "a", 15), (102, "a", 25)], "pid long, k string, ts long")
+    got = {(r.iid, r.pid) for r in temporal.interval_join(
+        points, intervals, on="k", cell=10).collect()}
+    assert got == {(1, 101)}
