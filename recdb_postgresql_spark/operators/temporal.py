@@ -231,18 +231,23 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     At 100 TB both sides shuffle once on (key, cell) — skew follows
     the hottest (key, cell), which ``cell`` directly bounds."""
     cell = int(cell)
-    iv = intervals.withColumn(
+    # the residual compares via RENAMED internal columns (_ivs/_ive/
+    # _pts): plain F.col names break when the two sides share a column
+    # name (intervals keeping their raw ts), and child-frame attribute
+    # references break the other common case — both sides derived from
+    # the SAME DataFrame (Spark's ambiguous-self-join detection).
+    # Unique internal names survive both; a genuine name clash in the
+    # OUTPUT just yields duplicate-named columns, like any Spark join.
+    iv = (intervals.withColumn(
         "_c", F.explode(F.expr(
             f"sequence({start_col} div {cell}, {end_col} div {cell})")))
-    pt = points.withColumn("_c", F.expr(f"{point_ts} div {cell}"))
-    # residual predicate via child-frame attribute references, so an
-    # intervals frame that ALSO carries a column named `point_ts`
-    # (e.g. windows derived from events keeping their raw ts) doesn't
-    # make F.col(point_ts) ambiguous; with such a clash the output
-    # simply has both same-named columns, like any Spark join
+        .withColumn("_ivs", F.col(start_col))
+        .withColumn("_ive", F.col(end_col)))
+    pt = (points.withColumn("_c", F.expr(f"{point_ts} div {cell}"))
+          .withColumn("_pts", F.col(point_ts)))
     joined = iv.join(pt, [on, "_c"]).where(
-        (pt[point_ts] >= iv[start_col]) & (pt[point_ts] <= iv[end_col]))
-    return joined.drop("_c")
+        (F.col("_pts") >= F.col("_ivs")) & (F.col("_pts") <= F.col("_ive")))
+    return joined.drop("_c", "_ivs", "_ive", "_pts")
 
 
 def resample_ffill(df: DataFrame, on: str, bucket: int,
