@@ -1065,6 +1065,31 @@ def q_events_interval_join(spark, sf_dir):
                  F.round(F.sum("value"), 6).alias("click_total")))
 
 
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval-overlap self-join: each purchase opens a 24-hour
+    lookback window; report per-user pairs of purchases whose windows
+    intersect (equivalently |t1 - t2| <= 24 h — which is exactly what
+    the oracle states, while the operator computes it via the
+    two-sided grid-cell explode + first-common-cell dedup, no distinct
+    pass and no inequality join; operators/temporal.py)."""
+    from recdb_postgresql_spark.operators import temporal
+
+    DAY_NS = 86_400 * 10**9
+    ev = load_table(spark, sf_dir, "events")
+    win = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        (F.col("ts") - F.lit(DAY_NS)).alias("start_ts"),
+        F.col("ts").alias("end_ts"))
+    left = win.select("user_id", F.col("pid").alias("pid1"),
+                      "start_ts", "end_ts")
+    right = win.select("user_id", F.col("pid").alias("pid2"),
+                       "start_ts", "end_ts")
+    out = temporal.interval_overlap_join(left, right, on="user_id",
+                                         cell=DAY_NS)
+    return (out.where(F.col("pid1") < F.col("pid2"))
+            .select("user_id", "pid1", "pid2"))
+
+
 def q_docs_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (the LLM pretraining layout):
     every document hash-sharded (md5, engine-portable), packed in
@@ -1396,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_itemcos_halflife": q_rec_itemcos_halflife,
         "events_asof_bucketed": q_events_asof_bucketed,
         "events_interval_join": q_events_interval_join,
+        "events_interval_overlap": q_events_interval_overlap,
         "events_resample_6h": q_events_resample_6h,
         "docs_pack_sequences": q_docs_pack_sequences,
         # R4/R7/R11: item-cos on-the-fly recommend, top-k
@@ -2483,6 +2509,18 @@ JOIN events c
                         AND epoch_ns(p.ts)
 WHERE p.event_type = 'purchase'
 GROUP BY 1, 2
+"""
+    # Window overlap of two D-length lookbacks == |t1 - t2| <= D: the
+    # oracle states the timestamp-distance form directly.
+    o["events_interval_overlap"] = """
+SELECT p1.user_id, p1.event_id AS pid1, p2.event_id AS pid2
+FROM events p1
+JOIN events p2
+  ON p1.user_id = p2.user_id
+ AND p2.event_type = 'purchase'
+ AND p1.event_id < p2.event_id
+ AND ABS(epoch_ns(p1.ts) - epoch_ns(p2.ts)) <= 86400000000000
+WHERE p1.event_type = 'purchase'
 """
     # Identical cumsum arithmetic, stated declaratively; md5 shard is
     # engine-portable (same MD5L both sides).

@@ -87,7 +87,8 @@ HEADLINE = [
     # skew-bounded as-of variant
     "ann_ivf_indexed", "dedup_incremental", "ann_ivf_trained_probe",
     "rec_itemcos_halflife", "events_asof_bucketed",
-    "events_interval_join", "events_resample_6h", "docs_pack_sequences",
+    "events_interval_join", "events_interval_overlap",
+    "events_resample_6h", "docs_pack_sequences",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

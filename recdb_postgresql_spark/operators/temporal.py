@@ -250,6 +250,48 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     return joined.drop("_c", "_ivs", "_ive", "_pts")
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame, on: str,
+                          cell: int,
+                          left_start: str = "start_ts",
+                          left_end: str = "end_ts",
+                          right_start: str = "start_ts",
+                          right_end: str = "end_ts") -> DataFrame:
+    """EXACT interval-overlap join: every (left row, right row) pair
+    with the same ``on`` key whose closed intervals intersect
+    (``l.start <= r.end AND r.start <= l.end``) — sessions vs outage
+    windows, promo periods vs user activity spans.
+
+    Same 1-D grid recipe as ``interval_join``, with the overlap twist:
+    BOTH sides explode onto their covered time cells, the join is an
+    equi-join on (key, cell), and because two overlapping intervals
+    can share MANY cells, each pair is emitted exactly once WITHOUT a
+    distinct pass: a pair is kept only in the first cell both occupy,
+    ``greatest(l.start, r.start) div cell`` — plain arithmetic on
+    columns already in hand, where a distinct would be a second
+    shuffle of the whole candidate set. Candidate volume is
+    O(Σ interval_length/cell x per-cell density); pick ``cell`` near
+    the typical interval length (~2 cells per interval)."""
+    cell = int(cell)
+    lhs = (left.withColumn("_lvs", F.col(left_start))
+           .withColumn("_lve", F.col(left_end))
+           .withColumn("_c", F.explode(F.expr(
+               f"sequence({left_start} div {cell},"
+               f" {left_end} div {cell})"))))
+    rhs = (right.withColumn("_rvs", F.col(right_start))
+           .withColumn("_rve", F.col(right_end))
+           .withColumn("_c", F.explode(F.expr(
+               f"sequence({right_start} div {cell},"
+               f" {right_end} div {cell})"))))
+    # `div` (not floor-divide): the cell ids in the sequences above use
+    # SQL div, which truncates toward zero — the first-common-cell
+    # arithmetic must truncate identically or negative-timestamp pairs
+    # get filtered into nonexistent cells and vanish
+    joined = lhs.join(rhs, [on, "_c"]).where(
+        (F.col("_lvs") <= F.col("_rve")) & (F.col("_rvs") <= F.col("_lve"))
+        & (F.col("_c") == F.expr(f"greatest(_lvs, _rvs) div {cell}")))
+    return joined.drop("_c", "_lvs", "_lve", "_rvs", "_rve")
+
+
 def resample_ffill(df: DataFrame, on: str, bucket: int,
                    ts_col: str = "ts",
                    value_col: str = "value",

@@ -174,3 +174,44 @@ def test_interval_join_tolerates_shared_column_names(spark):
     got = {(r.iid, r.pid) for r in temporal.interval_join(
         points, intervals, on="k", cell=10).collect()}
     assert got == {(1, 101)}
+
+
+def test_interval_overlap_basic_no_duplicates(spark):
+    """Overlapping pairs found once each (even when they share many
+    cells), touching endpoints count, disjoint/cross-key pairs don't."""
+    left = spark.createDataFrame(
+        [(1, "a", 0, 100), (2, "a", 200, 210), (3, "b", 0, 50)],
+        "lid long, k string, start_ts long, end_ts long")
+    right = spark.createDataFrame(
+        [(11, "a", 90, 205),    # overlaps 1 (many shared cells) AND 2
+         (12, "a", 100, 150),   # touches 1 at exactly 100
+         (13, "a", 101, 150),   # disjoint from 1
+         (14, "b", 300, 400)],  # same key, disjoint
+        "rid long, k string, start_ts long, end_ts long")
+    rows = temporal.interval_overlap_join(left, right, on="k",
+                                          cell=10).collect()
+    got = sorted((r.lid, r.rid) for r in rows)
+    assert got == [(1, 11), (1, 12), (2, 11)]   # each pair exactly once
+
+
+@pytest.mark.parametrize("cell", [3, 10, 50, 1000])
+def test_interval_overlap_cell_invariant_vs_bruteforce(spark, cell):
+    import random
+
+    rng = random.Random(17)
+    mk = lambda n, base: [(base + i, rng.choice("xy"),
+                           (s := rng.randrange(-50, 150)),
+                           s + rng.randrange(0, 40)) for i in range(25)]
+    ls, rs = mk(25, 0), mk(25, 100)
+    left = spark.createDataFrame(
+        ls, "lid long, k string, start_ts long, end_ts long")
+    right = spark.createDataFrame(
+        rs, "rid long, k string, start_ts long, end_ts long")
+    rows = temporal.interval_overlap_join(left, right, on="k",
+                                          cell=cell).collect()
+    got = sorted((r.lid, r.rid) for r in rows)
+    brute = sorted((lid, rid)
+                   for lid, lk, lsrt, lend in ls
+                   for rid, rk, rsrt, rend in rs
+                   if lk == rk and lsrt <= rend and rsrt <= lend)
+    assert got == brute and len(got) == len(set(got))
