@@ -215,3 +215,19 @@ def test_interval_overlap_cell_invariant_vs_bruteforce(spark, cell):
                    for rid, rk, rsrt, rend in rs
                    if lk == rk and lsrt <= rend and rsrt <= lend)
     assert got == brute and len(got) == len(set(got))
+
+
+def test_interval_overlap_plan_is_equi_join_even_self_joined(spark):
+    """The overlap join stays an equi-join with residual filters even
+    in the self-join shape (both sides derived from one frame) — no
+    cross product, no nested-loop range join, no distinct pass."""
+    win = spark.createDataFrame(
+        [(1, "a", 0, 10), (2, "a", 5, 15)],
+        "iid long, k string, start_ts long, end_ts long")
+    left = win.select("k", win.iid.alias("lid"), "start_ts", "end_ts")
+    right = win.select("k", win.iid.alias("rid"), "start_ts", "end_ts")
+    df = temporal.interval_overlap_join(left, right, on="k", cell=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Deduplicate" not in plan and "Distinct" not in plan
