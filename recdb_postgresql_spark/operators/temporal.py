@@ -206,6 +206,33 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str,
     return _emit(out, left.columns, value_cols, tolerance)
 
 
+_INTERVAL_INTERNAL = ("_c", "_pts", "_ivs", "_ive",
+                      "_lvs", "_lve", "_rvs", "_rve")
+
+
+def _check_no_internal_names(*frames: DataFrame) -> None:
+    """The interval joins rename through reserved internal columns
+    (see ``_INTERVAL_INTERNAL``); an input already carrying one would
+    be silently overwritten and dropped — refuse loudly instead."""
+    for df in frames:
+        clash = sorted(set(df.columns) & set(_INTERVAL_INTERNAL))
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with interval-join "
+                f"internal names {_INTERVAL_INTERNAL}; rename them")
+
+
+def _explode_cells(df: DataFrame, start: str, end: str,
+                   s_alias: str, e_alias: str, cell: int) -> DataFrame:
+    """One interval side of the grid recipe: copy start/end onto the
+    side's reserved internal names and explode onto every covered time
+    cell (truncating SQL `div`, matched everywhere cells are derived)."""
+    return (df.withColumn(s_alias, F.col(start))
+            .withColumn(e_alias, F.col(end))
+            .withColumn("_c", F.explode(F.expr(
+                f"sequence({start} div {cell}, {end} div {cell})"))))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame, on: str,
                   cell: int,
                   point_ts: str = "ts",
@@ -231,6 +258,7 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     At 100 TB both sides shuffle once on (key, cell) — skew follows
     the hottest (key, cell), which ``cell`` directly bounds."""
     cell = int(cell)
+    _check_no_internal_names(points, intervals)
     # the residual compares via RENAMED internal columns (_ivs/_ive/
     # _pts): plain F.col names break when the two sides share a column
     # name (intervals keeping their raw ts), and child-frame attribute
@@ -238,11 +266,7 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     # the SAME DataFrame (Spark's ambiguous-self-join detection).
     # Unique internal names survive both; a genuine name clash in the
     # OUTPUT just yields duplicate-named columns, like any Spark join.
-    iv = (intervals.withColumn(
-        "_c", F.explode(F.expr(
-            f"sequence({start_col} div {cell}, {end_col} div {cell})")))
-        .withColumn("_ivs", F.col(start_col))
-        .withColumn("_ive", F.col(end_col)))
+    iv = _explode_cells(intervals, start_col, end_col, "_ivs", "_ive", cell)
     pt = (points.withColumn("_c", F.expr(f"{point_ts} div {cell}"))
           .withColumn("_pts", F.col(point_ts)))
     joined = iv.join(pt, [on, "_c"]).where(
@@ -272,16 +296,9 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, on: str,
     O(Σ interval_length/cell x per-cell density); pick ``cell`` near
     the typical interval length (~2 cells per interval)."""
     cell = int(cell)
-    lhs = (left.withColumn("_lvs", F.col(left_start))
-           .withColumn("_lve", F.col(left_end))
-           .withColumn("_c", F.explode(F.expr(
-               f"sequence({left_start} div {cell},"
-               f" {left_end} div {cell})"))))
-    rhs = (right.withColumn("_rvs", F.col(right_start))
-           .withColumn("_rve", F.col(right_end))
-           .withColumn("_c", F.explode(F.expr(
-               f"sequence({right_start} div {cell},"
-               f" {right_end} div {cell})"))))
+    _check_no_internal_names(left, right)
+    lhs = _explode_cells(left, left_start, left_end, "_lvs", "_lve", cell)
+    rhs = _explode_cells(right, right_start, right_end, "_rvs", "_rve", cell)
     # `div` (not floor-divide): the cell ids in the sequences above use
     # SQL div, which truncates toward zero — the first-common-cell
     # arithmetic must truncate identically or negative-timestamp pairs

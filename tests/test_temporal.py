@@ -199,10 +199,10 @@ def test_interval_overlap_cell_invariant_vs_bruteforce(spark, cell):
     import random
 
     rng = random.Random(17)
-    mk = lambda n, base: [(base + i, rng.choice("xy"),
-                           (s := rng.randrange(-50, 150)),
-                           s + rng.randrange(0, 40)) for i in range(25)]
-    ls, rs = mk(25, 0), mk(25, 100)
+    mk = lambda base: [(base + i, rng.choice("xy"),
+                        (s := rng.randrange(-50, 150)),
+                        s + rng.randrange(0, 40)) for i in range(25)]
+    ls, rs = mk(0), mk(100)
     left = spark.createDataFrame(
         ls, "lid long, k string, start_ts long, end_ts long")
     right = spark.createDataFrame(
@@ -231,3 +231,14 @@ def test_interval_overlap_plan_is_equi_join_even_self_joined(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Deduplicate" not in plan and "Distinct" not in plan
+
+
+def test_interval_join_rejects_reserved_internal_names(spark):
+    """Inputs carrying the joins' internal column names would be
+    silently overwritten/dropped — must refuse loudly instead."""
+    bad = spark.createDataFrame([(1, "a", 5, 0)],
+                                "pid long, k string, ts long, _pts long")
+    iv = spark.createDataFrame([(1, "a", 0, 10)],
+                               "iid long, k string, start_ts long, end_ts long")
+    with pytest.raises(ValueError, match="_pts"):
+        temporal.interval_join(bad, iv, on="k", cell=10)
