@@ -1183,6 +1183,66 @@ def q_docs_lang_cap(spark, sf_dir):
         .select("doc_id", "lang")
 
 
+def q_docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: per-row md5 bucket ranges
+    (80/10/10) — reproducible across runs/partitionings/engines and
+    stable under incremental appends, unlike randomSplit. Aggregated
+    to per-(split, lang) counts so the whole assignment is checked."""
+    from recdb_postgresql_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = hash_split(docs, F.col("doc_id"),
+                   {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (s.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+def q_docs_quality_filter(spark, sf_dir):
+    """Relative quality cut: keep the top half of each language by
+    quality_score (percent_rank over (quality desc, doc_id) — exact,
+    deterministic). The approx_percentile-threshold scale path of the
+    same operator is pinned against this one in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_filter(docs, frac=0.5)
+
+
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus heavy hitters: the 20 most frequent word trigrams —
+    boilerplate detection. Per-(doc, gram) partial agg collapses
+    within-doc repeats map-side; global top-k is
+    TakeOrderedAndProject, never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_ngrams(docs, n=3, k=20)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup assignment over the embeddings
+    table: IVF-cell-bucketed near-dup pairs -> connected components ->
+    (vec_id, canonical_id, keep). Deterministic first-k centroids keep
+    the full flow SQL-expressible for the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.first_k_centroids(emb, k=16)
+    return dedup.semantic_dedup(emb, cents, threshold=0.30)
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON property extraction (the PG json_extract / ->> operator
+    family): parse the events.props JSON string, aggregate per event
+    type. get_json_object is codegen'd JVM-side — no Python in the
+    scan path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    d = ev.select("event_type", k.alias("k"), "value")
+    return (d.groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.countDistinct("k").alias("n_distinct_k"),
+                 F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+                 .cast("long").alias("n_even_k"),
+                 F.round(F.avg(F.when(F.col("k").isNotNull(), F.col("value"))),
+                         6).alias("avg_value_with_k")))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1414,6 +1474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
         "window_running_revenue": _rel_query("window_running_revenue"),
+        # round-7 operators (newest first so the driver's 50-row
+        # sample window catches them)
+        "docs_split_assign": q_docs_split_assign,
+        "docs_quality_filter": q_docs_quality_filter,
+        "text_top_ngrams": q_text_top_ngrams,
+        "semantic_dedup": q_semantic_dedup,
+        "events_json_props": q_events_json_props,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -2592,5 +2659,111 @@ FROM h
 JOIN firsts ON firsts.doc_id = h.doc_id
            AND firsts.content_hash = h.content_hash
 WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.content_hash = h.content_hash)
+"""
+
+    # --- round-7 entries ---------------------------------------------
+    split_h = MD5L.format(x="CAST(doc_id AS VARCHAR)")
+    o["docs_split_assign"] = f"""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN ({split_h}) % 1000000 < 800000 THEN 'train'
+              WHEN ({split_h}) % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang
+"""
+    # reuses the text_quality arithmetic verbatim (nested WITH) so the
+    # scores are bit-identical; percent_rank over the same unique
+    # ordering key is then exactly (rank-1)/(n-1) in both engines
+    o["docs_quality_filter"] = f"""
+WITH q AS ({o['text_quality']}),
+j AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+r AS (
+  SELECT doc_id, lang, quality,
+         PERCENT_RANK() OVER (
+           PARTITION BY lang ORDER BY quality DESC, doc_id) AS pr
+  FROM j
+)
+SELECT doc_id, lang, quality FROM r WHERE pr <= 0.5
+"""
+    o["text_top_ngrams"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS gi(i)
+),
+per_doc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT gram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY gram HAVING SUM(c) >= 2
+)
+SELECT gram, n_occurrences, n_docs FROM agg
+ORDER BY n_occurrences DESC, gram LIMIT 20
+"""
+    # same cells/pairs as embedding_neardup_ivf, then the same
+    # reachability CTE as dedup_clusters: component = min reachable id
+    o["semantic_dedup"] = """
+WITH RECURSIVE cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.30
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS id, r.lbl
+  FROM edges e JOIN reach r ON r.id = e.b
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS canonical_id,
+       CAST(CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+"""
+    o["events_json_props"] = """
+WITH d AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, 'k') AS INT) AS k, value
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
+       ROUND(AVG(CASE WHEN k IS NOT NULL THEN value END), 6) AS avg_value_with_k
+FROM d GROUP BY event_type
 """
     return o

@@ -47,3 +47,41 @@ def group_cap(df: DataFrame, group_col: str, key: Column,
     w = Window.partitionBy(group_col).orderBy(hash_bucket(key), key)
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= max_rows).drop("_rn"))
+
+
+def hash_split(df: DataFrame, key: Column,
+               fractions: dict[str, float] | None = None,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: adds ``split_col``
+    holding the name whose cumulative hash-bucket range contains
+    md5(key) % MOD. Properties inherited from hash_bucket: the same
+    row lands in the same split across runs, partitionings, engines,
+    and incremental appends — the reproducible-corpus version of
+    ``randomSplit`` (which is seed- and partition-layout-dependent).
+    Map-only: no shuffle, no global pass; fractions are enforced in
+    expectation per row, exactly as a 100 TB pipeline wants (a global
+    exact-count split would need a total order).
+
+    ``fractions`` is an ordered name -> fraction mapping; entries are
+    assigned consecutive bucket ranges in insertion order and must sum
+    to <= 1.0 (any remainder falls into the LAST split, keeping every
+    row assigned)."""
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1.0")
+    b = hash_bucket(key)
+    names = list(fractions)
+    expr: Column = F.lit(names[-1])  # remainder -> last split
+    cum = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        cum += frac
+        bounds.append((name, int(round(cum * _MOD))))
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(b < hi, F.lit(name)).otherwise(expr)
+    # first range wins automatically: WHEN clauses are ordered low->high
+    return df.withColumn(split_col, expr)

@@ -530,6 +530,37 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
             .where(F.col("cos") >= threshold))
 
 
+def semantic_dedup(emb: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.95, n_assign: int = 1) -> DataFrame:
+    """(vec_id, canonical_id, keep): SemDeDup-style semantic
+    deduplication — the full embedding-space analog of the text
+    near-dup flow. Vectors are bucketed into IVF cells (broadcast
+    centroids), near-duplicate pairs are scored exactly WITHIN cells
+    (``embedding_near_duplicates_ivf``), pairs collapse into
+    components (min-id canonical), and every vector gets an
+    assignment: its component's canonical id, or itself when nothing
+    matched. ``keep = 1`` marks the one survivor per group — filtering
+    on it yields the semantically deduplicated corpus.
+
+    Scale: inherits the cell-bucketed O(sum n_cell^2) pair cost and
+    the O(diameter->log n) component rounds; the final left join is
+    id-keyed (components are tiny next to the corpus, so Spark
+    broadcasts them under AQE). With deterministic centroids the whole
+    flow stays SQL-expressible and oracle-checked end to end."""
+    pairs = embedding_near_duplicates_ivf(
+        emb, centroids, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, n_assign=n_assign)
+    comp = connected_components(pairs.select("id1", "id2"))
+    ids = emb.select(F.col(id_col).alias("id"))
+    return (ids.join(comp, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("component", F.col("id")).alias("canonical_id"))
+            .withColumn("keep",
+                        (F.col(id_col) == F.col("canonical_id"))
+                        .cast("int")))
+
+
 def _near_dup_numpy(emb: DataFrame, id_col: str, vec_col: str,
                     threshold: float, blocks: int | None = None) -> DataFrame:
     """Distributed block-matmul scorer — NO driver collect, NO full

@@ -80,6 +80,46 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         .alias("quality"))
 
 
+def quality_filter(docs: DataFrame, frac: float = 0.5,
+                   group_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   exact: bool = True) -> DataFrame:
+    """(doc_id, group, quality): keep the top ``frac`` of documents
+    per group by ``quality_score`` — the relative quality cut every
+    corpus pipeline applies after absolute filters (keep the best half
+    per language, not everything above a magic constant).
+
+    Two paths:
+    - ``exact=True``: percent_rank window ordered by (quality desc,
+      doc_id) — fully deterministic and oracle-checkable. The window
+      partitions by ``group_col``, which for low-cardinality groups
+      (languages) means one sort task per group: correct, but the
+      straggler shape at 100 TB.
+    - ``exact=False``: the scale path — per-group quantile threshold
+      via approx_percentile (constant-size sketch, map-side merged),
+      broadcast back and filtered. No per-group global sort; the cut
+      point is approximate within the sketch's accuracy (1e-4
+      relative rank), which for a corpus cut is the right trade.
+      Ties AT the threshold all survive (>=), so the kept fraction
+      can exceed ``frac`` by the tied mass."""
+    from pyspark.sql import Window
+
+    qs = quality_score(docs, id_col, text_col)
+    d = (docs.select(id_col, group_col).join(qs, id_col)
+         .select(id_col, group_col, "quality"))
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(F.desc("quality"),
+                                                  F.col(id_col))
+        return (d.withColumn("_pr", F.percent_rank().over(w))
+                .where(F.col("_pr") <= frac).drop("_pr"))
+    thr = d.groupBy(group_col).agg(
+        F.expr(f"approx_percentile(quality, {1.0 - frac}, 10000)")
+        .alias("_thr"))
+    return (d.join(F.broadcast(thr), group_col)
+            .where(F.col("quality") >= F.col("_thr"))
+            .select(id_col, group_col, "quality"))
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang): marker-token counting with deterministic
@@ -231,6 +271,37 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                             6).alias("dup_ngram_ratio"),
                     F.round(F.col("top_c") / F.col("n_ngrams"), 6)
                     .alias("top_ngram_ratio")))
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text",
+               min_count: int = 2) -> DataFrame:
+    """(gram, n_occurrences, n_docs): the corpus's ``k`` most frequent
+    word n-grams — the heavy-hitter view a pipeline uses to find
+    boilerplate (nav bars, license headers, template chatter) worth
+    stripping corpus-wide before dedup/quality scoring.
+
+    Scale shape: gram construction is the same whitespace-split +
+    slice used by ``repetition_stats`` (one Generate, no staged
+    array); the first aggregation is per-(doc, gram) so map-side
+    partial agg collapses within-doc repeats before anything
+    shuffles; the second collapses to per-gram totals (n_docs is a
+    plain count over the pre-agg — no count-distinct Expand).
+    ``min_count`` prunes the long unique tail before the global
+    top-k, which executes as TakeOrderedAndProject (each partition
+    keeps only k rows — no global sort)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    per_doc = (spread_small(docs)
+               .select(F.col(id_col), F.explode(grams).alias("gram"))
+               .groupBy(id_col, "gram")
+               .agg(F.count(F.lit(1)).alias("c")))
+    agg = (per_doc.groupBy("gram")
+           .agg(F.sum("c").cast("long").alias("n_occurrences"),
+                F.count(F.lit(1)).alias("n_docs"))
+           .where(F.col("n_occurrences") >= min_count))
+    return agg.orderBy(F.desc("n_occurrences"), "gram").limit(k)
 
 
 def chunk_documents(docs: DataFrame, id_col: str = "doc_id",

@@ -39,3 +39,29 @@ def write_sorted(df: DataFrame, path: str, partition_col: str,
        .write.mode("overwrite")
        .partitionBy(partition_col)
        .parquet(path))
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None,
+                max_records_per_file: int = 0) -> None:
+    """Line-delimited JSON sink — the lingua franca of training-data
+    interchange (one document per line, tool-agnostic). Uncompressed
+    JSONL is line-splittable, so a 100 TB export stays readable in
+    parallel; with ``compression`` (gzip/zstd) each FILE becomes the
+    split unit instead, so pair it with ``max_records_per_file`` to
+    bound file size (and therefore downstream task granularity)."""
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL source with a REQUIRED schema: at 100 TB, schema
+    inference is a full extra pass over the data before the real scan
+    — never acceptable — and silently widens types on dirty rows.
+    ``columnNameOfCorruptRecord`` rows surface as nulls under the
+    default PERMISSIVE mode; pass a DDL string like
+    ``"doc_id BIGINT, text STRING"``."""
+    return spark.read.schema(schema).json(path)
