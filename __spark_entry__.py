@@ -530,6 +530,17 @@ def q_dedup_jaccard(spark, sf_dir):
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard join at scale: prefix filtering (PPJoin rule) —
+    the inverted-index self-join runs only over rarest-first prefix
+    tokens, then candidates verify exactly. Same output (and oracle)
+    as the quadratic dedup_ngram_jaccard baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    return dedup.prefix_filtered_pairs(sh, threshold=0.5) \
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_lsh_verified(spark, sf_dir):
     """The production near-dup flow: LSH candidates -> candidate-only
     true-Jaccard verify (one shared md5 pass, checkpointed), so the
@@ -1481,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "semantic_dedup": q_semantic_dedup,
         "events_json_props": q_events_json_props,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -2753,6 +2765,9 @@ SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS canonical_id,
             THEN 1 ELSE 0 END AS INT) AS keep
 FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
 """
+    # prefix filtering is exact: identical pair set + scores to the
+    # quadratic baseline, so it carries the same oracle text
+    o["dedup_jaccard_prefix"] = o["dedup_ngram_jaccard"]
     o["events_json_props"] = """
 WITH d AS (
   SELECT event_type,

@@ -89,6 +89,9 @@ HEADLINE = [
     "rec_itemcos_halflife", "events_asof_bucketed",
     "events_interval_join", "events_interval_overlap",
     "events_resample_6h", "docs_pack_sequences",
+    # round 7: split/quality-cut/heavy-hitter/semantic-dedup/JSON
+    "docs_split_assign", "docs_quality_filter", "text_top_ngrams",
+    "semantic_dedup", "events_json_props", "dedup_jaccard_prefix",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
@@ -238,6 +238,88 @@ def jaccard_pairs(shingled: DataFrame | None, threshold: float = 0.5,
                     (F.col("inter") /
                      (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def prefix_filtered_pairs(shingled: DataFrame, threshold: float = 0.5,
+                          hash_fn=md5_long,
+                          checkpoint: bool = True) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    PPJoin/AllPairs candidate rule): identical output to
+    ``jaccard_pairs(threshold)``, but scalable — the inverted-index
+    self-join runs only over each document's PREFIX tokens, not all of
+    them.
+
+    Rule: order every document's shingles by ascending global document
+    frequency (rarest first, ties by hash — one canonical total
+    order); a document of set size s keeps a prefix of
+    ``s - ceil(t*s) + 1`` tokens. Any pair with J >= t MUST share a
+    prefix token: if both prefixes miss, the intersection fits inside
+    both suffixes, so |inter| <= min(ceil(t*s1), ceil(t*s2)) - 1
+    < ceil(t/(1+t)*(s1+s2)) <= required overlap — contradiction.
+    A size filter (t*s1 <= s2 and t*s2 <= s1, necessary for J >= t)
+    prunes candidates before the distinct.
+
+    Scale shape: the self-join buckets are per PREFIX token, and
+    rarest-first ordering puts precisely the low-frequency tokens into
+    prefixes — bucket sizes shrink as the corpus grows boilerplate
+    (hot tokens land in suffixes and never join). Cost is
+    O(sum_prefix-token bucket^2) candidates + the candidate-driven
+    verify, vs the quadratic O(sum_all-token bucket^2) of the exact
+    baseline. At t=0.5 the prefix is ~half of each doc; higher
+    thresholds cut it further (t=0.9 -> ~10%).
+
+    This is the EXACT scale path; ``lsh_verified_pairs`` is the
+    approximate one (cheaper still, with MinHash recall loss)."""
+    hashed = hash_shingles(shingled, hash_fn)
+    if checkpoint:
+        hashed = hashed.localCheckpoint(eager=True)
+    freq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # sz rides the SAME per-id exchange as rn (unordered count window
+    # over the identical partitioning) — no separate sizes aggregate or
+    # join, so the token stream shuffles by id exactly once.
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    w_sz = Window.partitionBy("id")
+    pref = (hashed.join(freq, "sh")
+            .select("id", "sh",
+                    F.row_number().over(w).alias("rn"),
+                    F.count(F.lit(1)).over(w_sz).alias("sz"))
+            .where(F.col("rn") <=
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1))
+    if checkpoint:
+        # both legs of the prefix self-join read this frame; without a
+        # checkpoint each leg re-runs the freq join + window sort.
+        pref = pref.localCheckpoint(eager=True)
+    a = pref.select(F.col("id").alias("id1"), "sh",
+                    F.col("sz").alias("sz1"), F.col("rn").alias("rn1"))
+    b = pref.select(F.col("id").alias("id2"), "sh",
+                    F.col("sz").alias("sz2"), F.col("rn").alias("rn2"))
+    # positional filter (the PPJoin tightening): instead of a plain
+    # distinct over raw matches, aggregate per pair the shared-prefix
+    # count o_pref and the LAST matching prefix positions (mx, my).
+    # Every common token NOT counted in o_pref ranks globally after
+    # that last match (else it would sit inside both prefixes and be
+    # counted), so it occupies one of the <= sz - rn trailing slots on
+    # EACH side: overlap <= o_pref + min(sz1-mx, sz2-my). Pairs whose
+    # bound cannot reach the required overlap t/(1+t)*(sz1+sz2) are
+    # pruned BEFORE any verification join — on low-entropy corpora
+    # (tiny vocab, heavy co-shingling) this is the difference between
+    # verifying ~true-pair-many candidates and verifying every
+    # co-shingling pair. The 1e-9 slack only ever ADMITS borderline
+    # candidates (float guard); verification stays exact.
+    matches = (a.join(b, "sh")
+               .where((F.col("id1") < F.col("id2"))
+                      & (F.col("sz1") * threshold <= F.col("sz2"))
+                      & (F.col("sz2") * threshold <= F.col("sz1")))
+               .groupBy("id1", "id2", "sz1", "sz2")
+               .agg(F.count(F.lit(1)).alias("o_pref"),
+                    F.max("rn1").alias("mx"), F.max("rn2").alias("my")))
+    ub = F.col("o_pref") + F.least(F.col("sz1") - F.col("mx"),
+                                   F.col("sz2") - F.col("my"))
+    cand = (matches
+            .where(ub * (1.0 + threshold)
+                   >= threshold * (F.col("sz1") + F.col("sz2")) - 1e-9)
+            .select("id1", "id2"))
+    return jaccard_pairs(None, threshold, candidates=cand, hashed=hashed)
 
 
 def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,

@@ -100,6 +100,53 @@ def dedup_probe(spark, sf_dir: str, mult: int) -> None:
            speedup_x=t_exact / max(t_ver, 1e-9))
 
 
+def prefix_probe(spark, sf_dir: str, mult: int) -> None:
+    """EXACT Jaccard: inverted-index baseline vs prefix filtering on a
+    BOILERPLATE-heavy corpus — every doc carries the same template
+    header (the web-corpus shape: shared nav/footer text) while the
+    body is salted per copy so true near-dup pairs stay sparse. The
+    template shingles give the plain inverted index quadratic buckets
+    (every doc joins every doc); rarest-first prefix ordering puts
+    those hot shingles in the SUFFIX, so they never enter the prefix
+    self-join. Counts are asserted identical — prefix filtering is an
+    exact algorithm, the speedup is free. (The duplicate-heavy copytag
+    shape in dedup_probe is the OPPOSITE regime — nearly all
+    co-shingling pairs are true pairs, nothing is prunable, and prefix
+    filtering's extra stages make it ~0.6x there; measured x8/x16
+    2026-08-14. Use LSH when the corpus is dup-dominated, prefix
+    filtering when boilerplate-dominated and exactness is required.)"""
+    from recdb_postgresql_spark.operators import dedup
+
+    template = ("terms of service privacy policy all rights reserved "
+                "copyright navigation home about contact subscribe "
+                "newsletter")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = spark.range(mult).select(F.col("id").alias("rep"))
+    amp = (docs.crossJoin(rep)
+           .select((F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                   F.concat(
+                       F.lit(template + " "),
+                       F.array_join(
+                           F.transform(
+                               F.split(F.col("text"), r"\s+"),
+                               lambda w: F.concat(
+                                   w, F.lit("~"),
+                                   F.col("rep").cast("string"))),
+                           " ")).alias("text")))
+    sh = dedup.word_shingles(amp).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    n_exact = dedup.jaccard_pairs(sh, threshold=0.5).count()
+    t_exact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pref = dedup.prefix_filtered_pairs(sh, threshold=0.5).count()
+    t_pref = time.perf_counter() - t0
+    assert n_pref == n_exact, (n_pref, n_exact)
+    record(f"dedup_exact_vs_prefix_x{mult}", mult=mult,
+           shape="boilerplate", exact_pairs=n_exact, exact_s=t_exact,
+           prefix_pairs=n_pref, prefix_s=t_pref,
+           speedup_x=t_exact / max(t_pref, 1e-9))
+
+
 def amplified_embeddings(spark, sf_dir: str, mult: int):
     emb = load_table(spark, sf_dir, "embeddings")
     parts = [emb.select((F.col("vec_id") + F.lit(i * 10_000_000))
@@ -226,6 +273,10 @@ def main():
     asof_hotkey_probe(spark)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
+    # prefix probe runs on sf0.01 — the boilerplate shape makes the
+    # exact baseline quadratic in N (90s at sf0.01 x32 already)
+    for mult in (16, 32):
+        prefix_probe(spark, "/root/testdata/sf0.01", mult)
     for mult in mults:
         ann_probe(spark, sf_dir, mult)
     for mult in mults:

@@ -103,6 +103,40 @@ def test_semantic_dedup_assignment(spark):
     assert out == {0: (0, 1), 1: (1, 1), 2: (0, 0), 3: (1, 0), 4: (4, 1)}
 
 
+def _pair_map(df):
+    return {(r.id1, r.id2): round(r.jaccard, 6) for r in df.collect()}
+
+
+def test_prefix_filtered_pairs_exact_vs_baseline(spark):
+    """Prefix filtering must return the IDENTICAL pair set + scores as
+    the quadratic inverted-index baseline — it is an exact algorithm,
+    not an approximation. Checked on the real corpus and at a second
+    threshold (prefix lengths change with t)."""
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sh = dedup.word_shingles(docs)
+    for t in (0.5, 0.8):
+        base = _pair_map(dedup.jaccard_pairs(sh, threshold=t))
+        pref = _pair_map(dedup.prefix_filtered_pairs(sh, threshold=t))
+        assert pref == base, (t, len(base), len(pref))
+    assert len(base) > 0          # the corpus does contain near-dups
+
+
+def test_prefix_filtered_pairs_edge_cases(spark):
+    """Identical docs (J=1, minimal prefix), disjoint docs (no pair),
+    and a doc pair straddling the size filter."""
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"),      # identical
+            (3, "q r s t u v"),                          # disjoint
+            (4, "a b c")]                                # tiny: size filter
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.word_shingles(df, n=2)
+    base = _pair_map(dedup.jaccard_pairs(sh, threshold=0.5))
+    pref = _pair_map(dedup.prefix_filtered_pairs(sh, threshold=0.5))
+    assert pref == base
+    assert (1, 2) in pref and pref[(1, 2)] == 1.0
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     from recdb_postgresql_spark.sources.readers import load_table
 
