@@ -1254,6 +1254,50 @@ def q_events_json_props(spark, sf_dir):
                          6).alias("avg_value_with_k")))
 
 
+def q_docs_strip_spans(spark, sf_dir):
+    """Substring-level boilerplate removal: delete every word covered
+    by a positional bigram whose document frequency exceeds 40 — the
+    span-granular dedup unit (repeated template spans are cut out of
+    otherwise-unique documents). Hot-gram set broadcasts; tokens never
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.strip_common_spans(docs, n=2, max_doc_freq=40)
+
+
+def q_docs_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (Lucene +1-idf variant): top 15 docs for
+    a 3-term query. One map pass computes tf/dl; N/avgdl/df reduce to
+    a single broadcast row; top-k is TakeOrderedAndProject — zero
+    shuffles of document data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["spark", "window", "merge"], k=15)
+
+
+def q_docs_importance_dsir(spark, sf_dir):
+    """DSIR importance weights: hashed-bigram bucket histograms of
+    target (lang='en') vs whole corpus; per-doc log-likelihood-ratio
+    weight under add-one smoothing. Histograms partial-aggregate to
+    <=256 rows; the log-ratio map broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n=2, num_buckets=256)
+
+
+def q_docs_mix_sample(spark, sf_dir):
+    """Deterministic data mixing: per-language hash-sample fractions
+    (en keeps all, de half, zh a tenth, everything else a quarter) —
+    map-only, reproducible across engines, aggregated to per-lang
+    counts so the whole assignment is checked."""
+    from recdb_postgresql_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(docs, "lang", F.col("doc_id"),
+                          {"en": 1.0, "de": 0.5, "zh": 0.1}, default=0.25)
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1493,6 +1537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "events_json_props": q_events_json_props,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "docs_strip_spans": q_docs_strip_spans,
+        "docs_bm25": q_docs_bm25,
+        "docs_importance_dsir": q_docs_importance_dsir,
+        "docs_mix_sample": q_docs_mix_sample,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -2768,6 +2816,86 @@ FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
     # prefix filtering is exact: identical pair set + scores to the
     # quadratic baseline, so it carries the same oracle text
     o["dedup_jaccard_prefix"] = o["dedup_ngram_jaccard"]
+    o["docs_strip_spans"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             CAST(concat('0x', substring(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15)) AS BIGINT) AS gh
+      FROM t, UNNEST(generate_series(0, len(toks)-2)) AS s(i)
+      WHERE len(toks) >= 2),
+stop AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+         GROUP BY gh HAVING count(*) > 40),
+cover AS (SELECT DISTINCT g.doc_id, p
+          FROM g JOIN stop USING (gh),
+               UNNEST(generate_series(g.pos, g.pos + 1)) AS u(p)),
+pos AS (SELECT t.doc_id, i AS p, toks[i+1] AS w
+        FROM t, UNNEST(generate_series(0, len(toks)-1)) AS s(i)),
+kept AS (SELECT pos.doc_id, string_agg(w, ' ' ORDER BY pos.p) AS clean_text,
+                count(*) AS n_kept
+         FROM pos LEFT JOIN cover
+           ON cover.doc_id = pos.doc_id AND cover.p = pos.p
+         WHERE cover.p IS NULL GROUP BY 1)
+SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+       CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN kept USING (doc_id)
+"""
+    o["docs_bm25"] = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0) AS toks
+           FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+      FROM t),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM d),
+sc AS (SELECT doc_id,
+              ROUND(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+       FROM d, s)
+SELECT doc_id, score FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 15
+"""
+    o["docs_importance_dsir"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             CAST(concat('0x', substring(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM t, UNNEST(generate_series(0, len(toks)-2)) AS s(i)
+      WHERE len(toks) >= 2),
+ch AS (SELECT bucket, count(*) AS cc FROM g GROUP BY 1),
+th AS (SELECT bucket, count(*) AS tc
+       FROM g JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+ct AS (SELECT CAST(sum(cc) AS DOUBLE) AS c_tot FROM ch),
+tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS t_tot FROM th),
+lr AS (SELECT ch.bucket,
+              ln((COALESCE(tc, 0) + 1.0) / (t_tot + 256))
+                - ln((cc + 1.0) / (c_tot + 256)) AS lr
+       FROM ch LEFT JOIN th USING (bucket), ct, tt)
+SELECT doc_id, ROUND(sum(lr), 6) AS log_weight
+FROM g JOIN lr USING (bucket) GROUP BY 1
+"""
+    o["docs_mix_sample"] = """
+WITH b AS (SELECT lang, n_chars,
+                  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bucket
+           FROM documents),
+k AS (SELECT lang, n_chars FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 1000000
+                               WHEN 'de' THEN 500000
+                               WHEN 'zh' THEN 100000
+                               ELSE 250000 END)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM k GROUP BY 1
+"""
     o["events_json_props"] = """
 WITH d AS (
   SELECT event_type,

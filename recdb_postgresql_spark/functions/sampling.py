@@ -85,3 +85,21 @@ def hash_split(df: DataFrame, key: Column,
         expr = F.when(b < hi, F.lit(name)).otherwise(expr)
     # first range wins automatically: WHEN clauses are ordered low->high
     return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, group_col: str, key: Column,
+                      fractions: dict[str, float],
+                      default: float = 1.0) -> DataFrame:
+    """Per-group deterministic hash sample — the data-mixing lever
+    (downsample over-represented languages/sources to a target blend).
+    Groups absent from ``fractions`` keep ``default`` of their rows.
+    Map-only like ``hash_sample`` (the per-group threshold is a CASE
+    expression, no join), with all its properties: reproducible across
+    runs/partitionings/engines and composable with incremental
+    appends. Unlike ``df.sampleBy``, two engines agree row-by-row."""
+    b = hash_bucket(key)
+    thr: Column = F.lit(int(default * _MOD))
+    for g, frac in fractions.items():
+        thr = F.when(F.col(group_col) == g,
+                     F.lit(int(frac * _MOD))).otherwise(thr)
+    return df.where(b < thr)

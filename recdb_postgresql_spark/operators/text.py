@@ -504,3 +504,158 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.array_min(F.transform(F.array_distinct(sh),
                                 lambda s: hash_fn(s))).alias("fingerprint"))
+
+
+def strip_common_spans(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       max_doc_freq: int = 50,
+                       hash_fn=md5_long) -> DataFrame:
+    """(doc_id, clean_text, n_removed): substring-level boilerplate
+    removal — delete every word covered by a POSITIONAL n-gram whose
+    document frequency exceeds ``max_doc_freq`` (the span-granular
+    dedup unit of 'Deduplicating Training Data Makes Language Models
+    Better': repeated template spans are cut out of otherwise-unique
+    documents instead of dropping or keeping whole docs).
+
+    Mechanics: a document's positional n-grams (every start index, not
+    the distinct set) are hashed; a gram is boilerplate when its
+    corpus df (distinct docs containing it) > max_doc_freq; every
+    token position inside any boilerplate-gram occurrence is removed;
+    the survivors rejoin in order. Documents shorter than n tokens
+    have no grams and pass through unchanged.
+
+    Scale shape: the positional (id, pos, gram-hash) stream is
+    checkpointed once and feeds both legs. df is a two-level aggregate
+    (per-(doc, gram) first — collapses within-doc repeats map-side —
+    then per-gram), so one shuffle keyed on the 60-bit gram hash; the
+    boilerplate set is SMALL by definition (high-df grams are few
+    distinct values) and BROADCASTS against the stream; covered start
+    positions aggregate per doc (one shuffle on id) and the rebuild is
+    a higher-order filter over the token array — no token ever
+    shuffles, only (id, pos, int64) rows."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    gram_h = F.transform(
+        idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    per = (spread_small(docs)
+           .select(F.col(id_col),
+                   F.posexplode(gram_h).alias("pos", "gh"))
+           .localCheckpoint(eager=False))
+    per_doc = per.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("_c"))
+    stop = (per_doc.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq).select("gh"))
+    starts = (per.join(F.broadcast(stop), "gh")
+              .groupBy(id_col)
+              .agg(F.collect_set("pos").alias("_starts")))
+    out = (docs.join(starts, id_col, "left")
+           .withColumn("_starts", F.coalesce(
+               F.col("_starts"), F.array().cast("array<int>"))))
+    kept = F.filter(
+        toks,
+        lambda w, i: ~F.exists(
+            F.col("_starts"), lambda s: (i >= s) & (i < s + n)))
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"))
+
+
+def bm25_topk(docs: DataFrame, query_terms, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, score): top-k documents for a bag-of-terms query under
+    BM25 (the Robertson/Okapi ranking function behind every keyword
+    retrieval engine) with the +1 idf variant (Lucene's), so idf is
+    never negative: idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: per-term tf and doc length are computed in ONE map
+    pass over the scan (higher-order filter on the token array — the
+    document stream never explodes and never shuffles); N / avgdl /
+    per-term df reduce to a SINGLE row that cross-joins back as a
+    broadcast; scoring is a codegen'd expression and top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    global sort). Zero shuffles of document data end to end.
+
+    Docs matching no term (score 0) are excluded; ties break by
+    ascending doc id for a deterministic result set."""
+    terms = list(query_terms)
+    toks = _tokens(F.col(text_col))
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term)))
+        .cast("double").alias(f"_tf{j}")
+        for j, term in enumerate(terms)
+    ]
+    base = docs.select(F.col(id_col), F.size(toks).cast("double").alias("_dl"),
+                       *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[F.sum((F.col(f"_tf{j}") > 0).cast("double")).alias(f"_df{j}")
+          for j in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for j in range(len(terms)):
+        idf = F.log(F.lit(1.0) + (F.col("_n") - F.col(f"_df{j}") + 0.5)
+                    / (F.col(f"_df{j}") + 0.5))
+        norm = F.col(f"_tf{j}") + k1 * (1 - b + b * F.col("_dl")
+                                        / F.col("_avgdl"))
+        score = score + idf * F.col(f"_tf{j}") * (k1 + 1) / norm
+    return (scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k))
+
+
+def importance_weights(corpus: DataFrame, target: DataFrame,
+                       n: int = 2, num_buckets: int = 256,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       hash_fn=md5_long) -> DataFrame:
+    """(doc_id, log_weight): hashed n-gram importance weights (the
+    DSIR recipe — Data Selection via Importance Resampling): every
+    positional n-gram hashes into one of ``num_buckets`` buckets; the
+    target set (the distribution you WANT, e.g. high-quality English)
+    and the corpus each induce a bucket histogram; a document's weight
+    is the sum over its grams of ln(p_target[b] / p_corpus[b]) with
+    add-one smoothing. Sampling proportional to exp(log_weight)
+    reshapes the corpus toward the target distribution.
+
+    Scale shape: both histograms are ONE groupBy over the gram stream
+    that partial-aggregates map-side into <= num_buckets rows per task
+    (the shuffle moves ~num_buckets x tasks rows, independent of
+    corpus size); the per-bucket log-ratio map is tiny and BROADCASTS
+    against the corpus gram stream; the only data-sized shuffle is the
+    final per-doc sum keyed on id. Nothing quadratic, nothing
+    collected."""
+    def bucket_stream(d: DataFrame) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        idx = F.when(F.size(toks) >= n,
+                     F.sequence(F.lit(0), F.size(toks) - n)) \
+            .otherwise(F.array().cast("array<int>"))
+        return spread_small(d).select(
+            F.col(id_col),
+            F.explode(F.transform(
+                idx,
+                lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+                % num_buckets)).alias("bucket"))
+
+    corpus_grams = bucket_stream(corpus).localCheckpoint(eager=False)
+    c_hist = corpus_grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cc"))
+    t_hist = bucket_stream(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tc"))
+    c_tot = c_hist.agg(F.sum("cc").alias("c_tot"))
+    t_tot = t_hist.agg(F.sum("tc").alias("t_tot"))
+    # every bucket present in the corpus stream is in c_hist; missing
+    # target buckets smooth to +1 mass
+    lr = (c_hist.join(t_hist, "bucket", "left")
+          .crossJoin(F.broadcast(c_tot)).crossJoin(F.broadcast(t_tot))
+          .select("bucket",
+                  (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                         / (F.col("t_tot") + num_buckets))
+                   - F.log((F.col("cc") + 1.0)
+                           / (F.col("c_tot") + num_buckets))).alias("lr")))
+    return (corpus_grams.join(F.broadcast(lr), "bucket")
+            .groupBy(id_col)
+            .agg(F.round(F.sum("lr"), 6).alias("log_weight")))

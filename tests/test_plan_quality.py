@@ -122,3 +122,32 @@ def test_repetition_and_bigram_inline_generate(spark):
         plan = _plan(entrymod.queries()[name](spark, SF))
         assert "_h#" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_bm25_zero_doc_shuffles_and_takeordered(spark):
+    """BM25: the document stream must never shuffle — the only
+    Exchange feeds the single-row stats aggregate (and its broadcast
+    back); top-k must be TakeOrderedAndProject, not a global Sort."""
+    plan = _plan(entrymod.queries()["docs_bm25"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_spans_broadcasts_stop_set(spark):
+    """The boilerplate-gram set joins the positional stream as a
+    BROADCAST (it is small by definition); the rebuild never
+    sort-merge-joins token data."""
+    plan = _plan(entrymod.queries()["docs_strip_spans"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_importance_weights_broadcasts_ratio_map(spark):
+    """The <=256-row bucket log-ratio map must broadcast against the
+    corpus gram stream — a sort-merge join there would shuffle the
+    whole gram stream a second time."""
+    plan = _plan(entrymod.queries()["docs_importance_dsir"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -155,3 +155,90 @@ def test_jsonl_roundtrip(spark, tmp_path):
         spark, gz,
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
     assert {tuple(r) for r in back_gz.select(*docs.columns).collect()} == orig
+
+
+def test_strip_common_spans_semantics(spark):
+    """Shared bigram across 3 docs (df=3 > max_df=2) is stripped —
+    BOTH words of every occurrence; a doc without it is untouched; a
+    doc shorter than n passes through; an all-boilerplate doc empties."""
+    rows = [(1, "alpha foo bar beta"),
+            (2, "foo bar gamma delta"),
+            (3, "epsilon foo bar"),
+            (4, "zeta eta theta"),
+            (5, "x"),                       # shorter than n=2: no grams
+            (6, "foo bar")]                 # entirely boilerplate
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in text.strip_common_spans(df, n=2, max_doc_freq=3).collect()}
+    assert out[4] == ("zeta eta theta", 0)
+    assert out[5] == ("x", 0)
+    # df('foo bar') = 4 > 3 -> stripped everywhere
+    assert out[1] == ("alpha beta", 2)
+    assert out[2] == ("gamma delta", 2)
+    assert out[3] == ("epsilon", 2)
+    assert out[6] == ("", 2)
+
+
+def test_strip_common_spans_overlapping_spans(spark):
+    """Overlapping boilerplate occurrences union their covered
+    positions (no double-count, no gap): 'a b a b' with hot gram
+    'a b' covers positions 0-1 and 2-3; 'b a' stays cold."""
+    rows = [(i, "a b") for i in range(5)] + [(99, "a b a b q")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in text.strip_common_spans(df, n=2, max_doc_freq=4).collect()}
+    assert out[99] == ("q", 4)
+
+
+def test_bm25_ranking_semantics(spark):
+    """More query-term occurrences rank higher at equal length; docs
+    with no query term are absent; rarer terms out-weigh common ones."""
+    rows = [(1, "spark spark spark pad"),
+            (2, "spark pad pad pad"),
+            (3, "pad pad pad pad"),
+            (4, "merge pad pad pad"),   # 'merge' rarer than 'spark'
+            (5, "spark pad pad pad")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.bm25_topk(df, ["spark", "merge"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids                       # no query term -> excluded
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[2]              # more tf of same term wins
+    assert scores[4] > scores[2]              # rare term beats common term
+    # rare-term idf dominates here: ln(1+4.5/1.5) vs ln(1+2.5/3.5)
+    assert ids[0] == 4
+    assert scores[2] == scores[5]             # identical docs tie exactly
+
+
+def test_importance_weights_neutral_and_directional(spark):
+    """target == corpus -> every bucket ratio is 1 -> all weights 0;
+    a target concentrated on one doc's vocabulary pulls that doc's
+    weight above one with disjoint vocabulary."""
+    rows = [(1, "aa bb aa bb aa bb"), (2, "cc dd cc dd cc dd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    neutral = {r.doc_id: r.log_weight
+               for r in text.importance_weights(df, df, n=2).collect()}
+    assert all(abs(v) < 1e-9 for v in neutral.values())
+    target = df.where(SF.col("doc_id") == 1)
+    w = {r.doc_id: r.log_weight
+         for r in text.importance_weights(df, target, n=2).collect()}
+    assert w[1] > w[2]
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    df = spark.range(0, 4000).select(
+        SF.col("id").alias("doc_id"),
+        SF.when(SF.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"))
+    out = sampling.stratified_sample(
+        df, "lang", SF.col("doc_id"), {"en": 1.0, "zh": 0.0}, default=0.5)
+    got = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(SF.count(SF.lit(1)).alias("cnt")).collect()}
+    assert got.get("en") == 2000 and "zh" not in got
+    # default applies to unlisted groups; assignment is layout-independent
+    out2 = sampling.stratified_sample(
+        df.repartition(13), "lang", SF.col("doc_id"), {"zh": 0.25})
+    ids = {r.doc_id for r in out2.collect()}
+    ids_again = {r.doc_id for r in sampling.stratified_sample(
+        df, "lang", SF.col("doc_id"), {"zh": 0.25}).collect()}
+    assert ids == ids_again
+    assert {r.doc_id for r in df.where("lang = 'en'").collect()} <= ids
