@@ -11,22 +11,36 @@ of older versions keep working because old snapshot dirs are retained.
 - ``append(df)``   -> INSERT: writes only the new rows as a delta file
   set inside the current version's dir list (no rewrite).
 - ``delete(pred)`` -> DELETE ... WHERE: rewrites the surviving rows to
-  a new snapshot (copy-on-write; at scale you'd partition first and
-  rewrite only affected partitions — partition pruning applies to the
-  predicate the same way).
+  a new snapshot (copy-on-write).
 - ``update(set_map, pred)`` -> UPDATE ... SET ... WHERE: same rewrite
   with column expressions applied to matching rows.
 
-At 100 TB: snapshots are per-partition, the rewrite set is pruned by
-the predicate, and the manifest lists partition->files; this class
-keeps the manifest a single JSON for clarity, the operator surface is
-identical.
+Two layouts:
+
+- ``partition_col=None``: whole-table copy-on-write — every
+  DELETE/UPDATE rewrites all live rows. Correct, simple, and the
+  wrong shape past ~GB scale.
+- ``partition_col='k'``: PARTITION-SCOPED copy-on-write, the 100 TB
+  shape. The manifest maps partition value -> live snapshot dirs;
+  DELETE/UPDATE first computes the distinct partition values the
+  predicate touches, rewrites ONLY those partitions' rows (one
+  ``partitionBy`` job into a staging dir, then one metadata move per
+  partition — never a per-partition Spark job), and leaves every
+  other partition's files untouched on disk. A predicate that
+  constrains the partition column prunes the discovery scan through
+  ordinary parquet min/max stats. The partition column stays a
+  PHYSICAL column in the data files (the directory layout only keys
+  the manifest), so reads never depend on path-based partition
+  inference. Updating the partition column itself (row migration) is
+  rejected — split it into DELETE + INSERT, the same discipline
+  early Delta/Hive enforced.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -34,9 +48,11 @@ from pyspark.sql import functions as F
 
 
 class EventStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_col: Optional[str] = None):
         self.spark = spark
         self.path = path
+        self.partition_col = partition_col
         # recommenders whose event table this store backs: every
         # INSERT notifies them (PG hooks ExecInsert itself,
         # ``nodeModifyTable.c:271`` -> updateCellCounter)
@@ -56,36 +72,105 @@ class EventStore:
     def _manifest(self) -> dict:
         p = os.path.join(self.path, "manifest.json")
         if not os.path.exists(p):
+            if self.partition_col:
+                return {"version": 0, "partition_col": self.partition_col,
+                        "parts": {}}
             return {"version": 0, "dirs": []}
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        if self.partition_col and m.get("partition_col") != self.partition_col:
+            raise ValueError(
+                f"store at {self.path} is partitioned by "
+                f"{m.get('partition_col')!r}, not {self.partition_col!r}")
+        return m
 
-    def _commit(self, dirs: list[str]) -> None:
-        m = self._manifest()
+    def _write_manifest(self, m: dict) -> None:
         m["version"] += 1
-        m["dirs"] = dirs
         tmp = os.path.join(self.path, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(m, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic swap
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic
+
+    def _commit(self, dirs: list[str]) -> None:
+        m = self._manifest()
+        m["dirs"] = dirs
+        self._write_manifest(m)
 
     def _new_dir(self, tag: str) -> str:
         m = self._manifest()
         d = f"v{m['version'] + 1}_{tag}"
         return d
 
+    # -- partition-scoped write path -----------------------------------
+    def _write_parts(self, df: DataFrame, tag: str) -> dict[str, str]:
+        """ONE ``partitionBy`` job into a staging dir, then a metadata
+        move per partition into ``<path>/part=<val>/v<N>_<tag>`` —
+        the rewrite cost is one Spark job over the affected rows plus
+        O(affected partitions) renames, never a job per partition.
+        The real column rides inside the files (``_p`` is a throwaway
+        routing copy), so readers never parse paths."""
+        ver = self._manifest()["version"] + 1
+        staging = os.path.join(self.path, f"_staging_v{ver}_{tag}")
+        (df.withColumn("_p", F.col(self.partition_col).cast("string"))
+           .write.mode("overwrite").partitionBy("_p").parquet(staging))
+        moved: dict[str, str] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith("_p="):
+                continue
+            val = entry[len("_p="):]
+            pdir = os.path.join(self.path, f"part={val}")
+            os.makedirs(pdir, exist_ok=True)
+            rel = os.path.join(f"part={val}", f"v{ver}_{tag}")
+            os.rename(os.path.join(staging, entry),
+                      os.path.join(self.path, rel))
+            moved[val] = rel
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    def _affected_parts(self, predicate: Column) -> list[str]:
+        """Distinct partition values holding at least one row the
+        predicate matches (TRUE under three-valued logic). A predicate
+        constraining the partition column prunes this scan via parquet
+        stats; the result list is small by the same contract as any
+        partition-pruning predicate."""
+        rows = (self.read()
+                .where(F.coalesce(predicate, F.lit(False)))
+                .select(F.col(self.partition_col).cast("string").alias("_p"))
+                .distinct().collect())
+        # NULL partition values land in the Hive default-partition dir,
+        # so key the manifest the same way
+        return ["__HIVE_DEFAULT_PARTITION__" if r["_p"] is None else r["_p"]
+                for r in rows]
+
+    def _read_parts(self, vals: list[str]) -> DataFrame:
+        m = self._manifest()
+        paths = [os.path.join(self.path, rel)
+                 for v in vals for rel in m["parts"].get(v, [])]
+        return self.spark.read.parquet(*paths)
+
     # -- DML surface ---------------------------------------------------
     def read(self) -> DataFrame:
         m = self._manifest()
-        if not m["dirs"]:
+        if self.partition_col:
+            paths = [os.path.join(self.path, rel)
+                     for rels in m["parts"].values() for rel in rels]
+        else:
+            paths = [os.path.join(self.path, d) for d in m["dirs"]]
+        if not paths:
             raise ValueError(f"empty event store at {self.path}")
-        paths = [os.path.join(self.path, d) for d in m["dirs"]]
         return self.spark.read.parquet(*paths)
 
     def append(self, df: DataFrame) -> None:
-        d = self._new_dir("append")
-        df.write.mode("overwrite").parquet(os.path.join(self.path, d))
-        self._commit(self._manifest()["dirs"] + [d])
+        if self.partition_col:
+            moved = self._write_parts(df, "append")
+            m = self._manifest()
+            for val, rel in moved.items():
+                m["parts"].setdefault(val, []).append(rel)
+            self._write_manifest(m)
+        else:
+            d = self._new_dir("append")
+            df.write.mode("overwrite").parquet(os.path.join(self.path, d))
+            self._commit(self._manifest()["dirs"] + [d])
         for engine, name in self._maintained:
             engine.record_insert(name, df, self.read())
 
@@ -93,12 +178,48 @@ class EventStore:
         # survivors are rows where the predicate is NOT TRUE: a NULL
         # predicate (NULL in a predicate column) must KEEP the row,
         # matching SQL DELETE ... WHERE three-valued logic
+        if self.partition_col:
+            affected = self._affected_parts(predicate)
+            if not affected:
+                return
+            survivors = (self._read_parts(affected)
+                         .where(~F.coalesce(predicate, F.lit(False))))
+            moved = self._write_parts(survivors, "delete")
+            m = self._manifest()
+            for val in affected:
+                if val in moved:
+                    m["parts"][val] = [moved[val]]
+                else:
+                    m["parts"].pop(val, None)  # partition fully deleted
+            self._write_manifest(m)
+            return
         survivors = self.read().where(~F.coalesce(predicate, F.lit(False)))
         d = self._new_dir("delete")
         survivors.write.mode("overwrite").parquet(os.path.join(self.path, d))
         self._commit([d])
 
     def update(self, set_map: Mapping[str, Column], predicate: Column) -> None:
+        if self.partition_col and self.partition_col in set_map:
+            raise ValueError(
+                f"updating the partition column {self.partition_col!r} "
+                "moves rows across partitions — use delete + append")
+        if self.partition_col:
+            affected = self._affected_parts(predicate)
+            if not affected:
+                return
+            df = self._read_parts(affected)
+            cols = [
+                F.when(F.coalesce(predicate, F.lit(False)),
+                       set_map[c]).otherwise(F.col(c)).alias(c)
+                if c in set_map else F.col(c)
+                for c in df.columns
+            ]
+            moved = self._write_parts(df.select(*cols), "update")
+            m = self._manifest()
+            for val in affected:
+                m["parts"][val] = [moved[val]]
+            self._write_manifest(m)
+            return
         df = self.read()
         cols = [
             F.when(predicate, set_map[c]).otherwise(F.col(c)).alias(c)

@@ -108,3 +108,81 @@ def test_bind_unknown_recommender_raises(spark, tmp_path):
     s = EventStore(spark, str(tmp_path / "ev2"))
     with pytest.raises(ValueError, match="no recommender"):
         s.bind_recommender(RecEngine(spark), "ghost")
+
+
+def _files_under(root):
+    import os
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+@pytest.fixture()
+def pstore(spark, tmp_path):
+    s = EventStore(spark, str(tmp_path / "pev"), partition_col="userid")
+    s.append(spark.createDataFrame(
+        [(1, 10, 4.0), (1, 20, 2.0), (2, 10, 5.0), (3, 30, 1.0)], SCHEMA))
+    return s
+
+
+def test_partitioned_roundtrip_and_append(spark, pstore):
+    assert pstore.read().count() == 4
+    pstore.append(spark.createDataFrame([(2, 40, 3.0), (4, 40, 2.0)], SCHEMA))
+    rows = {(r.userid, r.itemid) for r in pstore.read().collect()}
+    assert (2, 40) in rows and (4, 40) in rows and len(rows) == 6
+    # partition column survives as a REAL column (no path inference)
+    assert dict(pstore.read().dtypes)["userid"] == "bigint"
+
+
+def test_partitioned_delete_touches_only_matching_partitions(spark, pstore):
+    """The 100 TB property: DELETE WHERE userid=1 must leave every
+    other partition's parquet files untouched on disk (same paths,
+    same mtimes) — partition-scoped copy-on-write, not a table
+    rewrite."""
+    import os
+    before = _files_under(pstore.path)
+    untouched_before = {p: t for p, t in before.items() if "part=1" not in p}
+    pstore.delete(F.col("userid") == 1)
+    after = _files_under(pstore.path)
+    untouched_after = {p: t for p, t in after.items() if "part=1" not in p}
+    assert untouched_before == untouched_after
+    rows = {(r.userid, r.itemid) for r in pstore.read().collect()}
+    assert rows == {(2, 10), (3, 30)}
+
+
+def test_partitioned_partial_delete_rewrites_one_partition(spark, pstore):
+    pstore.delete((F.col("userid") == 1) & (F.col("itemid") == 20))
+    rows = {(r.userid, r.itemid) for r in pstore.read().collect()}
+    assert rows == {(1, 10), (2, 10), (3, 30)}
+
+
+def test_partitioned_update_and_partition_col_guard(spark, pstore):
+    before = _files_under(pstore.path)
+    untouched_before = {p: t for p, t in before.items() if "part=2" not in p}
+    pstore.update({"ratingval": F.lit(9.0)}, F.col("userid") == 2)
+    untouched_after = {p: t for p, t in _files_under(pstore.path).items()
+                       if "part=2" not in p}
+    assert untouched_before == untouched_after
+    vals = {(r.userid, r.itemid): r.ratingval for r in pstore.read().collect()}
+    assert vals[(2, 10)] == 9.0 and vals[(1, 10)] == 4.0
+    with pytest.raises(ValueError, match="partition column"):
+        pstore.update({"userid": F.lit(7)}, F.col("itemid") == 10)
+
+
+def test_partitioned_snapshot_isolation(spark, pstore):
+    before = pstore.read()
+    pstore.delete(F.col("userid") == 1)
+    assert before.count() == 4
+    assert pstore.read().count() == 2
+
+
+def test_partitioned_noop_predicates(spark, pstore):
+    v = pstore.version
+    pstore.delete(F.col("userid") == 99)     # matches nothing
+    pstore.update({"ratingval": F.lit(0.0)}, F.col("userid") == 99)
+    assert pstore.version == v               # no rewrite, no new version
+    assert pstore.read().count() == 4
