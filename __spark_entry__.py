@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.engine import RecEngine
-from recdb_postgresql_spark.operators import dedup, similarity, text
+from recdb_postgresql_spark.operators import dedup, graph, similarity, text
 from recdb_postgresql_spark.sources.readers import load_table, ratings_from_events
 
 # ----------------------------------------------------------------------
@@ -1298,6 +1298,19 @@ def q_docs_mix_sample(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("sum_chars")))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the exact near-dup pair graph (Jaccard >= 0.5):
+    hub templates — documents near-duplicating MANY others — outrank
+    leaf copies, a better boilerplate-removal priority than raw
+    degree. Fixed 10-round power iteration: static checkpointed edge
+    frame, only (node, double) rows shuffle per round, lineage
+    truncated every round."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    return (graph.pagerank(pairs, damping=0.85, iterations=10)
+            .withColumnRenamed("id", "doc_id"))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1541,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25": q_docs_bm25,
         "docs_importance_dsir": q_docs_importance_dsir,
         "docs_mix_sample": q_docs_mix_sample,
+        "graph_pagerank": q_graph_pagerank,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -2882,6 +2896,45 @@ lr AS (SELECT ch.bucket,
        FROM ch LEFT JOIN th USING (bucket), ct, tt)
 SELECT doc_id, ROUND(sum(lr), 6) AS log_weight
 FROM g JOIN lr USING (bucket) GROUP BY 1
+"""
+    # PageRank: power iteration is not expressible with a recursive
+    # CTE under PG/DuckDB rules (no aggregates in the recursive term),
+    # but a FIXED iteration count unrolls exactly — r0..r10 chained
+    # CTEs, each one join+aggregate, identical IEEE arithmetic.
+    _pr_iters = "".join(f""",
+r{k} AS (SELECT nodes.id AS id,
+               (1.0 - 0.85)/(SELECT n FROM nn)
+                 + 0.85 * COALESCE(c.c, 0) AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.v AS id, SUM(r{k-1}.rank / deg.deg) AS c
+          FROM e JOIN deg USING (u) JOIN r{k-1} ON r{k-1}.id = e.u
+          GROUP BY e.v) c USING (id))""" for k in range(1, 11))
+    o["graph_pagerank"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+shingled AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+),
+hashed AS (SELECT id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+e AS (SELECT id1 AS u, id2 AS v FROM p
+      UNION ALL SELECT id2 AS u, id1 AS v FROM p),
+deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)""" + _pr_iters + """
+SELECT id AS doc_id, ROUND(rank, 6) AS rank FROM r10
 """
     o["docs_mix_sample"] = """
 WITH b AS (SELECT lang, n_chars,

@@ -242,3 +242,29 @@ def test_stratified_sample_fractions_and_determinism(spark):
         df, "lang", SF.col("doc_id"), {"zh": 0.25}).collect()}
     assert ids == ids_again
     assert {r.doc_id for r in df.where("lang = 'en'").collect()} <= ids
+
+
+def test_pagerank_star_and_mass(spark):
+    """Star graph: the hub outranks every leaf; leaves tie exactly;
+    total mass stays ~1 (undirected symmetrization has no dangling)."""
+    from recdb_postgresql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["id1", "id2"])
+    r = {row.id: row.rank for row in graph.pagerank(edges).collect()}
+    assert r[0] > max(r[i] for i in range(1, 6))
+    assert len({r[i] for i in range(1, 6)}) == 1
+    assert abs(sum(r.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_directed_dangling_conserves_mass(spark):
+    """Directed chain 1->2->3: node 3 is dangling; its mass teleports
+    uniformly each round, so total rank still sums to ~1 and the sink
+    accumulates the most."""
+    from recdb_postgresql_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id1", "id2"])
+    r = {row.id: row.rank
+         for row in graph.pagerank(edges, directed=True).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-4
+    assert r[3] > r[2] > r[1]
