@@ -65,3 +65,62 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     default PERMISSIVE mode; pass a DDL string like
     ``"doc_id BIGINT, text STRING"``."""
     return spark.read.schema(schema).json(path)
+
+
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) interleave of 2-3 columns as ONE codegen'd
+    integer expression: each column min-max normalizes into ``bits``
+    levels, then bit b of column i lands at position b*k + i. Rows
+    close in z-value are close in EVERY interleaved dimension."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if not 2 <= k <= 3:
+        raise ValueError("zorder interleaves 2 or 3 columns")
+    if k * bits > 62:
+        raise ValueError("k*bits must fit a signed int64")
+    z = F.lit(0).cast("long")
+    for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = F.greatest(hi.cast("double") - lo.cast("double"),
+                          F.lit(1e-12))
+        lvl = F.least(
+            F.greatest(
+                F.floor((F.coalesce(F.col(c).cast("double"),
+                                    lo.cast("double")) - lo)
+                        / span * ((1 << bits) - 1)).cast("long"),
+                F.lit(0)),
+            F.lit((1 << bits) - 1))
+        for b in range(bits):
+            z = z + (F.shiftright(lvl, b).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (b * k + i)))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   bits: int = 16, num_files: int = 32) -> None:
+    """Z-order-clustered parquet: range-partition + sort rows by the
+    Morton interleave of ``cols`` so every output file covers a
+    COMPACT range in ALL the interleaved dimensions at once — parquet
+    footer min/max statistics then skip files/row-groups for
+    point/range predicates on ANY of the columns, not just the first
+    sort key. ``write_sorted`` is the single-column analog (a sort by
+    x leaves y spanning its full range in every file — a predicate on
+    y reads everything); this is the multi-dimensional data-skipping
+    layout (the Delta/Iceberg OPTIMIZE ZORDER analog, expressed as a
+    plain repartitionByRange + sortWithinPartitions — no table format
+    needed). One stats pass (min/max per column, a single broadcast
+    row), one range shuffle, one write."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(*[f(F.col(c)).alias(f"{n}_{c}")
+                     for c in cols
+                     for n, f in (("min", F.min), ("max", F.max))]) \
+        .collect()[0]
+    mins = [F.lit(stats[f"min_{c}"]) for c in cols]
+    maxs = [F.lit(stats[f"max_{c}"]) for c in cols]
+    z = zorder_value(cols, mins, maxs, bits)
+    (df.withColumn("_z", z)
+       .repartitionByRange(num_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))

@@ -153,3 +153,57 @@ def test_bucketed_window_no_shuffle(spark):
         assert got[(0, 0)] == 0 and got[(0, 50)] == 0 + 1
     finally:
         spark.sql("DROP TABLE bucketed_events_win")
+
+
+def test_zorder_layout_bounds_all_dims(spark, tmp_path):
+    """The data-skipping claim, checked in the parquet footers: with a
+    z-ordered write, EVERY file's min/max range is narrow in BOTH
+    interleaved columns (so predicates on either column skip files);
+    with a plain single-column sort, the second column spans ~its full
+    range in every file and nothing can be skipped for it."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.sources import sinks
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.col("id") % 317).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(317))).alias("y"))
+
+    def extents(path, col_names):
+        spans = {c: [] for c in col_names}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            schema_names = md.schema.names
+            los = {c: None for c in col_names}
+            his = {c: None for c in col_names}
+            for rg in range(md.num_row_groups):
+                for j, c in enumerate(schema_names):
+                    if c not in col_names:
+                        continue
+                    st = md.row_group(rg).column(j).statistics
+                    los[c] = st.min if los[c] is None else min(los[c], st.min)
+                    his[c] = st.max if his[c] is None else max(his[c], st.max)
+            for c in col_names:
+                spans[c].append((his[c] - los[c]) / 316.0)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    zpath = str(tmp_path / "z")
+    sinks.write_zordered(df, zpath, ["x", "y"], bits=9, num_files=32)
+    ze = extents(zpath, ["x", "y"])
+    assert ze["x"] < 0.5 and ze["y"] < 0.5, ze
+
+    lpath = str(tmp_path / "linear")
+    (df.repartitionByRange(32, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(lpath))
+    le = extents(lpath, ["x", "y"])
+    assert le["x"] < 0.2, le            # sorted dim is tight...
+    assert le["y"] > 0.8, le            # ...but the other dim is useless
+    # and the z-ordered data is the same rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.agg(F.sum("x"), F.sum("y")).collect() == \
+        df.agg(F.sum("x"), F.sum("y")).collect()
