@@ -1311,6 +1311,18 @@ def q_graph_pagerank(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def q_events_profile(spark, sf_dir):
+    """ANALYZE analog: per-column statistics (counts, distincts,
+    min/max/mean, exact quartiles) for the events table in ONE
+    aggregation job, emitted long-format. The sketch path
+    (approx_percentile/approx_count_distinct) is the 100 TB switch,
+    pinned against this exact path in pytest."""
+    from recdb_postgresql_spark.operators import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile.profile_table(ev, ["user_id", "value"])
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1555,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_importance_dsir": q_docs_importance_dsir,
         "docs_mix_sample": q_docs_mix_sample,
         "graph_pagerank": q_graph_pagerank,
+        "events_profile": q_events_profile,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -2935,6 +2948,47 @@ nodes AS (SELECT DISTINCT u AS id FROM e),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)""" + _pr_iters + """
 SELECT id AS doc_id, ROUND(rank, 6) AS rank FROM r10
+"""
+    o["events_profile"] = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(count(user_id) AS DOUBLE) AS u_n_notnull,
+         CAST(count(DISTINCT user_id) AS DOUBLE) AS u_n_distinct,
+         min(CAST(user_id AS DOUBLE)) AS u_min,
+         max(CAST(user_id AS DOUBLE)) AS u_max,
+         avg(CAST(user_id AS DOUBLE)) AS u_mean,
+         quantile_cont(CAST(user_id AS DOUBLE), 0.25) AS u_q25,
+         quantile_cont(CAST(user_id AS DOUBLE), 0.50) AS u_q50,
+         quantile_cont(CAST(user_id AS DOUBLE), 0.75) AS u_q75,
+         CAST(count(value) AS DOUBLE) AS v_n_notnull,
+         CAST(count(DISTINCT value) AS DOUBLE) AS v_n_distinct,
+         min(CAST(value AS DOUBLE)) AS v_min,
+         max(CAST(value AS DOUBLE)) AS v_max,
+         avg(CAST(value AS DOUBLE)) AS v_mean,
+         quantile_cont(CAST(value AS DOUBLE), 0.25) AS v_q25,
+         quantile_cont(CAST(value AS DOUBLE), 0.50) AS v_q50,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS v_q75
+  FROM events)
+SELECT col AS "column", stat, ROUND(value, 6) AS value FROM (
+  SELECT 'user_id' AS col, 'n_rows' AS stat, n_rows AS value FROM s
+  UNION ALL SELECT 'value', 'n_rows', n_rows FROM s
+  UNION ALL SELECT 'user_id', 'n_notnull', u_n_notnull FROM s
+  UNION ALL SELECT 'user_id', 'n_distinct', u_n_distinct FROM s
+  UNION ALL SELECT 'user_id', 'min', u_min FROM s
+  UNION ALL SELECT 'user_id', 'max', u_max FROM s
+  UNION ALL SELECT 'user_id', 'mean', u_mean FROM s
+  UNION ALL SELECT 'user_id', 'q25', u_q25 FROM s
+  UNION ALL SELECT 'user_id', 'q50', u_q50 FROM s
+  UNION ALL SELECT 'user_id', 'q75', u_q75 FROM s
+  UNION ALL SELECT 'value', 'n_notnull', v_n_notnull FROM s
+  UNION ALL SELECT 'value', 'n_distinct', v_n_distinct FROM s
+  UNION ALL SELECT 'value', 'min', v_min FROM s
+  UNION ALL SELECT 'value', 'max', v_max FROM s
+  UNION ALL SELECT 'value', 'mean', v_mean FROM s
+  UNION ALL SELECT 'value', 'q25', v_q25 FROM s
+  UNION ALL SELECT 'value', 'q50', v_q50 FROM s
+  UNION ALL SELECT 'value', 'q75', v_q75 FROM s
+)
 """
     o["docs_mix_sample"] = """
 WITH b AS (SELECT lang, n_chars,

@@ -93,7 +93,7 @@ HEADLINE = [
     "docs_split_assign", "docs_quality_filter", "text_top_ngrams",
     "semantic_dedup", "events_json_props", "dedup_jaccard_prefix",
     "docs_strip_spans", "docs_bm25", "docs_importance_dsir",
-    "docs_mix_sample", "graph_pagerank",
+    "docs_mix_sample", "graph_pagerank", "events_profile",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

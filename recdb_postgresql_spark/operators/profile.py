@@ -1,0 +1,67 @@
+"""Table profiling — the ANALYZE / pg_statistic analog.
+
+PostgreSQL's ANALYZE (the reference inherits it unchanged) samples a
+table into per-column statistics (null fraction, n_distinct, common
+values, histogram bounds) that drive the planner. The Spark-side
+equivalent is a profiling pass the pipeline runs on every new corpus
+drop: the same statistics, computed exactly or by sketch, emitted as
+data (long-format rows) rather than into a catalog.
+
+Scale shape: ALL columns' statistics compute in ONE aggregation job —
+a single scan, map-side partial aggregation, one single-row result
+that explodes to long format driver-free. The exact path uses
+``percentile`` (sort-based) and ``count_distinct`` (Expand), which is
+fine up to ~billions of rows per column; the sketch path swaps in
+``approx_percentile`` + ``approx_count_distinct`` (constant-size
+mergeable sketches — the 100 TB default, same switch as
+``quality_filter``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Sequence[str],
+                  quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+                  exact: bool = True) -> DataFrame:
+    """(column, stat, value): per-column n_rows / n_notnull /
+    n_distinct / min / max / mean / q25... for numeric-castable
+    columns. ``exact=True`` is oracle-reproducible; ``exact=False``
+    swaps quantiles and distinct counts for sketches (the scale
+    path — values then approximate, everything else identical)."""
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n_rows")]
+    stats: list[tuple[str, str]] = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        ndist = (F.count_distinct(F.col(c)) if exact
+                 else F.approx_count_distinct(F.col(c), rsd=0.02))
+        aggs += [
+            F.count(col).cast("double").alias(f"{c}__n_notnull"),
+            ndist.cast("double").alias(f"{c}__n_distinct"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.avg(col).alias(f"{c}__mean"),
+        ]
+        stats += [(c, s) for s in
+                  ("n_notnull", "n_distinct", "min", "max", "mean")]
+        for q in quantiles:
+            name = f"q{int(round(q * 100))}"
+            expr = (F.percentile(col, F.lit(q)) if exact
+                    else F.expr(f"approx_percentile(cast({c} as double), "
+                                f"{q}, 10000)"))
+            aggs.append(expr.alias(f"{c}__{name}"))
+            stats.append((c, name))
+    wide = df.agg(*aggs)
+    entries = [F.struct(F.lit(c).alias("column"), F.lit("n_rows").alias("stat"),
+                        F.col("__n_rows").alias("value"))
+               for c in columns]
+    entries += [F.struct(F.lit(c).alias("column"), F.lit(s).alias("stat"),
+                         F.col(f"{c}__{s}").alias("value"))
+                for c, s in stats]
+    return (wide.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.column", "e.stat",
+                    F.round("e.value", 6).alias("value")))

@@ -268,3 +268,44 @@ def test_pagerank_directed_dangling_conserves_mass(spark):
          for row in graph.pagerank(edges, directed=True).collect()}
     assert abs(sum(r.values()) - 1.0) < 1e-4
     assert r[3] > r[2] > r[1]
+
+
+def test_profile_sketch_path_close_to_exact(spark):
+    """The approx (100 TB) path must agree with the exact path on
+    everything non-sketched (counts, min/max, mean) and be close on
+    distincts/quantiles."""
+    from recdb_postgresql_spark.operators import profile
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = {(r.column, r.stat): r.value
+             for r in profile.profile_table(ev, ["user_id", "value"]).collect()}
+    approx = {(r.column, r.stat): r.value
+              for r in profile.profile_table(
+                  ev, ["user_id", "value"], exact=False).collect()}
+    assert exact.keys() == approx.keys()
+    for k, v in exact.items():
+        _c, stat = k
+        if stat in ("n_rows", "n_notnull", "min", "max", "mean"):
+            assert approx[k] == pytest.approx(v, abs=1e-6), k
+        elif stat == "n_distinct":
+            # rsd=0.02 sketch: allow a few standard errors
+            assert approx[k] == pytest.approx(v, rel=0.1), k
+        else:  # quantiles: sketch accuracy
+            span = exact[(_c, "max")] - exact[(_c, "min")]
+            assert abs(approx[k] - v) <= 0.05 * span + 1e-6, k
+
+
+def test_profile_null_handling(spark):
+    from recdb_postgresql_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (None, 4.0)],
+        "a int, b double")
+    out = {(r.column, r.stat): r.value
+           for r in profile.profile_table(df, ["a", "b"]).collect()}
+    assert out[("a", "n_rows")] == 4.0
+    assert out[("a", "n_notnull")] == 3.0
+    assert out[("b", "n_notnull")] == 3.0
+    assert out[("a", "n_distinct")] == 3.0
+    assert out[("b", "mean")] == pytest.approx(8.0 / 3, abs=1e-6)
