@@ -103,6 +103,7 @@ SLOPE = [
     "text_repetition", "embedding_neardup_ivf2", "rec_als_topk",
     "pipeline_clean_docs", "embedding_neardup_ivf", "dedup_clusters",
     "ann_ivf_multiprobe", "dedup_minhash_lsh", "events_hourly_rollup",
+    "semantic_dedup", "graph_pagerank", "dedup_jaccard_prefix",
 ]
 
 # the 35 queries shared with the r1 recorded baseline (BENCH_r01.json)

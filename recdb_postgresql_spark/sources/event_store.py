@@ -90,6 +90,12 @@ class EventStore:
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic
+        # retained manifest history = time travel: every version's
+        # snapshot stays readable until vacuum() reclaims it
+        hist = os.path.join(self.path, "_versions")
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"v{m['version']}.json"), "w") as f:
+            json.dump(m, f)
 
     def _commit(self, dirs: list[str]) -> None:
         m = self._manifest()
@@ -149,8 +155,22 @@ class EventStore:
         return self.spark.read.parquet(*paths)
 
     # -- DML surface ---------------------------------------------------
-    def read(self) -> DataFrame:
-        m = self._manifest()
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        """Current snapshot, or — with ``version`` — TIME TRAVEL to any
+        earlier committed version: copy-on-write never mutates old
+        snapshot dirs and every commit's manifest is retained, so
+        ``read(version=3)`` is exactly the table as of commit 3 until
+        ``vacuum()`` reclaims unreferenced files."""
+        if version is None:
+            m = self._manifest()
+        else:
+            p = os.path.join(self.path, "_versions", f"v{version}.json")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"no version {version} at {self.path} "
+                    "(never committed, or vacuumed)")
+            with open(p) as f:
+                m = json.load(f)
         if self.partition_col:
             paths = [os.path.join(self.path, rel)
                      for rels in m["parts"].values() for rel in rels]
@@ -229,6 +249,74 @@ class EventStore:
         d = self._new_dir("update")
         df.select(*cols).write.mode("overwrite").parquet(os.path.join(self.path, d))
         self._commit([d])
+
+    # -- maintenance ---------------------------------------------------
+    def compact(self) -> None:
+        """Merge accumulated append deltas into one snapshot per
+        table (unpartitioned) or per multi-dir partition (partitioned
+        — single-dir partitions are already compact and are NOT
+        rewritten). Appends-heavy stores accrete many small file sets;
+        compaction restores scan efficiency without changing a row."""
+        if self.partition_col:
+            m = self._manifest()
+            frag = [v for v, rels in m["parts"].items() if len(rels) > 1]
+            if not frag:
+                return
+            moved = self._write_parts(self._read_parts(frag), "compact")
+            m = self._manifest()
+            for val in frag:
+                m["parts"][val] = [moved[val]]
+            self._write_manifest(m)
+            return
+        m = self._manifest()
+        if len(m["dirs"]) <= 1:
+            return
+        d = self._new_dir("compact")
+        self.read().write.mode("overwrite").parquet(
+            os.path.join(self.path, d))
+        self._commit([d])
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Reclaim snapshot dirs no version within the last
+        ``retain_versions`` commits references. Ends time travel (and
+        breaks readers still pinned) beyond the retained window —
+        the Delta VACUUM trade, stated plainly. Returns removed dirs."""
+        cur = self._manifest()
+        keep_versions = range(max(1, cur["version"] - retain_versions),
+                              cur["version"] + 1)
+        live: set[str] = set()
+        for v in keep_versions:
+            p = os.path.join(self.path, "_versions", f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                m = json.load(f)
+            if self.partition_col:
+                live |= {rel for rels in m["parts"].values()
+                         for rel in rels}
+            else:
+                live |= set(m["dirs"])
+        removed = []
+        roots = ([e for e in os.listdir(self.path)
+                  if e.startswith("part=")] if self.partition_col
+                 else [""])
+        for root in roots:
+            base = os.path.join(self.path, root) if root else self.path
+            for entry in os.listdir(base):
+                rel = os.path.join(root, entry) if root else entry
+                full = os.path.join(base, entry)
+                if (os.path.isdir(full) and entry.startswith("v")
+                        and rel not in live):
+                    shutil.rmtree(full)
+                    removed.append(rel)
+        # drop manifests outside the retained window
+        hist = os.path.join(self.path, "_versions")
+        if os.path.isdir(hist):
+            for entry in os.listdir(hist):
+                v = int(entry[1:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(hist, entry))
+        return removed
 
     @property
     def version(self) -> int:

@@ -186,3 +186,56 @@ def test_partitioned_noop_predicates(spark, pstore):
     pstore.update({"ratingval": F.lit(0.0)}, F.col("userid") == 99)
     assert pstore.version == v               # no rewrite, no new version
     assert pstore.read().count() == 4
+
+
+def test_time_travel_reads_old_versions(spark, store):
+    v1 = store.version
+    store.append(spark.createDataFrame([(9, 90, 3.0)], SCHEMA))
+    store.delete(F.col("userid") == 1)
+    assert store.read().count() == 2
+    assert store.read(version=v1).count() == 3       # pre-append snapshot
+    assert store.read(version=v1 + 1).count() == 4   # pre-delete snapshot
+    with pytest.raises(ValueError, match="no version"):
+        store.read(version=99)
+
+
+def test_compact_merges_deltas_without_changing_rows(spark, store):
+    for i in range(4, 8):
+        store.append(spark.createDataFrame([(i, i * 10, 1.0)], SCHEMA))
+    before = {tuple(r) for r in store.read().collect()}
+    store.compact()
+    assert {tuple(r) for r in store.read().collect()} == before
+    # one live dir now; a second compact is a no-op (no version bump)
+    v = store.version
+    store.compact()
+    assert store.version == v
+
+
+def test_partitioned_compact_skips_single_dir_partitions(spark, pstore):
+    pstore.append(spark.createDataFrame([(1, 99, 1.0)], SCHEMA))  # frag part=1
+    before = {tuple(r) for r in pstore.read().collect()}
+    mt_before = {p: t for p, t in _files_under(pstore.path).items()
+                 if "part=1" not in p}
+    pstore.compact()
+    assert {tuple(r) for r in pstore.read().collect()} == before
+    mt_after = {p: t for p, t in _files_under(pstore.path).items()
+                if "part=1" not in p}
+    assert mt_before == mt_after      # only the fragmented partition moved
+
+
+def test_vacuum_reclaims_and_ends_time_travel(spark, store):
+    import os
+    v1 = store.version
+    store.append(spark.createDataFrame([(5, 50, 2.0)], SCHEMA))
+    store.delete(F.col("userid") == 1)
+    removed = store.vacuum()
+    assert removed                                     # something reclaimed
+    assert store.read().count() == 2                   # current intact
+    with pytest.raises(ValueError, match="no version"):
+        store.read(version=v1)
+    # retained-window variant keeps the last version readable
+    s2 = EventStore(spark, store.path)
+    s2.append(spark.createDataFrame([(6, 60, 2.0)], SCHEMA))
+    prev = s2.version - 1
+    s2.vacuum(retain_versions=1)
+    assert s2.read(version=prev).count() == 2
