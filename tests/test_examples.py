@@ -46,3 +46,17 @@ def test_feature_store_example_end_to_end(spark):
     assert out["windows_with_clicks"] > 0
     assert out["grid_rows"] > 0 and out["grid_gap_rows_filled"] > 0
     assert out["bucketed_identical"]
+
+
+def test_curation_example_end_to_end(spark, tmp_path):
+    from examples.curation_example import run as run_curation
+
+    out = run_curation(spark, str(tmp_path))
+    assert out["profile_rows"] == 18          # 2 cols x 9 stats
+    assert out["docs_with_removal"] == 150    # template in every doc
+    assert out["near_dup_pairs"] >= 10        # planted near-dups found
+    assert out["ranked_nodes"] >= 20
+    assert out["weighted_docs"] == 150
+    assert out["written"] > 0
+    splits = {s for s, _l in out["mix_by_split"]}
+    assert "train" in splits
