@@ -1323,6 +1323,46 @@ def q_events_profile(spark, sf_dir):
     return profile.profile_table(ev, ["user_id", "value"])
 
 
+def q_fulljoin_user_activity(spark, sf_dir):
+    """FULL OUTER join (PG jointype JOIN_FULL, plannodes.h:524-529):
+    per-user purchase totals vs error counts — users appear on either
+    side alone or on both, and the COALESCE/CASE handling of the
+    unmatched sides is what the query checks."""
+    ev = load_table(spark, sf_dir, "events")
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 6).alias("purchase_total")))
+    errs = (ev.where(F.col("event_type") == "error")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_errors")))
+    j = buys.join(errs, "user_id", "full")
+    return j.select(
+        "user_id",
+        F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
+        F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+        F.when(F.col("purchase_total").isNull(), "errors_only")
+        .when(F.col("n_errors").isNull(), "buys_only")
+        .otherwise("both").alias("side"))
+
+
+def q_events_histogram(spark, sf_dir):
+    """Equi-width histogram of event values (the PG width_bucket /
+    ANALYZE-histogram shape): 20 buckets over [min, max], count + mean
+    per bucket. Two aggregates total — one single-row min/max that
+    broadcasts, one map-side-combined bucket rollup; no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = F.least(
+        F.floor((F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * 20).cast("long"),
+        F.lit(19))
+    return (ev.crossJoin(F.broadcast(rng))
+            .select(b.alias("bucket"), "value")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1568,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mix_sample": q_docs_mix_sample,
         "graph_pagerank": q_graph_pagerank,
         "events_profile": q_events_profile,
+        "fulljoin_user_activity": q_fulljoin_user_activity,
+        "events_histogram": q_events_histogram,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -2989,6 +3031,28 @@ SELECT col AS "column", stat, ROUND(value, 6) AS value FROM (
   UNION ALL SELECT 'value', 'q50', v_q50 FROM s
   UNION ALL SELECT 'value', 'q75', v_q75 FROM s
 )
+"""
+    o["fulljoin_user_activity"] = """
+WITH buys AS (
+  SELECT user_id, ROUND(SUM(value), 6) AS purchase_total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+errs AS (
+  SELECT user_id, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT COALESCE(b.user_id, e.user_id) AS user_id,
+       COALESCE(b.purchase_total, 0.0) AS purchase_total,
+       CAST(COALESCE(e.n_errors, 0) AS BIGINT) AS n_errors,
+       CASE WHEN b.purchase_total IS NULL THEN 'errors_only'
+            WHEN e.n_errors IS NULL THEN 'buys_only'
+            ELSE 'both' END AS side
+FROM buys b FULL OUTER JOIN errs e ON b.user_id = e.user_id
+"""
+    o["events_histogram"] = """
+WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT LEAST(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events, rng GROUP BY 1
 """
     o["docs_mix_sample"] = """
 WITH b AS (SELECT lang, n_chars,

@@ -94,6 +94,7 @@ HEADLINE = [
     "semantic_dedup", "events_json_props", "dedup_jaccard_prefix",
     "docs_strip_spans", "docs_bm25", "docs_importance_dsir",
     "docs_mix_sample", "graph_pagerank", "events_profile",
+    "fulljoin_user_activity", "events_histogram",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
