@@ -254,3 +254,88 @@ def test_resample_ffill_matches_bruteforce(spark, rows):
                 carry = inb[-1][2]
             want[(k, b * bucket)] = (len(inb), carry)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+             min_size=1, max_size=12).map(" ".join),
+    min_size=2, max_size=12),
+    threshold=st.sampled_from([0.4, 0.6, 0.9]))
+def test_prefix_filter_equals_bruteforce_jaccard(spark, texts, threshold):
+    """prefix_filtered_pairs is EXACT: on random low-entropy corpora
+    (worst case for candidate pruning) its pair set + scores must
+    equal a pure-Python brute force over bigram shingle sets, at
+    every threshold."""
+    from recdb_postgresql_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id1, r.id2): round(r.jaccard, 6)
+           for r in dedup.prefix_filtered_pairs(
+               dedup.word_shingles(df, n=2), threshold=threshold).collect()}
+
+    # mirror word_shingles: slice of length n at every start 0..max(len-n,0)
+    def spark_shingles(t):
+        toks = t.lower().split()
+        out = set()
+        for i in range(max(len(toks) - 2, 0) + 1):
+            s = " ".join(toks[i:i + 2])
+            if s:
+                out.add(s)
+        return out
+
+    expect = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i >= j:
+                continue
+            a, b = spark_shingles(ti), spark_shingles(tj)
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= threshold and inter > 0:
+                expect[(i, j)] = round(jac, 6)
+    assert got == expect, (got, expect)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["p", "q", "r", "s"]),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=2, max_size=8),
+    max_df=st.sampled_from([1, 2, 3]))
+def test_strip_spans_matches_bruteforce(spark, texts, max_df):
+    """strip_common_spans against a pure-Python reference: same df
+    computation (distinct docs per positional bigram), same coverage
+    union, same rebuilt text."""
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in text_ops.strip_common_spans(
+               df, n=2, max_doc_freq=max_df).collect()}
+
+    def grams(toks):
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)] \
+            if len(toks) >= 2 else []
+
+    docfreq = {}
+    for _i, t in rows:
+        for g in set(grams(t.lower().split())):
+            docfreq[g] = docfreq.get(g, 0) + 1
+    hot = {g for g, c in docfreq.items() if c > max_df}
+    expect = {}
+    for i, t in rows:
+        toks = t.lower().split()
+        covered = set()
+        for p, g in enumerate(grams(toks)):
+            if g in hot:
+                covered |= {p, p + 1}
+        kept = [w for p, w in enumerate(toks) if p not in covered]
+        expect[i] = (" ".join(kept), len(toks) - len(kept))
+    assert got == expect, (got, expect)
