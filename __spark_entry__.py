@@ -1363,6 +1363,62 @@ def q_events_histogram(spark, sf_dir):
                  F.round(F.avg("value"), 6).alias("avg_value")))
 
 
+def q_rec_popular_topk(spark, sf_dir):
+    """Cold-start fallback: top-10 most-rated items per user,
+    excluding what they already rated — the capability every RecDB
+    method lacks for new users (all its predictors join on the
+    target's own ratings). Bounded-candidate exact form: global top
+    (k + max-ratings-per-user) items broadcast, per-user anti-join +
+    window."""
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    users = r.select("user").where(F.col("user") < 20).distinct()
+    return (cf_ops.popularity_topk(r, users, k=10)
+            .select(F.col("user").alias("userid"),
+                    F.col("item").alias("itemid"),
+                    F.col("n_raters").cast("long").alias("n_raters")))
+
+
+def q_rec_eval_rmse(spark, sf_dir):
+    """Evaluation as a query: hash-split ratings 80/20 by (user, item),
+    train item-cos on the train split, score the test pairs of users
+    < 200 whose items exist in training, report one metrics row
+    (n_test, n_cold, n_scored, rmse). Unreachable pairs score 0 (the
+    reference's itemCFpredict convention), cold items are excluded
+    and counted."""
+    from recdb_postgresql_spark.functions.sampling import hash_bucket
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    key = F.concat(F.col("user").cast("string"), F.lit(":"),
+                   F.col("item").cast("string"))
+    r = r.withColumn("_b", hash_bucket(key))
+    train = r.where(F.col("_b") < 800_000).drop("_b")
+    test = (r.where(F.col("_b") >= 800_000).drop("_b")
+            .where(F.col("user") < 200))
+    model = cf_ops.train_item_cos(train)
+    train_items = train.select("item").distinct()
+    test_known = test.join(F.broadcast(train_items), "item")
+    users = test_known.select("user").distinct()
+    preds = cf_ops.predict_item_cf(model, train, users, train_items)
+    j = test_known.join(preds, ["user", "item"])
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum((F.col("score") != 0).cast("long")).alias("n_scored"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("score") - F.col("rating"), 2))),
+                6).alias("rmse"))
+    tot = test.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    return (m.crossJoin(tot)
+            .select("n_test",
+                    (F.col("n_test") - F.col("n_eval")).cast("long")
+                    .alias("n_cold"),
+                    F.col("n_scored").cast("long").alias("n_scored"),
+                    "rmse"))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1610,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "fulljoin_user_activity": q_fulljoin_user_activity,
         "events_histogram": q_events_histogram,
+        "rec_popular_topk": q_rec_popular_topk,
+        "rec_eval_rmse": q_rec_eval_rmse,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3053,6 +3111,72 @@ SELECT LEAST(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bucket
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(value), 6) AS avg_value
 FROM events, rng GROUP BY 1
+"""
+    _ratings_cte = """
+ratings AS (
+  SELECT user_id AS userid,
+         CAST(json_extract_string(props, 'k') AS INT) AS itemid,
+         AVG(CAST(value AS DOUBLE)) AS rating
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+)"""
+    o["rec_popular_topk"] = "WITH " + _ratings_cte + """,
+pop AS (SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n_raters
+        FROM ratings GROUP BY 1),
+c AS (SELECT MAX(cnt) AS c
+      FROM (SELECT COUNT(*) AS cnt FROM ratings GROUP BY userid)),
+cand AS (SELECT itemid, n_raters FROM pop, c
+         QUALIFY ROW_NUMBER() OVER (ORDER BY n_raters DESC, itemid)
+                 <= 10 + c),
+users AS (SELECT DISTINCT userid FROM ratings WHERE userid < 20),
+grid AS (SELECT u.userid, cd.itemid, cd.n_raters
+         FROM users u CROSS JOIN cand cd),
+unrated AS (SELECT g.* FROM grid g LEFT JOIN ratings r
+            ON r.userid = g.userid AND r.itemid = g.itemid
+            WHERE r.itemid IS NULL)
+SELECT userid, itemid, n_raters FROM unrated
+QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
+                           ORDER BY n_raters DESC, itemid) <= 10
+"""
+    o["rec_eval_rmse"] = "WITH " + _ratings_cte + """,
+b AS (SELECT userid, itemid, rating,
+             CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
+      FROM ratings),
+train AS (SELECT userid, itemid, rating FROM b WHERE bk < 800000),
+test AS (SELECT userid, itemid, rating FROM b
+         WHERE bk >= 800000 AND userid < 200),
+norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
+          FROM train GROUP BY itemid),
+dots AS (SELECT a.itemid AS i1, b2.itemid AS i2, SUM(a.rating*b2.rating) AS dot
+         FROM train a JOIN train b2
+           ON a.userid = b2.userid AND a.itemid < b2.itemid
+         GROUP BY 1, 2),
+model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
+          FROM dots JOIN norms n1 ON n1.itemid = i1
+                    JOIN norms n2 ON n2.itemid = i2
+          WHERE dot/(n1.nrm*n2.nrm) > 0),
+sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
+        UNION ALL SELECT i2, i1, sim FROM model),
+titems AS (SELECT DISTINCT itemid FROM train),
+known AS (SELECT t.* FROM test t JOIN titems ti ON ti.itemid = t.itemid),
+pred AS (SELECT kn.userid, kn.itemid,
+                SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
+         FROM known kn
+         JOIN sym s ON s.a = kn.itemid
+         JOIN train tr ON tr.userid = kn.userid AND tr.itemid = s.b2
+         GROUP BY 1, 2),
+j AS (SELECT kn.userid, kn.itemid, kn.rating,
+             COALESCE(p.score, 0) AS score
+      FROM known kn LEFT JOIN pred p
+        ON p.userid = kn.userid AND p.itemid = kn.itemid),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN score <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+             ROUND(SQRT(AVG(POW(score - rating, 2))), 6) AS rmse FROM j),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM test)
+SELECT n_test, CAST(n_test - n_eval AS BIGINT) AS n_cold, n_scored, rmse
+FROM m, tt
 """
     o["docs_mix_sample"] = """
 WITH b AS (SELECT lang, n_chars,

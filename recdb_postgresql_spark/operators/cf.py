@@ -311,3 +311,34 @@ def predict_user_cf(model: DataFrame, ratings: DataFrame, users: DataFrame,
     grid = users.crossJoin(F.broadcast(items))
     return (grid.join(contrib, ["user", "item"], "left")
             .select("user", "item", F.coalesce("score", F.lit(0.0)).alias("score")))
+
+
+def popularity_topk(ratings: DataFrame, users: DataFrame,
+                    k: int = 10) -> DataFrame:
+    """(user, item, n_raters): cold-start fallback recommender — rank
+    items by how many users rated them (ties by ascending item id),
+    excluding each target user's already-rated items. The capability
+    the reference lacks for brand-new users (every RecDB method needs
+    the target's own ratings; recathon.c's predictors all join on
+    them); production recommenders back off to popularity.
+
+    Exact at scale: the candidate set is the global top ``k + c``
+    items where c = the maximum ratings-per-user (one scalar
+    aggregate) — even the heaviest rater cannot exclude enough
+    candidates to starve their top-k. Candidates BROADCAST against
+    the user list; the only per-user work is the anti-join against
+    their own ratings and a bounded window."""
+    from pyspark.sql import Window
+
+    pop = ratings.groupBy("item").agg(F.count(F.lit(1)).alias("n_raters"))
+    c = (ratings.groupBy("user").agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.max("n")).collect()[0][0] or 0)
+    cand = (pop.orderBy(F.desc("n_raters"), F.col("item"))
+            .limit(k + int(c)))
+    grid = users.crossJoin(F.broadcast(cand))
+    unrated = grid.join(ratings.select("user", "item"),
+                        ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(F.desc("n_raters"),
+                                           F.col("item"))
+    return (unrated.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))

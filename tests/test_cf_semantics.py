@@ -182,3 +182,31 @@ def test_halflife_requires_ts_col(spark):
                                "user long, item long, val double")
     with pytest.raises(ValueError, match="ts_col"):
         cf.normalize_events(ev, "user", "item", "val", half_life=10.0)
+
+
+def test_popularity_topk_excludes_rated_and_survives_heavy_rater(spark):
+    """The bounded-candidate form must stay exact even when one user
+    has rated MORE items than k: their top-k comes from candidates
+    k + max-per-user deep, so exclusion can't starve them."""
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.operators import cf
+
+    # items 1..10 with popularity 10, 9, ..., 1; user 0 rated the top
+    # 5 items, user 1 rated nothing (cold start)
+    rows = []
+    for item in range(1, 11):
+        for u in range(100, 100 + (11 - item)):
+            rows.append((u, item, 3.0))
+    for item in range(1, 6):
+        rows.append((0, item, 5.0))
+    r = spark.createDataFrame(rows, "user long, item long, rating double")
+    users = spark.createDataFrame([(0,), (1,)], "user long")
+    out = cf.popularity_topk(r, users, k=3)
+    got = {u: [row.item for row in rows_]
+           for u, rows_ in
+           ((u, sorted((x for x in out.collect() if x.user == u),
+                       key=lambda x: (-x.n_raters, x.item)))
+            for u in (0, 1))}
+    assert got[1] == [1, 2, 3]        # cold user: plain top-3
+    assert got[0] == [6, 7, 8]        # heavy rater skips their rated 1-5
