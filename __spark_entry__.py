@@ -1419,6 +1419,15 @@ def q_rec_eval_rmse(spark, sf_dir):
                     "rmse"))
 
 
+def q_text_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity under a corpus-trained add-k count model
+    (the CCNet quality filter in its real form): improbable word
+    transitions -> high log2_ppl -> cut candidates. One checkpointed
+    transition stream feeds both count tables and the scoring join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_perplexity(docs)
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1668,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "rec_popular_topk": q_rec_popular_topk,
         "rec_eval_rmse": q_rec_eval_rmse,
+        "text_lm_perplexity": q_text_lm_perplexity,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3111,6 +3121,23 @@ SELECT LEAST(CAST(floor((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bucket
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(value), 6) AS avg_value
 FROM events, rng GROUP BY 1
+"""
+    o["text_lm_perplexity"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+tr AS (SELECT doc_id,
+              CAST(concat('0x', substring(md5(toks[i+1]), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substring(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15)) AS BIGINT) AS h12
+       FROM t, UNNEST(generate_series(0, len(toks)-2)) AS s(i)
+       WHERE len(toks) >= 2),
+big AS (SELECT h12, COUNT(*) AS c12 FROM tr GROUP BY 1),
+uni AS (SELECT h1, COUNT(*) AS c1 FROM tr GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT)) AS DOUBLE) AS vocab
+      FROM t, UNNEST(toks) AS u(w))
+SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(-AVG(log2((c12 + 0.5) / (c1 + 0.5 * vocab))), 6) AS log2_ppl
+FROM tr JOIN big USING (h12) JOIN uni USING (h1), v
+GROUP BY 1
 """
     _ratings_cte = """
 ratings AS (

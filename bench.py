@@ -95,7 +95,7 @@ HEADLINE = [
     "docs_strip_spans", "docs_bm25", "docs_importance_dsir",
     "docs_mix_sample", "graph_pagerank", "events_profile",
     "fulljoin_user_activity", "events_histogram",
-    "rec_popular_topk", "rec_eval_rmse",
+    "rec_popular_topk", "rec_eval_rmse", "text_lm_perplexity",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

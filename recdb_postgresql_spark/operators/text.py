@@ -659,3 +659,60 @@ def importance_weights(corpus: DataFrame, target: DataFrame,
     return (corpus_grams.join(F.broadcast(lr), "bucket")
             .groupBy(id_col)
             .agg(F.round(F.sum("lr"), 6).alias("log_weight")))
+
+
+def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", add_k: float = 0.5,
+                  hash_fn=md5_long) -> DataFrame:
+    """(doc_id, n_transitions, log2_ppl): bigram language-model
+    perplexity of each document under a count LM trained ON the corpus
+    itself — the CCNet-style quality filter in its real form (not the
+    avg-df stand-in ``bigram_commonality``): documents whose word
+    transitions are improbable under the corpus LM (jargon, noise,
+    other languages) score high and get cut.
+
+    Model: P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k * V) with add-k
+    smoothing over the corpus unigram vocabulary V;
+    log2_ppl = -(1/T) * sum over transitions of log2 P. Documents with
+    no transition (< 2 tokens) are omitted.
+
+    Scale shape: the positional bigram stream is hashed and
+    checkpointed ONCE and feeds (a) the bigram-count aggregate,
+    (b) the left-word-count aggregate, (c) the scoring join — three
+    uses, one scan. Both count tables key on a 60-bit hash (only
+    (int64, long) rows shuffle); the scoring join is an equi-join on
+    the bigram hash whose right side is the bigram count table —
+    corpus-sized but pre-aggregated, and co-partitioned with the
+    stream by the same key so AQE plans it without a broadcast
+    dependency. V and the final per-doc reduction are the only other
+    aggregates."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    idx = F.when(n_tok >= 2, F.sequence(F.lit(0), n_tok - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    # (id, left-word hash, bigram hash) per transition — positional
+    per = (spread_small(docs)
+           .select(F.col(id_col),
+                   F.explode(F.transform(
+                       idx,
+                       lambda i: F.struct(
+                           hash_fn(F.element_at(toks, i + 1)).alias("h1"),
+                           hash_fn(F.concat_ws(
+                               " ", F.slice(toks, i + 1, 2))).alias("h12"))))
+                   .alias("t"))
+           .select(id_col, "t.h1", "t.h12")
+           .localCheckpoint(eager=False))
+    big = per.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
+    uni = per.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    # vocabulary = distinct words anywhere (last words too: count
+    # distinct token hashes over the full token stream)
+    vocab = (spread_small(docs)
+             .select(F.explode(F.transform(
+                 toks, lambda w: hash_fn(w))).alias("h"))
+             .distinct().count())
+    logp = (F.log2((F.col("c12") + add_k)
+                   / (F.col("c1") + add_k * vocab)))
+    return (per.join(big, "h12").join(uni, "h1")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"),
+                 F.round(-F.avg(logp), 6).alias("log2_ppl")))

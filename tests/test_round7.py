@@ -309,3 +309,19 @@ def test_profile_null_handling(spark):
     assert out[("b", "n_notnull")] == 3.0
     assert out[("a", "n_distinct")] == 3.0
     assert out[("b", "mean")] == pytest.approx(8.0 / 3, abs=1e-6)
+
+
+def test_lm_perplexity_ranks_noise_above_boilerplate(spark):
+    """A document made of the corpus's dominant transitions scores LOW
+    perplexity; a document of unique transitions scores HIGH; 1-token
+    docs are omitted."""
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows += [(100, "the cat sat on the mat"),        # pure boilerplate
+             (101, "zq xv wk jp qb vn"),             # pure novelty
+             (102, "solo")]                          # no transitions
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_transitions, r.log2_ppl)
+           for r in text.lm_perplexity(df).collect()}
+    assert 102 not in out
+    assert out[100][0] == 5
+    assert out[100][1] < out[101][1]
