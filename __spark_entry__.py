@@ -1428,6 +1428,17 @@ def q_text_lm_perplexity(spark, sf_dir):
     return text.lm_perplexity(docs)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts on the exact near-dup pair graph —
+    dense template families (cliques) vs chains. Degree-oriented wedge
+    enumeration: each triangle generated at exactly one node, hub
+    fan-out bounded by oriented out-degree."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    return (graph.triangle_count(pairs)
+            .withColumnRenamed("id", "doc_id"))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1678,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_popular_topk": q_rec_popular_topk,
         "rec_eval_rmse": q_rec_eval_rmse,
         "text_lm_perplexity": q_text_lm_perplexity,
+        "graph_triangles": q_graph_triangles,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3138,6 +3150,37 @@ SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
        ROUND(-AVG(log2((c12 + 0.5) / (c1 + 0.5 * vocab))), 6) AS log2_ppl
 FROM tr JOIN big USING (h12) JOIN uni USING (h1), v
 GROUP BY 1
+"""
+    o["graph_triangles"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+shingled AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+),
+hashed AS (SELECT id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+e AS (SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+      FROM p WHERE id1 <> id2),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+pn AS (SELECT x AS id FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pn GROUP BY 1
 """
     _ratings_cte = """
 ratings AS (

@@ -92,3 +92,52 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         # round from the first).
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "id1",
+                   dst: str = "id2") -> DataFrame:
+    """(id, n_triangles): triangles through each node — the clustering
+    signal on a near-dup graph (a template family is a dense clique;
+    a chain of pairwise-similar docs is not).
+
+    Degree-oriented enumeration (the MapReduce-era standard): each
+    undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, so every wedge is generated at exactly one node
+    and a heavy hub never fans out — the per-node wedge count is
+    bounded by its ORIENTED out-degree, O(sqrt(m)) on any graph, which
+    is what makes the self-join survive a power-law 100 TB graph. One
+    wedge self-join + one membership join against the oriented edge
+    set; each triangle found exactly once.
+    """
+    # checkpoint: e feeds the degree aggregate AND the orientation
+    # join — without it the (possibly expensive) upstream edge
+    # producer runs once per leg
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("id"))
+           .unionByName(e.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = (e.join(da, "a").join(db, "b")
+                .select(F.when(lower_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("u"),
+                        F.when(lower_first, F.col("b")).otherwise(F.col("a"))
+                        .alias("v"))
+                .localCheckpoint(eager=True))
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "u").where(F.col("x") < F.col("y")))
+    # the closing edge may be oriented either way between x and y
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    per_node = (tris.select(F.col("u").alias("id"))
+                .unionByName(tris.select(F.col("x").alias("id")))
+                .unionByName(tris.select(F.col("y").alias("id"))))
+    return (per_node.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))

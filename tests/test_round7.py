@@ -325,3 +325,17 @@ def test_lm_perplexity_ranks_noise_above_boilerplate(spark):
     assert 102 not in out
     assert out[100][0] == 5
     assert out[100][1] < out[101][1]
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4: every node sits in C(3,2)=3 triangles; a path contributes
+    none; duplicate/reversed edges collapse."""
+    from recdb_postgresql_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12), (12, 13)]
+    dupes = [(1, 0), (2, 0)]                    # reversed duplicates
+    edges = spark.createDataFrame(k4 + path + dupes, ["id1", "id2"])
+    out = {r.id: r.n_triangles
+           for r in graph.triangle_count(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}      # path nodes absent
