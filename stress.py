@@ -271,6 +271,7 @@ def main():
     sf_dir = "/root/testdata/sf0.1"
     cc_probe(spark, 100_000)
     asof_hotkey_probe(spark)
+    graph_probe(spark)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     # prefix probe runs on sf0.01 — the boilerplate shape makes the
@@ -297,3 +298,36 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
+    """Triangle counting under extreme skew: a star hub with 50k
+    leaves (degree 50k) plus planted triangles. Naive wedge
+    enumeration generates C(50k, 2) ~ 1.2B wedges AT THE HUB; the
+    degree orientation points every leaf edge INTO the hub (leaves
+    have lower degree), so the hub generates ZERO wedges and the probe
+    finishes in seconds. Planted-count correctness asserted."""
+    from recdb_postgresql_spark.operators import graph
+
+    star = spark.range(1, n_leaves + 1).select(
+        F.lit(0).alias("id1"), F.col("id").alias("id2"))
+    # planted triangles on fresh node triples, disjoint from the star
+    base = 10_000_000
+    tri = spark.range(n_planted).select(F.col("id").alias("t"))
+    planted = (tri.select((base + F.col("t") * 3).alias("id1"),
+                          (base + F.col("t") * 3 + 1).alias("id2"))
+               .unionByName(tri.select(
+                   (base + F.col("t") * 3 + 1).alias("id1"),
+                   (base + F.col("t") * 3 + 2).alias("id2")))
+               .unionByName(tri.select(
+                   (base + F.col("t") * 3 + 2).alias("id1"),
+                   (base + F.col("t") * 3).alias("id2"))))
+    edges = star.unionByName(planted).localCheckpoint()
+    t0 = time.perf_counter()
+    out = graph.triangle_count(edges)
+    total = out.agg(F.sum("n_triangles")).collect()[0][0]
+    t = time.perf_counter() - t0
+    assert total == 3 * n_planted, (total, n_planted)
+    record("triangle_star_skew", hub_degree=n_leaves,
+           planted_triangles=n_planted, node_triangle_rows=total,
+           oriented_s=t)

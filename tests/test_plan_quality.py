@@ -151,3 +151,18 @@ def test_importance_weights_broadcasts_ratio_map(spark):
     plan = _plan(entrymod.queries()["docs_importance_dsir"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_popularity_uses_takeordered_and_broadcast(spark):
+    """The candidate cut is a true top-k (per-partition heaps), and
+    candidates broadcast against the user grid — no shuffle of the
+    ratings stream beyond its aggregates."""
+    plan = _plan(entrymod.queries()["rec_popular_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_histogram_broadcasts_range_row(spark):
+    plan = _plan(entrymod.queries()["events_histogram"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
