@@ -1439,6 +1439,49 @@ def q_graph_triangles(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def q_rec_markov_next(spark, sf_dir):
+    """Sequential recommendation: first-order transition counts over
+    each user's time-ordered item stream (lag window), then the top-3
+    successors per item — the session-based family the reference
+    lacks. One keyed window + one pair aggregate + one bounded
+    window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("int")
+    d = (ev.select(F.col("user_id"), item.alias("item"),
+                   F.col("ts"), F.col("event_id"))
+         .where(F.col("item").isNotNull()))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (d.withColumn("prev", F.lag("item").over(w))
+             .where(F.col("prev").isNotNull())
+             .groupBy("prev", "item")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wk = Window.partitionBy("prev").orderBy(F.desc("n"), F.col("item"))
+    return (trans.withColumn("_rn", F.row_number().over(wk))
+            .where(F.col("_rn") <= 3)
+            .select(F.col("prev").alias("item"),
+                    F.col("item").alias("next_item"),
+                    F.col("n").cast("long").alias("n_transitions")))
+
+
+def q_events_outliers(spark, sf_dir):
+    """Data-quality screen: events whose value sits more than 3
+    standard deviations above their event type's mean — per-type
+    stats reduce to a tiny broadcast table, the scan stays a single
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("_mu"),
+                  F.stddev_samp("value").alias("_sd")))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .where(F.col("value") > F.col("_mu") + 3 * F.col("_sd"))
+            .select("event_type", "event_id", "user_id",
+                    F.round("value", 6).alias("value"),
+                    F.round((F.col("value") - F.col("_mu")) / F.col("_sd"),
+                            6).alias("zscore")))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1690,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_rmse": q_rec_eval_rmse,
         "text_lm_perplexity": q_text_lm_perplexity,
         "graph_triangles": q_graph_triangles,
+        "rec_markov_next": q_rec_markov_next,
+        "events_outliers": q_events_outliers,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3181,6 +3226,37 @@ pn AS (SELECT x AS id FROM tri
        UNION ALL SELECT z FROM tri)
 SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM pn GROUP BY 1
+"""
+    o["rec_markov_next"] = """
+WITH d AS (
+  SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
+         epoch_ns(ts) AS tsn, event_id
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+),
+tr AS (
+  SELECT LAG(item) OVER (PARTITION BY user_id
+                         ORDER BY tsn, event_id) AS prev,
+         item
+  FROM d
+),
+cnt AS (
+  SELECT prev, item, COUNT(*) AS n FROM tr
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev AS item, item AS next_item, CAST(n AS BIGINT) AS n_transitions
+FROM cnt
+QUALIFY ROW_NUMBER() OVER (PARTITION BY prev ORDER BY n DESC, item) <= 3
+"""
+    o["events_outliers"] = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_type, e.event_id, e.user_id,
+       ROUND(e.value, 6) AS value,
+       ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE e.value > s.mu + 3 * s.sd
 """
     _ratings_cte = """
 ratings AS (

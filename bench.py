@@ -96,7 +96,7 @@ HEADLINE = [
     "docs_mix_sample", "graph_pagerank", "events_profile",
     "fulljoin_user_activity", "events_histogram",
     "rec_popular_topk", "rec_eval_rmse", "text_lm_perplexity",
-    "graph_triangles",
+    "graph_triangles", "rec_markov_next", "events_outliers",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
