@@ -1482,6 +1482,21 @@ def q_events_outliers(spark, sf_dir):
                             6).alias("zscore")))
 
 
+def q_docs_dsir_resample(spark, sf_dir):
+    """The DSIR closing step: importance weights -> deterministic
+    weighted sampling without replacement (Efraimidis-Spirakis
+    priorities from the row-key hash) -> 50 docs distributed like the
+    target. Top-k is TakeOrderedAndProject; no RNG state anywhere."""
+    from recdb_postgresql_spark.functions.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = text.importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n=2, num_buckets=256)
+    return (weighted_sample(w, F.exp(F.col("log_weight")),
+                            F.col("doc_id"), k=50)
+            .select("doc_id", "log_weight"))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1735,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "rec_markov_next": q_rec_markov_next,
         "events_outliers": q_events_outliers,
+        "docs_dsir_resample": q_docs_dsir_resample,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3257,6 +3273,33 @@ SELECT e.event_type, e.event_id, e.user_id,
        ROUND((e.value - s.mu) / s.sd, 6) AS zscore
 FROM events e JOIN stats s ON s.event_type = e.event_type
 WHERE e.value > s.mu + 3 * s.sd
+"""
+    # weighted resample: weight = exp(ROUNDED log_weight) in BOTH
+    # engines, so the priority arithmetic starts from identical bytes
+    o["docs_dsir_resample"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             CAST(concat('0x', substring(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM t, UNNEST(generate_series(0, len(toks)-2)) AS s(i)
+      WHERE len(toks) >= 2),
+ch AS (SELECT bucket, count(*) AS cc FROM g GROUP BY 1),
+th AS (SELECT bucket, count(*) AS tc
+       FROM g JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+ct AS (SELECT CAST(sum(cc) AS DOUBLE) AS c_tot FROM ch),
+tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS t_tot FROM th),
+lr AS (SELECT ch.bucket,
+              ln((COALESCE(tc, 0) + 1.0) / (t_tot + 256))
+                - ln((cc + 1.0) / (c_tot + 256)) AS lr
+       FROM ch LEFT JOIN th USING (bucket), ct, tt),
+w AS (SELECT doc_id, ROUND(sum(lr), 6) AS log_weight
+      FROM g JOIN lr USING (bucket) GROUP BY 1),
+pri AS (SELECT doc_id, log_weight,
+               POW((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000,
+                   1.0 / exp(log_weight)) AS p
+        FROM w WHERE exp(log_weight) > 0)
+SELECT doc_id, log_weight FROM pri
+ORDER BY p DESC, doc_id LIMIT 50
 """
     _ratings_cte = """
 ratings AS (

@@ -103,3 +103,27 @@ def stratified_sample(df: DataFrame, group_col: str, key: Column,
         thr = F.when(F.col(group_col) == g,
                      F.lit(int(frac * _MOD))).otherwise(thr)
     return df.where(b < thr)
+
+
+def weighted_sample(df: DataFrame, weight: Column, key: Column,
+                    k: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws u from its key hash
+    (uniform in (0,1), reproducible across engines) and gets priority
+    u^(1/w); the k highest priorities are the sample. Selection
+    probability is proportional to weight; rows with non-positive
+    weight are excluded.
+
+    The DSIR closing step: feed ``exp(log_weight)`` from
+    ``importance_weights`` and the sampled corpus follows the target
+    distribution. Scale shape: one map pass computes priorities, the
+    global top-k is orderBy+limit = TakeOrderedAndProject
+    (per-partition heaps) — no shuffle of the data, no RNG state, and
+    the same rows win under any partitioning."""
+    u = (hash_bucket(key).cast("double") + 0.5) / _MOD
+    pri = F.pow(u, 1.0 / weight)
+    return (df.where(weight > 0)
+            .withColumn("_pri", pri)
+            .orderBy(F.desc("_pri"), key)  # key breaks exact-pri ties
+            .limit(k)
+            .drop("_pri"))

@@ -339,3 +339,24 @@ def test_triangle_count_known_graphs(spark):
     out = {r.id: r.n_triangles
            for r in graph.triangle_count(edges).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}      # path nodes absent
+
+
+def test_weighted_sample_properties(spark):
+    """Heavy-weight rows dominate the sample; zero/negative weights
+    never appear; the same rows win under any partitioning."""
+    df = spark.range(0, 1000).select(
+        SF.col("id").alias("doc_id"),
+        SF.when(SF.col("id") < 100, 100.0)
+        .when(SF.col("id") < 900, 1.0)
+        .otherwise(SF.lit(0.0)).alias("w"))
+    got = sampling.weighted_sample(df, SF.col("w"), SF.col("doc_id"), k=80)
+    ids = {r.doc_id for r in got.collect()}
+    assert len(ids) == 80
+    assert not any(i >= 900 for i in ids)        # zero-weight excluded
+    heavy = sum(1 for i in ids if i < 100)
+    # 100 rows at weight 100 vs 800 at weight 1: heavy rows should take
+    # the clear majority of an 80-row sample
+    assert heavy >= 60, heavy
+    again = {r.doc_id for r in sampling.weighted_sample(
+        df.repartition(13), SF.col("w"), SF.col("doc_id"), k=80).collect()}
+    assert ids == again
