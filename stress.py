@@ -296,10 +296,6 @@ def main():
                capped_user_pairs=n_user, user_train_capped_s=t_user)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
     """Triangle counting under extreme skew: a star hub with 50k
     leaves (degree 50k) plus planted triangles. Naive wedge
@@ -331,3 +327,8 @@ def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
     record("triangle_star_skew", hub_degree=n_leaves,
            planted_triangles=n_planted, node_triangle_rows=total,
            oriented_s=t)
+
+
+
+if __name__ == "__main__":
+    main()
