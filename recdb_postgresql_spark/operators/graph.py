@@ -56,6 +56,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
              .unionByName(e.select(F.col("v").alias("id")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()  # one scalar to the driver, like any COUNT(*)
+    if n == 0:         # empty graph: empty result, not a div-by-zero
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     # static (u, v, deg) edge frame — reused by every iteration
     ed = e.join(deg, "u").localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))

@@ -151,3 +151,26 @@ def test_star_components_trivial_graphs(spark):
     got = {(r.id, r.component)
            for r in dedup.connected_components_star(one).collect()}
     assert got == {(3, 3), (7, 3)}
+
+
+def test_round7_operators_handle_empty_inputs(spark):
+    """Every round-7 operator must return an empty frame (not raise)
+    on empty inputs — the first batch of a streaming backfill or an
+    over-filtered corpus IS empty."""
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions import sampling
+    from recdb_postgresql_spark.operators import dedup, graph, text
+
+    edges = spark.createDataFrame([], "id1 long, id2 long")
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert graph.pagerank(edges).count() == 0
+    assert graph.triangle_count(edges).count() == 0
+    assert dedup.prefix_filtered_pairs(
+        dedup.word_shingles(docs)).count() == 0
+    assert text.strip_common_spans(docs).count() == 0
+    assert text.lm_perplexity(docs).count() == 0
+    assert text.bm25_topk(docs, ["x"]).count() == 0
+    assert text.importance_weights(docs, docs).count() == 0
+    assert sampling.weighted_sample(
+        docs, F.lit(1.0), F.col("doc_id"), 5).count() == 0
