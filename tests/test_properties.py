@@ -339,3 +339,73 @@ def test_strip_spans_matches_bruteforce(spark, texts, max_df):
         kept = [w for p, w in enumerate(toks) if p not in covered]
         expect[i] = (" ".join(kept), len(toks) - len(kept))
     assert got == expect, (got, expect)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["spark", "merge", "pad", "row", "col"]),
+             min_size=1, max_size=10).map(" ".join),
+    min_size=2, max_size=10))
+def test_bm25_matches_bruteforce(spark, texts):
+    """bm25_topk against a pure-Python reference of the same formula
+    (Lucene +1 idf, k1=1.2, b=0.75) on random corpora."""
+    import math
+
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["spark", "merge"]
+    got = {r.doc_id: r.score
+           for r in text_ops.bm25_topk(df, terms, k=100).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    expect = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = tk.count(q)
+            idf = math.log(1 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        if s > 0:
+            expect[i] = round(s, 6)
+    assert got == expect, (got, expect)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=2, max_size=8))
+def test_lm_perplexity_matches_bruteforce(spark, texts):
+    """lm_perplexity against a pure-Python add-k bigram LM."""
+    import math
+
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_transitions, r.log2_ppl)
+           for r in text_ops.lm_perplexity(df).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    vocab = len({w for v in toks.values() for w in v})
+    big, uni = {}, {}
+    for v in toks.values():
+        for a, b in zip(v, v[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            uni[a] = uni.get(a, 0) + 1
+    expect = {}
+    for i, v in toks.items():
+        trans = list(zip(v, v[1:]))
+        if not trans:
+            continue
+        lp = [math.log2((big[(a, b)] + 0.5) / (uni[a] + 0.5 * vocab))
+              for a, b in trans]
+        expect[i] = (len(trans), round(-sum(lp) / len(lp), 6))
+    assert got == expect, (got, expect)
