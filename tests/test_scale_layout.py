@@ -207,3 +207,43 @@ def test_zorder_layout_bounds_all_dims(spark, tmp_path):
     assert back.count() == n
     assert back.agg(F.sum("x"), F.sum("y")).collect() == \
         df.agg(F.sum("x"), F.sum("y")).collect()
+
+
+def test_orc_and_zstd_roundtrip(spark, tmp_path):
+    """Format coverage beyond parquet/CSV/JSONL: ORC round-trips the
+    documents table losslessly, and zstd-compressed parquet (the
+    modern default codec for cold corpora) round-trips identically."""
+    from recdb_postgresql_spark.sources.readers import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    orig = {tuple(r) for r in docs.collect()}
+
+    orc = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(orc)
+    assert {tuple(r) for r in spark.read.orc(orc)
+            .select(*docs.columns).collect()} == orig
+
+    zst = str(tmp_path / "docs_zstd")
+    docs.write.mode("overwrite").option("compression", "zstd").parquet(zst)
+    assert {tuple(r) for r in spark.read.parquet(zst)
+            .select(*docs.columns).collect()} == orig
+    import glob
+    assert glob.glob(f"{zst}/*.zstd.parquet")     # codec actually applied
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Corpus drops evolve: a later batch adds a column. mergeSchema
+    reads the union schema with nulls for the old files — no rewrite
+    of historical data."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string") \
+        .write.parquet(base + "/b1")
+    spark.createDataFrame([(2, "b", "en")],
+                          "doc_id long, text string, lang string") \
+        .write.parquet(base + "/b2")
+    df = spark.read.option("mergeSchema", "true") \
+        .parquet(base + "/b1", base + "/b2")
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in df.collect()}
+    assert rows == {1: None, 2: "en"}
