@@ -1497,6 +1497,47 @@ def q_docs_dsir_resample(spark, sf_dir):
             .select("doc_id", "log_weight"))
 
 
+def q_rec_eval_prec_at_k(spark, sf_dir):
+    """Ranking evaluation: precision@10 / recall@10 of the item-cos
+    recommender against held-out positives (same 80/20 hash split as
+    rec_eval_rmse). Per eval user: score the train-item grid, drop
+    train-rated items, take top-10 by (rounded score, item) — the
+    rounding keeps the cut deterministic across engines — and count
+    held-out hits. One macro-averaged metrics row."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.functions.sampling import hash_bucket
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    key = F.concat(F.col("user").cast("string"), F.lit(":"),
+                   F.col("item").cast("string"))
+    r = r.withColumn("_b", hash_bucket(key))
+    train = r.where(F.col("_b") < 800_000).drop("_b")
+    test = (r.where(F.col("_b") >= 800_000).drop("_b")
+            .where(F.col("user") < 200))
+    model = cf_ops.train_item_cos(train)
+    train_items = train.select("item").distinct()
+    users = test.select("user").distinct()
+    preds = cf_ops.predict_item_cf(model, train, users, train_items)
+    unrated = preds.join(train.select("user", "item"),
+                         ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(
+        F.desc(F.round("score", 6)), F.col("item"))
+    topk = (unrated.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 10).select("user", "item"))
+    hits = (topk.join(test.select("user", "item"), ["user", "item"])
+            .groupBy("user").agg(F.count(F.lit(1)).alias("h")))
+    npos = test.groupBy("user").agg(F.count(F.lit(1)).alias("npos"))
+    per = (users.join(hits, "user", "left").join(npos, "user")
+           .select(F.coalesce("h", F.lit(0)).alias("h"), "npos"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg(F.col("h") / 10.0), 6).alias("precision_at_10"),
+        F.round(F.avg(F.col("h") / F.col("npos")), 6).alias("recall_at_10"))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1751,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_markov_next": q_rec_markov_next,
         "events_outliers": q_events_outliers,
         "docs_dsir_resample": q_docs_dsir_resample,
+        "rec_eval_prec_at_k": q_rec_eval_prec_at_k,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3366,6 +3408,56 @@ m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
 tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM test)
 SELECT n_test, CAST(n_test - n_eval AS BIGINT) AS n_cold, n_scored, rmse
 FROM m, tt
+"""
+    o["rec_eval_prec_at_k"] = "WITH " + _ratings_cte + """,
+b AS (SELECT userid, itemid, rating,
+             CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
+      FROM ratings),
+train AS (SELECT userid, itemid, rating FROM b WHERE bk < 800000),
+test AS (SELECT userid, itemid, rating FROM b
+         WHERE bk >= 800000 AND userid < 200),
+norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
+          FROM train GROUP BY itemid),
+dots AS (SELECT a.itemid AS i1, b2.itemid AS i2, SUM(a.rating*b2.rating) AS dot
+         FROM train a JOIN train b2
+           ON a.userid = b2.userid AND a.itemid < b2.itemid
+         GROUP BY 1, 2),
+model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
+          FROM dots JOIN norms n1 ON n1.itemid = i1
+                    JOIN norms n2 ON n2.itemid = i2
+          WHERE dot/(n1.nrm*n2.nrm) > 0),
+sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
+        UNION ALL SELECT i2, i1, sim FROM model),
+titems AS (SELECT DISTINCT itemid FROM train),
+users AS (SELECT DISTINCT userid FROM test),
+grid AS (SELECT u.userid, ti.itemid FROM users u CROSS JOIN titems ti),
+contrib AS (SELECT tr.userid, s.a AS itemid,
+                   SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
+            FROM train tr
+            JOIN users u ON u.userid = tr.userid
+            JOIN sym s ON s.b2 = tr.itemid
+            GROUP BY 1, 2),
+scored AS (SELECT g.userid, g.itemid, COALESCE(c.score, 0) AS score
+           FROM grid g LEFT JOIN contrib c
+             ON c.userid = g.userid AND c.itemid = g.itemid),
+unrated AS (SELECT s.* FROM scored s LEFT JOIN train tr
+            ON tr.userid = s.userid AND tr.itemid = s.itemid
+            WHERE tr.itemid IS NULL),
+topk AS (SELECT userid, itemid FROM unrated
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
+                 ORDER BY ROUND(score, 6) DESC, itemid) <= 10),
+hits AS (SELECT t.userid, COUNT(*) AS h
+         FROM topk t JOIN test te
+           ON te.userid = t.userid AND te.itemid = t.itemid
+         GROUP BY 1),
+npos AS (SELECT userid, COUNT(*) AS npos FROM test GROUP BY 1),
+per AS (SELECT COALESCE(h.h, 0) AS h, np.npos
+        FROM users u LEFT JOIN hits h ON h.userid = u.userid
+        JOIN npos np ON np.userid = u.userid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(h / 10.0), 6) AS precision_at_10,
+       ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
+FROM per
 """
     o["docs_mix_sample"] = """
 WITH b AS (SELECT lang, n_chars,
