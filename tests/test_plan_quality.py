@@ -166,3 +166,28 @@ def test_histogram_broadcasts_range_row(spark):
     plan = _plan(entrymod.queries()["events_histogram"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_plan_stats_api(spark):
+    """plan_stats/assert_plan — the user-facing form of this file's
+    checks — report the expected shape for known queries."""
+    import pytest as _pytest
+
+    from recdb_postgresql_spark.plans.inspect import assert_plan, plan_stats
+
+    q5 = entrymod.queries()["q5_nation_revenue"](spark, SF)
+    s = plan_stats(q5)
+    assert s["broadcast_joins"] >= 3          # all dims broadcast
+    assert s["sort_merge_joins"] == 0
+    assert s["python_evals"] == 0
+    assert s["has_pushed_filters"]
+    assert_plan(q5, forbid_sort_merge=True, forbid_python=True,
+                require_broadcast=True)
+
+    bm25 = entrymod.queries()["docs_bm25"](spark, SF)
+    assert_plan(bm25, forbid_sort_merge=True, require_topk_heap=True)
+
+    stats = plan_stats(entrymod.queries()["text_token_stats"](spark, SF))
+    assert stats["shuffles"] == 0             # pure map over the scan
+    with _pytest.raises(AssertionError):
+        assert_plan(q5, max_shuffles=0)       # q5 does aggregate
