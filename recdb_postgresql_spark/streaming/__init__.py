@@ -3,7 +3,9 @@ from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
 from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      dedup_stream,
                                                      hourly_rollup,
-                                                     sessionize)
+                                                     sessionize,
+                                                     trending_items)
 
 __all__ = ["StreamingMaintainer", "StreamingIndexDeduper", "hourly_rollup",
-           "sessionize", "count_milestones", "dedup_stream"]
+           "sessionize", "count_milestones", "dedup_stream",
+           "trending_items"]

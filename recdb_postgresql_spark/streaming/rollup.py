@@ -128,3 +128,29 @@ def count_milestones(events: DataFrame, every: int = 100) -> DataFrame:
                                     stateStructType=MILESTONE_STATE,
                                     outputMode="append",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def trending_items(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window item popularity — the streaming half of the
+    popularity fallback recommender: per (sliding window, item) event
+    counts, late data handled by the watermark. Each event lands in
+    window/slide overlapping windows (4 here), state is bounded by
+    (#open windows x #items). Rank-per-window is left to the sink
+    side (a per-window ORDER BY after append emission, or
+    ``cf.popularity_topk`` over the materialized counts) — global
+    ranking inside an append stream would hold every window open.
+
+    Item = the ``k`` property of the event payload, matching the
+    batch recommender's item axis."""
+    item = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (with_event_time(events)
+            .where(item.isNotNull())
+            .withColumn("item", item)
+            .withWatermark("etime", watermark)
+            .groupBy(F.window("etime", window, slide).alias("w"), "item")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "item", "n_events"))

@@ -119,3 +119,30 @@ def test_stateful_milestones_across_microbatches(spark, events_dir,
                 for m in range(20, c + 1, 20)}
     assert {(r.user_id, r.milestone) for r in got} == expected
     assert len(got) == len(expected)            # no duplicate emissions
+
+
+def test_streaming_trending_items_matches_batch(spark, events_dir, tmp_path):
+    """Sliding-window item counts: every window the stream emits must
+    match the batch computation of the same (window, slide) spec."""
+    from recdb_postgresql_spark.streaming.rollup import trending_items
+
+    stream = spark.readStream.schema(SCHEMA).parquet(events_dir)
+    got = _run_stream(spark, trending_items(stream), str(tmp_path / "ct"),
+                      mode="append")
+    raw = spark.read.schema(SCHEMA).parquet(events_dir)
+    item = F.get_json_object(F.col("props"), "$.k").cast("int")
+    batch = (with_event_time(raw)
+             .where(item.isNotNull()).withColumn("item", item)
+             .groupBy(F.window("etime", "1 hour", "15 minutes").alias("w"),
+                      "item")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("w.start").alias("window_start"), "item",
+                     "n_events").collect())
+    got_m = {(r.window_start, r.item): r.n_events for r in got}
+    exp_m = {(r.window_start, r.item): r.n_events for r in batch}
+    assert got_m, "no windows closed"
+    for k, v in got_m.items():
+        assert exp_m[k] == v
+    assert set(exp_m) >= set(got_m)
+    # each event lands in window/slide = 4 overlapping windows
+    assert sum(exp_m.values()) == 4 * raw.where(item.isNotNull()).count()
