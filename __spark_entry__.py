@@ -1538,6 +1538,18 @@ def q_rec_eval_prec_at_k(spark, sf_dir):
         F.round(F.avg(F.col("h") / F.col("npos")), 6).alias("recall_at_10"))
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """REAL BPE token counting: train a 10-merge byte-pair tokenizer
+    on the corpus's word-frequency table (vocab-sized loop, pure
+    Catalyst per round), then Arrow-encode every document with the
+    trained merges. Rows-only by nature (iterative trainer + pandas
+    encode); the merge-sequence parity vs the classic algorithm is
+    pinned in pytest (test_bpe_train_matches_reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, num_merges=10)
+    return text.bpe_encode(docs, merges)
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -1793,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers": q_events_outliers,
         "docs_dsir_resample": q_docs_dsir_resample,
         "rec_eval_prec_at_k": q_rec_eval_prec_at_k,
+        "text_bpe_tokens": q_text_bpe_tokens,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,

@@ -97,7 +97,7 @@ HEADLINE = [
     "fulljoin_user_activity", "events_histogram",
     "rec_popular_topk", "rec_eval_rmse", "text_lm_perplexity",
     "graph_triangles", "rec_markov_next", "events_outliers",
-    "docs_dsir_resample", "rec_eval_prec_at_k",
+    "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -716,3 +716,108 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"),
                  F.round(-F.avg(logp), 6).alias("log2_ppl")))
+
+
+def bpe_train(docs: DataFrame, num_merges: int = 20,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Train a byte-pair-encoding tokenizer on the corpus: returns the
+    ordered merge table as a list of (rank, left, right, pair_count).
+
+    The scale insight (same as the original BPE paper's
+    implementation): merges are a function of the WORD FREQUENCY
+    table, not the corpus — so the only corpus-sized job is one
+    groupBy(word).count(); the merge loop then iterates over a
+    vocab-sized frame (distinct words with their symbol arrays),
+    re-counting weighted adjacent pairs and applying the argmax merge
+    each round. Every per-round step is pure Catalyst: the pair count
+    is an explode+sum, and the merge application is a single
+    ``F.aggregate`` fold (greedy left-to-right, replace-last idiom) —
+    no Python in the loop. Ties break by (count desc, left, right) so
+    the merge sequence is deterministic.
+
+    Symbol alphabet: characters of the lowercased word plus a '</w>'
+    end marker (the classic formulation)."""
+    words = (spread_small(docs)
+             .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+")).alias("w"))
+             .where(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    # the vocab frame is distinct-word-sized (tiny next to the corpus);
+    # one partition makes every loop round a single-task stage — at a
+    # genuinely huge vocab raise this to a handful of partitions
+    vocab = words.select(
+        F.concat(F.split(F.col("w"), ""),
+                 F.array(F.lit("</w>"))).alias("syms"),
+        "n").coalesce(1).localCheckpoint(eager=True)
+    merges = []
+    for rank in range(num_merges):
+        idx = F.sequence(F.lit(0), F.size("syms") - 2)
+        pairs = vocab.where(F.size("syms") >= 2).select(
+            F.explode(F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("syms", i + 1).alias("l"),
+                    F.element_at("syms", i + 2).alias("r")))).alias("p"),
+            "n")
+        top = (pairs.groupBy("p.l", "p.r")
+               .agg(F.sum("n").alias("cnt"))
+               .orderBy(F.desc("cnt"), "l", "r").limit(1).collect())
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        # greedy left-to-right merge: fold symbols, replacing a
+        # trailing `left` when `right` follows it
+        apply = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(s))))
+        vocab = vocab.select(apply.alias("syms"), "n") \
+            .localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_encode(docs: DataFrame, merges, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_words): tokenize with a trained merge
+    table — apply the merges in rank order to every word and count
+    resulting subword tokens. The merge list is a broadcast constant;
+    application is an Arrow-batched pandas pass (20 sequential merges
+    per word is imperative string work — the honest non-Catalyst
+    path), one output row per document."""
+    import pandas as pd  # noqa: F401  (pandas_udf runtime)
+    from pyspark.sql.functions import pandas_udf
+
+    ranked = [(left, right) for _rank, left, right, _cnt in merges]
+
+    @pandas_udf("long")
+    def n_bpe_tokens(texts):
+        def encode_word(w):
+            syms = list(w) + ["</w>"]
+            for left, right in ranked:
+                out = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            return len(syms)
+
+        return texts.map(
+            lambda t: sum(encode_word(w)
+                          for w in str(t).lower().split()))
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (spread_small(docs)
+            .select(F.col(id_col), F.col(text_col),
+                    F.size(toks).cast("long").alias("n_words"))
+            .withColumn("n_tokens", n_bpe_tokens(F.col(text_col)))
+            .select(id_col, "n_tokens", "n_words"))

@@ -360,3 +360,67 @@ def test_weighted_sample_properties(spark):
     again = {r.doc_id for r in sampling.weighted_sample(
         df.repartition(13), SF.col("w"), SF.col("doc_id"), k=80).collect()}
     assert ids == again
+
+
+def _bpe_reference(word_counts, num_merges):
+    """Pure-Python BPE on a word-frequency table (the original
+    algorithm), greedy left-to-right application, ties by
+    (count desc, left, right)."""
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer must produce the IDENTICAL merge
+    sequence (pairs, order, counts) as the classic word-frequency BPE
+    algorithm, and the encoder's token counts must match re-applying
+    those merges by hand."""
+    rows = [(1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "low new lowest")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wc = {}
+    for _i, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    expect = _bpe_reference(wc, 8)
+    got = text.bpe_train(df, num_merges=8)
+    assert got == expect, (got, expect)
+
+    enc = {r.doc_id: r.n_tokens for r in text.bpe_encode(df, got).collect()}
+
+    def encode_word(w, merges):
+        syms = list(w) + ["</w>"]
+        for _rank, left, right, _cnt in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    for i, t in rows:
+        assert enc[i] == sum(encode_word(w, got) for w in t.split()), i
