@@ -1538,6 +1538,51 @@ def q_rec_eval_prec_at_k(spark, sf_dir):
         F.round(F.avg(F.col("h") / F.col("npos")), 6).alias("recall_at_10"))
 
 
+def q_rec_eval_ndcg(spark, sf_dir):
+    """NDCG@10 of the item-cos recommender on the same 80/20 split:
+    binary relevance (held-out pair = relevant), DCG over the rank of
+    each hit in the per-user top-10, ideal DCG from the user's
+    held-out count. Completes the evaluation family (RMSE for rating
+    error, P/R@10 for set quality, NDCG for rank quality)."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.functions.sampling import hash_bucket
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    key = F.concat(F.col("user").cast("string"), F.lit(":"),
+                   F.col("item").cast("string"))
+    r = r.withColumn("_b", hash_bucket(key))
+    train = r.where(F.col("_b") < 800_000).drop("_b")
+    test = (r.where(F.col("_b") >= 800_000).drop("_b")
+            .where(F.col("user") < 200))
+    model = cf_ops.train_item_cos(train)
+    train_items = train.select("item").distinct()
+    users = test.select("user").distinct()
+    preds = cf_ops.predict_item_cf(model, train, users, train_items)
+    unrated = preds.join(train.select("user", "item"),
+                         ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(
+        F.desc(F.round("score", 6)), F.col("item"))
+    topk = (unrated.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10).select("user", "item", "rn"))
+    dcg = (topk.join(test.select("user", "item"), ["user", "item"])
+           .groupBy("user")
+           .agg(F.sum(1.0 / F.log2(F.col("rn") + 1)).alias("dcg")))
+    idcg = test.groupBy("user").agg(
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.count(F.lit(1)), F.lit(10))),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1))
+        .alias("idcg"))
+    per = (users.join(dcg, "user", "left").join(idcg, "user")
+           .select((F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"))
+                   .alias("ndcg")))
+    return per.agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                   F.round(F.avg("ndcg"), 6).alias("ndcg_at_10"))
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """REAL BPE token counting: train a 10-merge byte-pair tokenizer
     on the corpus's word-frequency table (vocab-sized loop, pure
@@ -1806,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_resample": q_docs_dsir_resample,
         "rec_eval_prec_at_k": q_rec_eval_prec_at_k,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "rec_eval_ndcg": q_rec_eval_ndcg,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "dedup_incremental": q_dedup_incremental,
@@ -3470,6 +3516,61 @@ per AS (SELECT COALESCE(h.h, 0) AS h, np.npos
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(h / 10.0), 6) AS precision_at_10,
        ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
+FROM per
+"""
+    o["rec_eval_ndcg"] = "WITH " + _ratings_cte + """,
+b AS (SELECT userid, itemid, rating,
+             CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
+      FROM ratings),
+train AS (SELECT userid, itemid, rating FROM b WHERE bk < 800000),
+test AS (SELECT userid, itemid, rating FROM b
+         WHERE bk >= 800000 AND userid < 200),
+norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
+          FROM train GROUP BY itemid),
+dots AS (SELECT a.itemid AS i1, b2.itemid AS i2, SUM(a.rating*b2.rating) AS dot
+         FROM train a JOIN train b2
+           ON a.userid = b2.userid AND a.itemid < b2.itemid
+         GROUP BY 1, 2),
+model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
+          FROM dots JOIN norms n1 ON n1.itemid = i1
+                    JOIN norms n2 ON n2.itemid = i2
+          WHERE dot/(n1.nrm*n2.nrm) > 0),
+sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
+        UNION ALL SELECT i2, i1, sim FROM model),
+titems AS (SELECT DISTINCT itemid FROM train),
+users AS (SELECT DISTINCT userid FROM test),
+grid AS (SELECT u.userid, ti.itemid FROM users u CROSS JOIN titems ti),
+contrib AS (SELECT tr.userid, s.a AS itemid,
+                   SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
+            FROM train tr
+            JOIN users u ON u.userid = tr.userid
+            JOIN sym s ON s.b2 = tr.itemid
+            GROUP BY 1, 2),
+scored AS (SELECT g.userid, g.itemid, COALESCE(c.score, 0) AS score
+           FROM grid g LEFT JOIN contrib c
+             ON c.userid = g.userid AND c.itemid = g.itemid),
+unrated AS (SELECT s.* FROM scored s LEFT JOIN train tr
+            ON tr.userid = s.userid AND tr.itemid = s.itemid
+            WHERE tr.itemid IS NULL),
+topk AS (SELECT userid, itemid,
+                ROW_NUMBER() OVER (PARTITION BY userid
+                   ORDER BY ROUND(score, 6) DESC, itemid) AS rn
+         FROM unrated
+         QUALIFY rn <= 10),
+dcg AS (SELECT t.userid, SUM(1.0 / log2(t.rn + 1)) AS dcg
+        FROM topk t JOIN test te
+          ON te.userid = t.userid AND te.itemid = t.itemid
+        GROUP BY 1),
+idcg AS (SELECT userid,
+                SUM(1.0 / log2(i + 1)) AS idcg
+         FROM (SELECT userid, COUNT(*) AS npos FROM test GROUP BY 1),
+              UNNEST(generate_series(1, LEAST(npos, 10))) AS s(i)
+         GROUP BY 1),
+per AS (SELECT COALESCE(d.dcg, 0) / ic.idcg AS ndcg
+        FROM users u LEFT JOIN dcg d ON d.userid = u.userid
+        JOIN idcg ic ON ic.userid = u.userid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(ndcg), 6) AS ndcg_at_10
 FROM per
 """
     o["docs_mix_sample"] = """

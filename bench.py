@@ -98,6 +98,7 @@ HEADLINE = [
     "rec_popular_topk", "rec_eval_rmse", "text_lm_perplexity",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
+    "rec_eval_ndcg",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
