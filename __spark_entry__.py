@@ -1381,13 +1381,11 @@ def q_rec_popular_topk(spark, sf_dir):
                     F.col("n_raters").cast("long").alias("n_raters")))
 
 
-def q_rec_eval_rmse(spark, sf_dir):
-    """Evaluation as a query: hash-split ratings 80/20 by (user, item),
-    train item-cos on the train split, score the test pairs of users
-    < 200 whose items exist in training, report one metrics row
-    (n_test, n_cold, n_scored, rmse). Unreachable pairs score 0 (the
-    reference's itemCFpredict convention), cold items are excluded
-    and counted."""
+def _eval_split(spark, sf_dir):
+    """The rec_eval_* family's shared scaffold: 80/20 hash split by
+    (user, item), eval users < 200, item-cos model trained on the
+    train side. One definition so a threshold/formula change can never
+    desynchronize the metrics (RMSE / P/R@10 / NDCG@10)."""
     from recdb_postgresql_spark.functions.sampling import hash_bucket
     from recdb_postgresql_spark.operators import cf as cf_ops
 
@@ -1401,6 +1399,40 @@ def q_rec_eval_rmse(spark, sf_dir):
             .where(F.col("user") < 200))
     model = cf_ops.train_item_cos(train)
     train_items = train.select("item").distinct()
+    return train, test, model, train_items
+
+
+def _eval_topk10(spark, sf_dir):
+    """Per-user top-10 recommendations for the ranking metrics:
+    scored train-item grid, train-rated items excluded, rounded-score
+    tiebreak (deterministic across engines). Returns (test, users,
+    topk-with-rank)."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    train, test, model, train_items = _eval_split(spark, sf_dir)
+    users = test.select("user").distinct()
+    preds = cf_ops.predict_item_cf(model, train, users, train_items)
+    unrated = preds.join(train.select("user", "item"),
+                         ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(
+        F.desc(F.round("score", 6)), F.col("item"))
+    topk = (unrated.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10).select("user", "item", "rn"))
+    return test, users, topk
+
+
+def q_rec_eval_rmse(spark, sf_dir):
+    """Evaluation as a query: hash-split ratings 80/20 by (user, item),
+    train item-cos on the train split, score the test pairs of users
+    < 200 whose items exist in training, report one metrics row
+    (n_test, n_cold, n_scored, rmse). Unreachable pairs score 0 (the
+    reference's itemCFpredict convention), cold items are excluded
+    and counted."""
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    train, test, model, train_items = _eval_split(spark, sf_dir)
     test_known = test.join(F.broadcast(train_items), "item")
     users = test_known.select("user").distinct()
     preds = cf_ops.predict_item_cf(model, train, users, train_items)
@@ -1504,29 +1536,7 @@ def q_rec_eval_prec_at_k(spark, sf_dir):
     train-rated items, take top-10 by (rounded score, item) — the
     rounding keeps the cut deterministic across engines — and count
     held-out hits. One macro-averaged metrics row."""
-    from pyspark.sql import Window
-
-    from recdb_postgresql_spark.functions.sampling import hash_bucket
-    from recdb_postgresql_spark.operators import cf as cf_ops
-
-    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
-                                "userid", "itemid", "ratingval")
-    key = F.concat(F.col("user").cast("string"), F.lit(":"),
-                   F.col("item").cast("string"))
-    r = r.withColumn("_b", hash_bucket(key))
-    train = r.where(F.col("_b") < 800_000).drop("_b")
-    test = (r.where(F.col("_b") >= 800_000).drop("_b")
-            .where(F.col("user") < 200))
-    model = cf_ops.train_item_cos(train)
-    train_items = train.select("item").distinct()
-    users = test.select("user").distinct()
-    preds = cf_ops.predict_item_cf(model, train, users, train_items)
-    unrated = preds.join(train.select("user", "item"),
-                         ["user", "item"], "left_anti")
-    w = Window.partitionBy("user").orderBy(
-        F.desc(F.round("score", 6)), F.col("item"))
-    topk = (unrated.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= 10).select("user", "item"))
+    test, users, topk = _eval_topk10(spark, sf_dir)
     hits = (topk.join(test.select("user", "item"), ["user", "item"])
             .groupBy("user").agg(F.count(F.lit(1)).alias("h")))
     npos = test.groupBy("user").agg(F.count(F.lit(1)).alias("npos"))
@@ -1544,29 +1554,7 @@ def q_rec_eval_ndcg(spark, sf_dir):
     each hit in the per-user top-10, ideal DCG from the user's
     held-out count. Completes the evaluation family (RMSE for rating
     error, P/R@10 for set quality, NDCG for rank quality)."""
-    from pyspark.sql import Window
-
-    from recdb_postgresql_spark.functions.sampling import hash_bucket
-    from recdb_postgresql_spark.operators import cf as cf_ops
-
-    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
-                                "userid", "itemid", "ratingval")
-    key = F.concat(F.col("user").cast("string"), F.lit(":"),
-                   F.col("item").cast("string"))
-    r = r.withColumn("_b", hash_bucket(key))
-    train = r.where(F.col("_b") < 800_000).drop("_b")
-    test = (r.where(F.col("_b") >= 800_000).drop("_b")
-            .where(F.col("user") < 200))
-    model = cf_ops.train_item_cos(train)
-    train_items = train.select("item").distinct()
-    users = test.select("user").distinct()
-    preds = cf_ops.predict_item_cf(model, train, users, train_items)
-    unrated = preds.join(train.select("user", "item"),
-                         ["user", "item"], "left_anti")
-    w = Window.partitionBy("user").orderBy(
-        F.desc(F.round("score", 6)), F.col("item"))
-    topk = (unrated.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 10).select("user", "item", "rn"))
+    test, users, topk = _eval_topk10(spark, sf_dir)
     dcg = (topk.join(test.select("user", "item"), ["user", "item"])
            .groupBy("user")
            .agg(F.sum(1.0 / F.log2(F.col("rn") + 1)).alias("dcg")))
@@ -3430,7 +3418,11 @@ SELECT userid, itemid, n_raters FROM unrated
 QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
                            ORDER BY n_raters DESC, itemid) <= 10
 """
-    o["rec_eval_rmse"] = "WITH " + _ratings_cte + """,
+    # the eval family (RMSE / P,R@10 / NDCG@10) shares ONE split+model
+    # CTE chunk and ONE grid->topk chunk, mirroring the shared Python
+    # helpers (_eval_split / _eval_topk10) — a threshold or formula
+    # change lands in exactly one place on each side
+    _eval_split_sql = """
 b AS (SELECT userid, itemid, rating,
              CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
       FROM ratings),
@@ -3449,95 +3441,8 @@ model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
           WHERE dot/(n1.nrm*n2.nrm) > 0),
 sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
         UNION ALL SELECT i2, i1, sim FROM model),
-titems AS (SELECT DISTINCT itemid FROM train),
-known AS (SELECT t.* FROM test t JOIN titems ti ON ti.itemid = t.itemid),
-pred AS (SELECT kn.userid, kn.itemid,
-                SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
-         FROM known kn
-         JOIN sym s ON s.a = kn.itemid
-         JOIN train tr ON tr.userid = kn.userid AND tr.itemid = s.b2
-         GROUP BY 1, 2),
-j AS (SELECT kn.userid, kn.itemid, kn.rating,
-             COALESCE(p.score, 0) AS score
-      FROM known kn LEFT JOIN pred p
-        ON p.userid = kn.userid AND p.itemid = kn.itemid),
-m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
-             CAST(SUM(CASE WHEN score <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
-             ROUND(SQRT(AVG(POW(score - rating, 2))), 6) AS rmse FROM j),
-tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM test)
-SELECT n_test, CAST(n_test - n_eval AS BIGINT) AS n_cold, n_scored, rmse
-FROM m, tt
-"""
-    o["rec_eval_prec_at_k"] = "WITH " + _ratings_cte + """,
-b AS (SELECT userid, itemid, rating,
-             CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
-      FROM ratings),
-train AS (SELECT userid, itemid, rating FROM b WHERE bk < 800000),
-test AS (SELECT userid, itemid, rating FROM b
-         WHERE bk >= 800000 AND userid < 200),
-norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
-          FROM train GROUP BY itemid),
-dots AS (SELECT a.itemid AS i1, b2.itemid AS i2, SUM(a.rating*b2.rating) AS dot
-         FROM train a JOIN train b2
-           ON a.userid = b2.userid AND a.itemid < b2.itemid
-         GROUP BY 1, 2),
-model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
-          FROM dots JOIN norms n1 ON n1.itemid = i1
-                    JOIN norms n2 ON n2.itemid = i2
-          WHERE dot/(n1.nrm*n2.nrm) > 0),
-sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
-        UNION ALL SELECT i2, i1, sim FROM model),
-titems AS (SELECT DISTINCT itemid FROM train),
-users AS (SELECT DISTINCT userid FROM test),
-grid AS (SELECT u.userid, ti.itemid FROM users u CROSS JOIN titems ti),
-contrib AS (SELECT tr.userid, s.a AS itemid,
-                   SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
-            FROM train tr
-            JOIN users u ON u.userid = tr.userid
-            JOIN sym s ON s.b2 = tr.itemid
-            GROUP BY 1, 2),
-scored AS (SELECT g.userid, g.itemid, COALESCE(c.score, 0) AS score
-           FROM grid g LEFT JOIN contrib c
-             ON c.userid = g.userid AND c.itemid = g.itemid),
-unrated AS (SELECT s.* FROM scored s LEFT JOIN train tr
-            ON tr.userid = s.userid AND tr.itemid = s.itemid
-            WHERE tr.itemid IS NULL),
-topk AS (SELECT userid, itemid FROM unrated
-         QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
-                 ORDER BY ROUND(score, 6) DESC, itemid) <= 10),
-hits AS (SELECT t.userid, COUNT(*) AS h
-         FROM topk t JOIN test te
-           ON te.userid = t.userid AND te.itemid = t.itemid
-         GROUP BY 1),
-npos AS (SELECT userid, COUNT(*) AS npos FROM test GROUP BY 1),
-per AS (SELECT COALESCE(h.h, 0) AS h, np.npos
-        FROM users u LEFT JOIN hits h ON h.userid = u.userid
-        JOIN npos np ON np.userid = u.userid)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-       ROUND(AVG(h / 10.0), 6) AS precision_at_10,
-       ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
-FROM per
-"""
-    o["rec_eval_ndcg"] = "WITH " + _ratings_cte + """,
-b AS (SELECT userid, itemid, rating,
-             CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
-      FROM ratings),
-train AS (SELECT userid, itemid, rating FROM b WHERE bk < 800000),
-test AS (SELECT userid, itemid, rating FROM b
-         WHERE bk >= 800000 AND userid < 200),
-norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
-          FROM train GROUP BY itemid),
-dots AS (SELECT a.itemid AS i1, b2.itemid AS i2, SUM(a.rating*b2.rating) AS dot
-         FROM train a JOIN train b2
-           ON a.userid = b2.userid AND a.itemid < b2.itemid
-         GROUP BY 1, 2),
-model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
-          FROM dots JOIN norms n1 ON n1.itemid = i1
-                    JOIN norms n2 ON n2.itemid = i2
-          WHERE dot/(n1.nrm*n2.nrm) > 0),
-sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
-        UNION ALL SELECT i2, i1, sim FROM model),
-titems AS (SELECT DISTINCT itemid FROM train),
+titems AS (SELECT DISTINCT itemid FROM train),"""
+    _eval_topk_sql = """
 users AS (SELECT DISTINCT userid FROM test),
 grid AS (SELECT u.userid, ti.itemid FROM users u CROSS JOIN titems ti),
 contrib AS (SELECT tr.userid, s.a AS itemid,
@@ -3556,7 +3461,43 @@ topk AS (SELECT userid, itemid,
                 ROW_NUMBER() OVER (PARTITION BY userid
                    ORDER BY ROUND(score, 6) DESC, itemid) AS rn
          FROM unrated
-         QUALIFY rn <= 10),
+         QUALIFY rn <= 10),"""
+    o["rec_eval_rmse"] = "WITH " + _ratings_cte + "," + _eval_split_sql + """
+known AS (SELECT t.* FROM test t JOIN titems ti ON ti.itemid = t.itemid),
+pred AS (SELECT kn.userid, kn.itemid,
+                SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
+         FROM known kn
+         JOIN sym s ON s.a = kn.itemid
+         JOIN train tr ON tr.userid = kn.userid AND tr.itemid = s.b2
+         GROUP BY 1, 2),
+j AS (SELECT kn.userid, kn.itemid, kn.rating,
+             COALESCE(p.score, 0) AS score
+      FROM known kn LEFT JOIN pred p
+        ON p.userid = kn.userid AND p.itemid = kn.itemid),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN score <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+             ROUND(SQRT(AVG(POW(score - rating, 2))), 6) AS rmse FROM j),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM test)
+SELECT n_test, CAST(n_test - n_eval AS BIGINT) AS n_cold, n_scored, rmse
+FROM m, tt
+"""
+    o["rec_eval_prec_at_k"] = ("WITH " + _ratings_cte + ","
+                               + _eval_split_sql + _eval_topk_sql + """
+hits AS (SELECT t.userid, COUNT(*) AS h
+         FROM topk t JOIN test te
+           ON te.userid = t.userid AND te.itemid = t.itemid
+         GROUP BY 1),
+npos AS (SELECT userid, COUNT(*) AS npos FROM test GROUP BY 1),
+per AS (SELECT COALESCE(h.h, 0) AS h, np.npos
+        FROM users u LEFT JOIN hits h ON h.userid = u.userid
+        JOIN npos np ON np.userid = u.userid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(h / 10.0), 6) AS precision_at_10,
+       ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
+FROM per
+""")
+    o["rec_eval_ndcg"] = ("WITH " + _ratings_cte + ","
+                          + _eval_split_sql + _eval_topk_sql + """
 dcg AS (SELECT t.userid, SUM(1.0 / log2(t.rn + 1)) AS dcg
         FROM topk t JOIN test te
           ON te.userid = t.userid AND te.itemid = t.itemid
@@ -3572,7 +3513,7 @@ per AS (SELECT COALESCE(d.dcg, 0) / ic.idcg AS ndcg
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(ndcg), 6) AS ndcg_at_10
 FROM per
-"""
+""")
     o["docs_mix_sample"] = """
 WITH b AS (SELECT lang, n_chars,
                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bucket

@@ -46,10 +46,16 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     standard correction, folded into the teleport term via one scalar
     aggregate per iteration.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # simple-graph semantics, same contract as triangle_count:
+    # duplicate/reversed edges collapse and self-loops drop — without
+    # this, ranks silently become edge-multiplicity-weighted
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
     if not directed:
         e = e.unionByName(e.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
+        # reversed duplicates in the input collapse here
+        e = e.distinct()
     e = e.localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (e.select(F.col("u").alias("id"))

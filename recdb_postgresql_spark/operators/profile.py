@@ -51,8 +51,7 @@ def profile_table(df: DataFrame, columns: Sequence[str],
         for q in quantiles:
             name = f"q{int(round(q * 100))}"
             expr = (F.percentile(col, F.lit(q)) if exact
-                    else F.expr(f"approx_percentile(cast({c} as double), "
-                                f"{q}, 10000)"))
+                    else F.percentile_approx(col, F.lit(q), F.lit(10000)))
             aggs.append(expr.alias(f"{c}__{name}"))
             stats.append((c, name))
     wide = df.agg(*aggs)

@@ -812,12 +812,16 @@ def bpe_encode(docs: DataFrame, merges, id_col: str = "doc_id",
             return len(syms)
 
         return texts.map(
-            lambda t: sum(encode_word(w)
-                          for w in str(t).lower().split()))
+            lambda t: 0 if t is None or (isinstance(t, float))
+            else sum(encode_word(w) for w in str(t).lower().split()))
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # NULL text encodes to 0 tokens / 0 words (train drops such rows
+    # too, so train and encode agree on what a document is)
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col),
+                                             F.lit("")))), r"\s+")
+    n_words = F.size(F.filter(toks, lambda t: F.length(t) > 0))
     return (spread_small(docs)
             .select(F.col(id_col), F.col(text_col),
-                    F.size(toks).cast("long").alias("n_words"))
+                    n_words.cast("long").alias("n_words"))
             .withColumn("n_tokens", n_bpe_tokens(F.col(text_col)))
             .select(id_col, "n_tokens", "n_words"))

@@ -26,7 +26,6 @@ _COUNTERS = {
     "sort_merge_joins": re.compile(r"\bSortMergeJoin\b"),
     "broadcast_joins": re.compile(
         r"\bBroadcastHashJoin\b|\bBroadcastNestedLoopJoin\b"),
-    "codegen_spans": re.compile(r"\*\(\d+\)"),
     "python_evals": re.compile(
         r"\bBatchEvalPython\b|\bArrowEvalPython\b|\bMapInPandas\b|"
         r"\bFlatMapGroupsInPandas\b"),

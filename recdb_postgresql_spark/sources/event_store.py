@@ -91,11 +91,16 @@ class EventStore:
             json.dump(m, f)
         os.replace(tmp, os.path.join(self.path, "manifest.json"))  # atomic
         # retained manifest history = time travel: every version's
-        # snapshot stays readable until vacuum() reclaims it
+        # snapshot stays readable until vacuum() reclaims it. Same
+        # tmp+replace discipline as manifest.json: a crash mid-write
+        # must never leave a truncated history file (vacuum json.loads
+        # every retained version).
         hist = os.path.join(self.path, "_versions")
         os.makedirs(hist, exist_ok=True)
-        with open(os.path.join(hist, f"v{m['version']}.json"), "w") as f:
+        htmp = os.path.join(hist, f"v{m['version']}.json.tmp")
+        with open(htmp, "w") as f:
             json.dump(m, f)
+        os.replace(htmp, os.path.join(hist, f"v{m['version']}.json"))
 
     def _commit(self, dirs: list[str]) -> None:
         m = self._manifest()
@@ -284,18 +289,23 @@ class EventStore:
         cur = self._manifest()
         keep_versions = range(max(1, cur["version"] - retain_versions),
                               cur["version"] + 1)
-        live: set[str] = set()
+
+        def _live_of(m: dict) -> set[str]:
+            if self.partition_col:
+                return {rel for rels in m["parts"].values()
+                        for rel in rels}
+            return set(m["dirs"])
+
+        # the CURRENT manifest is authoritative and is ALWAYS live —
+        # a store predating the _versions history (or with a missing
+        # history file) must never have its referenced snapshots swept
+        live: set[str] = _live_of(cur)
         for v in keep_versions:
             p = os.path.join(self.path, "_versions", f"v{v}.json")
             if not os.path.exists(p):
                 continue
             with open(p) as f:
-                m = json.load(f)
-            if self.partition_col:
-                live |= {rel for rels in m["parts"].values()
-                         for rel in rels}
-            else:
-                live |= set(m["dirs"])
+                live |= _live_of(json.load(f))
         removed = []
         roots = ([e for e in os.listdir(self.path)
                   if e.startswith("part=")] if self.partition_col
@@ -310,11 +320,12 @@ class EventStore:
                     shutil.rmtree(full)
                     removed.append(rel)
         # drop manifests outside the retained window
+        import re as _re
         hist = os.path.join(self.path, "_versions")
         if os.path.isdir(hist):
             for entry in os.listdir(hist):
-                v = int(entry[1:-5])
-                if v not in keep_versions:
+                m = _re.fullmatch(r"v(\d+)\.json", entry)
+                if m and int(m.group(1)) not in keep_versions:
                     os.remove(os.path.join(hist, entry))
         return removed
 

@@ -239,3 +239,16 @@ def test_vacuum_reclaims_and_ends_time_travel(spark, store):
     prev = s2.version - 1
     s2.vacuum(retain_versions=1)
     assert s2.read(version=prev).count() == 2
+
+
+def test_vacuum_without_history_never_sweeps_current_data(spark, store):
+    """A store predating the _versions history (or with its history
+    deleted) must treat the CURRENT manifest as live — vacuum may
+    reclaim nothing it references."""
+    import os
+    import shutil
+
+    store.append(spark.createDataFrame([(7, 70, 1.0)], SCHEMA))
+    shutil.rmtree(os.path.join(store.path, "_versions"))
+    store.vacuum()
+    assert store.read().count() == 4      # current snapshot intact

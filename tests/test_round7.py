@@ -424,3 +424,38 @@ def test_bpe_train_matches_reference(spark):
 
     for i, t in rows:
         assert enc[i] == sum(encode_word(w, got) for w in t.split()), i
+
+
+def test_bpe_encode_null_text_is_zero_tokens(spark):
+    """Train drops NULL-text rows; encode must agree (0 tokens / 0
+    words), never tokenize the literal string 'None'."""
+    df = spark.createDataFrame([(1, "low low"), (2, None)],
+                               "doc_id long, text string")
+    m = text.bpe_train(df, num_merges=2)
+    out = {r.doc_id: (r.n_tokens, r.n_words)
+           for r in text.bpe_encode(df, m).collect()}
+    assert out[2] == (0, 0)
+    assert out[1][0] > 0
+
+
+def test_profile_sketch_handles_awkward_column_names(spark):
+    """The sketch path must accept names needing backticks (it builds
+    Columns, not SQL strings) — same contract as the exact path."""
+    from recdb_postgresql_spark.operators import profile
+
+    df = spark.range(10).selectExpr("cast(id as double) as `event value`")
+    out = profile.profile_table(df, ["event value"], exact=False)
+    assert out.count() == 9
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """Simple-graph semantics: duplicate/reversed edges and self-loops
+    must not skew rank mass (same contract as triangle_count)."""
+    from recdb_postgresql_spark.operators import graph
+
+    clean = spark.createDataFrame([(1, 2), (1, 4)], ["id1", "id2"])
+    noisy = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (1, 4), (3, 3)], ["id1", "id2"])
+    a = {r.id: r.rank for r in graph.pagerank(clean).collect()}
+    b = {r.id: r.rank for r in graph.pagerank(noisy).collect()}
+    assert a == b
