@@ -1791,6 +1791,64 @@ GROUP BY ts DIV 3600000000000, event_type
 """)
 
 
+def q_docs_segment_dedup(spark, sf_dir):
+    """RefinedWeb/CCNet line-dedup analog: width-3 token segments that
+    appear in >1 distinct document (boilerplate) are removed from every
+    document and the survivors re-joined in order. Segmentation is a
+    pure map; only (int64, int64) hash rows shuffle; the oracle hashes
+    identically (no collision assumption)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.segment_dedup(docs, width=3, max_doc_freq=1)
+
+
+def q_docs_c4_flags(spark, sf_dir):
+    """C4/Gopher absolute heuristic filters as per-rule boolean flags
+    plus the conjunction — entirely map-side (one WholeStageCodegen
+    over the scan, zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_flags(docs)
+
+
+def q_docs_ccnet_tiers(spark, sf_dir):
+    """CCNet head/middle/tail: per-language perplexity tertiles under
+    the corpus-trained bigram LM (ntile over (log2_ppl, doc_id))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ccnet_tiers(docs, n_tiles=3)
+
+
+def q_docs_token_budget(spark, sf_dir):
+    """Greedy quality-ordered token-budget selection per source (take
+    the best docs until 1000 tokens) — the mixture-construction step.
+    One window cumsum per source over (id, long) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_budget_select(docs, budget=1000, group_col="source")
+
+
+def _er_blocked(spark, sf_dir):
+    from recdb_postgresql_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    blk = F.concat_ws("|", F.col("c_nationkey"), F.expr("right(c_name, 2)"))
+    return linkage.blocked_matches(cust, blk, id_col="c_custkey",
+                                   name_col="c_name", max_dist=2)
+
+
+def q_er_customer_matches(spark, sf_dir):
+    """Blocked fuzzy entity resolution over customer names: candidate
+    generation is ONE self equi-join on (nation, name-suffix) — pair
+    cost is sum of block sizes squared, never N²; levenshtein runs
+    codegen'd inside blocks only."""
+    return _er_blocked(spark, sf_dir)
+
+
+def q_er_customer_best(spark, sf_dir):
+    """Assignment step after candidate scoring: each left id keeps its
+    single best match (min dist, then min id2) via one window."""
+    from recdb_postgresql_spark.operators import linkage
+
+    return linkage.best_match(_er_blocked(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -1814,6 +1872,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
         "window_running_revenue": _rel_query("window_running_revenue"),
+        # round-7 late batch: corpus-cleaning v2 + entity resolution
+        "docs_segment_dedup": q_docs_segment_dedup,
+        "docs_c4_flags": q_docs_c4_flags,
+        "docs_ccnet_tiers": q_docs_ccnet_tiers,
+        "docs_token_budget": q_docs_token_budget,
+        "er_customer_matches": q_er_customer_matches,
+        "er_customer_best": q_er_customer_best,
         # round-7 operators (newest first so the driver's 50-row
         # sample window catches them)
         "docs_split_assign": q_docs_split_assign,
@@ -3300,6 +3365,102 @@ SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
        ROUND(-AVG(log2((c12 + 0.5) / (c1 + 0.5 * vocab))), 6) AS log2_ppl
 FROM tr JOIN big USING (h12) JOIN uni USING (h1), v
 GROUP BY 1
+"""
+    # segment (pseudo-line) dedup: hashes each width-3 segment with the
+    # SAME md5-prefix arithmetic as the Spark side, so grouping is
+    # identical in both engines — no collision-freedom assumption.
+    seg_h = MD5L.format(x="sentence")
+    o["docs_segment_dedup"] = f"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+           FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg, array_to_string(l[i*3+1 : i*3+3], ' ') AS sentence
+  FROM d, UNNEST(generate_series(
+      0, CAST(greatest(ceil(len(l)/3.0), 1) AS BIGINT) - 1)) AS s(i)),
+hs AS (SELECT doc_id, seg, sentence, {seg_h} AS h FROM segs),
+freq AS (SELECT h, COUNT(*) AS n_docs
+         FROM (SELECT DISTINCT h, doc_id FROM hs) GROUP BY 1)
+SELECT hs.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) FILTER (WHERE n_docs > 1) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(sentence, ' ' ORDER BY seg)
+                FILTER (WHERE n_docs <= 1), '') AS clean_text
+FROM hs JOIN freq USING (h)
+GROUP BY 1
+"""
+    o["docs_c4_flags"] = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+           FROM documents),
+s AS (SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd,
+             len(list_filter(l, x -> x IN ('the','a','of','and','to','in','is','it'))) AS sc,
+             CASE WHEN len(l) > 0
+                  THEN list_sum(list_transform(l, x -> CAST(length(x) AS DOUBLE))) / len(l)
+                  ELSE 0 END AS al
+      FROM t),
+r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             ROUND(CASE WHEN n > 0 THEN nd * 1.0 / n ELSE 0 END, 6) AS distinct_ratio,
+             ROUND(al, 6) AS avg_len,
+             sc > 0 AS has_stopword
+      FROM s)
+SELECT doc_id, n_words, distinct_ratio, avg_len, has_stopword,
+       n_words < 30 AS flag_short,
+       distinct_ratio < 0.30 AS flag_low_diversity,
+       NOT has_stopword AS flag_no_stopword,
+       avg_len > 8.0 AS flag_long_words,
+       NOT (n_words < 30 OR distinct_ratio < 0.30 OR NOT has_stopword
+            OR avg_len > 8.0) AS keep
+FROM r
+"""
+    # CCNet tiers: nests the text_lm_perplexity oracle verbatim so the
+    # LM arithmetic can never drift between the two checks; both
+    # engines tile over the identical total order (log2_ppl, doc_id).
+    o["docs_ccnet_tiers"] = f"""
+WITH ppl AS ({o['text_lm_perplexity']}),
+j AS (SELECT d.doc_id, d.lang, p.log2_ppl
+      FROM documents d JOIN ppl p USING (doc_id))
+SELECT doc_id, lang, log2_ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY log2_ppl, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM j
+"""
+    # token-budget selection: nests the text_quality oracle verbatim.
+    o["docs_token_budget"] = f"""
+WITH q AS ({o['text_quality']}),
+tok AS (SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+j AS (SELECT tok.doc_id, tok.source, tok.n_tokens, q.quality
+      FROM tok JOIN q USING (doc_id))
+SELECT doc_id, source, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       (SUM(n_tokens) OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) < 1000 AS selected
+FROM j
+"""
+    o["er_customer_matches"] = """
+WITH s AS (SELECT c_custkey AS id, c_name AS name,
+                  concat(c_nationkey, '|', right(c_name, 2)) AS blk
+           FROM customer)
+SELECT a.id AS id1, b.id AS id2, a.name AS name1, b.name AS name2,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+    o["er_customer_best"] = """
+WITH s AS (SELECT c_custkey AS id, c_name AS name,
+                  concat(c_nationkey, '|', right(c_name, 2)) AS blk
+           FROM customer),
+m AS (
+  SELECT a.id AS id1, b.id AS id2,
+         CAST(levenshtein(a.name, b.name) AS INT) AS dist
+  FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 2)
+SELECT id1, id2, dist FROM m
+QUALIFY ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY dist, id2) = 1
 """
     o["graph_triangles"] = """
 WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),

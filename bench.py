@@ -99,6 +99,9 @@ HEADLINE = [
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",
+    # round 7 late batch: corpus-cleaning v2 + entity resolution
+    "docs_segment_dedup", "docs_c4_flags", "docs_ccnet_tiers",
+    "docs_token_budget", "er_customer_matches", "er_customer_best",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -825,3 +825,168 @@ def bpe_encode(docs: DataFrame, merges, id_col: str = "doc_id",
                     n_words.cast("long").alias("n_words"))
             .withColumn("n_tokens", n_bpe_tokens(F.col(text_col)))
             .select(id_col, "n_tokens", "n_words"))
+
+
+def segment_dedup(docs: DataFrame, width: int = 3, max_doc_freq: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  hash_fn=md5_long) -> DataFrame:
+    """(doc_id, n_segments, n_removed, clean_text): corpus-level
+    segment (pseudo-line) deduplication with document reconstruction —
+    the RefinedWeb/CCNet "line dedup" pass: any fixed-width token
+    segment that appears in more than ``max_doc_freq`` distinct
+    documents (boilerplate: nav bars, cookie banners, license headers)
+    is removed from EVERY document, and the survivors are re-joined in
+    original order. The testdata has no newlines, so segmentation is
+    deterministic fixed-width token windows; with real line breaks the
+    splitter regex is the only change.
+
+    Scale shape: segmentation is a pure map (higher-order slice —
+    no shuffle, no Python); corpus frequency is counted on the 60-bit
+    segment hash, so only (int64, int64) rows shuffle — never segment
+    text; the doc-frequency count is a two-level aggregate
+    ((hash, doc) partial collapse first, so a doc repeating its own
+    boilerplate contributes 1, and no count-distinct Expand appears);
+    reconstruction re-keys by ``id_col`` once. Total: two narrow
+    shuffles + one hash equi-join at segment-stream width.
+
+    Oracle parity: the DuckDB oracle hashes each segment with the same
+    md5-prefix arithmetic, so grouping is identical in both engines —
+    no collision-freedom assumption (unlike repetition_stats, where
+    the oracle groups by gram string)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = F.col("_t")
+    nseg = F.greatest(F.ceil(F.size(t) / F.lit(float(width))),
+                      F.lit(1)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)))
+    segs = (spread_small(docs)
+            .select(F.col(id_col), toks.alias("_t"))
+            .select(id_col, F.posexplode(segments).alias("seg", "sentence"))
+            .withColumn("h", hash_fn(F.col("sentence")))
+            .localCheckpoint(eager=False))
+    # distinct-doc frequency per segment hash without an Expand:
+    # partial (h, doc) collapse, then count per h.
+    freq = (segs.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("h").agg(F.count(F.lit(1)).alias("n_docs")))
+    joined = segs.join(freq, "h")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_segments"),
+                 F.sum(F.when(F.col("n_docs") > max_doc_freq, 1)
+                       .otherwise(0)).cast("long").alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("n_docs") <= max_doc_freq,
+                                    F.struct(F.col("seg"),
+                                             F.col("sentence"))))),
+                         lambda s: s.getField("sentence")),
+                     " ").alias("clean_text")))
+
+
+def c4_flags(docs: DataFrame, min_words: int = 30,
+             min_distinct_ratio: float = 0.30,
+             max_avg_word_len: float = 8.0,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, distinct_ratio, avg_len, has_stopword,
+    flag_short, flag_low_diversity, flag_no_stopword, flag_long_words,
+    keep): C4/Gopher-style absolute heuristic filters as independent
+    boolean flags plus the conjunction — the standard first cut of a
+    web-corpus pipeline, kept flag-per-rule so downstream audits can
+    attribute removal mass to each rule.
+
+    Entirely map-side (split + array higher-order functions): zero
+    shuffles, zero Python — the filter runs at scan speed and the plan
+    is a single WholeStageCodegen over the parquet scan (one output
+    row per input row, so no ``spread_small`` repartition either —
+    ``token_stats``'s measured trade)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    stop_cnt = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    avg_len = F.when(n > 0, F.aggregate(
+        t, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n).otherwise(0.0)
+    out = (d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(F.when(n > 0, n_distinct.cast("double") / n)
+                .otherwise(0.0), 6).alias("distinct_ratio"),
+        F.round(avg_len, 6).alias("avg_len"),
+        (stop_cnt > 0).alias("has_stopword"))
+           .withColumn("flag_short", F.col("n_words") < min_words)
+           .withColumn("flag_low_diversity",
+                       F.col("distinct_ratio") < min_distinct_ratio)
+           .withColumn("flag_no_stopword", ~F.col("has_stopword"))
+           .withColumn("flag_long_words",
+                       F.col("avg_len") > max_avg_word_len))
+    return out.withColumn(
+        "keep", ~(F.col("flag_short") | F.col("flag_low_diversity")
+                  | F.col("flag_no_stopword") | F.col("flag_long_words")))
+
+
+def ccnet_tiers(docs: DataFrame, n_tiles: int = 3,
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang", add_k: float = 0.5,
+                hash_fn=md5_long) -> DataFrame:
+    """(doc_id, lang, log2_ppl, tier): CCNet's head/middle/tail
+    bucketing — per-language perplexity tertiles under the
+    corpus-trained bigram LM (``lm_perplexity``). CCNet keeps "head"
+    (lowest-perplexity third) for pretraining and uses the tier label
+    as a quality covariate; tiers are deterministic (ntile ordered by
+    (ppl, doc_id)).
+
+    Scale shape: inherits lm_perplexity's hashed bigram stream (the
+    expensive part); the tiling itself is one window per language
+    partition over (doc, double) rows — tiny relative to the LM pass.
+    Low language cardinality means one sort task per language, the
+    same documented straggler shape (and fix) as
+    ``quality_filter(exact=True)``."""
+    from pyspark.sql import Window
+
+    ppl = lm_perplexity(docs, id_col=id_col, text_col=text_col,
+                        add_k=add_k, hash_fn=hash_fn)
+    d = docs.select(id_col, lang_col).join(ppl, id_col)
+    w = Window.partitionBy(lang_col).orderBy(F.col("log2_ppl"),
+                                             F.col(id_col))
+    tier = (F.when(F.col("_nt") == 1, "head")
+            .when(F.col("_nt") == 2, "middle").otherwise("tail"))
+    return (d.withColumn("_nt", F.ntile(n_tiles).over(w))
+            .select(id_col, lang_col, "log2_ppl", tier.alias("tier")))
+
+
+def token_budget_select(docs: DataFrame, budget: int = 2000,
+                        group_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, group, n_tokens, cum_tokens, selected): greedy
+    quality-ordered token-budget selection per group — "take the best
+    documents from each source until its token budget is hit", the
+    mixture-construction step that turns per-domain sampling weights
+    into an actual training set. A document is selected iff the budget
+    was not yet exhausted when its turn came (cum BEFORE it <
+    ``budget``), so the last selected document may straddle the line —
+    the standard greedy cut.
+
+    Scale shape: quality is the map-side heuristic (one pass), the
+    cumsum is ONE window per group ordered by (quality desc, doc_id)
+    over (id, long) rows. Group cardinality = sources, so per-group
+    sort tasks; at 100 TB the same approx-threshold trick as
+    quality_filter(exact=False) replaces the exact window."""
+    from pyspark.sql import Window
+
+    qs = quality_score(docs, id_col, text_col)
+    tok = docs.select(
+        F.col(id_col), F.col(group_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("n_tokens"))
+    d = tok.join(qs, id_col)
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc("quality"), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .select(id_col, F.col(group_col),
+                    "n_tokens", "cum_tokens",
+                    ((F.col("cum_tokens") - F.col("n_tokens"))
+                     < F.lit(budget)).alias("selected")))

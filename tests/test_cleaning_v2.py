@@ -1,0 +1,168 @@
+"""Corpus-cleaning v2 + entity resolution: segment dedup with doc
+reconstruction, C4 heuristic flags, CCNet tiers, token-budget
+selection, blocked fuzzy matching. Oracle parity is covered by
+test_oracle_parity; these pin semantics and plan shape."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recdb_postgresql_spark.operators import linkage, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in enumerate(rows)])
+
+
+# ---------------------------------------------------------------- segment
+
+
+def test_segment_dedup_removes_shared_segments(spark):
+    # "x y z" is a width-3 segment shared by docs 0 and 1; each doc's
+    # other segment is unique.
+    d = _docs(spark, ["x y z a b c", "x y z d e f", "g h i j k l"])
+    out = {r["doc_id"]: r for r in
+           text.segment_dedup(d, width=3, max_doc_freq=1).collect()}
+    assert out[0]["n_segments"] == 2 and out[0]["n_removed"] == 1
+    assert out[0]["clean_text"] == "a b c"
+    assert out[1]["clean_text"] == "d e f"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "g h i j k l"
+
+
+def test_segment_dedup_identity_when_freq_unbounded(spark):
+    """max_doc_freq >= n_docs keeps everything: reconstruction must be
+    lossless (clean_text == original) — pins segment order."""
+    d = _docs(spark, ["a b c d e f g", "a b c d e f g h i j"])
+    out = text.segment_dedup(d, width=3, max_doc_freq=10).collect()
+    orig = {r["doc_id"]: r["text"] for r in d.collect()}
+    for r in out:
+        assert r["clean_text"] == orig[r["doc_id"]]
+        assert r["n_removed"] == 0
+
+
+def test_segment_dedup_fully_removed_doc_survives(spark):
+    d = _docs(spark, ["x y z", "x y z"])
+    out = {r["doc_id"]: r for r in
+           text.segment_dedup(d, width=3, max_doc_freq=1).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["clean_text"] == "" and out[0]["n_removed"] == 1
+
+
+def test_segment_dedup_within_doc_repeat_counts_once(spark):
+    """A doc repeating its own boilerplate contributes ONE distinct
+    doc to the segment's frequency — the segment survives."""
+    d = _docs(spark, ["p q r p q r"])
+    out = text.segment_dedup(d, width=3, max_doc_freq=1).collect()[0]
+    assert out["n_removed"] == 0
+    assert out["clean_text"] == "p q r p q r"
+
+
+# ---------------------------------------------------------------- c4
+
+
+def test_c4_flags_rules(spark):
+    long_good = " ".join(["the"] + [f"w{i}" for i in range(40)])
+    d = _docs(spark, [
+        "short doc the",                 # flag_short
+        long_good,                       # keep
+        " ".join(["rep"] * 40 + ["the"]),  # low diversity
+        " ".join([f"verylongword{i:04d}" for i in range(40)]),  # no stop + long
+    ])
+    out = {r["doc_id"]: r for r in text.c4_flags(d, min_words=30).collect()}
+    assert out[0]["flag_short"] and not out[0]["keep"]
+    assert out[1]["keep"]
+    assert out[2]["flag_low_diversity"] and not out[2]["keep"]
+    assert out[3]["flag_no_stopword"] and out[3]["flag_long_words"]
+
+
+def test_c4_flags_is_map_side_only(spark):
+    """Zero shuffles: the filter must run at scan speed."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["docs_c4_flags"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- tiers
+
+
+def test_ccnet_tiers_balanced_and_ordered(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["docs_ccnet_tiers"](
+        spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r["tier"]] += 1
+        assert max(counts.values()) - min(counts.values()) <= 1, lang
+        head_max = max(r["log2_ppl"] for r in rs if r["tier"] == "head")
+        tail_min = min(r["log2_ppl"] for r in rs if r["tier"] == "tail")
+        assert head_max <= tail_min + 1e-9, lang
+
+
+# ---------------------------------------------------------------- budget
+
+
+def test_token_budget_select_edges(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=i, source="s", text=" ".join(["the word"] * 25))
+        for i in range(4)])
+    all_sel = text.token_budget_select(d, budget=10**9).collect()
+    assert all(r["selected"] for r in all_sel)
+    none_sel = text.token_budget_select(d, budget=0).collect()
+    assert not any(r["selected"] for r in none_sel)
+    # budget 75: docs are 50 tokens each -> doc1 starts at cum 50 < 75
+    # (selected, straddles), doc2 starts at 100 (cut)
+    some = {r["doc_id"]: r for r in
+            text.token_budget_select(d, budget=75).collect()}
+    assert sum(1 for r in some.values() if r["selected"]) == 2
+
+
+def test_token_budget_prefers_quality(spark):
+    good = " ".join(["the a of and to in is it"] * 8)   # stopword-rich
+    bad = " ".join(["zz !! ?? ##"] * 16)                # punct-heavy
+    d = spark.createDataFrame([Row(doc_id=0, source="s", text=bad),
+                               Row(doc_id=1, source="s", text=good)])
+    out = {r["doc_id"]: r for r in
+           text.token_budget_select(d, budget=1).collect()}
+    assert out[1]["selected"] and not out[0]["selected"]
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_blocked_matches_and_best(spark):
+    df = spark.createDataFrame([
+        Row(id=1, name="Customer#0001", g=1),
+        Row(id=2, name="Customer#0002", g=1),   # dist 1 from id1
+        Row(id=3, name="Customer#9998", g=1),   # dist >2 from id1/id2
+        Row(id=4, name="Customer#0001", g=2),   # other block: never paired
+    ])
+    m = linkage.blocked_matches(df, F.col("g"), id_col="id",
+                                name_col="name", max_dist=2)
+    pairs = {(r["id1"], r["id2"]): r["dist"] for r in m.collect()}
+    assert pairs == {(1, 2): 1}
+    best = linkage.best_match(m).collect()
+    assert [(r["id1"], r["id2"], r["dist"]) for r in best] == [(1, 2, 1)]
+
+
+def test_blocked_matches_no_cross_product_plan(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["er_customer_matches"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
