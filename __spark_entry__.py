@@ -1849,6 +1849,34 @@ def q_er_customer_best(spark, sf_dir):
     return linkage.best_match(_er_blocked(spark, sf_dir))
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: near-dup pairs (the production LSH ->
+    verify flow) whose members hash-split into DIFFERENT splits — the
+    document-level contamination n-gram decontamination misses. The
+    pair set is tiny next to the corpus; the split probes are id-keyed
+    joins AQE broadcasts."""
+    from recdb_postgresql_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    pairs = (dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                      bands=4, rows_per_band=2)
+             .select("id1", "id2", F.round("jaccard", 6).alias("jaccard")))
+    assign = hash_split(docs, F.col("doc_id"),
+                        {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+    return dedup.split_leakage(pairs, assign)
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding QA profile (dead dims, scale drift,
+    clipping): posexplode to (dim, double), ONE map-side-collapsed
+    aggregate over |dims| groups — shuffle size independent of corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.dim_stats(emb)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -1879,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": q_docs_token_budget,
         "er_customer_matches": q_er_customer_matches,
         "er_customer_best": q_er_customer_best,
+        "split_leakage_pairs": q_split_leakage,
+        "embedding_dim_stats": q_embedding_dim_stats,
         # round-7 operators (newest first so the driver's 50-row
         # sample window catches them)
         "docs_split_assign": q_docs_split_assign,
@@ -3440,6 +3470,31 @@ SELECT doc_id, source, n_tokens,
                             ORDER BY quality DESC, doc_id
                             ROWS UNBOUNDED PRECEDING) - n_tokens) < 1000 AS selected
 FROM j
+"""
+    # split-leakage audit: nests the dedup_lsh_verified oracle (the
+    # verified near-dup pair set) and the hash_split bucket arithmetic
+    # (docs_split_assign's CASE) verbatim.
+    split_h = MD5L.format(x="CAST(doc_id AS VARCHAR)")
+    o["split_leakage_pairs"] = f"""
+WITH v AS ({o['dedup_lsh_verified']}),
+s AS (SELECT doc_id,
+             CASE WHEN {split_h} % 1000000 < 800000 THEN 'train'
+                  WHEN {split_h} % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+SELECT v.id1, v.id2, v.jaccard, s1.split AS split1, s2.split AS split2
+FROM v JOIN s s1 ON s1.doc_id = v.id1
+       JOIN s s2 ON s2.doc_id = v.id2
+WHERE s1.split <> s2.split
+"""
+    o["embedding_dim_stats"] = """
+SELECT CAST(i AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[i+1] AS DOUBLE)), 6) AS mean,
+       ROUND(stddev_samp(CAST(embedding[i+1] AS DOUBLE)), 6) AS std,
+       ROUND(MIN(CAST(embedding[i+1] AS DOUBLE)), 6) AS min_val,
+       ROUND(MAX(CAST(embedding[i+1] AS DOUBLE)), 6) AS max_val
+FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS s(i)
+GROUP BY 1
 """
     o["er_customer_matches"] = """
 WITH s AS (SELECT c_custkey AS id, c_name AS name,

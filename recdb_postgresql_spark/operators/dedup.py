@@ -711,3 +711,29 @@ def _near_dup_numpy(emb: DataFrame, id_col: str, vec_col: str,
 
     return (replicated.groupBy("pair")
             .applyInPandas(score, schema="id1 long, id2 long, cos double"))
+
+
+def split_leakage(pairs: DataFrame, assignment: DataFrame,
+                  id_col: str = "doc_id",
+                  split_col: str = "split") -> DataFrame:
+    """(id1, id2, jaccard, split1, split2): near-duplicate pairs whose
+    members landed in DIFFERENT splits — the train/test contamination
+    every held-out evaluation silently suffers when dedup runs before
+    (or worse, never meets) the split. n-gram decontamination
+    (``text.contamination_flags``) catches verbatim overlap against a
+    known benchmark; this catches near-duplicate leakage between the
+    pipeline's own splits at the document level.
+
+    Scale shape: ``pairs`` is the already-candidate-verified near-dup
+    set (tiny next to the corpus); the split assignment is md5-derived
+    (``functions.sampling.hash_split``) so it joins as two id-keyed
+    probes that AQE broadcasts. Empty result = the split is clean —
+    the audit belongs in every pipeline run precisely because it is
+    this cheap."""
+    a1 = assignment.select(F.col(id_col).alias("id1"),
+                           F.col(split_col).alias("split1"))
+    a2 = assignment.select(F.col(id_col).alias("id2"),
+                           F.col(split_col).alias("split2"))
+    return (pairs.join(a1, "id1").join(a2, "id2")
+            .where(F.col("split1") != F.col("split2"))
+            .select("id1", "id2", "jaccard", "split1", "split2"))

@@ -301,3 +301,43 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def dim_stats(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(dim, mean, std, min_val, max_val): per-dimension profile of an
+    embedding column — the data-QA pass that catches dead dimensions
+    (std 0), scale drift between embedding-model versions, and
+    clipped values before they poison ANN recall (cosine is
+    scale-invariant per vector but IVF cell balance is not).
+
+    Scale shape: posexplode to (dim, double) pairs — narrow rows —
+    then ONE aggregate keyed on dim (64-1024 groups): partial
+    aggregation collapses everything map-side, so the shuffle carries
+    |dims| x |partitions| rows, independent of corpus size."""
+    return (emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .select("dim", F.col("x").cast("double").alias("x"))
+            .groupBy("dim")
+            .agg(F.round(F.avg("x"), 6).alias("mean"),
+                 F.round(F.stddev_samp("x"), 6).alias("std"),
+                 F.round(F.min("x"), 6).alias("min_val"),
+                 F.round(F.max("x"), 6).alias("max_val"))
+            .select(F.col("dim").cast("int").alias("dim"),
+                    "mean", "std", "min_val", "max_val"))
+
+
+def unit_normalize(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, unit): L2-normalize each vector map-side — after this,
+    cosine becomes a plain dot product, which halves the per-pair
+    arithmetic of every downstream scorer and lets a matmul path use
+    the raw product directly. Zero vectors pass through unchanged
+    (norm 0 -> kept as zeros, not NaN)."""
+    from recdb_postgresql_spark.functions.vector import l2_norm
+
+    nrm = l2_norm(F.col(vec_col))
+    unit = F.when(nrm > 0, F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / nrm)) \
+        .otherwise(F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")))
+    return emb.select(F.col(id_col), unit.alias("unit"))

@@ -166,3 +166,84 @@ def test_blocked_matches_no_cross_product_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- leakage
+
+
+def test_split_leakage_flags_only_cross_split_pairs(spark):
+    from recdb_postgresql_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=2, jaccard=0.9), Row(id1=1, id2=3, jaccard=0.8)])
+    assign = spark.createDataFrame(
+        [Row(doc_id=1, split="train"), Row(doc_id=2, split="train"),
+         Row(doc_id=3, split="test")])
+    out = dedup.split_leakage(pairs, assign).collect()
+    assert [(r["id1"], r["id2"], r["split1"], r["split2"])
+            for r in out] == [(1, 3, "train", "test")]
+
+
+def test_split_leakage_query_subset_of_verified_pairs(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    leak = {(r["id1"], r["id2"]) for r in qs["split_leakage_pairs"](spark, sf).collect()}
+    allp = {(r["id1"], r["id2"]) for r in qs["dedup_lsh_verified"](spark, sf).collect()}
+    assert leak <= allp
+
+
+# ---------------------------------------------------------------- vectors
+
+
+def test_unit_normalize_norms_and_zero_vector(spark):
+    import math
+
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[3.0, 4.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),
+    ])
+    out = {r["vec_id"]: r["unit"] for r in
+           similarity.unit_normalize(emb).collect()}
+    assert math.isclose(sum(x * x for x in out[1]) ** 0.5, 1.0,
+                        rel_tol=1e-12)
+    assert out[1][0] == pytest.approx(0.6)
+    assert out[2] == [0.0, 0.0]          # no NaN on zero vectors
+
+
+def test_unit_normalize_makes_cosine_a_dot(spark):
+    """After unit_normalize, dot == cosine of the originals."""
+    from recdb_postgresql_spark.functions.vector import cosine_sim, dot
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(20))
+    u = similarity.unit_normalize(emb)
+    a = emb.alias("a").join(emb.alias("b"),
+                            F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = {(r["i"], r["j"]): r["c"] for r in a.select(
+        F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"),
+        F.round(cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6)
+        .alias("c")).collect()}
+    ua = u.alias("a").join(u.alias("b"),
+                           F.col("a.vec_id") < F.col("b.vec_id"))
+    dots = {(r["i"], r["j"]): r["c"] for r in ua.select(
+        F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"),
+        F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("c"))
+        .collect()}
+    for k, v in cos.items():
+        assert abs(dots[k] - v) <= 2e-6, k
+
+
+def test_dim_stats_shape(spark):
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = similarity.dim_stats(emb).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["min_val"] <= r["mean"] <= r["max_val"]
+        assert r["std"] >= 0
