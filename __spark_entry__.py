@@ -1849,6 +1849,31 @@ def q_er_customer_best(spark, sf_dir):
     return linkage.best_match(_er_blocked(spark, sf_dir))
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+WEEK_NS = 7 * 86400 * 10 ** 9
+
+
+def q_events_funnel(spark, sf_dir):
+    """Strictly-ordered funnel (signup -> view -> click -> purchase):
+    per-user chain computed in ONE groupBy via a sorted-array fold
+    (the oracle's chained sequential CTEs rescan the log N times — a
+    different evaluation strategy, so the check is semantic)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.funnel_counts(ev, FUNNEL_STEPS)
+
+
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort-retention triangle: distinct (user, week) first
+    (hot users collapse before any window), one per-user window min,
+    one aggregate."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.cohort_retention(ev, period_ns=WEEK_NS)
+
+
 def q_split_leakage(spark, sf_dir):
     """Train/test leakage audit: near-dup pairs (the production LSH ->
     verify flow) whose members hash-split into DIFFERENT splits — the
@@ -1909,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_customer_best": q_er_customer_best,
         "split_leakage_pairs": q_split_leakage,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "events_funnel": q_events_funnel,
+        "events_cohorts": q_events_cohorts,
         # round-7 operators (newest first so the driver's 50-row
         # sample window catches them)
         "docs_split_assign": q_docs_split_assign,
@@ -3495,6 +3522,36 @@ SELECT CAST(i AS INT) AS dim,
        ROUND(MAX(CAST(embedding[i+1] AS DOUBLE)), 6) AS max_val
 FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS s(i)
 GROUP BY 1
+"""
+    # ordered funnel: the oracle evaluates the chain as N sequential
+    # MIN CTEs (each step's earliest ts strictly after the previous) —
+    # a different strategy from the Spark sorted-array fold, so the
+    # hash check is semantic, not arithmetic mirroring.
+    o["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+t1 AS (SELECT user_id, MIN(tsn) AS ts1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(tsn) AS ts2 FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'view' AND tsn > ts1 GROUP BY 1),
+t3 AS (SELECT e.user_id, MIN(tsn) AS ts3 FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'click' AND tsn > ts2 GROUP BY 1),
+t4 AS (SELECT e.user_id, MIN(tsn) AS ts4 FROM e JOIN t3 USING (user_id)
+       WHERE event_type = 'purchase' AND tsn > ts3 GROUP BY 1)
+SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+UNION ALL SELECT CAST(2 AS INT), 'view', CAST(COUNT(*) AS BIGINT) FROM t2
+UNION ALL SELECT CAST(3 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM t3
+UNION ALL SELECT CAST(4 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t4
+"""
+    o["events_cohorts"] = """
+WITH act AS (SELECT DISTINCT user_id,
+                    epoch_ns(ts) // 604800000000000 AS p
+             FROM events),
+c AS (SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS p0
+      FROM act)
+SELECT p0 AS cohort_period, p - p0 AS period_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
 """
     o["er_customer_matches"] = """
 WITH s AS (SELECT c_custkey AS id, c_name AS name,

@@ -102,7 +102,8 @@ HEADLINE = [
     # round 7 late batch: corpus-cleaning v2 + entity resolution
     "docs_segment_dedup", "docs_c4_flags", "docs_ccnet_tiers",
     "docs_token_budget", "er_customer_matches", "er_customer_best",
-    "split_leakage_pairs", "embedding_dim_stats",
+    "split_leakage_pairs", "embedding_dim_stats", "events_funnel",
+    "events_cohorts",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

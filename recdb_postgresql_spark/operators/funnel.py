@@ -1,0 +1,117 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The product-analytics surface every events pipeline grows
+(Amplitude/Mixpanel-style): "how many users did A, then B strictly
+after, then C strictly after that", and "of the users whose first
+activity fell in period P, how many were active in P+k". Both are
+built as single-pass keyed aggregations — no per-step re-scan of the
+event log — and both are exactly reproducible in SQL (the oracle
+computes the funnel with chained sequential CTEs, a different
+evaluation strategy, so the check is semantic).
+
+The reference has no event-sequence operators (SURVEY.md §1.4: no
+streams/time-series); this is a pipeline extension (§2.3 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_user_depth(events: DataFrame, steps: list[str],
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts",
+                      order_col: str = "event_id") -> DataFrame:
+    """(user, step_ts[1..N], depth): per-user strictly-ordered funnel —
+    step_ts[i] is the EARLIEST timestamp of step i that falls strictly
+    after step_ts[i-1] (the standard first-touch funnel chain); depth
+    is how many steps the user completed.
+
+    Scale shape: ONE shuffle (groupBy user). Each user's relevant
+    events (only types in ``steps`` — filtered before the shuffle)
+    are sorted into an array and folded left-to-right: ascending order
+    means the first event that can legally extend the chain is the
+    minimal one, so one linear pass computes all N chain timestamps —
+    the N-sequential-aggregates formulation (the oracle's shape) would
+    rescan the log N times. Per-user state is the filtered event list:
+    bounded by that user's funnel-step events, the documented hot-key
+    consideration (cap with a per-(user, type) time-bucket min
+    pre-aggregate if one user owns the stream)."""
+    n = len(steps)
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))])
+    ev = (events.where(F.col(type_col).isin(steps))
+          .select(F.col(user_col).alias("user"),
+                  F.struct(F.col(ts_col).cast("long").alias("tsn"),
+                           F.col(order_col).cast("long").alias("ord"),
+                           step_idx[F.col(type_col)].alias("si"))
+                  .alias("e")))
+    init = F.array(*[F.lit(None).cast("long") for _ in range(n)])
+    folded = (ev.groupBy("user")
+              .agg(F.array_sort(F.collect_list("e")).alias("_evs"))
+              .select(
+                  "user",
+                  F.aggregate(
+                      F.col("_evs"), init,
+                      lambda st, e: F.transform(
+                          st,
+                          lambda x, i: F.coalesce(
+                              x,
+                              F.when((i == e.getField("si"))
+                                     & ((i == F.lit(0))
+                                        | (e.getField("tsn")
+                                           > F.get(st, i - 1))),
+                                     e.getField("tsn"))))).alias("chain")))
+    cols = [F.get(F.col("chain"), i).alias(f"ts_{i + 1}") for i in range(n)]
+    depth = F.size(F.filter(F.col("chain"), lambda x: x.isNotNull()))
+    return folded.select("user", *cols, depth.cast("int").alias("depth"))
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """(step_idx, step, n_users): how many users reached each funnel
+    step (strictly-ordered chain). The per-user pass is one shuffle;
+    this reduction is |steps| rows."""
+    d = funnel_user_depth(events, steps, user_col, type_col, ts_col)
+    counts = d.groupBy("depth").agg(F.count(F.lit(1)).alias("_n"))
+    # users at depth >= i reached step i: suffix-sum the depth
+    # histogram (|steps|² join on an already-tiny frame, instead of
+    # exploding |users| x depth rows)
+    idx = counts.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string")
+    # left join + coalesce: a step nobody reached must still report 0
+    return (idx.join(counts, counts["depth"] >= idx["step_idx"], "left")
+            .groupBy("step_idx", "step")
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+                 .alias("n_users"))
+            .select("step_idx", "step", "n_users"))
+
+
+def cohort_retention(events: DataFrame, period_ns: int,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """(cohort_period, period_offset, n_users): classic retention
+    triangle — users are cohorted by the period of their FIRST
+    activity; each (cohort, offset) cell counts users from that cohort
+    active ``offset`` periods later.
+
+    Scale shape: distinct (user, period) first — collapses arbitrarily
+    hot users to one row per period BEFORE any window — then one
+    per-user window min and one final aggregate. Nothing holds a
+    user's raw history."""
+    # integer div, NOT float-divide-then-truncate: int64 nanos exceed
+    # double's 53-bit mantissa, so float division would mis-bucket
+    # boundary timestamps.
+    act = (events.select(F.col(user_col).alias("user"),
+                         F.expr(f"CAST({ts_col} AS LONG) div "
+                                f"{int(period_ns)}").alias("p"))
+           .distinct())
+    w = Window.partitionBy("user")
+    return (act.withColumn("p0", F.min("p").over(w))
+            .groupBy(F.col("p0").alias("cohort_period"),
+                     (F.col("p") - F.col("p0")).alias("period_offset"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))

@@ -1,0 +1,78 @@
+"""Ordered-funnel + cohort-retention semantics: the one-pass sorted
+fold must match the strictly-after chain definition on hand-built
+streams (oracle parity at corpus scale is in test_oracle_parity)."""
+
+import os
+import sys
+
+from pyspark.sql import Row
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recdb_postgresql_spark.operators import funnel
+
+STEPS = ["a", "b", "c"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, user_id=u, event_type=t, ts=ts)
+         for i, (u, t, ts) in enumerate(rows)])
+
+
+def _depths(spark, rows):
+    d = funnel.funnel_user_depth(_ev(spark, rows), STEPS)
+    return {r["user"]: r for r in d.collect()}
+
+
+def test_funnel_simple_chain(spark):
+    out = _depths(spark, [(1, "a", 10), (1, "b", 20), (1, "c", 30)])
+    assert out[1]["depth"] == 3
+    assert (out[1]["ts_1"], out[1]["ts_2"], out[1]["ts_3"]) == (10, 20, 30)
+
+
+def test_funnel_out_of_order_does_not_count(spark):
+    # b happens BEFORE a: b can't extend a chain that hasn't started,
+    # and c (step 3) can't fire without step 2 — depth stops at 1
+    out = _depths(spark, [(1, "b", 5), (1, "a", 10), (1, "c", 30)])
+    assert out[1]["depth"] == 1
+    assert out[1]["ts_2"] is None
+    out2 = _depths(spark, [(1, "c", 1), (1, "b", 2), (1, "a", 3)])
+    assert out2[1]["depth"] == 1
+
+
+def test_funnel_strictly_after_not_equal(spark):
+    # equal timestamps do not advance the chain
+    out = _depths(spark, [(1, "a", 10), (1, "b", 10)])
+    assert out[1]["depth"] == 1
+
+
+def test_funnel_picks_earliest_legal_step(spark):
+    # two b's after a: the EARLIER one is the chain ts, and c must be
+    # after that earlier b
+    out = _depths(spark, [(1, "a", 10), (1, "b", 40), (1, "b", 20),
+                          (1, "c", 30)])
+    assert out[1]["ts_2"] == 20
+    assert out[1]["depth"] == 3          # c@30 > b@20
+
+
+def test_funnel_skipping_middle_step_blocks_chain(spark):
+    out = _depths(spark, [(1, "a", 10), (1, "c", 30)])
+    assert out[1]["depth"] == 1
+    assert out[1]["ts_3"] is None
+
+
+def test_funnel_counts_zero_row_for_unreached_step(spark):
+    c = funnel.funnel_counts(_ev(spark, [(1, "a", 10), (2, "a", 5),
+                                         (2, "b", 6)]), STEPS)
+    rows = {r["step"]: r["n_users"] for r in c.collect()}
+    assert rows == {"a": 2, "b": 1, "c": 0}
+
+
+def test_cohort_retention_triangle(spark):
+    # period 10: u1 first at p0, active p0 and p2; u2 first at p1
+    ev = _ev(spark, [(1, "a", 5), (1, "a", 7), (1, "a", 25),
+                     (2, "a", 15)])
+    out = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in funnel.cohort_retention(ev, period_ns=10).collect()}
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
