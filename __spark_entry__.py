@@ -1849,6 +1849,24 @@ def q_er_customer_best(spark, sf_dir):
     return linkage.best_match(_er_blocked(spark, sf_dir))
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Exact semi-join with a hand-rolled Bloom pre-filter (Spark's
+    runtime row-level filtering made explicit): high-value order keys
+    aggregate into a constant-size bit array, lineitem drops
+    non-members MAP-SIDE before the real LEFT SEMI join — at 100 TB
+    the pre-filter cuts the fact-side Exchange by the non-matching
+    fraction. Result is identical to the plain semi-join (the Bloom
+    pass only admits false positives, removed by the join), so the
+    oracle is the plain IN-subquery."""
+    from recdb_postgresql_spark.functions.bloom import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_totalprice") > 400000)
+    return (bloom_semijoin(li, orders, "l_orderkey", "o_orderkey")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 WEEK_NS = 7 * 86400 * 10 ** 9
 
@@ -1936,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "events_funnel": q_events_funnel,
         "events_cohorts": q_events_cohorts,
+        "lineitem_bloom_semijoin": q_bloom_semijoin,
         # round-7 operators (newest first so the driver's 50-row
         # sample window catches them)
         "docs_split_assign": q_docs_split_assign,
@@ -3542,6 +3561,14 @@ SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
 UNION ALL SELECT CAST(2 AS INT), 'view', CAST(COUNT(*) AS BIGINT) FROM t2
 UNION ALL SELECT CAST(3 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM t3
 UNION ALL SELECT CAST(4 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM t4
+"""
+    # Bloom pre-filter is exactness-transparent: the oracle is the
+    # plain IN-subquery semi-join.
+    o["lineitem_bloom_semijoin"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
 """
     o["events_cohorts"] = """
 WITH act AS (SELECT DISTINCT user_id,
