@@ -1867,6 +1867,28 @@ def q_bloom_semijoin(spark, sf_dir):
             .select("l_orderkey", "l_linenumber", "l_extendedprice"))
 
 
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's
+    most recent preceding non-purchase event — one keyed window
+    (last-ignorenulls over rows to 1 preceding), the asof_join
+    carry-forward idiom."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return (funnel.last_touch_attribution(ev, conversion_type="purchase")
+            .withColumnRenamed("user", "user_id"))
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Trailing 1h time-RANGE window aggregates per user (avg/sum/n of
+    value) — RANGE not ROWS, so ts-ties see the same window and the
+    result is order-independent/engine-portable."""
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
+
+
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 WEEK_NS = 7 * 86400 * 10 ** 9
 
@@ -1955,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_cohorts": q_events_cohorts,
         "lineitem_bloom_semijoin": q_bloom_semijoin,
+        "events_attribution": q_events_attribution,
+        "events_moving_avg": q_events_moving_avg,
         # round-7 operators (newest first so the driver's 50-row
         # sample window catches them)
         "docs_split_assign": q_docs_split_assign,
@@ -3569,6 +3593,36 @@ SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_totalprice > 400000)
+"""
+    o["events_attribution"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+           FROM events),
+c AS (SELECT event_id, user_id, event_type, tsn,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS att_t,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN tsn END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS att_ts
+      FROM e)
+SELECT event_id AS conversion_id, user_id, tsn AS conv_ts,
+       att_t AS attributed_type, att_ts AS attributed_ts
+FROM c WHERE event_type = 'purchase'
+"""
+    o["events_moving_avg"] = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, value
+           FROM events)
+SELECT event_id, user_id, tsn, value,
+       ROUND(AVG(value) OVER w, 6) AS win_avg,
+       ROUND(SUM(value) OVER w, 6) AS win_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
 """
     o["events_cohorts"] = """
 WITH act AS (SELECT DISTINCT user_id,

@@ -103,7 +103,8 @@ HEADLINE = [
     "docs_segment_dedup", "docs_c4_flags", "docs_ccnet_tiers",
     "docs_token_budget", "er_customer_matches", "er_customer_best",
     "split_leakage_pairs", "embedding_dim_stats", "events_funnel",
-    "events_cohorts", "lineitem_bloom_semijoin",
+    "events_cohorts", "lineitem_bloom_semijoin", "events_attribution",
+    "events_moving_avg",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -115,3 +115,35 @@ def cohort_retention(events: DataFrame, period_ns: int,
             .groupBy(F.col("p0").alias("cohort_period"),
                      (F.col("p") - F.col("p0")).alias("period_offset"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+def last_touch_attribution(events: DataFrame,
+                           conversion_type: str = "purchase",
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts",
+                           order_col: str = "event_id") -> DataFrame:
+    """(conversion_id, user, conv_ts, attributed_type, attributed_ts):
+    last-touch attribution — each conversion event is credited to the
+    user's most recent PRECEDING non-conversion event (the marketing
+    "which touchpoint closed the sale" query). Conversions with no
+    prior touch keep NULL attribution (counted, not dropped — audits
+    need the unattributed mass).
+
+    Scale shape: ONE keyed window (last-ignorenulls carry over rows
+    BETWEEN unbounded AND 1 preceding) — the same carry-forward idiom
+    as ``asof_join``, so the same hot-key bound and the same
+    time-bucketed fix apply."""
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).cast("long"), F.col(order_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col(type_col) != conversion_type,
+                   F.struct(F.col(type_col).alias("t"),
+                            F.col(ts_col).cast("long").alias("tsn")))
+    carried = events.withColumn("_lt", F.last(touch, ignorenulls=True).over(w))
+    return (carried.where(F.col(type_col) == conversion_type)
+            .select(F.col(order_col).alias("conversion_id"),
+                    F.col(user_col).alias("user"),
+                    F.col(ts_col).cast("long").alias("conv_ts"),
+                    F.col("_lt.t").alias("attributed_type"),
+                    F.col("_lt.tsn").alias("attributed_ts")))

@@ -359,3 +359,30 @@ def resample_ffill(df: DataFrame, on: str, bucket: int,
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.last("_v", ignorenulls=True).over(wff)
                     .alias(value_col)))
+
+
+def moving_aggregate(events: DataFrame, window_ns: int,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     val_col: str = "value",
+                     order_col: str = "event_id") -> DataFrame:
+    """(event_id, key, tsn, value, win_avg, win_sum, win_n): trailing
+    time-RANGE window aggregates — each event's average/sum/count of
+    ``val_col`` over the key's events in the preceding ``window_ns``
+    (inclusive of the current instant). RANGE, not ROWS: events
+    sharing a timestamp all see the same window, so the result is
+    order-independent and engine-portable.
+
+    Scale shape: one keyed window over (key, long, double) rows; state
+    per task is the in-window suffix, bounded by event rate x window
+    span — the usual hot-key caveat, with the same documented
+    time-bucket fix as ``asof_join`` when one key owns the stream."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col).orderBy(F.col("tsn"))
+         .rangeBetween(-int(window_ns), 0))
+    return (events.select(F.col(order_col), F.col(key_col),
+                          F.col(ts_col).cast("long").alias("tsn"),
+                          F.col(val_col))
+            .withColumn("win_avg", F.round(F.avg(val_col).over(w), 6))
+            .withColumn("win_sum", F.round(F.sum(val_col).over(w), 6))
+            .withColumn("win_n", F.count(F.lit(1)).over(w).cast("long")))

@@ -76,3 +76,50 @@ def test_cohort_retention_triangle(spark):
     out = {(r["cohort_period"], r["period_offset"]): r["n_users"]
            for r in funnel.cohort_retention(ev, period_ns=10).collect()}
     assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_last_touch_attribution(spark):
+    rows = [(1, "view", 10), (1, "purchase", 20), (1, "click", 30),
+            (1, "purchase", 40), (2, "purchase", 5)]
+    out = {r["conversion_id"]: r for r in
+           funnel.last_touch_attribution(_ev(spark, rows), "purchase")
+           .collect()}
+    # event ids are enumeration order: purchase@20 -> id 1, @40 -> 3, @5 -> 4
+    assert out[1]["attributed_type"] == "view" and out[1]["attributed_ts"] == 10
+    assert out[3]["attributed_type"] == "click" and out[3]["attributed_ts"] == 30
+    assert out[4]["attributed_type"] is None     # no prior touch: kept, null
+
+
+def test_attribution_skips_prior_conversions(spark):
+    # the touch before the 2nd purchase is the 1st purchase -> must
+    # look PAST it to the last non-conversion event
+    rows = [(1, "view", 10), (1, "purchase", 20), (1, "purchase", 30)]
+    out = {r["conversion_id"]: r for r in
+           funnel.last_touch_attribution(_ev(spark, rows), "purchase")
+           .collect()}
+    assert out[2]["attributed_type"] == "view"
+
+
+def test_moving_aggregate_range_window(spark):
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = spark.createDataFrame(
+        [Row(event_id=i, user_id=1, ts=t, value=v)
+         for i, (t, v) in enumerate([(0, 1.0), (50, 2.0), (120, 4.0)])])
+    out = {r["event_id"]: r for r in
+           temporal.moving_aggregate(ev, window_ns=100).collect()}
+    assert out[0]["win_n"] == 1 and out[0]["win_avg"] == 1.0
+    assert out[1]["win_n"] == 2 and out[1]["win_sum"] == 3.0
+    # at t=120 the window [20,120] excludes t=0
+    assert out[2]["win_n"] == 2 and out[2]["win_sum"] == 6.0
+
+
+def test_moving_aggregate_ties_share_window(spark):
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = spark.createDataFrame(
+        [Row(event_id=i, user_id=1, ts=10, value=float(i + 1))
+         for i in range(3)])
+    out = temporal.moving_aggregate(ev, window_ns=5).collect()
+    assert {r["win_n"] for r in out} == {3}   # RANGE: ties see all peers
+    assert {r["win_sum"] for r in out} == {6.0}
