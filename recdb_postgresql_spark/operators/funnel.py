@@ -147,3 +147,40 @@ def last_touch_attribution(events: DataFrame,
                     F.col(ts_col).cast("long").alias("conv_ts"),
                     F.col("_lt.t").alias("attributed_type"),
                     F.col("_lt.tsn").alias("attributed_ts")))
+
+
+def funnel_user_depth_multipass(events: DataFrame, steps: list[str],
+                                user_col: str = "user_id",
+                                type_col: str = "event_type",
+                                ts_col: str = "ts") -> DataFrame:
+    """Skew-safe variant of ``funnel_user_depth`` (same output
+    contract): N chained min-aggregates instead of one per-user
+    sorted-array fold. The fold holds a hot user's entire filtered
+    history in ONE task's memory and sorts it there; this variant's
+    per-step shape is a map-side-combined min aggregate plus an
+    id-keyed join — the aggregate never skews (partial combine) and
+    the join is exactly what AQE's skew-split can break up. Price: N
+    passes over the (pre-filtered) event stream — the oracle's
+    evaluation strategy, promoted to the production path when one key
+    owns the stream. Parity with the fold is pinned in
+    tests/test_funnel.py and asserted in the stress probe."""
+    ev = (events.where(F.col(type_col).isin(steps))
+          .select(F.col(user_col).alias("user"), F.col(type_col).alias("t"),
+                  F.col(ts_col).cast("long").alias("tsn")))
+    base = ev.select("user").distinct()
+    cur = (ev.where(F.col("t") == steps[0]).groupBy("user")
+           .agg(F.min("tsn").alias("ts_1")))
+    for i in range(1, len(steps)):
+        prev, this = f"ts_{i}", f"ts_{i + 1}"
+        nxt = (ev.where(F.col("t") == steps[i])
+               .join(cur, "user")
+               .where(F.col("tsn") > F.col(prev))
+               .groupBy("user")
+               .agg(F.min("tsn").alias(this)))
+        cur = cur.join(nxt.select("user", this), "user", "left")
+    out = base.join(cur, "user", "left")
+    chain = F.array(*[F.col(f"ts_{i + 1}") for i in range(len(steps))])
+    depth = F.size(F.filter(chain, lambda x: x.isNotNull()))
+    return out.select("user",
+                      *[F.col(f"ts_{i + 1}") for i in range(len(steps))],
+                      depth.cast("int").alias("depth"))

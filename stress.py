@@ -256,6 +256,43 @@ def asof_hotkey_probe(spark, n_right: int = 16_000_000,
            rows=flat[0], checksum=flat[1])
 
 
+def funnel_hotkey_probe(spark, n_events: int = 8_000_000) -> None:
+    """One user owning ALL events: the sorted-array fold collects that
+    user's whole filtered history into one task (collect_list +
+    array_sort, single-core, memory = history); the multipass variant
+    is N map-side-combined min aggregates + AQE-splittable joins.
+    Both answers asserted identical. Same caveat as asof_hotkey: on
+    local[32] the gap understates a cluster, where the fold's one task
+    IS the wall-clock."""
+    from recdb_postgresql_spark.operators import funnel
+
+    steps = ["a", "b", "c", "d"]
+    ev = spark.range(n_events).select(
+        F.lit(0).alias("user_id"),
+        F.element_at(F.array(*[F.lit(s) for s in steps]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("event_type"),
+        (F.col("id") * 3).alias("ts"),
+        F.col("id").alias("event_id")).localCheckpoint()
+
+    def _probe(df, reps=2):
+        best, ans = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = sorted(tuple(r) for r in df.collect())
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+            ans = rows
+        return ans, best
+
+    fold, t_fold = _probe(funnel.funnel_user_depth(ev, steps))
+    multi, t_multi = _probe(funnel.funnel_user_depth_multipass(ev, steps))
+    assert fold == multi, f"parity broke: {fold} != {multi}"
+    record("funnel_hotkey", events=n_events, hot_keys=1,
+           fold_s=t_fold, multipass_s=t_multi,
+           speedup_x=t_fold / max(t_multi, 1e-9),
+           depth=fold[0][-1])
+
+
 def main():
     mults = [int(x) for x in sys.argv[1:]] or [10, 30]
     # a full battery starts a FRESH record — the merge in record() is
@@ -271,6 +308,7 @@ def main():
     sf_dir = "/root/testdata/sf0.1"
     cc_probe(spark, 100_000)
     asof_hotkey_probe(spark)
+    funnel_hotkey_probe(spark)
     graph_probe(spark)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)

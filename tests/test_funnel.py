@@ -123,3 +123,30 @@ def test_moving_aggregate_ties_share_window(spark):
     out = temporal.moving_aggregate(ev, window_ns=5).collect()
     assert {r["win_n"] for r in out} == {3}   # RANGE: ties see all peers
     assert {r["win_sum"] for r in out} == {6.0}
+
+
+def test_funnel_multipass_matches_fold_on_corpus(spark):
+    from recdb_postgresql_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    steps = ["signup", "view", "click", "purchase"]
+    fold = {r["user"]: tuple(r) for r in
+            funnel.funnel_user_depth(ev, steps).collect()}
+    multi = {r["user"]: tuple(r) for r in
+             funnel.funnel_user_depth_multipass(ev, steps).collect()}
+    assert fold == multi
+
+
+def test_funnel_multipass_matches_fold_on_edge_streams(spark):
+    for rows in (
+        [(1, "b", 5), (1, "a", 10), (1, "c", 30)],
+        [(1, "a", 10), (1, "b", 10)],
+        [(1, "a", 10), (1, "b", 40), (1, "b", 20), (1, "c", 30)],
+        [(1, "a", 10), (2, "b", 5)],
+    ):
+        ev = _ev(spark, rows)
+        fold = sorted(tuple(r) for r in
+                      funnel.funnel_user_depth(ev, STEPS).collect())
+        multi = sorted(tuple(r) for r in
+                       funnel.funnel_user_depth_multipass(ev, STEPS).collect())
+        assert fold == multi, rows
