@@ -344,17 +344,73 @@ def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,
     return jaccard_pairs(None, threshold, candidates=cands, hashed=hashed)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def _local_components(edges: DataFrame) -> DataFrame:
+    """(id, component) via single-task union-find over a MATERIALIZED
+    edge list that fits one executor — the fast path for the regime
+    every verified dedup flow actually lands in: the pair graph is
+    orders of magnitude smaller than the corpus (it only holds
+    above-threshold matches), so after the candidate pipeline has
+    already paid its distributed cost, a 20-round driver loop spends
+    seconds of pure stage overhead on kilobytes of edges. One
+    Arrow-batched task (groupBy a constant -> applyInPandas) runs
+    union-find with path compression and emits min-id components —
+    identical output to the distributed paths (pinned in pytest).
+
+    This is the standard big-graph CC endgame (Kiveris et al. finish
+    rounds on one machine once the contracted graph fits); the caller
+    guards it with an edge-count threshold."""
+    import pandas as pd
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:        # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps roots canonical-min as we go
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(n, find(n)) for n in parent]
+        return pd.DataFrame(rows, columns=["id", "component"])
+
+    return (edges.where(F.col("a") > F.col("b"))
+            .groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda _, pdf: _uf(pdf),
+                           "id long, component long"))
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20,
+                         local_threshold: int = 1_000_000) -> DataFrame:
     """(id, component): connected components over near-dup pairs —
     the clustering step that turns pairwise matches into canonical
     dedup groups. component = min id reachable in the pair graph.
 
-    Label propagation to fixpoint: each iteration joins every node's
-    label against its neighbors' and keeps the min. Iterations are
-    O(diameter) — near-dup graphs are tiny chains/cliques, so a handful
-    of rounds; each round is one shuffle on id. The loop runs on the
-    driver but all data stays distributed (this is how GraphFrames'
-    CC works minus the library).
+    Three-tier strategy, chosen by the size of the MATERIALIZED pair
+    graph (which the candidate pipeline has already shrunk to
+    above-threshold matches only — orders smaller than the corpus):
+
+    - ``<= local_threshold`` edges: single-task union-find
+      (``_local_components``) — one Arrow-batched stage instead of a
+      driver round loop whose per-round stage overhead (~0.4 s)
+      dominates kilobyte-sized graphs (measured: the sf0.1 embedding
+      near-dup graph, 2,605 edges, spent ~4.7 s in 11 propagation
+      rounds; the union-find task answers in one).
+    - larger: label propagation to fixpoint — each iteration joins
+      every node's label against its neighbors' and keeps the min;
+      O(diameter) rounds, each one shuffle on id (GraphFrames' CC
+      shape minus the library).
+    - diameter > ``max_iters``: auto-escalation to the O(log n)
+      large-star/small-star rounds (below).
 
     If the graph has a longer diameter than ``max_iters`` (templated/
     boilerplate corpora chain near-dups into long paths), the loop
@@ -370,6 +426,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
              .unionByName(pairs.select(F.col("id2").alias("a"),
                                        F.col("id1").alias("b"))).distinct()
              .localCheckpoint(eager=True))
+    # the checkpoint already materialized the edge list, so this count
+    # is a metadata-cheap action; symmetric edges = 2x pairs
+    if local_threshold and edges.count() <= 2 * local_threshold:
+        return _local_components(edges)
     labels = (edges.select(F.col("a").alias("id"))
               .distinct().withColumn("lbl", F.col("id")))
     changed = 0
@@ -380,7 +440,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # projection, so materializing the round and detecting
         # convergence is ONE action (the flag-filtered count triggers
         # the lazy checkpoint) instead of a checkpoint job plus a
-        # compare-join job — measured ~1.5x on the whole CC loop
+        # compare-join job — measured ~1.5x on the whole CC loop.
+        # (A path-halving variant — lbl <- lbl(lbl) fused into each
+        # round — was measured and REJECTED: on the sf0.1 embedding
+        # graph it cut rounds 11 -> 8 but the extra per-round join
+        # raised round cost 0.4 -> 0.65 s; stage count, not round
+        # count, is the toy-scale cost, and at 100 TB the big-graph
+        # path is star escalation anyway.)
         nlbl = F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl")))
         new = (labels.join(neigh, labels["id"] == neigh["a"], "left")
                .select("id", nlbl.alias("lbl"),

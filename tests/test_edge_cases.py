@@ -98,11 +98,13 @@ def test_connected_components_long_chain_escalates(spark):
 
     chain = [(i, i + 1) for i in range(25)]       # diameter 25 > 20
     pairs = spark.createDataFrame(chain, "id1 long, id2 long")
-    comp = dedup.connected_components(pairs, max_iters=2).collect()
+    comp = dedup.connected_components(pairs, max_iters=2,
+                                      local_threshold=0).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 26
     # and converges fine within propagation rounds too: same answer
-    comp = dedup.connected_components(pairs, max_iters=30).collect()
+    comp = dedup.connected_components(pairs, max_iters=30,
+                                      local_threshold=0).collect()
     assert {r.component for r in comp} == {0}
 
 
@@ -125,8 +127,12 @@ def test_star_components_matches_propagation(spark):
     star = {r.id: r.component
             for r in dedup.connected_components_star(pairs).collect()}
     prop = {r.id: r.component
-            for r in dedup.connected_components(pairs, max_iters=50).collect()}
+            for r in dedup.connected_components(pairs, max_iters=50,
+                                                local_threshold=0).collect()}
+    local = {r.id: r.component
+             for r in dedup.connected_components(pairs).collect()}
     assert star == prop
+    assert local == prop      # union-find fast path: same map
 
 
 def test_jaccard_with_empty_candidates(spark):

@@ -215,8 +215,12 @@ def test_star_cc_equals_propagation(spark, edges):
     star = {r.id: r.component
             for r in dedup.connected_components_star(pairs).collect()}
     prop = {r.id: r.component
-            for r in dedup.connected_components(pairs, max_iters=40).collect()}
+            for r in dedup.connected_components(pairs, max_iters=40,
+                                                local_threshold=0).collect()}
+    local = {r.id: r.component
+             for r in dedup.connected_components(pairs).collect()}
     assert star == prop
+    assert local == prop
 
 
 events_strategy = st.lists(
