@@ -60,3 +60,17 @@ def test_curation_example_end_to_end(spark, tmp_path):
     assert out["written"] > 0
     splits = {s for s, _l in out["mix_by_split"]}
     assert "train" in splits
+
+
+def test_analytics_example_end_to_end(spark):
+    from examples.analytics_example import run
+
+    out = run(spark, verbose=False)
+    fun = dict(out["funnel"])
+    # monotone funnel: each later step has <= users than the earlier
+    ns = [n for _, n in out["funnel"]]
+    assert ns == sorted(ns, reverse=True)
+    assert fun["signup"] > 0
+    assert sum(out["attribution_mix"].values()) > 0
+    assert out["cohort_cells"] >= 1 and out["week0_users"] > 0
+    assert out["max_hourly_n"] >= 1
