@@ -690,6 +690,7 @@ def q_ann_ivf_trained(spark, sf_dir):
 
 _IVF_INDEX: dict[str, str] = {}
 _HASH_INDEX: dict[str, str] = {}
+_LSH_INDEX: dict[str, str] = {}
 _TRAINED_CENTERS: dict[str, list] = {}
 
 # the ONE set of sampled-KMeans hyperparameters behind both
@@ -746,6 +747,30 @@ def _hash_index_table(spark, sf_dir: str) -> str:
     return _HASH_INDEX[sf_dir]
 
 
+def _lsh_index_table(spark, sf_dir: str) -> str:
+    """Persisted NEAR-dup state (two bucketed tables — band sigs +
+    shingle hashes): documents with doc_id % 4 != 0 play the
+    already-ingested corpus. Same metastore-visibility caveats as
+    ``_hash_index_table``."""
+    if sf_dir not in _LSH_INDEX or \
+            not spark.catalog.tableExists(_LSH_INDEX[sf_dir] + "_bands"):
+        table = f"lsh_idx_{_sf_tag(sf_dir)}"
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        for pre in ("file://", "file:"):
+            if wh.startswith(pre):
+                wh = wh[len(pre):]
+                break
+        for suf in ("_bands", "_sh"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suf}")
+            shutil.rmtree(os.path.join(wh, table + suf), ignore_errors=True)
+        base = load_table(spark, sf_dir, "documents") \
+            .where(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+        dedup.write_lsh_index(base, table)
+        _LSH_INDEX[sf_dir] = table
+    return _LSH_INDEX[sf_dir]
+
+
 def _trained_cents(spark, sf_dir: str):
     """Sampled-KMeans IVF centroids, fit once per process; the cached
     center list is tiny (k x dim floats) and session-independent."""
@@ -762,6 +787,7 @@ def build_bench_indexes(spark, sf_dir: str) -> None:
     trained centroids so timed reps measure probes, not builds."""
     _ivf_index_path(spark, sf_dir)
     _hash_index_table(spark, sf_dir)
+    _lsh_index_table(spark, sf_dir)
     _trained_cents(spark, sf_dir)
 
 
@@ -810,6 +836,26 @@ def q_dedup_incremental(spark, sf_dir):
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     return dedup.dedup_against_index(batch, spark, table) \
         .select("doc_id", "text", "content_hash")
+
+
+def q_dedup_incremental_neardup(spark, sf_dir):
+    """Incremental-ingest NEAR-dup detection against the persisted LSH
+    index (docs with doc_id % 4 != 0 are 'yesterday'): the batch is the
+    % 4 == 0 docs plus id-shifted copies of the % 4 == 1 docs (verbatim
+    texts of indexed documents, so jaccard=1.0 matches are guaranteed
+    alongside the corpus's organic near-dups). Candidate generation is
+    a bucket-aligned band-sig equi-join and verification touches only
+    candidates' shingles — the index side never shuffles (plan-pinned
+    in tests/test_scale_layout.py). The MinHash/band arithmetic is the
+    md5 family, so the full probe is SQL-expressible and hash-checked."""
+    table = _lsh_index_table(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+             .unionByName(
+                 docs.where(F.col("doc_id") % 4 == 1)
+                 .select((F.col("doc_id") + 100000).alias("doc_id"), "text")))
+    return dedup.neardup_against_index(batch, spark, table) \
+        .select("new_id", "idx_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_embedding_neardup_ivf2(spark, sf_dir):
@@ -1965,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
         "window_running_revenue": _rel_query("window_running_revenue"),
+        # round-6 (driver round) new operators
+        "dedup_incremental_neardup": q_dedup_incremental_neardup,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2211,6 +2259,63 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    # incremental LSH probe: identical MinHash/band/verify arithmetic,
+    # evaluated over the index half (side 0, doc_id % 4 != 0) and the
+    # batch half (side 1: % 4 == 0 plus shifted copies of % 4 == 1);
+    # candidates must CROSS halves. Mirrors dedup.neardup_against_index.
+    o["dedup_incremental_neardup"] = f"""
+WITH all_docs AS (
+  SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id % 4 != 0
+  UNION ALL
+  SELECT 1 AS side, doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT 1 AS side, doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 1
+),
+t AS (SELECT side, doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM all_docs),
+shingled AS (
+  SELECT DISTINCT side, doc_id AS id,
+         array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+),
+base AS (SELECT side, id, ({base_h}) % 2147483647 AS h FROM shingled),
+sigs AS (
+  SELECT side, id, j,
+         MIN(((1103515245 + j) * h + 12345 * j + 1) % 2147483647) AS minhash
+  FROM base, UNNEST(generate_series(0, 7)) AS gj(j)
+  GROUP BY side, id, j
+),
+banded AS (
+  SELECT side, id, CAST(j // 2 AS INT) AS band,
+         string_agg(concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR)),
+                    ',' ORDER BY concat(CAST(j AS VARCHAR), ':', CAST(minhash AS VARCHAR))) AS sig
+  FROM sigs GROUP BY side, id, CAST(j // 2 AS INT)
+),
+cands AS (
+  SELECT DISTINCT b.id AS new_id, a.id AS idx_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.side = 0 AND b.side = 1
+),
+hashed AS (SELECT side, id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT side, id, COUNT(*) AS sz FROM hashed GROUP BY side, id),
+inter AS (
+  SELECT c.new_id, c.idx_id, COUNT(*) AS i
+  FROM cands c
+  JOIN hashed a ON a.side = 1 AND a.id = c.new_id
+  JOIN hashed b ON b.side = 0 AND b.id = c.idx_id AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT inter.new_id, inter.idx_id, i * 1.0 / (s1.sz + s2.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.side = 1 AND s1.id = inter.new_id
+  JOIN sizes s2 ON s2.side = 0 AND s2.id = inter.idx_id
+)
+SELECT new_id, idx_id, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
 """
     o["dedup_clusters"] = f"""
 WITH RECURSIVE {SHINGLES_CTE_DUCK},

@@ -106,6 +106,109 @@ def append_hash_index(survivors: DataFrame, table: str,
     survivors.sparkSession.catalog.refreshTable(table)
 
 
+def write_lsh_index(docs: DataFrame, table: str, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    num_hashes: int = 8, rows_per_band: int = 2,
+                    hash_fn=md5_long, buckets: int = 32) -> None:
+    """Persist the corpus's NEAR-dup state — the MinHash-LSH analog of
+    ``write_hash_index``. Two bucketed tables:
+
+    - ``{table}_bands``: one (sig, id, sz) row per (doc, band) — the
+      LSH bucket membership plus the doc's shingle-set size, bucketed
+      on ``sig`` so a probing batch's band join reads the index with
+      zero Exchange on the index side;
+    - ``{table}_sh``: the (id, sh) shingle-hash rows, bucketed on
+      ``id`` so the candidate-driven Jaccard verify join is likewise
+      index-shuffle-free.
+
+    At 100 TB the index holds billions of rows but never shuffles on a
+    probe: only the (small) incoming batch's signatures and shingle
+    hashes move. The sig string embeds its j indices, so sig equality
+    implies band equality — ``sig`` alone is the join key, which is
+    exactly the bucket column (no composite-key bucketing needed)."""
+    from recdb_postgresql_spark.sources.sinks import write_bucketed
+
+    sh = word_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    hashed = hash_shingles(sh, hash_fn).localCheckpoint(eager=True)
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
+    banded = band_signatures(sig, rows_per_band).join(sizes, "id")
+    write_bucketed(banded.select("sig", "id", "sz"),
+                   f"{table}_bands", "sig", buckets=buckets)
+    write_bucketed(hashed.select("id", "sh"),
+                   f"{table}_sh", "id", buckets=buckets)
+
+
+def neardup_against_index(docs: DataFrame, spark, table: str,
+                          threshold: float = 0.5, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3,
+                          num_hashes: int = 8, rows_per_band: int = 2,
+                          hash_fn=md5_long) -> DataFrame:
+    """Incremental-ingest NEAR-dup detection: (new_id, idx_id, jaccard)
+    for every batch document whose true n-gram Jaccard against an
+    already-indexed document clears ``threshold`` (among LSH candidate
+    pairs — same recall contract as ``lsh_verified_pairs``).
+
+    The probe is candidate-driven end to end: batch band sigs equi-join
+    the ``_bands`` index (bucket-aligned, no index-side Exchange), and
+    only candidate pairs' shingles are compared via the ``_sh`` index
+    (bucketed on id, join keyed on it). The quadratic batch-x-index
+    pair join never appears in the plan. Hyperparameters must match the
+    ones the index was built with — they are part of the index layout,
+    exactly as an IVF index bakes in its centroids."""
+    shingled = word_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    hashed = hash_shingles(shingled, hash_fn).localCheckpoint(eager=True)
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
+    banded = band_signatures(sig, rows_per_band)
+    idx_bands = spark.table(f"{table}_bands")
+    # idx_sz rides through the distinct (functionally dependent on
+    # idx_id) — no separate size join against the index
+    cand = (banded.select(F.col("id").alias("new_id"), "sig")
+            .join(idx_bands.select("sig", F.col("id").alias("idx_id"),
+                                   F.col("sz").alias("idx_sz")), "sig")
+            .select("new_id", "idx_id", "idx_sz").distinct())
+    idx_sh = spark.table(f"{table}_sh")
+    inter = (cand
+             .join(hashed.select(F.col("id").alias("new_id"), "sh"), "new_id")
+             .join(idx_sh.select(F.col("id").alias("idx_id"), "sh"),
+                   ["idx_id", "sh"])
+             .groupBy("new_id", "idx_id", "idx_sz")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("new_id"), "sz"), "new_id")
+            .select("new_id", "idx_id",
+                    (F.col("inter")
+                     / (F.col("sz") + F.col("idx_sz") - F.col("inter"))
+                     ).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def append_lsh_index(docs: DataFrame, table: str, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3,
+                     num_hashes: int = 8, rows_per_band: int = 2,
+                     hash_fn=md5_long, buckets: int = 32) -> None:
+    """Advance the persisted LSH index with a batch's surviving (kept)
+    documents — band rows and shingle rows appended under the SAME
+    bucket specs ``write_lsh_index`` created, so the index stays
+    zero-shuffle-probeable after every ingest batch. Caller passes the
+    documents it decided to KEEP (typically the batch minus
+    ``neardup_against_index`` matches)."""
+    sh = word_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    hashed = hash_shingles(sh, hash_fn).localCheckpoint(eager=True)
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
+    banded = band_signatures(sig, rows_per_band).join(sizes, "id")
+    (banded.select("sig", "id", "sz").write.mode("append")
+     .bucketBy(buckets, "sig").sortBy("sig")
+     .format("parquet").saveAsTable(f"{table}_bands"))
+    (hashed.select("id", "sh").write.mode("append")
+     .bucketBy(buckets, "id").sortBy("id")
+     .format("parquet").saveAsTable(f"{table}_sh"))
+    for t in (f"{table}_bands", f"{table}_sh"):
+        docs.sparkSession.catalog.refreshTable(t)
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
@@ -170,17 +273,27 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 16,
     return minhash_from_hashes(hash_shingles(shingled, hash_fn), num_hashes)
 
 
+def band_signatures(signatures: DataFrame,
+                    rows_per_band: int = 4) -> DataFrame:
+    """(id, band, sig): the banded MinHash signature. sig is the
+    ordered concat of the band's ``j:minhash`` rows — hashable on both
+    engines, and (because the j indices are embedded and each j belongs
+    to exactly one band) equal sigs imply equal bands, so sig alone is
+    a sound join key."""
+    return (signatures
+            .withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+            .groupBy("id", "band")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                F.concat_ws(":", F.col("j").cast("string"),
+                            F.col("minhash").cast("string"))))).alias("sig")))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         rows_per_band: int = 4) -> DataFrame:
     """Band the signature and join documents sharing a band bucket:
     (id1, id2) with id1 < id2. The band signature is the ordered
     concat of its row minhashes — hashable on both engines."""
-    banded = (signatures
-              .withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-              .groupBy("id", "band")
-              .agg(F.concat_ws(",", F.sort_array(F.collect_list(
-                  F.concat_ws(":", F.col("j").cast("string"),
-                              F.col("minhash").cast("string"))))).alias("sig")))
+    banded = band_signatures(signatures, rows_per_band)
     a = banded.select(F.col("id").alias("id1"), "band", "sig")
     b = banded.select(F.col("id").alias("id2"), "band", "sig")
     return (a.join(b, ["band", "sig"])

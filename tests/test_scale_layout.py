@@ -125,6 +125,50 @@ def test_incremental_dedup_against_hash_index(spark):
     spark.sql("DROP TABLE dedup_idx")
 
 
+def test_incremental_neardup_against_lsh_index(spark):
+    """Cross-batch NEAR-dup probe: a batch doc whose text is a slight
+    edit of an indexed doc is flagged with its true Jaccard, the
+    band-sig candidate join reads the bucketed index with no Exchange
+    on the index side, and append_lsh_index advances the state so a
+    re-probe of the same content then matches."""
+    from recdb_postgresql_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely here now ok")],
+        "doc_id long, text string")
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE IF EXISTS lsh_t{suf}")
+    dedup.write_lsh_index(b1, "lsh_t", buckets=4)
+    b2 = spark.createDataFrame(
+        [(10, base),                               # exact copy -> j=1.0
+         (11, base.replace("kappa", "lambda")),    # near dup
+         (12, "fresh unseen content with no overlap at all whatsoever")],
+        "doc_id long, text string")
+    out = dedup.neardup_against_index(b2, spark, "lsh_t", threshold=0.5)
+    rows = {(r.new_id, r.idx_id): r.jaccard for r in out.collect()}
+    assert rows[(10, 1)] == 1.0
+    assert (11, 1) in rows and 0.5 <= rows[(11, 1)] < 1.0
+    assert not any(nid == 12 for nid, _ in rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both index tables must read bucket-aware (no index-side Exchange)
+    assert plan.count("SelectedBucketsCount") >= 2, plan[:3000]
+
+    # advance the index with the batch's survivor, then re-probe: the
+    # previously-unseen content now matches
+    dedup.append_lsh_index(
+        b2.where(b2.doc_id == 12), "lsh_t", buckets=4)
+    b3 = spark.createDataFrame(
+        [(20, "fresh unseen content with no overlap at all whatsoever")],
+        "doc_id long, text string")
+    out3 = dedup.neardup_against_index(b3, spark, "lsh_t", threshold=0.5)
+    assert {(r.new_id, r.idx_id, r.jaccard) for r in out3.collect()} \
+        == {(20, 12, 1.0)}
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE lsh_t{suf}")
+
+
 def test_bucketed_window_no_shuffle(spark):
     """The storage half of the temporal-operator story: a per-key
     window (sessionize / resample carry / pack cumsum) over a table
