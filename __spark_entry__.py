@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.engine import RecEngine
@@ -836,6 +836,26 @@ def q_dedup_incremental(spark, sf_dir):
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     return dedup.dedup_against_index(batch, spark, table) \
         .select("doc_id", "text", "content_hash")
+
+
+def q_docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword top-20 and exact-cosine ANN
+    top-20 (query = embedding of doc 0) fused with reciprocal-rank
+    fusion (k0=60), final top 10. Ranks, not raw scores, are combined —
+    no cross-system score calibration — and both retrievers keep their
+    own scale shapes (BM25 zero-doc-shuffle map pass; ANN broadcast
+    query). doc_id and vec_id share the 0..N id space in the testdata,
+    standing in for a corpus with text AND embedding per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(docs, ["spark", "window", "merge"], k=20)
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(w).alias("rank"))
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    sem = similarity.brute_force_topk(emb, q0, k=20) \
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse([lex, sem], k0=60, k=10)
 
 
 def q_dedup_incremental_neardup(spark, sf_dir):
@@ -2013,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_revenue": _rel_query("window_running_revenue"),
         # round-6 (driver round) new operators
         "dedup_incremental_neardup": q_dedup_incremental_neardup,
+        "docs_hybrid_rrf": q_docs_hybrid_rrf,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -3432,6 +3453,53 @@ sc AS (SELECT doc_id,
        FROM d, s)
 SELECT doc_id, score FROM sc WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 15
+"""
+    # hybrid retrieval: the BM25 CTEs (same arithmetic as docs_bm25,
+    # top 20) + the qid=0 cosine ranking (same as ann_cosine_topk),
+    # fused by reciprocal rank. 1.0::DOUBLE keeps DuckDB out of
+    # DECIMAL arithmetic (Spark's lit(1.0) is a double).
+    o["docs_hybrid_rrf"] = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0) AS toks
+           FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+      FROM t),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM d),
+sc AS (SELECT doc_id,
+              ROUND(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+       FROM d, s),
+lex AS (SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM (SELECT doc_id, score FROM sc WHERE score > 0
+              ORDER BY score DESC, doc_id LIMIT 20)),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+sem AS (SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= 20),
+u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+f AS (SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf,
+             COUNT(*) AS n_lists
+      FROM u GROUP BY 1)
+SELECT doc_id, rrf, n_lists FROM f ORDER BY rrf DESC, doc_id LIMIT 10
 """
     o["docs_importance_dsir"] = """
 WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks

@@ -96,7 +96,7 @@ HEADLINE = [
     "docs_mix_sample", "graph_pagerank", "events_profile",
     "fulljoin_user_activity", "events_histogram",
     "rec_popular_topk", "rec_eval_rmse", "text_lm_perplexity",
-    "dedup_incremental_neardup",
+    "dedup_incremental_neardup", "docs_hybrid_rrf",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",

@@ -303,6 +303,37 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def rrf_fuse(rankings, k0: int = 60, k: int = 10, id_col: str = "doc_id",
+             rank_col: str = "rank", group_cols=()) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N ranked lists:
+    rrf(d) = sum over lists containing d of 1/(k0 + rank). The standard
+    way to combine lexical (BM25) and semantic (ANN) retrieval without
+    score calibration — ranks are comparable where raw scores are not.
+
+    Each input is a (id, rank) frame (plus ``group_cols`` for per-query
+    fusion). Inputs are top-N lists, so the union is tiny relative to
+    the corpus — the expensive work happened in the retrievers; fusion
+    is one aggregate over len(rankings) x N x n_queries rows. rrf is
+    rounded BEFORE the top-k ordering so ranking is reproducible across
+    engines; ties break by ascending id."""
+    from functools import reduce
+
+    cols = [*group_cols, id_col, rank_col]
+    u = reduce(lambda a, b: a.unionByName(b),
+               [r.select(*cols) for r in rankings])
+    scores = (u.groupBy(*group_cols, id_col)
+              .agg(F.round(F.sum(F.lit(1.0) / (F.lit(float(k0))
+                                               + F.col(rank_col))), 6)
+                   .alias("rrf"),
+                   F.count(F.lit(1)).alias("n_lists")))
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(F.desc("rrf"),
+                                                    F.col(id_col))
+        return (scores.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+    return scores.orderBy(F.desc("rrf"), F.col(id_col)).limit(k)
+
+
 def dim_stats(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     """(dim, mean, std, min_val, max_val): per-dimension profile of an
