@@ -838,6 +838,48 @@ def q_dedup_incremental(spark, sf_dir):
         .select("doc_id", "text", "content_hash")
 
 
+def q_rec_item_cooccur(spark, sf_dir):
+    """Market-basket association stats (lift / PMI) over the user x
+    item interactions — the "frequently bought together" family beside
+    the similarity CF models. min_support=5 prunes the pair tail
+    before any count join."""
+    from recdb_postgresql_spark.operators import cf
+    r = cf.normalize_events(_ratings(spark, sf_dir),
+                            "userid", "itemid", "ratingval")
+    return cf.item_cooccurrence(r, min_support=5)
+
+
+def q_pivot_lineitem_status(spark, sf_dir):
+    """Native PIVOT (PG crosstab / SQL:2016 PIVOT analog) via the
+    DataFrame API: per-returnflag quantities and row counts pivoted by
+    line status. Pivot values are EXPLICIT (['O','F']) — without them
+    Spark runs an extra distinct-values job over the whole table before
+    it can even plan the aggregate, a full scan a 100 TB pipeline
+    shouldn't pay. Lowered to one hash aggregate with conditional
+    inputs — same plan shape as the CASE pivot (case_priority_matrix),
+    written declaratively."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_unpivot_part_metrics(spark, sf_dir):
+    """Native UNPIVOT/MELT (wide -> long relayout): part's numeric
+    metrics as (p_partkey, metric, value) rows. Spark's unpivot is a
+    single Expand node — one scan, no self-union of N scans (the
+    UNION ALL oracle reads the table twice; at 100 TB Expand reads it
+    once)."""
+    part = load_table(spark, sf_dir, "part")
+    return (part.select("p_partkey",
+                        F.col("p_retailprice").cast("double")
+                        .alias("p_retailprice"),
+                        F.col("p_size").cast("double").alias("p_size"))
+            .unpivot("p_partkey", ["p_retailprice", "p_size"],
+                     "metric", "value"))
+
+
 def q_docs_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 keyword top-20 and exact-cosine ANN
     top-20 (query = embedding of doc 0) fused with reciprocal-rank
@@ -2034,6 +2076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 (driver round) new operators
         "dedup_incremental_neardup": q_dedup_incremental_neardup,
         "docs_hybrid_rrf": q_docs_hybrid_rrf,
+        "pivot_lineitem_status": q_pivot_lineitem_status,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
+        "rec_item_cooccur": q_rec_item_cooccur,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2280,6 +2325,37 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    o["rec_item_cooccur"] = f"""
+WITH {RATINGS_CTE.strip()},
+baskets AS (SELECT DISTINCT userid AS u, itemid AS i FROM ratings),
+tot AS (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n_users FROM baskets),
+cnt AS (SELECT i, COUNT(*) AS n FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item1, b.i AS item2, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT item1, item2, n_both, c1.n AS n1, c2.n AS n2,
+       ROUND(n_both * n_users / (c1.n * c2.n), 6) AS lift,
+       ROUND(ln(n_both * n_users / (c1.n * c2.n)), 6) AS pmi
+FROM pairs JOIN cnt c1 ON c1.i = item1 JOIN cnt c2 ON c2.i = item2, tot
+"""
+    # PIVOT lowers to conditional aggregation; count of an absent
+    # (flag, status) combo is 0 in Spark's pivot (count of all-null),
+    # sum is NULL — the CASE arms mirror exactly that
+    o["pivot_lineitem_status"] = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS O_sum_qty,
+       CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS F_sum_qty,
+       CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n
+FROM lineitem GROUP BY l_returnflag
+"""
+    o["unpivot_part_metrics"] = """
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 """
     # incremental LSH probe: identical MinHash/band/verify arithmetic,
     # evaluated over the index half (side 0, doc_id % 4 != 0) and the

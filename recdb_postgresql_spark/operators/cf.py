@@ -313,6 +313,46 @@ def predict_user_cf(model: DataFrame, ratings: DataFrame, users: DataFrame,
             .select("user", "item", F.coalesce("score", F.lit(0.0)).alias("score")))
 
 
+def item_cooccurrence(ratings: DataFrame, min_support: int = 2,
+                      max_coraters: int | None = None) -> DataFrame:
+    """(item1, item2, n_both, n1, n2, lift, pmi), item1 < item2:
+    market-basket association statistics over the user x item
+    interaction matrix — the classic "frequently bought together"
+    counterpart to the similarity-based CF models.
+
+    n_both = users who interacted with both items; lift =
+    n_both * n_users / (n1 * n2) (ratio of observed co-occurrence to
+    the independence expectation, > 1 means positively associated);
+    pmi = ln(lift). ``min_support`` prunes the pair tail BEFORE the
+    count joins.
+
+    Scale shape mirrors ``train_item_cos``: the per-user self-join is
+    quadratic in items-per-user, so ``max_coraters`` (the same
+    md5-rank cap) bounds hot-user fan-out; the n_users total reduces
+    to a one-row broadcast, never a window or a collected scalar."""
+    if max_coraters:
+        ratings = cap_coraters(ratings, "item", "user", max_coraters)
+    baskets = ratings.select("user", "item").distinct()
+    totals = baskets.agg(
+        F.count_distinct(F.col("user")).cast("double").alias("n_users"))
+    counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(F.col("item").alias("item1"), "user")
+    b = baskets.select(F.col("item").alias("item2"), "user")
+    pairs = (a.join(b, "user").where(F.col("item1") < F.col("item2"))
+             .groupBy("item1", "item2")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .where(F.col("n_both") >= min_support))
+    c1 = counts.select(F.col("item").alias("item1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("item").alias("item2"), F.col("n").alias("n2"))
+    lift = (F.col("n_both") * F.col("n_users")
+            / (F.col("n1") * F.col("n2")))
+    return (pairs.join(c1, "item1").join(c2, "item2")
+            .crossJoin(F.broadcast(totals))
+            .select("item1", "item2", "n_both", "n1", "n2",
+                    F.round(lift, 6).alias("lift"),
+                    F.round(F.log(lift), 6).alias("pmi")))
+
+
 def popularity_topk(ratings: DataFrame, users: DataFrame,
                     k: int = 10) -> DataFrame:
     """(user, item, n_raters): cold-start fallback recommender — rank

@@ -1,0 +1,50 @@
+"""Item co-occurrence / association stats: hand-checked lift and PMI,
+min_support pruning, and the hot-user cap knob."""
+
+import math
+
+from recdb_postgresql_spark.operators.cf import item_cooccurrence
+
+
+def _ratings(spark, rows):
+    return spark.createDataFrame(rows, "user long, item long, rating double")
+
+
+def test_cooccurrence_hand_checked(spark):
+    # 4 users; items 1&2 co-occur for users 10,11; item 3 only user 10
+    rows = [(10, 1, 1.0), (10, 2, 1.0), (10, 3, 1.0),
+            (11, 1, 1.0), (11, 2, 1.0),
+            (12, 1, 1.0),
+            (13, 2, 1.0)]
+    out = {(r.item1, r.item2): r
+           for r in item_cooccurrence(_ratings(spark, rows),
+                                      min_support=2).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert (r.n_both, r.n1, r.n2) == (2, 3, 3)
+    lift = 2 * 4 / (3 * 3)
+    assert r.lift == round(lift, 6)
+    assert r.pmi == round(math.log(lift), 6)
+
+
+def test_cooccurrence_min_support_and_dedup(spark):
+    # duplicate (user,item) rows collapse before pair counting
+    rows = [(10, 1, 1.0), (10, 1, 2.0), (10, 2, 1.0),
+            (11, 1, 1.0), (11, 2, 1.0)]
+    out = item_cooccurrence(_ratings(spark, rows), min_support=3).collect()
+    assert out == []  # n_both=2 < 3
+    out2 = {(r.item1, r.item2): r.n_both
+            for r in item_cooccurrence(_ratings(spark, rows),
+                                       min_support=2).collect()}
+    assert out2 == {(1, 2): 2}
+
+
+def test_cooccurrence_cap_bounds_fanout(spark):
+    # one user interacting with 30 items -> 435 pairs uncapped; the
+    # md5-rank cap keeps at most max_n items per user -> <= C(5,2)
+    rows = [(1, i, 1.0) for i in range(30)]
+    full = item_cooccurrence(_ratings(spark, rows), min_support=1)
+    assert full.count() == 30 * 29 // 2
+    capped = item_cooccurrence(_ratings(spark, rows), min_support=1,
+                               max_coraters=5)
+    assert capped.count() <= 5 * 4 // 2
