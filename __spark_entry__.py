@@ -479,6 +479,20 @@ FROM months
 LEFT JOIN orders o ON month(o.o_orderdate) = m
 GROUP BY m
 """,
+    # PG LATERAL (correlated derived table with ORDER BY/LIMIT): the
+    # nested-loop-style form of top-n-per-group. Spark decorrelates it
+    # into the same windowed plan as window_top_orders_per_customer —
+    # the user writes the PG idiom, Catalyst picks the scalable shape
+    # (no per-customer rescan of orders survives into the plan).
+    "lateral_top_orders": """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey <= 200
+""",
     # conditional aggregation (CASE pivot shape)
     "case_priority_matrix": """
 SELECT o_orderpriority,
@@ -1997,6 +2011,17 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_ewma(spark, sf_dir):
+    """EWMA smoothing per user (alpha=0.3, 20-row lookback): pandas
+    ewm().mean() distributed — 20 LAG columns over one keyed window,
+    pure codegen arithmetic with a fixed expression-tree order, so the
+    float sum is bit-identical to the oracle's identical expression."""
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.ewma_smooth(ev, alpha=0.3, window=20)
+
+
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 WEEK_NS = 7 * 86400 * 10 ** 9
 
@@ -2079,6 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem_status": q_pivot_lineitem_status,
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "rec_item_cooccur": q_rec_item_cooccur,
+        "lateral_top_orders": _rel_query("lateral_top_orders"),
+        "events_ewma": q_events_ewma,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2325,6 +2352,21 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    # EWMA: the SAME 20 lag terms in the SAME left-associative order as
+    # ewma_smooth builds them — float addition order is part of the
+    # contract, so the sums are bit-identical before the round
+    _ew_num = " + ".join(
+        f"COALESCE(LAG(value, {j}) OVER w * {repr((1.0 - 0.3) ** j)}, 0.0)"
+        for j in range(20))  # (1.0-0.3) != 0.7 by 1 ulp: match ewma_smooth
+    _ew_den = " + ".join(
+        f"CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN {repr((1.0 - 0.3) ** j)} ELSE 0.0 END"
+        for j in range(20))
+    o["events_ewma"] = f"""
+SELECT event_id, user_id, epoch_ns(ts) AS tsn, CAST(value AS DOUBLE) AS value,
+       ROUND(({_ew_num}) / ({_ew_den}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
 """
     o["rec_item_cooccur"] = f"""
 WITH {RATINGS_CTE.strip()},

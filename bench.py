@@ -98,6 +98,7 @@ HEADLINE = [
     "rec_popular_topk", "rec_eval_rmse", "text_lm_perplexity",
     "dedup_incremental_neardup", "docs_hybrid_rrf",
     "pivot_lineitem_status", "unpivot_part_metrics", "rec_item_cooccur",
+    "lateral_top_orders", "events_ewma",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",

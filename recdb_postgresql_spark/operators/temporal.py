@@ -361,6 +361,45 @@ def resample_ffill(df: DataFrame, on: str, bucket: int,
                     .alias(value_col)))
 
 
+def ewma_smooth(events: DataFrame, alpha: float = 0.3, window: int = 20,
+                key_col: str = "user_id", ts_col: str = "ts",
+                val_col: str = "value",
+                order_col: str = "event_id") -> DataFrame:
+    """(order, key, tsn, value, ewma): exponentially weighted moving
+    average over each key's trailing ``window`` rows — pandas
+    ``ewm(alpha).mean()`` (adjust=True) truncated to a bounded lookback
+    so the weights never underflow and per-row cost is constant.
+
+    ewma_t = sum_j (1-a)^j x_(t-j) / sum_j (1-a)^j over the j=0..m-1
+    rows present (a short head window normalizes over what exists).
+    Implemented as ``window`` LAG columns over ONE keyed window — pure
+    codegen arithmetic, no arrays or higher-order functions, and the
+    term order is a fixed expression tree, so the float sum is
+    bit-identical on any engine evaluating the same expression (the
+    oracle spells out the same terms in the same order). Ordering ties
+    break on ``order_col`` for determinism.
+
+    Scale shape: one shuffle on the key; per-task state is ``window``
+    lag slots. Same hot-key caveat and time-bucket fix as
+    ``asof_join`` when a single key owns the stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("tsn", order_col)
+    base = events.select(F.col(order_col), F.col(key_col),
+                         F.col(ts_col).cast("long").alias("tsn"),
+                         F.col(val_col).cast("double").alias("_v"))
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(window):
+        lagged = F.lag("_v", j).over(w)
+        wj = float((1.0 - alpha) ** j)
+        num = num + F.coalesce(lagged * F.lit(wj), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+    return base.select(order_col, key_col, "tsn",
+                       F.col("_v").alias(val_col),
+                       F.round(num / den, 6).alias("ewma"))
+
+
 def moving_aggregate(events: DataFrame, window_ns: int,
                      key_col: str = "user_id", ts_col: str = "ts",
                      val_col: str = "value",

@@ -242,3 +242,34 @@ def test_interval_join_rejects_reserved_internal_names(spark):
                                "iid long, k string, start_ts long, end_ts long")
     with pytest.raises(ValueError, match="_pts"):
         temporal.interval_join(bad, iv, on="k", cell=10)
+
+
+def test_ewma_matches_pandas(spark):
+    """ewma_smooth == pandas ewm(alpha, adjust=True).mean() whenever
+    the lookback window covers the whole series."""
+    import pandas as pd
+
+    vals = [10.0, 12.0, 9.5, 11.0, 13.5, 8.0, 10.5]
+    rows = [(i, 1, i * 100, vals[i]) for i in range(len(vals))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double")
+    out = temporal.ewma_smooth(df, alpha=0.3, window=20)
+    got = {r.event_id: r.ewma for r in out.collect()}
+    exp = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - round(exp[i], 6)) <= 1e-6, (i, got[i], exp[i])
+
+
+def test_ewma_window_truncates_and_keys_separate(spark):
+    """A 2-row lookback only sees the current and previous row, and
+    keys never mix."""
+    rows = [(0, 1, 0, 4.0), (1, 1, 100, 8.0), (2, 1, 200, 1.0),
+            (3, 2, 0, 100.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double")
+    got = {r.event_id: r.ewma
+           for r in temporal.ewma_smooth(df, alpha=0.5, window=2).collect()}
+    assert got[0] == 4.0                       # head: only itself
+    assert got[1] == round((8.0 + 0.5 * 4.0) / 1.5, 6)
+    assert got[2] == round((1.0 + 0.5 * 8.0) / 1.5, 6)   # row 0 aged out
+    assert got[3] == 100.0                     # other key untouched
