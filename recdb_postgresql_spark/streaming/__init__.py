@@ -1,4 +1,5 @@
-from recdb_postgresql_spark.streaming.ingest import StreamingIndexDeduper
+from recdb_postgresql_spark.streaming.ingest import (StreamingIndexDeduper,
+                                                     StreamingNearDupDeduper)
 from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
 from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      dedup_stream,
@@ -6,6 +7,7 @@ from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      sessionize,
                                                      trending_items)
 
-__all__ = ["StreamingMaintainer", "StreamingIndexDeduper", "hourly_rollup",
+__all__ = ["StreamingMaintainer", "StreamingIndexDeduper",
+           "StreamingNearDupDeduper", "hourly_rollup",
            "sessionize", "count_milestones", "dedup_stream",
            "trending_items"]

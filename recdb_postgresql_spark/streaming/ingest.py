@@ -34,9 +34,15 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from recdb_postgresql_spark.functions.hashing import md5_long
 from recdb_postgresql_spark.operators.dedup import (append_hash_index,
-                                                    dedup_against_index)
+                                                    append_lsh_index,
+                                                    dedup_against_index,
+                                                    lsh_verified_pairs,
+                                                    neardup_against_index,
+                                                    word_shingles)
 
 
 class StreamingIndexDeduper:
@@ -81,4 +87,79 @@ class StreamingIndexDeduper:
         self.spark.catalog.refreshTable(self.index_table)
         self.batches += 1
         self.survivor_count += survivors.count()
+        return survivors
+
+
+class StreamingNearDupDeduper:
+    """The NEAR-dup twin of ``StreamingIndexDeduper``: unbounded-horizon
+    MinHash-LSH dedup with state on disk as the persisted LSH index
+    (``dedup.write_lsh_index`` — seed it first, possibly on an empty
+    frame). Attach with ``writeStream.foreachBatch(deduper.on_batch)``
+    or call ``on_batch`` directly.
+
+    Per batch: batch docs whose verified Jaccard against ANY indexed
+    doc clears ``threshold`` are dropped; with ``intra_batch=True``
+    (default) a doc that near-duplicates a SMALLER-id doc in the same
+    batch is dropped too (the greedy keep-min rule — deterministic,
+    one LSH pass; a chain a~b~c keeps only what has no smaller
+    near-dup neighbor, which can drop more than component-canonical
+    clustering would — the usual streaming trade). Survivors are
+    appended to the clean sink and to BOTH index tables under the
+    write-time bucket specs, so the next batch probes them shuffle-free.
+
+    The LSH hyperparameters are part of the index layout and must
+    match the seed's. Same exactly-once caveat as the exact deduper;
+    re-appending a re-delivered batch's band/shingle rows ADDS
+    duplicate index rows, which cost space and candidate fan-out but
+    never correctness (the verify recomputes true Jaccard)."""
+
+    def __init__(self, spark: SparkSession, index_table: str,
+                 clean_path: Optional[str] = None, threshold: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3, num_hashes: int = 8, rows_per_band: int = 2,
+                 hash_fn=md5_long, buckets: int = 32,
+                 intra_batch: bool = True):
+        self.spark = spark
+        self.index_table = index_table
+        self.clean_path = clean_path
+        self.threshold = threshold
+        self.id_col, self.text_col = id_col, text_col
+        self.n, self.num_hashes = n, num_hashes
+        self.rows_per_band = rows_per_band
+        self.hash_fn = hash_fn
+        self.buckets = buckets
+        self.intra_batch = intra_batch
+        self.batches = 0
+        self.survivor_count = 0
+        self.dropped_count = 0
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: Optional[int] = None) -> DataFrame:
+        kw = dict(id_col=self.id_col, text_col=self.text_col, n=self.n,
+                  num_hashes=self.num_hashes,
+                  rows_per_band=self.rows_per_band, hash_fn=self.hash_fn)
+        matches = neardup_against_index(
+            batch_df, self.spark, self.index_table,
+            threshold=self.threshold, **kw)
+        drop = matches.select(F.col("new_id").alias(self.id_col))
+        if self.intra_batch:
+            sh = word_shingles(batch_df, id_col=self.id_col,
+                               text_col=self.text_col, n=self.n)
+            pairs = lsh_verified_pairs(
+                sh, threshold=self.threshold, num_hashes=self.num_hashes,
+                rows_per_band=self.rows_per_band, hash_fn=self.hash_fn)
+            drop = drop.unionByName(
+                pairs.select(F.col("id2").alias(self.id_col)))
+        survivors = batch_df.join(drop.distinct(), self.id_col,
+                                  "left_anti").localCheckpoint()
+        if self.clean_path:
+            survivors.write.mode("append").parquet(self.clean_path)
+        append_lsh_index(survivors, self.index_table,
+                         buckets=self.buckets, **kw)
+        for suf in ("_bands", "_sh"):
+            self.spark.catalog.refreshTable(self.index_table + suf)
+        self.batches += 1
+        n_sur = survivors.count()
+        self.survivor_count += n_sur
+        self.dropped_count += batch_df.count() - n_sur
         return survivors

@@ -68,3 +68,67 @@ def test_index_deduper_through_real_stream(spark, tmp_path):
     assert {r.doc_id for r in clean.collect()} == {31}
     assert spark.table("ingest_idx_s").count() == 2
     spark.sql("DROP TABLE ingest_idx_s")
+
+
+def test_neardup_deduper_across_batches(spark, tmp_path):
+    from recdb_postgresql_spark.streaming import StreamingNearDupDeduper
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE IF EXISTS nd_idx{suf}")
+    dedup.write_lsh_index(
+        spark.createDataFrame([(1, base)], SCHEMA), "nd_idx", buckets=4)
+    ded = StreamingNearDupDeduper(spark, "nd_idx",
+                                  clean_path=str(tmp_path / "clean"),
+                                  buckets=4)
+
+    b1 = spark.createDataFrame(
+        [(10, base.replace("kappa", "lambda")),  # near-dups the seed
+         (11, other),                            # survives
+         (12, other + " twelve"),                # near-dups 11 (greedy)
+         (13, "completely different content with no shared trigrams xx")],
+        SCHEMA)
+    assert {r.doc_id for r in ded.on_batch(b1).collect()} == {11, 13}
+
+    # batch 2: near-dup of a batch-1 SURVIVOR (disk state) is dropped
+    b2 = spark.createDataFrame(
+        [(20, other),                          # = 11 -> dropped
+         (21, "genuinely novel text stream entry never seen before")],
+        SCHEMA)
+    assert {r.doc_id for r in ded.on_batch(b2).collect()} == {21}
+    assert (ded.batches, ded.survivor_count, ded.dropped_count) == (2, 3, 3)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r.doc_id for r in clean.collect()} == {11, 13, 21}
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE nd_idx{suf}")
+
+
+def test_neardup_deduper_through_real_stream(spark, tmp_path):
+    from recdb_postgresql_spark.streaming import StreamingNearDupDeduper
+
+    seed = "the quick brown fox jumps over the lazy dog again today"
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE IF EXISTS nd_idx_s{suf}")
+    dedup.write_lsh_index(
+        spark.createDataFrame([(1, seed)], SCHEMA), "nd_idx_s", buckets=4)
+    ded = StreamingNearDupDeduper(spark, "nd_idx_s",
+                                  clean_path=str(tmp_path / "clean"),
+                                  buckets=4)
+    incoming = tmp_path / "incoming"
+    spark.createDataFrame(
+        [(30, seed.replace("today", "tomorrow")),   # near-dup -> dropped
+         (31, "novel streaming document with entirely fresh wording")],
+        SCHEMA).write.parquet(str(incoming))
+
+    q = (spark.readStream.schema(SCHEMA).parquet(str(incoming))
+         .writeStream.foreachBatch(ded.on_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r.doc_id for r in clean.collect()} == {31}
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE nd_idx_s{suf}")
