@@ -863,6 +863,55 @@ def q_rec_item_cooccur(spark, sf_dir):
     return cf.item_cooccurrence(r, min_support=5)
 
 
+def q_docs_containment(spark, sf_dir):
+    """Asymmetric near-subset detection: the corpus plus truncated
+    (first-15-token) copies of every 10th doc; containment >= 0.9
+    catches the truncations against their full originals — the shape
+    (a fragment embedded in a larger page) that symmetric Jaccard
+    scores near zero. Exact inverted-index mode (the oracle baseline);
+    winnow_overlap_pairs is the bucketed scale path for this shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frag = (docs.where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.array_join(F.slice(F.split(F.lower(F.trim("text")),
+                                                 r"\s+"), 1, 15), " ")
+                    .alias("text")))
+    sh = dedup.word_shingles(docs.unionByName(frag))
+    return dedup.containment_pairs(sh, threshold=0.9) \
+        .select("id1", "id2", F.round("containment", 6).alias("containment"))
+
+
+def q_docs_corpus_diff(spark, sf_dir):
+    """Snapshot diff audit: v2 of the corpus drops every 7th doc,
+    rewrites every 5th, adds new ids — corpus_diff reports
+    added/removed/changed/unchanged per doc from one content-hash pass
+    per side + a full-outer join on (id, int64) rows (texts never
+    co-shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (docs.where(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat(F.col("text"), F.lit(" v2")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.where(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text")))
+    return dedup.corpus_diff(docs, new)
+
+
+def q_events_winsorize(spark, sf_dir):
+    """Per-event-type winsorization: values clipped to the type's
+    [p05, p95] interpolated percentiles. The bounds reduce to one
+    broadcast row per type; clipping is map-side — the events stream
+    never shuffles. exact=True here (oracle-checkable);
+    exact=False is the approx-sketch 100 TB switch."""
+    from recdb_postgresql_spark.operators.profile import winsorize
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return winsorize(ev, "value", "event_type", 0.05, 0.95, exact=True) \
+        .select("event_id", "event_type", "value", "clipped")
+
+
 def q_pivot_lineitem_status(spark, sf_dir):
     """Native PIVOT (PG crosstab / SQL:2016 PIVOT analog) via the
     DataFrame API: per-returnflag quantities and row counts pivoted by
@@ -2106,6 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_item_cooccur": q_rec_item_cooccur,
         "lateral_top_orders": _rel_query("lateral_top_orders"),
         "events_ewma": q_events_ewma,
+        "docs_containment": q_docs_containment,
+        "docs_corpus_diff": q_docs_corpus_diff,
+        "events_winsorize": q_events_winsorize,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2352,6 +2404,62 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    o["docs_containment"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split_regex(lower(trim(text)), '\\s+')[1:15], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM all_docs),
+shingled AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+),
+hashed AS (SELECT id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id != b.id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT id1, id2, i * 1.0 / s1.sz AS containment
+  FROM inter JOIN sizes s1 ON s1.id = id1
+)
+SELECT id1, id2, ROUND(containment, 6) AS containment
+FROM c WHERE containment >= 0.9
+"""
+    o["docs_corpus_diff"] = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new_v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(old.doc_id, new_v.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new_v.doc_id IS NULL THEN 'removed'
+            WHEN old.text = new_v.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new_v ON old.doc_id = new_v.doc_id
+"""
+    o["events_winsorize"] = """
+WITH e AS (SELECT event_id, event_type, value FROM events
+           WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM e GROUP BY 1)
+SELECT event_id, e.event_type, value,
+       ROUND(LEAST(GREATEST(value, lo), hi), 6) AS clipped
+FROM e JOIN b USING (event_type)
 """
     # EWMA: the SAME 20 lag terms in the SAME left-associative order as
     # ewma_smooth builds them — float addition order is part of the

@@ -209,6 +209,26 @@ def append_lsh_index(docs: DataFrame, table: str, id_col: str = "doc_id",
         docs.sparkSession.catalog.refreshTable(t)
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", hash_fn=md5_long) -> DataFrame:
+    """Snapshot comparison: (doc_id, status) with status in
+    added / removed / changed / unchanged — the audit step between two
+    corpus versions (what did this rebuild actually touch?).
+
+    One content hash per side + one full-outer join on the id: at
+    100 TB the texts themselves never co-shuffle, only (id, int64)
+    rows do. Pair with ``EventStore``'s time travel to diff a table
+    against its own version N."""
+    o = old.select(F.col(id_col), hash_fn(F.col(text_col)).alias("_h_old"))
+    n = new.select(F.col(id_col), hash_fn(F.col(text_col)).alias("_h_new"))
+    status = (F.when(F.col("_h_old").isNull(), F.lit("added"))
+              .when(F.col("_h_new").isNull(), F.lit("removed"))
+              .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (o.join(n, id_col, "full_outer")
+            .select(id_col, status.alias("status")))
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
@@ -351,6 +371,48 @@ def jaccard_pairs(shingled: DataFrame | None, threshold: float = 0.5,
                     (F.col("inter") /
                      (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def containment_pairs(shingled: DataFrame | None, threshold: float = 0.8,
+                      candidates: DataFrame | None = None,
+                      hashed: DataFrame | None = None) -> DataFrame:
+    """Asymmetric near-SUBSET detection: (id1, id2, containment) where
+    containment = |S1 ∩ S2| / |S1| >= threshold — doc 1's shingles are
+    (nearly) contained in doc 2's. Jaccard misses this shape: a
+    paragraph quoted inside a 100x larger page has J ≈ 1% but
+    containment ≈ 100%, and subset boilerplate is exactly what corpus
+    cleaning needs to find. Pairs are emitted in BOTH directions when
+    both clear the threshold (containment is not symmetric); id1 != id2.
+
+    Same plan family as ``jaccard_pairs``: exact mode is the
+    inverted-index self-join (oracle baseline, quadratic in
+    co-shingling pairs); ``candidates`` drives the candidate-first plan.
+    Note the LSH candidate generator is tuned for SYMMETRIC similarity
+    — a small doc inside a much larger one rarely shares a full
+    MinHash band, so candidate-driven containment inherits that recall
+    gap; the fingerprint-bucket path (``text.winnow_overlap_pairs``)
+    is the scale recipe for subset shapes."""
+    if hashed is None:
+        hashed = hash_shingles(shingled)
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = hashed.select(F.col("id").alias("id1"), "sh")
+    b = hashed.select(F.col("id").alias("id2"), "sh")
+    if candidates is None:
+        inter = (a.join(b, "sh").where(F.col("id1") != F.col("id2"))
+                 .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
+    else:
+        # candidate pairs are (id1 < id2); containment needs both
+        # directions, so mirror them before the expansion joins
+        cand = candidates.select("id1", "id2").unionByName(
+            candidates.select(F.col("id2").alias("id1"),
+                              F.col("id1").alias("id2")))
+        inter = (cand.join(a, "id1").join(b, ["id2", "sh"])
+                 .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter")))
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    return (inter.join(s1, "id1")
+            .select("id1", "id2",
+                    (F.col("inter") / F.col("sz1")).alias("containment"))
+            .where(F.col("containment") >= threshold))
 
 
 def prefix_filtered_pairs(shingled: DataFrame, threshold: float = 0.5,

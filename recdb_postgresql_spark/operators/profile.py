@@ -64,3 +64,30 @@ def profile_table(df: DataFrame, columns: Sequence[str],
     return (wide.select(F.explode(F.array(*entries)).alias("e"))
             .select("e.column", "e.stat",
                     F.round("e.value", 6).alias("value")))
+
+
+def winsorize(df: DataFrame, val_col: str = "value",
+              group_col: str = "event_type", lo: float = 0.05,
+              hi: float = 0.95, exact: bool = True,
+              accuracy: int = 10000) -> DataFrame:
+    """Per-group winsorization: clip ``val_col`` to that group's
+    [lo, hi] quantiles — the standard outlier treatment before
+    training on heavy-tailed metrics (a fat-finger 1e9 purchase value
+    otherwise owns the loss).
+
+    The bounds table is one row per group (a broadcast); clipping is a
+    map-side least/greatest — the data itself never shuffles.
+    ``exact=True`` computes interpolated percentiles (a per-group sort
+    — the oracle-checkable path); ``exact=False`` swaps in
+    approx_percentile's constant-size sketch, the 100 TB form (same
+    switch as ``profile_table``)."""
+    pct = (F.percentile(F.col(val_col), F.lit([lo, hi])) if exact
+           else F.percentile_approx(F.col(val_col), F.lit([lo, hi]),
+                                    F.lit(accuracy)))
+    bounds = df.groupBy(group_col).agg(pct.alias("_b"))
+    bounds = bounds.select(group_col, F.col("_b")[0].alias("_lo"),
+                           F.col("_b")[1].alias("_hi"))
+    clipped = F.least(F.greatest(F.col(val_col), F.col("_lo")), F.col("_hi"))
+    return (df.join(F.broadcast(bounds), group_col)
+            .withColumn("clipped", F.round(clipped, 6))
+            .drop("_lo", "_hi"))

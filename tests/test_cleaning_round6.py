@@ -1,0 +1,65 @@
+"""Containment pairs, corpus snapshot diff, winsorization."""
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import dedup
+from recdb_postgresql_spark.operators.profile import winsorize
+
+SCHEMA = "doc_id long, text string"
+
+
+def test_containment_finds_subset_jaccard_misses(spark):
+    big = " ".join(f"w{i}" for i in range(40))
+    frag = " ".join(f"w{i}" for i in range(10))  # strict prefix of big
+    docs = spark.createDataFrame([(1, big), (2, frag)], SCHEMA)
+    sh = dedup.word_shingles(docs)
+    cont = {(r.id1, r.id2): r.containment
+            for r in dedup.containment_pairs(sh, threshold=0.9).collect()}
+    # frag's shingles all inside big -> containment 1.0 (direction 2->1
+    # only; big is NOT contained in frag)
+    assert cont == {(2, 1): 1.0}
+    # symmetric Jaccard stays below a typical dedup threshold
+    jac = dedup.jaccard_pairs(sh, threshold=0.0).collect()
+    assert all(r.jaccard < 0.5 for r in jac)
+
+
+def test_containment_candidate_mode_mirrors_directions(spark):
+    a = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame([(1, a), (2, a)], SCHEMA)
+    sh = dedup.word_shingles(docs)
+    cand = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    got = {(r.id1, r.id2) for r in
+           dedup.containment_pairs(sh, 0.9, candidates=cand).collect()}
+    assert got == {(1, 2), (2, 1)}  # identical docs contain each other
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")], SCHEMA)
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], SCHEMA)
+    got = {r.doc_id: r.status
+           for r in dedup.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    rows = ([(i, "a", float(i)) for i in range(1, 101)]
+            + [(200, "b", 1000.0), (201, "b", -1000.0), (202, "b", 0.0)])
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r.clipped
+           for r in winsorize(df, lo=0.05, hi=0.95).collect()}
+    # group a: p05 of 1..100 = 5.95, p95 = 95.05 (linear interpolation)
+    assert out[1] == 5.95 and out[100] == 95.05
+    assert out[50] == 50.0                      # interior untouched
+    # group b bounds computed from its own 3 values, not group a's
+    assert out[200] < 1000.0 and out[201] > -1000.0 and out[202] == 0.0
+
+
+def test_winsorize_approx_close_to_exact(spark):
+    rows = [(i, "a", float(i % 97)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    ex = {r.event_id: r.clipped for r in winsorize(df, exact=True).collect()}
+    ap = {r.event_id: r.clipped for r in winsorize(df, exact=False).collect()}
+    diffs = [abs(ex[k] - ap[k]) for k in ex]
+    assert max(diffs) <= 2.0  # sketch bounds land within ~2 of exact here
