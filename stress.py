@@ -312,6 +312,10 @@ def main():
     graph_probe(spark)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
+    # probe flat-ish vs corpus (batch-driven), from-scratch linear in
+    # corpus: 2.1x at x16 and widening (x4 is overhead-dominated)
+    for mult in (8, 16):
+        lsh_index_probe(spark, sf_dir, mult)
     # prefix probe runs on sf0.01 — the boilerplate shape makes the
     # exact baseline quadratic in N (90s at sf0.01 x32 already)
     for mult in (16, 32):
@@ -332,6 +336,59 @@ def main():
         record(f"cf_training_x{mult}", mult=mult, ratings=n,
                item_model_pairs=n_model, item_train_s=t_item,
                capped_user_pairs=n_user, user_train_capped_s=t_user)
+
+
+def lsh_index_probe(spark, sf_dir: str, mult: int) -> None:
+    """The persisted LSH index's amortized claim, measured: with an
+    indexed corpus of mult x base size, probing a FIXED small batch
+    costs ~the batch (band join + candidate verify against bucketed
+    tables), while the no-index alternative — a full lsh_verified_pairs
+    pass over corpus+batch — re-pays the whole corpus every ingest.
+    Both paths must agree on the cross (batch x corpus) match set."""
+    from recdb_postgresql_spark.operators import dedup
+
+    # amplification must NOT multiply the batch's match set (matches
+    # would grow with mult and hide the probe's flatness): extra copies
+    # get token-REVERSED text (+ per-copy tag), whose 3-shingles are
+    # disjoint from the originals' — corpus grows, cross matches don't
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = base.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split(F.lower(F.trim("text")), r"\s+")),
+                     " ").alias("text"))
+    parts = [base] + [
+        rev.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                   F.concat_ws(" ", "text", F.lit(f"revtag{i}")).alias("text"))
+        for i in range(1, mult)]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.localCheckpoint()
+    batch = (base.where(F.col("doc_id") % 4 == 0)
+             .select((F.col("doc_id") + 500_000_000).alias("doc_id"), "text")
+             .localCheckpoint())
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE IF EXISTS stress_lsh{suf}")
+    t0 = time.perf_counter()
+    dedup.write_lsh_index(corpus, "stress_lsh")
+    t_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_idx = dedup.neardup_against_index(batch, spark, "stress_lsh").count()
+    t_probe = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pairs = dedup.lsh_verified_pairs(
+        dedup.word_shingles(corpus.unionByName(batch)), threshold=0.5)
+    n_scratch = pairs.where(
+        (F.col("id1") >= 500_000_000) != (F.col("id2") >= 500_000_000)).count()
+    t_scratch = time.perf_counter() - t0
+    assert n_idx == n_scratch, (n_idx, n_scratch)
+    record(f"lsh_index_probe_x{mult}", mult=mult,
+           corpus_rows=corpus.count(), batch_rows=batch.count(),
+           cross_matches=n_idx, index_build_s=t_build, probe_s=t_probe,
+           from_scratch_s=t_scratch,
+           speedup_x=t_scratch / max(t_probe, 1e-9))
+    for suf in ("_bands", "_sh"):
+        spark.sql(f"DROP TABLE stress_lsh{suf}")
 
 
 def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
