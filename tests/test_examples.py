@@ -74,3 +74,19 @@ def test_analytics_example_end_to_end(spark):
     assert sum(out["attribution_mix"].values()) > 0
     assert out["cohort_cells"] >= 1 and out["week0_users"] > 0
     assert out["max_hourly_n"] >= 1
+
+
+def test_ingest_example_end_to_end(spark, tmp_path):
+    from examples.ingest_example import run
+
+    out = run(spark, work_dir=str(tmp_path), verbose=False)
+    assert out["day0_docs"] > 0
+    # the exact gate dropped the verbatim resends
+    assert out["batch1_survivors"] < out["batch1_in"]
+    assert out["batches"] == 2
+    # everything the pipeline kept landed in the clean sink
+    assert out["clean_docs"] == out["survivors_total"]
+    # audit: day-0 docs unchanged, survivors added, nothing removed
+    assert out["diff_mix"].get("removed", 0) == 0
+    assert out["diff_mix"]["unchanged"] == out["day0_docs"]
+    assert out["diff_mix"]["added"] == out["clean_docs"]
