@@ -479,6 +479,19 @@ FROM months
 LEFT JOIN orders o ON month(o.o_orderdate) = m
 GROUP BY m
 """,
+    # explicit GROUPING SETS (the general form behind rollup/cube) +
+    # GROUPING() markers disambiguating real NULL group values from
+    # subtotal rows — one Expand + one aggregate, same plan family as
+    # rollup_lineitem
+    "grouping_sets_returns": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
     # PG LATERAL (correlated derived table with ORDER BY/LIMIT): the
     # nested-loop-style form of top-n-per-group. Spark decorrelates it
     # into the same windowed plan as window_top_orders_per_customer —
@@ -2060,6 +2073,25 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_wow_growth(spark, sf_dir):
+    """Week-over-week growth report: weekly event counts and value
+    sums with lag-based percent change. The window runs over the
+    weekly AGGREGATE (one row per week — bounded by the time span, not
+    event volume), so the unpartitioned orderBy is a driver-sized
+    frame, never the events stream. Integer `div` on int64 nanos —
+    float division would mis-bucket past double's 53-bit mantissa."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    weekly = (ev.groupBy(F.expr(f"ts div {WEEK_NS}").alias("week"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 6).alias("sum_value")))
+    w = Window.orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return (weekly
+            .select("week", "n_events", "sum_value",
+                    F.round((F.col("n_events") - prev) * 100.0 / prev, 6)
+                    .alias("growth_pct")))
+
+
 def q_events_ewma(spark, sf_dir):
     """EWMA smoothing per user (alpha=0.3, 20-row lookback): pandas
     ewm().mean() distributed — 20 LAG columns over one keyed window,
@@ -2158,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment": q_docs_containment,
         "docs_corpus_diff": q_docs_corpus_diff,
         "events_winsorize": q_events_winsorize,
+        "grouping_sets_returns": _rel_query("grouping_sets_returns"),
+        "events_wow_growth": q_events_wow_growth,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2404,6 +2438,19 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    o["events_wow_growth"] = """
+WITH weekly AS (
+  SELECT epoch_ns(ts) // 604800000000000 AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 6) AS sum_value
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT week, n_events, sum_value,
+       ROUND((n_events - LAG(n_events) OVER (ORDER BY week))
+             * CAST(100.0 AS DOUBLE)
+             / LAG(n_events) OVER (ORDER BY week), 6) AS growth_pct
+FROM weekly
 """
     o["docs_containment"] = f"""
 WITH all_docs AS (
