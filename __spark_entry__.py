@@ -1635,6 +1635,55 @@ def q_rec_eval_rmse(spark, sf_dir):
                     "rmse"))
 
 
+def q_rec_eval_beyond(spark, sf_dir):
+    """Beyond-accuracy evaluation of the item-cos recommender: one
+    metrics row over per-user top-5 lists (users < 50) —
+    catalog_coverage (distinct recommended / catalog size), novelty
+    (avg -log2 popularity fraction of recommended items — higher =
+    longer-tail recs), and intra-list diversity (1 - avg pairwise
+    model similarity inside each user's list, unreachable pairs = 0).
+    The accuracy twins (rmse / precision@k / NDCG) say whether recs
+    are right; these say whether they are interesting. All inputs are
+    aggregates of the already-computed score grid + model — no new
+    corpus-sized work."""
+    from pyspark.sql import Window
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 50)
+    w = Window.partitionBy("userid").orderBy(F.col("score").desc(),
+                                             F.col("itemid"))
+    recs = (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5).select("userid", "itemid")
+            .localCheckpoint())
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    model = cf_ops.train_item_cos(r)
+    tot = r.agg(
+        F.count_distinct("user").cast("double").alias("n_users_all"),
+        F.count_distinct("item").cast("double").alias("n_items"))
+    pop = r.groupBy("item").agg(F.count(F.lit(1)).alias("n_raters"))
+    nov = (recs.join(pop, recs.itemid == pop.item)
+           .crossJoin(F.broadcast(tot))
+           .agg(F.count_distinct("itemid").cast("double").alias("n_rec_items"),
+                F.round(F.avg(-F.log2(F.col("n_raters")
+                                      / F.col("n_users_all"))), 6)
+                .alias("novelty"),
+                F.count_distinct("userid").cast("long").alias("n_users")))
+    a = recs.select("userid", F.col("itemid").alias("item1"))
+    b = recs.select("userid", F.col("itemid").alias("item2"))
+    pair_sim = (a.join(b, "userid").where(F.col("item1") < F.col("item2"))
+                .join(model, ["item1", "item2"], "left")
+                .select("userid", F.coalesce("similarity", F.lit(0.0))
+                        .alias("sim")))
+    ild = (pair_sim.groupBy("userid").agg(F.avg("sim").alias("u_avg"))
+           .agg(F.round(F.lit(1.0) - F.avg("u_avg"), 6).alias("ild")))
+    return (nov.crossJoin(ild).crossJoin(F.broadcast(tot))
+            .select("n_users",
+                    F.round(F.col("n_rec_items") / F.col("n_items"), 6)
+                    .alias("catalog_coverage"),
+                    "novelty", "ild"))
+
+
 def q_text_lm_perplexity(spark, sf_dir):
     """Bigram-LM perplexity under a corpus-trained add-k count model
     (the CCNet quality filter in its real form): improbable word
@@ -2192,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorize": q_events_winsorize,
         "grouping_sets_returns": _rel_query("grouping_sets_returns"),
         "events_wow_growth": q_events_wow_growth,
+        "rec_eval_beyond": q_rec_eval_beyond,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2438,6 +2488,39 @@ j AS (
   JOIN sizes s1 ON s1.id = inter.id1 JOIN sizes s2 ON s2.id = inter.id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
+    # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
+    # the outer model CTEs for pairwise similarity
+    o["rec_eval_beyond"] = f"""
+WITH {ITEMCOS_MODEL_CTES.strip().lstrip()},
+ranked AS (
+  SELECT userid, itemid FROM (
+    SELECT userid, itemid,
+           ROW_NUMBER() OVER (PARTITION BY userid ORDER BY score DESC, itemid) AS rank
+    FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 50", "")}) t
+  ) r WHERE rank <= 5
+),
+tot AS (SELECT CAST(COUNT(DISTINCT userid) AS DOUBLE) AS n_users_all,
+               CAST(COUNT(DISTINCT itemid) AS DOUBLE) AS n_items
+        FROM ratings),
+pop AS (SELECT itemid, COUNT(*) AS n_raters FROM ratings GROUP BY 1),
+nov AS (
+  SELECT CAST(COUNT(DISTINCT rk.itemid) AS DOUBLE) AS n_rec_items,
+         ROUND(AVG(-log2(n_raters / n_users_all)), 6) AS novelty,
+         CAST(COUNT(DISTINCT rk.userid) AS BIGINT) AS n_users
+  FROM ranked rk JOIN pop ON pop.itemid = rk.itemid, tot
+),
+pairs AS (
+  SELECT a.userid, COALESCE(m.sim, 0) AS sim
+  FROM ranked a JOIN ranked b ON a.userid = b.userid AND a.itemid < b.itemid
+  LEFT JOIN model m ON m.i1 = a.itemid AND m.i2 = b.itemid
+),
+ild_t AS (SELECT ROUND(CAST(1.0 AS DOUBLE) - AVG(u_avg), 6) AS ild
+          FROM (SELECT userid, AVG(sim) AS u_avg FROM pairs GROUP BY 1))
+SELECT n_users, ROUND(n_rec_items / n_items, 6) AS catalog_coverage,
+       novelty, ild
+FROM nov, tot, ild_t
 """
     o["events_wow_growth"] = """
 WITH weekly AS (

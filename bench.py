@@ -100,7 +100,7 @@ HEADLINE = [
     "pivot_lineitem_status", "unpivot_part_metrics", "rec_item_cooccur",
     "lateral_top_orders", "events_ewma",
     "docs_containment", "docs_corpus_diff", "events_winsorize",
-    "grouping_sets_returns", "events_wow_growth",
+    "grouping_sets_returns", "events_wow_growth", "rec_eval_beyond",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",
