@@ -876,6 +876,28 @@ def q_rec_item_cooccur(spark, sf_dir):
     return cf.item_cooccurrence(r, min_support=5)
 
 
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup AFTER canonical normalization: the corpus plus
+    UPPERCASED and whitespace-mangled copies — raw byte hashing sees
+    three distinct contents, normalize_text collapses them into one
+    group. The normalization is map-side codegen; the dedup is the
+    same one-shuffle hash groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = (docs.where(F.col("doc_id") % 3 == 0)
+               .select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.upper(F.col("text")).alias("text"))
+               .unionByName(
+                   docs.where(F.col("doc_id") % 3 == 1)
+                   .select((F.col("doc_id") + 200000).alias("doc_id"),
+                           F.concat(F.lit("  "),
+                                    F.regexp_replace("text", " ", "   "),
+                                    F.lit("  ")).alias("text"))))
+    normed = text.normalize_text(docs.unionByName(mangled),
+                                 out_col="text")
+    return dedup.exact_duplicates(normed) \
+        .select("doc_id", "canonical_id", "content_hash")
+
+
 def q_docs_containment(spark, sf_dir):
     """Asymmetric near-subset detection: the corpus plus truncated
     (first-15-token) copies of every 10th doc; containment >= 0.9
@@ -2242,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_returns": _rel_query("grouping_sets_returns"),
         "events_wow_growth": q_events_wow_growth,
         "rec_eval_beyond": q_rec_eval_beyond,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2492,6 +2515,29 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["dedup_exact_normalized"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         concat('  ', replace(text, ' ', '   '), '  ') AS text
+  FROM documents WHERE doc_id % 3 = 1
+),
+normed AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS text
+  FROM all_docs
+),
+h AS (SELECT doc_id, {MD5L.format(x='text')} AS content_hash FROM normed),
+g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n
+      FROM h GROUP BY 1)
+SELECT h.doc_id, g.canonical_id, h.content_hash
+FROM h JOIN g ON g.content_hash = h.content_hash
+WHERE g.n > 1
+"""
     o["rec_eval_beyond"] = f"""
 WITH {ITEMCOS_MODEL_CTES.strip().lstrip()},
 ranked AS (

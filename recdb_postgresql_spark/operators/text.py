@@ -35,6 +35,23 @@ def _tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """Canonical text form before any hashing/dedup (the CCNet-style
+    normalization pass): lowercase, strip leading/trailing whitespace,
+    collapse internal whitespace runs to single spaces. Pure map-side
+    codegen (lower + trim + one regexp_replace) — zero shuffle, and
+    every expression has an exact DuckDB twin, so normalized-dedup
+    flows stay oracle-checkable. Case/spacing variants of the same
+    content hash identically AFTER this pass and differently before
+    it — which is why it must run before ``exact_duplicates``, not
+    after."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    return docs.select(F.col(id_col), norm.alias(out_col))
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_words, avg_word_len, stopword_ratio,
