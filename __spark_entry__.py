@@ -876,6 +876,21 @@ def q_rec_item_cooccur(spark, sf_dir):
     return cf.item_cooccurrence(r, min_support=5)
 
 
+def q_agg_order_parts_list(spark, sf_dir):
+    """PG array_agg/string_agg family: per order, the sorted CSV of
+    its part keys plus the count. collect_list + sort_array gives a
+    DETERMINISTIC aggregation order (collect_list alone is
+    partition-order-dependent — never hashable cross-engine); the sort
+    happens on int64s before the string cast so 10 sorts after 9."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return (li.groupBy("l_orderkey")
+            .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list("l_partkey")),
+                            lambda x: x.cast("string")), ",")
+                .alias("parts_csv"),
+                F.count(F.lit(1)).alias("n_parts")))
+
+
 def q_dedup_exact_normalized(spark, sf_dir):
     """Exact dedup AFTER canonical normalization: the corpus plus
     UPPERCASED and whitespace-mangled copies — raw byte hashing sees
@@ -2265,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wow_growth": q_events_wow_growth,
         "rec_eval_beyond": q_rec_eval_beyond,
         "dedup_exact_normalized": q_dedup_exact_normalized,
+        "agg_order_parts_list": q_agg_order_parts_list,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2515,6 +2531,13 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["agg_order_parts_list"] = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY l_orderkey
+"""
     o["dedup_exact_normalized"] = f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents

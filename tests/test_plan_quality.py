@@ -191,3 +191,35 @@ def test_plan_stats_api(spark):
     assert stats["shuffles"] == 0             # pure map over the scan
     with _pytest.raises(AssertionError):
         assert_plan(q5, max_shuffles=0)       # q5 does aggregate
+
+
+def test_round6_operators_keep_scale_plan_shapes(spark):
+    """Plan pins for the round-6 batch: winsorize's bounds broadcast
+    (clipping never shuffles the stream), pivot runs as ONE aggregate
+    with no distinct-values pre-job, RRF fusion and the new text ops
+    stay JVM-side."""
+    plan = _plan(entrymod.queries()["events_winsorize"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(entrymod.queries()["pivot_lineitem_status"](spark, SF))
+    # explicit pivot values -> a single scan feeding the aggregate;
+    # an implicit pivot would need a separate distinct-collect job first
+    assert plan.count("FileScan parquet") == 1
+
+    for name in ("docs_hybrid_rrf", "dedup_exact_normalized",
+                 "events_ewma", "docs_corpus_diff", "rec_item_cooccur",
+                 "agg_order_parts_list"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate into the
+    windowed top-n plan — a per-customer rescan of orders would be a
+    nested CartesianProduct/BroadcastNestedLoopJoin."""
+    plan = _plan(entrymod.queries()["lateral_top_orders"](spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
