@@ -876,6 +876,45 @@ def q_rec_item_cooccur(spark, sf_dir):
     return cf.item_cooccurrence(r, min_support=5)
 
 
+def q_events_key_skew(spark, sf_dir):
+    """The skew diagnostic: top-20 hottest user_ids with row share and
+    skew factor (n / mean-rows-per-key) — the report you run before
+    choosing salting / bucketed-window knobs. One keyed aggregate +
+    one-row broadcast totals + TakeOrderedAndProject."""
+    from recdb_postgresql_spark.functions.skew import key_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=20)
+
+
+def q_multimodal_crossmodal_topk(spark, sf_dir):
+    """Cross-modal retrieval: text queries against an image-embedding
+    corpus (CLIP-style serving shape) — both towers are the
+    deterministic fake encoder over different payloads, so the FULL
+    composition (Arrow mapInPandas feature extraction on both sides ->
+    broadcast-query brute-force cosine top-k) is oracle-checkable with
+    exact arithmetic ((md5_byte-128)/128 features are multiples of
+    2^-7). Query ids are offset so the corpus/query id spaces never
+    collide."""
+    from recdb_postgresql_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"))
+    queries = docs.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.concat(F.lit("query: "), F.col("text")),
+                 "UTF-8").alias("payload"))
+    emb = multimodal.extract_features(corpus).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
+    qs = multimodal.extract_features(queries).select(
+        F.col("media_id").alias("qid"), F.col("features").alias("qvec"))
+    return similarity.brute_force_topk(emb, qs, k=10) \
+        .select("qid", "vec_id", "cos", "rank")
+
+
 def q_agg_order_parts_list(spark, sf_dir):
     """PG array_agg/string_agg family: per order, the sorted CSV of
     its part keys plus the count. collect_list + sort_array gives a
@@ -2281,6 +2320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_beyond": q_rec_eval_beyond,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "agg_order_parts_list": q_agg_order_parts_list,
+        "multimodal_crossmodal_topk": q_multimodal_crossmodal_topk,
+        "events_key_skew": q_events_key_skew,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2531,6 +2572,48 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["events_key_skew"] = """
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS n_keys FROM counts),
+top AS (
+  SELECT user_id, n, ROUND(n / total, 6) AS share,
+         ROUND(n * n_keys / total, 6) AS skew_x
+  FROM counts, tot ORDER BY n DESC, user_id LIMIT 20
+)
+SELECT user_id, n, share, skew_x,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank
+FROM top
+"""
+    # cross-modal: both fake towers re-expressed from the md5 hex
+    # (16 bytes = the full 16-dim feature); ranks on round-6 cosines
+    o["multimodal_crossmodal_topk"] = """
+WITH img AS (SELECT doc_id AS media_id, md5(text) AS hx
+             FROM documents WHERE doc_id % 2 = 0),
+qry AS (SELECT doc_id + 1000000 AS qid, md5(concat('query: ', text)) AS hx
+        FROM documents WHERE doc_id < 3),
+fi AS (SELECT media_id,
+              list_transform(generate_series(0, 15),
+                i -> (CAST(concat('0x', substring(hx, 2*i+1, 2)) AS INT) - 128) / 128.0) AS f
+       FROM img),
+fq AS (SELECT qid,
+              list_transform(generate_series(0, 15),
+                i -> (CAST(concat('0x', substring(hx, 2*i+1, 2)) AS INT) - 128) / 128.0) AS f
+       FROM qry),
+scored AS (
+  SELECT fq.qid, fi.media_id AS vec_id,
+         ROUND(list_cosine_similarity(CAST(fi.f AS DOUBLE[]),
+                                      CAST(fq.f AS DOUBLE[])), 6) AS cos
+  FROM fi CROSS JOIN fq
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
     o["agg_order_parts_list"] = """
 SELECT l_orderkey,
        string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts_csv,
