@@ -2580,10 +2580,11 @@ tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
 top AS (
   SELECT user_id, n, ROUND(n / total, 6) AS share,
          ROUND(n * n_keys / total, 6) AS skew_x
-  FROM counts, tot ORDER BY n DESC, user_id LIMIT 20
+  FROM counts, tot
+  ORDER BY n DESC, user_id NULLS FIRST LIMIT 20
 )
 SELECT user_id, n, share, skew_x,
-       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id NULLS FIRST) AS INTEGER) AS rank
 FROM top
 """
     # cross-modal: both fake towers re-expressed from the md5 hex

@@ -63,3 +63,16 @@ def test_winsorize_approx_close_to_exact(spark):
     ap = {r.event_id: r.clipped for r in winsorize(df, exact=False).collect()}
     diffs = [abs(ex[k] - ap[k]) for k in ex]
     assert max(diffs) <= 2.0  # sketch bounds land within ~2 of exact here
+
+
+def test_key_skew_report_flags_hot_and_null_keys(spark):
+    from recdb_postgresql_spark.functions.skew import key_skew_report
+
+    rows = ([(1, "x")] * 80 + [(None, "y")] * 15 + [(2, "z")] * 5)
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = key_skew_report(df, "k", top_n=3).collect()
+    assert [(r.k, r.n, r.rank) for r in out] == \
+        [(1, 80, 1), (None, 15, 2), (2, 5, 3)]
+    top = out[0]
+    assert top.share == 0.8
+    assert top.skew_x == round(80 * 3 / 100.0, 6)  # 2.4x the mean key
