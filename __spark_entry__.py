@@ -876,6 +876,15 @@ def q_rec_item_cooccur(spark, sf_dir):
     return cf.item_cooccurrence(r, min_support=5)
 
 
+def q_docs_related_tfidf(spark, sf_dir):
+    """Topical related-document pairs: TF-IDF cosine over each doc's
+    top-10 terms — finds neighbors Jaccard dedup scores near zero.
+    The sparsified (rare-term) inverted join is the index; cosines and
+    kept-term sets are rounded-then-ranked for engine portability."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_similar_pairs(docs, top_m=10, threshold=0.6)
+
+
 def q_events_key_skew(spark, sf_dir):
     """The skew diagnostic: top-20 hottest user_ids with row share and
     skew factor (n / mean-rows-per-key) — the report you run before
@@ -2322,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_order_parts_list": q_agg_order_parts_list,
         "multimodal_crossmodal_topk": q_multimodal_crossmodal_topk,
         "events_key_skew": q_events_key_skew,
+        "docs_related_tfidf": q_docs_related_tfidf,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2572,6 +2582,38 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["docs_related_tfidf"] = """
+WITH words AS (
+  SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM words GROUP BY id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS w
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+),
+kept AS (
+  SELECT id, term, w FROM (
+    SELECT id, term, w,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, term) AS rank
+    FROM scored
+  ) r WHERE rank <= 10
+),
+norms AS (SELECT id, SQRT(SUM(w*w)) AS nrm FROM kept GROUP BY id),
+dots AS (
+  SELECT a.id AS id1, b.id AS id2, SUM(a.w * b.w) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT id1, id2, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cos
+  FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
+)
+SELECT id1, id2, cos FROM c WHERE cos >= 0.6
+"""
     o["events_key_skew"] = """
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
                 FROM events GROUP BY 1),

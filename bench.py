@@ -102,7 +102,7 @@ HEADLINE = [
     "docs_containment", "docs_corpus_diff", "events_winsorize",
     "grouping_sets_returns", "events_wow_growth", "rec_eval_beyond",
     "dedup_exact_normalized", "agg_order_parts_list",
-    "multimodal_crossmodal_topk", "events_key_skew",
+    "multimodal_crossmodal_topk", "events_key_skew", "docs_related_tfidf",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",

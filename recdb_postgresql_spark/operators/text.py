@@ -187,6 +187,62 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                     F.col("rank").cast("int").alias("rank")))
 
 
+def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
+                        threshold: float = 0.2,
+                        max_df: int | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Related-document pairs by TF-IDF cosine: (id1, id2, cos) over
+    each doc's top-``top_m`` TF-IDF terms, L2-normalized — the
+    "similar articles" operator, complementing the dedup family
+    (Jaccard finds copies; this finds topical neighbors at much lower
+    lexical overlap).
+
+    Scale shape: sparsification IS the index — only each doc's top-m
+    highest-TF-IDF terms enter the inverted self-join, and those are
+    by construction rare terms (high idf), so term buckets stay small
+    exactly where prefix filtering's rarest-first rule puts them.
+    ``max_df`` additionally drops terms in more than max_df docs
+    before ranking (the stop-term cap, same role as winnowing's
+    ``max_doc_freq``). Weights round to 6 BEFORE ranking and
+    normalization so the kept-term sets and the final cosines are
+    engine-portable."""
+    from pyspark.sql import Window
+
+    words = (spread_small(docs)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(F.regexp_extract_all(
+                         F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
+                     .alias("term")))
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(nd))
+              .select("id", "term",
+                      F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                                  / (F.col("df") + 1.0)), 6)
+                      .alias("w")))
+    rk = Window.partitionBy("id").orderBy(F.col("w").desc(), F.col("term"))
+    kept = (scored.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= top_m).drop("rank"))
+    norms = kept.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = kept.select(F.col("id").alias("id1"), "term", F.col("w").alias("w1"))
+    b = kept.select(F.col("id").alias("id2"), "term", F.col("w").alias("w2"))
+    dots = (a.join(b, "term").where(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot")))
+    n1 = norms.select(F.col("id").alias("id1"), F.col("nrm").alias("n1"))
+    n2 = norms.select(F.col("id").alias("id2"), F.col("nrm").alias("n2"))
+    return (dots.join(n1, "id1").join(n2, "id2")
+            .select("id1", "id2",
+                    F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6)
+                    .alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         w: int = 4) -> DataFrame:
