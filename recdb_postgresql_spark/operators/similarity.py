@@ -118,6 +118,21 @@ def write_ivf_index(emb: DataFrame, centroids: DataFrame, path: str,
      .write.partitionBy("cell").mode("overwrite").parquet(path))
 
 
+def append_ivf_index(emb: DataFrame, centroids: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Advance the persisted IVF index with a batch of new vectors —
+    assigned with the SAME centroids the index was built with (they
+    are part of the layout, like the LSH hyperparameters) and appended
+    into the matching ``cell=`` directories. Probes pick the new
+    vectors up with no rebuild and keep pruning unprobed cells; the
+    recall characteristics only drift as far as the frozen centroids
+    do, the usual IVF-serving trade (rebuild when drift matters)."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    (emb.join(assign, id_col)
+     .write.partitionBy("cell").mode("append").parquet(path))
+
+
 def ivf_topk_indexed(spark, path: str, queries: DataFrame,
                      centroids: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",

@@ -291,3 +291,29 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"doc_id", "text", "lang"}
     rows = {r.doc_id: r.lang for r in df.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+def test_ivf_index_append_serves_new_vectors_still_pruned(spark, tmp_path):
+    """append_ivf_index advances the partitioned layout in place: a
+    probe finds the appended vector without a rebuild, and unprobed
+    cell directories are still pruned from the scan."""
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    cents = similarity.first_k_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, cents, path)
+
+    new = spark.createDataFrame([(100, [0.0, 1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    similarity.append_ivf_index(new, cents, path)
+
+    qs = spark.createDataFrame([(999, [0.0, 1.0, 0.0])],
+                               "qid long, qvec array<double>")
+    out = similarity.ivf_topk_indexed(spark, path, qs, cents, k=30)
+    ids = {r.vec_id for r in out.collect()}
+    assert 100 in ids  # the appended vector is served
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning survives the append
