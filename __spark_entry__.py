@@ -2207,6 +2207,40 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_debounce(spark, sf_dir):
+    """Event-stream debounce: drop events within 10 minutes of the
+    previous event of the same (user, type) — retry-storm /
+    double-fire cleanup in ONE keyed window pass."""
+    from recdb_postgresql_spark.operators import temporal
+
+    # null ts rows are excluded: the two engines order nulls
+    # differently inside the window, and a null gap is meaningless
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return temporal.debounce_events(ev, window_ns=600 * 10 ** 9) \
+        .select("event_id", "user_id", "event_type")
+
+
+def q_events_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: per user, nanoseconds from first
+    'signup' to the first 'purchase' AT-OR-AFTER it; one row of
+    distribution stats (n_converted, median/p90 hours). Two min
+    aggregates + one broadcast-size join — the events stream shuffles
+    once per aggregate, never pairwise."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("p_ts"))
+    conv = (s.join(p, "user_id").where(F.col("p_ts") >= F.col("s_ts"))
+            .groupBy("user_id", "s_ts")
+            .agg(F.min("p_ts").alias("first_p")))
+    hours = (F.col("first_p") - F.col("s_ts")) / F.lit(3600.0 * 10 ** 9)
+    return (conv.select(hours.alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_converted"),
+                 F.round(F.expr("percentile(h, 0.5)"), 6).alias("median_h"),
+                 F.round(F.expr("percentile(h, 0.9)"), 6).alias("p90_h")))
+
+
 def q_events_wow_growth(spark, sf_dir):
     """Week-over-week growth report: weekly event counts and value
     sums with lag-based percent change. The window runs over the
@@ -2332,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_crossmodal_topk": q_multimodal_crossmodal_topk,
         "events_key_skew": q_events_key_skew,
         "docs_related_tfidf": q_docs_related_tfidf,
+        "events_debounce": q_events_debounce,
+        "events_time_to_convert": q_events_time_to_convert,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2582,6 +2618,32 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["events_debounce"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+           FROM events WHERE ts IS NOT NULL),
+g AS (SELECT event_id, user_id, event_type,
+             tsn - LAG(tsn) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY tsn, event_id) AS gap
+      FROM e)
+SELECT event_id, user_id, event_type FROM g
+WHERE gap IS NULL OR gap >= 600000000000
+"""
+    o["events_time_to_convert"] = """
+WITH s AS (SELECT user_id, MIN(epoch_ns(ts)) AS s_ts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+conv AS (
+  SELECT e.user_id, s.s_ts, MIN(epoch_ns(e.ts)) AS first_p
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s.s_ts
+  GROUP BY 1, 2
+),
+h AS (SELECT (first_p - s_ts) / CAST(3600000000000.0 AS DOUBLE) AS h
+      FROM conv)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(h, 0.5), 6) AS median_h,
+       ROUND(quantile_cont(h, 0.9), 6) AS p90_h
+FROM h
+"""
     o["docs_related_tfidf"] = """
 WITH words AS (
   SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term

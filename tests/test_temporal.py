@@ -273,3 +273,18 @@ def test_ewma_window_truncates_and_keys_separate(spark):
     assert got[1] == round((8.0 + 0.5 * 4.0) / 1.5, 6)
     assert got[2] == round((1.0 + 0.5 * 8.0) / 1.5, 6)   # row 0 aged out
     assert got[3] == 100.0                     # other key untouched
+
+
+def test_debounce_predecessor_rule(spark):
+    """Gap-to-raw-predecessor rule: within a burst every event closer
+    than the window to the one right before it is dropped; a quiet gap
+    re-admits. Keys never interact."""
+    rows = [(0, 1, "c", 0), (1, 1, "c", 50), (2, 1, "c", 90),
+            (3, 1, "c", 300), (4, 1, "c", 349),
+            (5, 2, "c", 10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long")
+    kept = {r.event_id for r in
+            temporal.debounce_events(df, window_ns=100).collect()}
+    # 1 (gap 50) and 2 (gap 40) and 4 (gap 49) dropped; 3 kept (gap 210)
+    assert kept == {0, 3, 5}
