@@ -2207,6 +2207,24 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_cms_user_counts(spark, sf_dir):
+    """Count-min sketch point frequencies: a 4x64 counter matrix over
+    user_id (constant-size, mergeable — the shard-local frequency
+    state at 100 TB), probed for users < 20 beside their true counts.
+    est >= n always; collisions show as overshoot. md5-derived buckets
+    keep the whole sketch SQL-reproducible."""
+    from recdb_postgresql_spark.functions import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = sketch.cms_build(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").where(F.col("user_id") < 20)
+    est = sketch.cms_estimate(cms, keys, "user_id", depth=4, width=64)
+    true_n = (ev.where(F.col("user_id").isNotNull())
+              .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    return (est.join(true_n, "user_id")
+            .select("user_id", "est", "n"))
+
+
 def q_events_debounce(spark, sf_dir):
     """Event-stream debounce: drop events within 10 minutes of the
     previous event of the same (user, type) — retry-storm /
@@ -2368,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_related_tfidf": q_docs_related_tfidf,
         "events_debounce": q_events_debounce,
         "events_time_to_convert": q_events_time_to_convert,
+        "events_cms_user_counts": q_events_cms_user_counts,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2618,6 +2637,30 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    _cms_b = MD5L.format(x="concat(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+    o["events_cms_user_counts"] = f"""
+WITH vals AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT j, ({_cms_b}) % 64 AS bucket
+  FROM vals, UNNEST(generate_series(0, 3)) AS gj(j)
+),
+cms AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM vals WHERE user_id < 20),
+probes AS (
+  SELECT user_id, j, ({_cms_b}) % 64 AS bucket
+  FROM keys, UNNEST(generate_series(0, 3)) AS gj(j)
+),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(cms.cnt, 0)) AS est
+  FROM probes p LEFT JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
+  GROUP BY 1
+),
+true_n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM vals GROUP BY 1)
+SELECT est.user_id, est.est, true_n.n
+FROM est JOIN true_n ON true_n.user_id = est.user_id
+"""
     o["events_debounce"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
            FROM events WHERE ts IS NOT NULL),

@@ -76,3 +76,32 @@ def test_key_skew_report_flags_hot_and_null_keys(spark):
     top = out[0]
     assert top.share == 0.8
     assert top.skew_x == round(80 * 3 / 100.0, 6)  # 2.4x the mean key
+
+
+def test_cms_overestimates_never_under(spark):
+    from recdb_postgresql_spark.functions import sketch
+
+    rows = [(i % 30,) for i in range(900)] + [(999,)] * 100
+    df = spark.createDataFrame(rows, "k long")
+    cms = sketch.cms_build(df, "k", depth=4, width=16)  # tiny -> collisions
+    est = {r.k: r.est for r in
+           sketch.cms_estimate(cms, df.select("k"), "k",
+                               depth=4, width=16).collect()}
+    true = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert all(est[k] >= true[k] for k in true)       # never under
+    assert est[999] >= 100
+    # sketch is constant-size
+    assert cms.count() <= 4 * 16
+
+
+def test_cms_merge_is_sketch_of_union(spark):
+    from recdb_postgresql_spark.functions import sketch
+
+    a = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    b = spark.createDataFrame([(1,), (3,)], "k long")
+    merged = sketch.cms_merge(sketch.cms_build(a, "k", 4, 16),
+                              sketch.cms_build(b, "k", 4, 16))
+    direct = sketch.cms_build(a.unionByName(b), "k", 4, 16)
+    m = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+    d = {(r.j, r.bucket): r.cnt for r in direct.collect()}
+    assert m == d
