@@ -1720,6 +1720,60 @@ def q_rec_eval_rmse(spark, sf_dir):
                     "rmse"))
 
 
+def q_rec_similar_items(spark, sf_dir):
+    """Item-page serving query ("because you liked X"): top-3 most
+    similar items per item from the item-cos model, symmetrized.
+    Similarity rounds to 6 BEFORE ranking so the rank is
+    engine-portable; ties break on the neighbor id."""
+    from pyspark.sql import Window
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    model = cf_ops.train_item_cos(r)
+    sym = model.select(F.col("item1").alias("item"),
+                       F.col("item2").alias("neighbor"),
+                       "similarity") \
+        .unionByName(model.select(F.col("item2").alias("item"),
+                                  F.col("item1").alias("neighbor"),
+                                  "similarity"))
+    sym = sym.select("item", "neighbor",
+                     F.round("similarity", 6).alias("sim"))
+    w = Window.partitionBy("item").orderBy(F.col("sim").desc(),
+                                           F.col("neighbor"))
+    return (sym.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3))
+
+
+def q_events_rfm(spark, sf_dir):
+    """RFM segmentation: per user, recency (nanos since their last
+    event, vs the corpus max), frequency, and monetary sum, each
+    ntile(5)-bucketed into 1..5 with user_id tiebreaks — the classic
+    customer-value grid. The ntile windows run over one row per USER
+    (the aggregate), bounded by the user count, not event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 6).alias("monetary"))
+    tmax = per_user.agg(F.max("last_ts").alias("tmax"))
+    base = per_user.crossJoin(F.broadcast(tmax)) \
+        .select("user_id", (F.col("tmax") - F.col("last_ts")).alias("rec_ns"),
+                "freq", "monetary")
+    r_w = Window.orderBy(F.col("rec_ns"), F.col("user_id"))
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    return base.select(
+        "user_id", "rec_ns", "freq", "monetary",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"))
+
+
 def q_rec_eval_beyond(spark, sf_dir):
     """Beyond-accuracy evaluation of the item-cos recommender: one
     metrics row over per-user top-5 lists (users < 50) —
@@ -2387,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_debounce": q_events_debounce,
         "events_time_to_convert": q_events_time_to_convert,
         "events_cms_user_counts": q_events_cms_user_counts,
+        "rec_similar_items": q_rec_similar_items,
+        "events_rfm": q_events_rfm,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2637,6 +2693,37 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["rec_similar_items"] = f"""
+WITH {ITEMCOS_MODEL_CTES.strip()},
+s AS (
+  SELECT i1 AS item, i2 AS neighbor, ROUND(sim, 6) AS sim FROM model
+  UNION ALL
+  SELECT i2 AS item, i1 AS neighbor, ROUND(sim, 6) AS sim FROM model
+)
+SELECT item, neighbor, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT item, neighbor, sim,
+         ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rank
+  FROM s
+) r WHERE rank <= 3
+"""
+    o["events_rfm"] = """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, value FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+per_user AS (
+  SELECT user_id, MAX(tsn) AS last_ts, CAST(COUNT(*) AS BIGINT) AS freq,
+         ROUND(SUM(value), 6) AS monetary
+  FROM e GROUP BY 1
+),
+tmax AS (SELECT MAX(last_ts) AS tmax FROM per_user),
+base AS (SELECT user_id, tmax - last_ts AS rec_ns, freq, monetary
+         FROM per_user, tmax)
+SELECT user_id, rec_ns, freq, monetary,
+       CAST(NTILE(5) OVER (ORDER BY rec_ns, user_id) AS INTEGER) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id) AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_score
+FROM base
+"""
     _cms_b = MD5L.format(x="concat(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
     o["events_cms_user_counts"] = f"""
 WITH vals AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
