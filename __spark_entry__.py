@@ -885,6 +885,18 @@ def q_docs_related_tfidf(spark, sf_dir):
     return text.tfidf_similar_pairs(docs, top_m=10, threshold=0.6)
 
 
+def q_docs_topic_clusters(spark, sf_dir):
+    """Topic clustering as a composition: the TF-IDF similarity graph
+    (cos >= 0.6 over top-10 terms) fed into connected components —
+    related-docs pairs become topic groups in one lazy flow. The CC
+    inherits the three-tier strategy (union-find fast path here; the
+    O(log n) star escalation at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text.tfidf_similar_pairs(docs, top_m=10, threshold=0.6)
+    return dedup.connected_components(pairs.select("id1", "id2")) \
+        .select(F.col("id").alias("doc_id"), "component")
+
+
 def q_events_key_skew(spark, sf_dir):
     """The skew diagnostic: top-20 hottest user_ids with row share and
     skew factor (n / mean-rows-per-key) — the report you run before
@@ -2443,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_user_counts": q_events_cms_user_counts,
         "rec_similar_items": q_rec_similar_items,
         "events_rfm": q_events_rfm,
+        "docs_topic_clusters": q_docs_topic_clusters,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2805,6 +2818,53 @@ c AS (
   FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
 )
 SELECT id1, id2, cos FROM c WHERE cos >= 0.6
+"""
+    # topic clusters: the docs_related_tfidf CTEs + the same recursive
+    # min-label reach as dedup_clusters
+    o["docs_topic_clusters"] = """
+WITH RECURSIVE words AS (
+  SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM words GROUP BY id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.term,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS w
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+),
+kept AS (
+  SELECT id, term, w FROM (
+    SELECT id, term, w,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, term) AS rank
+    FROM scored
+  ) r WHERE rank <= 10
+),
+norms AS (SELECT id, SQRT(SUM(w*w)) AS nrm FROM kept GROUP BY id),
+dots AS (
+  SELECT a.id AS id1, b.id AS id2, SUM(a.w * b.w) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
+  WHERE ROUND(dot / (n1.nrm * n2.nrm), 6) >= 0.6
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.a AS id, r.lbl
+  FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, MIN(lbl) AS component
+FROM reach GROUP BY id
 """
     o["events_key_skew"] = """
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
