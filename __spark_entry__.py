@@ -2273,6 +2273,48 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_outliers_mad(spark, sf_dir):
+    """Robust outlier screen: |value - median| / MAD > 3.5 per event
+    type (the modified z-score) — immune to the outliers themselves
+    inflating the spread, which is exactly how the plain z-score twin
+    (`events_outliers`) fails on heavy tails. Median and MAD reduce to
+    one broadcast row per type (two exact percentile passes here; the
+    approx_percentile sketch is the 100 TB switch, as in winsorize)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_id", "event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = (dev.join(F.broadcast(mad), "event_type")
+              .where(F.col("mad") > 0)
+              .select("event_id", "event_type", "value",
+                      F.round(F.lit(0.6745) * (F.col("value") - F.col("med"))
+                              / F.col("mad"), 6).alias("mod_z")))
+    return scored.where(F.abs(F.col("mod_z")) > 3.5)
+
+
+def q_nation_revenue_share(spark, sf_dir):
+    """Percent-of-total contribution report (PG ratio_to_report): each
+    nation's revenue share. The naive form is SUM() OVER () — a window
+    with no partition key that drags every row through ONE task; here
+    the total reduces to a one-row broadcast instead, which is the
+    shape that survives 100 TB."""
+    _register(spark, sf_dir, "customer", "orders", "nation")
+    rev = spark.sql("""
+      SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name""")
+    tot = rev.agg(F.sum("revenue").alias("_t"))
+    return (rev.crossJoin(F.broadcast(tot))
+            .select("n_name", "revenue",
+                    F.round(F.col("revenue") / F.col("_t"), 6).alias("share")))
+
+
 def q_events_cms_user_counts(spark, sf_dir):
     """Count-min sketch point frequencies: a 4x64 counter matrix over
     user_id (constant-size, mergeable — the shard-local frequency
@@ -2456,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_similar_items": q_rec_similar_items,
         "events_rfm": q_events_rfm,
         "docs_topic_clusters": q_docs_topic_clusters,
+        "events_outliers_mad": q_events_outliers_mad,
+        "nation_revenue_share": q_nation_revenue_share,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2818,6 +2862,31 @@ c AS (
   FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
 )
 SELECT id1, id2, cos FROM c WHERE cos >= 0.6
+"""
+    o["events_outliers_mad"] = """
+WITH e AS (SELECT event_id, event_type, value FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM e GROUP BY 1),
+dev AS (SELECT event_id, e.event_type, value, med,
+               ABS(value - med) AS adev
+        FROM e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1),
+s AS (SELECT event_id, dev.event_type, value,
+             ROUND(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6) AS mod_z
+      FROM dev JOIN mad USING (event_type) WHERE mad > 0)
+SELECT event_id, event_type, value, mod_z FROM s WHERE ABS(mod_z) > 3.5
+"""
+    o["nation_revenue_share"] = """
+WITH rev AS (
+  SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT CAST(SUM(revenue) AS DOUBLE) AS t FROM rev)
+SELECT n_name, revenue, ROUND(revenue / t, 6) AS share FROM rev, tot
 """
     # topic clusters: the docs_related_tfidf CTEs + the same recursive
     # min-label reach as dedup_clusters
