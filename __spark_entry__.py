@@ -1732,6 +1732,19 @@ def q_rec_eval_rmse(spark, sf_dir):
                     "rmse"))
 
 
+def q_rec_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling (3 unseen items per user, md5
+    candidate indexing, no RNG) — the implicit-feedback training-pair
+    generator; reproducible across runs, engines, and partitionings."""
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    return cf_ops.negative_samples(r, k=3, oversample=4) \
+        .select(F.col("user").alias("userid"),
+                F.col("item").alias("itemid"), "neg_rank")
+
+
 def q_rec_similar_items(spark, sf_dir):
     """Item-page serving query ("because you liked X"): top-3 most
     similar items per item from the item-cos model, symmetrized.
@@ -2500,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
+        "rec_negative_samples": q_rec_negative_samples,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2862,6 +2876,33 @@ c AS (
   FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
 )
 SELECT id1, id2, cos FROM c WHERE cos >= 0.6
+"""
+    _neg_h = MD5L.format(
+        x="concat(CAST(userid AS VARCHAR), ':', CAST(j AS VARCHAR))")
+    o["rec_negative_samples"] = f"""
+WITH {RATINGS_CTE.strip()},
+items AS (SELECT DISTINCT itemid FROM ratings),
+idx AS (SELECT itemid, ROW_NUMBER() OVER (ORDER BY itemid) - 1 AS idx
+        FROM items),
+n AS (SELECT COUNT(*) AS n_items FROM items),
+users AS (SELECT DISTINCT userid FROM ratings),
+cand0 AS (
+  SELECT userid, j, ({_neg_h}) % n_items AS idx
+  FROM users, UNNEST(generate_series(0, 11)) AS gj(j), n
+),
+cand AS (SELECT userid, itemid, MIN(j) AS j
+         FROM cand0 JOIN idx USING (idx) GROUP BY 1, 2),
+fresh AS (
+  SELECT c.userid, c.itemid, c.j FROM cand c
+  LEFT JOIN (SELECT DISTINCT userid, itemid FROM ratings) r
+    ON r.userid = c.userid AND r.itemid = c.itemid
+  WHERE r.userid IS NULL
+)
+SELECT userid, itemid, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
+  SELECT userid, itemid,
+         ROW_NUMBER() OVER (PARTITION BY userid ORDER BY j, itemid) AS neg_rank
+  FROM fresh
+) t WHERE neg_rank <= 3
 """
     o["events_outliers_mad"] = """
 WITH e AS (SELECT event_id, event_type, value FROM events

@@ -105,7 +105,7 @@ HEADLINE = [
     "multimodal_crossmodal_topk", "events_key_skew", "docs_related_tfidf",
     "events_debounce", "events_time_to_convert", "events_cms_user_counts",
     "rec_similar_items", "events_rfm", "docs_topic_clusters",
-    "events_outliers_mad", "nation_revenue_share",
+    "events_outliers_mad", "nation_revenue_share", "rec_negative_samples",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",

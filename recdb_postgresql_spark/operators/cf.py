@@ -353,6 +353,48 @@ def item_cooccurrence(ratings: DataFrame, min_support: int = 2,
                     F.round(F.log(lift), 6).alias("pmi")))
 
 
+def negative_samples(ratings: DataFrame, k: int = 3,
+                     oversample: int = 4) -> DataFrame:
+    """(user, item, neg_rank<=k): deterministic negative sampling —
+    for each user, k catalog items they have NOT interacted with,
+    the training-pair generator every implicit-feedback loss (BPR,
+    sampled softmax, ALS-implicit) needs. No RNG: candidate j for a
+    user is the item whose dense index is md5(user:j) % n_items, so
+    the sample is reproducible across runs/engines/partitionings.
+
+    Scale shape: the user x catalog cross join never exists — each
+    user generates oversample*k candidate rows (hash-indexed into the
+    catalog), the rated anti-join removes positives, and a per-user
+    window keeps the first k by j. The catalog index is one
+    row_number over the ITEM table (catalog-sized, not corpus-sized);
+    users with nearly-complete catalogs can exhaust oversample*k
+    candidates and return fewer than k rows — raise ``oversample``
+    for dense-interaction regimes."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    items = ratings.select("item").distinct()
+    iw = Window.orderBy("item")
+    idx = items.select("item", (F.row_number().over(iw) - 1).alias("idx"))
+    n = items.agg(F.count(F.lit(1)).alias("n_items"))
+    users = ratings.select("user").distinct()
+    js = F.explode(F.sequence(F.lit(0), F.lit(oversample * k - 1))).alias("j")
+    cand = (users.select("user", js).crossJoin(F.broadcast(n))
+            .select("user", "j",
+                    (md5_long(F.concat_ws(":", F.col("user").cast("string"),
+                                          F.col("j").cast("string")))
+                     % F.col("n_items")).alias("idx")))
+    cand = (cand.join(F.broadcast(idx), "idx")
+            .groupBy("user", "item").agg(F.min("j").alias("j")))
+    rated = ratings.select("user", "item").distinct()
+    fresh = cand.join(rated, ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy("j", "item")
+    return (fresh.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("neg_rank") <= k)
+            .select("user", "item", "neg_rank"))
+
+
 def popularity_topk(ratings: DataFrame, users: DataFrame,
                     k: int = 10) -> DataFrame:
     """(user, item, n_raters): cold-start fallback recommender — rank

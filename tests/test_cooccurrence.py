@@ -48,3 +48,22 @@ def test_cooccurrence_cap_bounds_fanout(spark):
     capped = item_cooccurrence(_ratings(spark, rows), min_support=1,
                                max_coraters=5)
     assert capped.count() <= 5 * 4 // 2
+
+
+def test_negative_samples_disjoint_and_deterministic(spark):
+    from recdb_postgresql_spark.operators.cf import negative_samples
+
+    rows = [(u, i, 1.0) for u in range(5) for i in range(20) if (u + i) % 3]
+    r = _ratings(spark, rows)
+    neg = negative_samples(r, k=3, oversample=4)
+    got = {(x.user, x.item) for x in neg.collect()}
+    pos = {(u, i) for u, i, _ in rows}
+    assert got and not (got & pos)          # never a positive
+    per_user = {}
+    for u, i in got:
+        per_user.setdefault(u, set()).add(i)
+    assert all(len(v) <= 3 for v in per_user.values())
+    # deterministic under repartitioning
+    again = {(x.user, x.item) for x in
+             negative_samples(r.repartition(7), k=3, oversample=4).collect()}
+    assert again == got
