@@ -1732,6 +1732,48 @@ def q_rec_eval_rmse(spark, sf_dir):
                     "rmse"))
 
 
+def q_rec_eval_loo_hit(spark, sf_dir):
+    """Leave-last-out evaluation (the standard temporal rec protocol):
+    each user's most recent (user, item) pair — by last event time,
+    item-id tiebreak — is held out, item-cos trains on the rest, and
+    the metric is hit-rate@10: did the held-out item make the user's
+    top-10? Users with a single pair are excluded (no train rows);
+    held-out items missing from the train catalog count as misses.
+    One metrics row (n_users, n_hits, hit_rate)."""
+    from pyspark.sql import Window
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    ev = ratings_from_events(load_table(spark, sf_dir, "events"),
+                             with_ts=True).where(
+        F.col("userid").isNotNull() & F.col("ratingval").isNotNull())
+    pairs = (ev.groupBy(F.col("userid").alias("user"),
+                        F.col("itemid").alias("item"))
+             .agg(F.avg("ratingval").alias("rating"),
+                  F.max("ratingts").alias("last_ts")))
+    w = Window.partitionBy("user").orderBy(F.col("last_ts").desc(),
+                                           F.col("item").desc())
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    test = ranked.where(F.col("rn") == 1).select("user", "item")
+    train = ranked.where(F.col("rn") > 1).select("user", "item", "rating") \
+        .localCheckpoint()
+    users_eval = train.select("user").distinct()
+    items = train.select("item").distinct()
+    model = cf_ops.train_item_cos(train)
+    preds = cf_ops.predict_item_cf(model, train, users_eval, items)
+    w2 = Window.partitionBy("user").orderBy(
+        F.round("score", 6).desc(), F.col("item"))
+    top10 = (preds.withColumn("rk", F.row_number().over(w2))
+             .where(F.col("rk") <= 10).select("user", "item"))
+    eligible = test.join(users_eval, "user")
+    hits = eligible.join(top10.withColumn("hit", F.lit(1)),
+                         ["user", "item"], "left")
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(F.sum(F.coalesce("hit", F.lit(0)))
+                / F.count(F.lit(1)), 6).alias("hit_rate"))
+
+
 def q_rec_negative_samples(spark, sf_dir):
     """Deterministic negative sampling (3 unseen items per user, md5
     candidate indexing, no RNG) — the implicit-feedback training-pair
@@ -2514,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
         "rec_negative_samples": q_rec_negative_samples,
+        "rec_eval_loo_hit": q_rec_eval_loo_hit,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2876,6 +2919,77 @@ c AS (
   FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
 )
 SELECT id1, id2, cos FROM c WHERE cos >= 0.6
+"""
+    # leave-last-out: the item-cos model CTEs rebuilt on the TRAIN
+    # subset (can't reuse ITEMCOS_MODEL_CTES — its ratings CTE covers
+    # all events); arithmetic is otherwise identical
+    o["rec_eval_loo_hit"] = """
+WITH ev AS (
+  SELECT user_id AS userid,
+         CAST(json_extract_string(props, 'k') AS INT) AS itemid,
+         CAST(value AS DOUBLE) AS r, epoch_ns(ts) AS tsn
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+    AND user_id IS NOT NULL AND value IS NOT NULL
+),
+pairs AS (SELECT userid, itemid, AVG(r) AS rating, MAX(tsn) AS last_ts
+          FROM ev GROUP BY 1, 2),
+ranked AS (
+  SELECT userid, itemid, rating,
+         ROW_NUMBER() OVER (PARTITION BY userid
+                            ORDER BY last_ts DESC, itemid DESC) AS rn
+  FROM pairs
+),
+test AS (SELECT userid, itemid FROM ranked WHERE rn = 1),
+train AS (SELECT userid, itemid, rating FROM ranked WHERE rn > 1),
+users_eval AS (SELECT DISTINCT userid FROM train),
+items AS (SELECT DISTINCT itemid FROM train),
+norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
+          FROM train GROUP BY itemid),
+dots AS (
+  SELECT a.itemid AS i1, b.itemid AS i2, SUM(a.rating*b.rating) AS dot
+  FROM train a JOIN train b ON a.userid = b.userid AND a.itemid < b.itemid
+  GROUP BY 1, 2
+),
+model AS (
+  SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
+  FROM dots JOIN norms n1 ON n1.itemid = i1 JOIN norms n2 ON n2.itemid = i2
+  WHERE dot/(n1.nrm*n2.nrm) > 0
+),
+sym AS (SELECT i1 AS a, i2 AS b, sim FROM model
+        UNION ALL SELECT i2, i1, sim FROM model),
+contrib AS (
+  SELECT t.userid, s.a AS itemid,
+         SUM(s.sim * t.rating) / SUM(ABS(s.sim)) AS score
+  FROM train t JOIN sym s ON s.b = t.itemid
+  GROUP BY 1, 2
+),
+grid AS (SELECT u.userid, i.itemid FROM users_eval u CROSS JOIN items i),
+scores AS (
+  SELECT g.userid, g.itemid, ROUND(COALESCE(c.score, 0), 6) AS score
+  FROM grid g LEFT JOIN contrib c
+    ON c.userid = g.userid AND c.itemid = g.itemid
+),
+top10 AS (
+  SELECT userid, itemid FROM (
+    SELECT userid, itemid,
+           ROW_NUMBER() OVER (PARTITION BY userid
+                              ORDER BY score DESC, itemid) AS rk
+    FROM scores
+  ) t WHERE rk <= 10
+),
+eligible AS (SELECT t.userid, t.itemid FROM test t
+             JOIN users_eval u ON u.userid = t.userid),
+ht AS (
+  SELECT e.userid,
+         CASE WHEN top10.itemid IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM eligible e
+  LEFT JOIN top10 ON top10.userid = e.userid AND top10.itemid = e.itemid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       ROUND(SUM(hit) * CAST(1.0 AS DOUBLE) / COUNT(*), 6) AS hit_rate
+FROM ht
 """
     _neg_h = MD5L.format(
         x="concat(CAST(userid AS VARCHAR), ':', CAST(j AS VARCHAR))")
