@@ -479,6 +479,23 @@ FROM months
 LEFT JOIN orders o ON month(o.o_orderdate) = m
 GROUP BY m
 """,
+    # the remaining PG window-function family: first/last/nth_value
+    # with explicit frames + a shared named WINDOW clause (both
+    # engines support WINDOW w AS ...). last_value NEEDS the
+    # unbounded-following frame — the default frame ends at the
+    # current row, the classic silent-wrong-answer trap
+    "window_frame_functions": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       LAST_VALUE(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
     # explicit GROUPING SETS (the general form behind rollup/cube) +
     # GROUPING() markers disambiguating real NULL group values from
     # subtotal rows — one Expand + one aggregate, same plan family as
@@ -2557,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": q_nation_revenue_share,
         "rec_negative_samples": q_rec_negative_samples,
         "rec_eval_loo_hit": q_rec_eval_loo_hit,
+        "window_frame_functions": _rel_query("window_frame_functions"),
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
