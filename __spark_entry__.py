@@ -895,21 +895,25 @@ def q_rec_item_cooccur(spark, sf_dir):
 
 def q_docs_related_tfidf(spark, sf_dir):
     """Topical related-document pairs: TF-IDF cosine over each doc's
-    top-10 terms — finds neighbors Jaccard dedup scores near zero.
+    top-5 terms — finds neighbors Jaccard dedup scores near zero.
+    top_m=5 keeps the inverted join tractable on this corpus's tiny
+    shared vocabulary (nothing is rare here — the operator's rare-term
+    sparsification has no tail to exploit, the documented dense-vocab
+    regime).
     The sparsified (rare-term) inverted join is the index; cosines and
     kept-term sets are rounded-then-ranked for engine portability."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.tfidf_similar_pairs(docs, top_m=10, threshold=0.6)
+    return text.tfidf_similar_pairs(docs, top_m=5, threshold=0.6)
 
 
 def q_docs_topic_clusters(spark, sf_dir):
     """Topic clustering as a composition: the TF-IDF similarity graph
-    (cos >= 0.6 over top-10 terms) fed into connected components —
+    (cos >= 0.6 over top-5 terms) fed into connected components —
     related-docs pairs become topic groups in one lazy flow. The CC
     inherits the three-tier strategy (union-find fast path here; the
     O(log n) star escalation at scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = text.tfidf_similar_pairs(docs, top_m=10, threshold=0.6)
+    pairs = text.tfidf_similar_pairs(docs, top_m=5, threshold=0.6)
     return dedup.connected_components(pairs.select("id1", "id2")) \
         .select(F.col("id").alias("doc_id"), "component")
 
@@ -2924,7 +2928,7 @@ kept AS (
     SELECT id, term, w,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, term) AS rank
     FROM scored
-  ) r WHERE rank <= 10
+  ) r WHERE rank <= 5
 ),
 norms AS (SELECT id, SQRT(SUM(w*w)) AS nrm FROM kept GROUP BY id),
 dots AS (
@@ -3081,7 +3085,7 @@ kept AS (
     SELECT id, term, w,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, term) AS rank
     FROM scored
-  ) r WHERE rank <= 10
+  ) r WHERE rank <= 5
 ),
 norms AS (SELECT id, SQRT(SUM(w*w)) AS nrm FROM kept GROUP BY id),
 dots AS (

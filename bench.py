@@ -126,6 +126,7 @@ SLOPE = [
     "pipeline_clean_docs", "embedding_neardup_ivf", "dedup_clusters",
     "ann_ivf_multiprobe", "dedup_minhash_lsh", "events_hourly_rollup",
     "semantic_dedup", "graph_pagerank", "dedup_jaccard_prefix",
+    "docs_related_tfidf", "docs_topic_clusters",
 ]
 
 # the 35 queries shared with the r1 recorded baseline (BENCH_r01.json)
