@@ -2349,6 +2349,29 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_histogram_eqdepth(spark, sf_dir):
+    """Equi-depth histogram (the ANALYZE shape PG actually stores):
+    decile cut points reduce to ONE broadcast row, bucket assignment
+    is a map-side comparison chain — the events stream never sorts
+    globally (ntile would). Ties sit in the lower bucket, so depths
+    are equal only up to tie mass — the standard equi-depth contract.
+    Exact percentiles here (oracle-checkable); approx_percentile is
+    the 100 TB switch, as everywhere in the profile family."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = ev.agg(F.expr(
+        f"percentile(value, array({','.join(map(str, qs))}))").alias("_c"))
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + (F.col("value") > F.col("_c")[i]).cast("int")
+    return (ev.crossJoin(F.broadcast(cuts))
+            .select("value", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 6).alias("lo"),
+                 F.round(F.max("value"), 6).alias("hi")))
+
+
 def q_events_outliers_mad(spark, sf_dir):
     """Robust outlier screen: |value - median| / MAD > 3.5 per event
     type (the modified z-score) — immune to the outliers themselves
@@ -2579,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_negative_samples": q_rec_negative_samples,
         "rec_eval_loo_hit": q_rec_eval_loo_hit,
         "window_frame_functions": _rel_query("window_frame_functions"),
+        "events_histogram_eqdepth": q_events_histogram_eqdepth,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -3039,6 +3063,18 @@ SELECT userid, itemid, CAST(neg_rank AS INTEGER) AS neg_rank FROM (
          ROW_NUMBER() OVER (PARTITION BY userid ORDER BY j, itemid) AS neg_rank
   FROM fresh
 ) t WHERE neg_rank <= 3
+"""
+    _eq_bucket = " + ".join(
+        f"(CASE WHEN value > c[{i}] THEN 1 ELSE 0 END)" for i in range(1, 10))
+    o["events_histogram_eqdepth"] = f"""
+WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+cuts AS (SELECT quantile_cont(value,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+         FROM e),
+b AS (SELECT value, 1 + {_eq_bucket} AS bucket FROM e, cuts)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM b GROUP BY bucket
 """
     o["events_outliers_mad"] = """
 WITH e AS (SELECT event_id, event_type, value FROM events

@@ -106,7 +106,7 @@ HEADLINE = [
     "events_debounce", "events_time_to_convert", "events_cms_user_counts",
     "rec_similar_items", "events_rfm", "docs_topic_clusters",
     "events_outliers_mad", "nation_revenue_share", "rec_negative_samples",
-    "rec_eval_loo_hit", "window_frame_functions",
+    "rec_eval_loo_hit", "window_frame_functions", "events_histogram_eqdepth",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",
