@@ -1808,6 +1808,69 @@ def q_rec_negative_samples(spark, sf_dir):
                 F.col("item").alias("itemid"), "neg_rank")
 
 
+def q_rec_trending_items(spark, sf_dir):
+    """Batch-side trending: per item, the half-life-decayed interaction
+    mass sum(2^(-age/12h)) — recent events dominate, old ones fade
+    smoothly (no window-edge cliff). The reference epoch is a one-row
+    broadcast max(ts), ages subtract in exact int64 before the double
+    cast (same recipe as the time-decay CF). Top 20 by decayed mass.
+    The streaming twin is `streaming.trending_items` (sliding window)."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ratings_from_events(ev, with_ts=True).where(
+        F.col("userid").isNotNull() & F.col("ratingts").isNotNull())
+    tmax = r.agg(F.max("ratingts").alias("_tmax"))
+    hl = 12 * 3600 * 10 ** 9
+    decayed = (r.crossJoin(F.broadcast(tmax))
+               .select("itemid",
+                       F.pow(F.lit(2.0),
+                             (F.col("ratingts") - F.col("_tmax"))
+                             .cast("double") / F.lit(float(hl)))
+                       .alias("wt")))
+    return (decayed.groupBy("itemid")
+            .agg(F.round(F.sum("wt"), 6).alias("mass"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.desc("mass"), F.col("itemid")).limit(20))
+
+
+def q_part_content_similar(spark, sf_dir):
+    """Content-based item similarity over part ATTRIBUTES (the
+    method family collaborative filtering can't serve: brand-new items
+    with zero interactions): candidate pairs come from a BLOCKED self
+    equi-join (same brand OR same type — the multi-pass blocking
+    recipe from entity resolution, never a cross product), scored by
+    attribute overlap (brand/type match + size closeness). Top-3
+    neighbors per part for p_partkey < 100."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    a = part.select(F.col("p_partkey").alias("k1"),
+                    F.col("p_brand").alias("b1"),
+                    F.col("p_type").alias("t1"), F.col("p_size").alias("s1"))
+    b = part.select(F.col("p_partkey").alias("k2"),
+                    F.col("p_brand").alias("b2"),
+                    F.col("p_type").alias("t2"), F.col("p_size").alias("s2"))
+    brand_block = a.join(b, (F.col("b1") == F.col("b2"))
+                         & (F.col("k1") != F.col("k2")))
+    type_block = a.join(b, (F.col("t1") == F.col("t2"))
+                        & (F.col("k1") != F.col("k2")))
+    cand = brand_block.unionByName(type_block) \
+        .groupBy("k1", "k2", "b1", "b2", "t1", "t2", "s1", "s2").count() \
+        .drop("count")
+    score = ((F.col("b1") == F.col("b2")).cast("double")
+             + (F.col("t1") == F.col("t2")).cast("double")
+             + F.lit(1.0) / (F.lit(1.0)
+                             + F.abs(F.col("s1") - F.col("s2"))))
+    scored = cand.where(F.col("k1") < 100) \
+        .select(F.col("k1").alias("p_partkey"),
+                F.col("k2").alias("neighbor"),
+                F.round(score, 6).alias("score"))
+    w = Window.partitionBy("p_partkey").orderBy(F.col("score").desc(),
+                                                F.col("neighbor"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 3))
+
+
 def q_rec_similar_items(spark, sf_dir):
     """Item-page serving query ("because you liked X"): top-3 most
     similar items per item from the item-cos model, symmetrized.
@@ -2603,6 +2666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_loo_hit": q_rec_eval_loo_hit,
         "window_frame_functions": _rel_query("window_frame_functions"),
         "events_histogram_eqdepth": q_events_histogram_eqdepth,
+        "rec_trending_items": q_rec_trending_items,
+        "part_content_similar": q_part_content_similar,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2853,6 +2918,46 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["rec_trending_items"] = """
+WITH r AS (
+  SELECT CAST(json_extract_string(props, 'k') AS INT) AS itemid,
+         epoch_ns(ts) AS tsn
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+tmax AS (SELECT MAX(tsn) AS tmax FROM r),
+d AS (SELECT itemid,
+             POWER(2.0, CAST(tsn - tmax AS DOUBLE) / 43200000000000.0) AS wt
+      FROM r, tmax)
+SELECT itemid, ROUND(SUM(wt), 6) AS mass,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM d GROUP BY itemid
+ORDER BY mass DESC, itemid LIMIT 20
+"""
+    o["part_content_similar"] = """
+WITH a AS (SELECT p_partkey AS k1, p_brand AS b1, p_type AS t1, p_size AS s1
+           FROM part),
+b AS (SELECT p_partkey AS k2, p_brand AS b2, p_type AS t2, p_size AS s2
+      FROM part),
+cand AS (
+  SELECT DISTINCT k1, k2, b1, b2, t1, t2, s1, s2
+  FROM a JOIN b ON (b1 = b2 OR t1 = t2) AND k1 != k2
+),
+scored AS (
+  SELECT k1 AS p_partkey, k2 AS neighbor,
+         ROUND(CAST(CASE WHEN b1 = b2 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+             + CAST(CASE WHEN t1 = t2 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+             + CAST(1.0 AS DOUBLE) / (1.0 + ABS(s1 - s2)), 6) AS score
+  FROM cand WHERE k1 < 100
+)
+SELECT p_partkey, neighbor, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT p_partkey, neighbor, score,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey
+                            ORDER BY score DESC, neighbor) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
     o["rec_similar_items"] = f"""
 WITH {ITEMCOS_MODEL_CTES.strip()},
 s AS (

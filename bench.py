@@ -107,6 +107,7 @@ HEADLINE = [
     "rec_similar_items", "events_rfm", "docs_topic_clusters",
     "events_outliers_mad", "nation_revenue_share", "rec_negative_samples",
     "rec_eval_loo_hit", "window_frame_functions", "events_histogram_eqdepth",
+    "rec_trending_items", "part_content_similar",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",
