@@ -2412,6 +2412,46 @@ def q_events_moving_avg(spark, sf_dir):
     return temporal.moving_aggregate(ev, window_ns=3600 * 10 ** 9)
 
 
+def q_events_retention_rate(spark, sf_dir):
+    """The retention CURVE: the cohort triangle normalized by each
+    cohort's size (offset-0 cell) — the percentage row a growth team
+    actually reads. One extra broadcast-size self-join over the
+    already-aggregated triangle."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    ret = funnel.cohort_retention(ev, WEEK_NS)
+    size0 = ret.where(F.col("period_offset") == 0).select(
+        "cohort_period", F.col("n_users").alias("cohort_size"))
+    return (ret.join(F.broadcast(size0), "cohort_period")
+            .select("cohort_period", "period_offset", "n_users",
+                    F.round(F.col("n_users") / F.col("cohort_size"), 6)
+                    .alias("rate")))
+
+
+def q_order_ship_lag(spark, sf_dir):
+    """Order-to-first-ship lag distribution per priority: days from
+    order date to the order's FIRST lineitem ship date — one min
+    aggregate on the fact side, a broadcast-dim join, then per-group
+    stats. Calendar-day arithmetic on DATE-cast timestamps is
+    identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"))
+    lag = (orders.join(first_ship,
+                       orders.o_orderkey == first_ship.l_orderkey)
+           .select("o_orderpriority",
+                   F.datediff(F.col("first_ship").cast("date"),
+                              F.col("o_orderdate").cast("date"))
+                   .alias("lag_days")))
+    return (lag.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("lag_days"), 6).alias("avg_days"),
+                 F.round(F.expr("percentile(lag_days, 0.5)"), 6)
+                 .alias("median_days")))
+
+
 def q_events_histogram_eqdepth(spark, sf_dir):
     """Equi-depth histogram (the ANALYZE shape PG actually stores):
     decile cut points reduce to ONE broadcast row, bucket assignment
@@ -2668,6 +2708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram_eqdepth": q_events_histogram_eqdepth,
         "rec_trending_items": q_rec_trending_items,
         "part_content_similar": q_part_content_similar,
+        "events_retention_rate": q_events_retention_rate,
+        "order_ship_lag": q_order_ship_lag,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2918,6 +2960,35 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["events_retention_rate"] = """
+WITH act AS (SELECT DISTINCT user_id,
+                    epoch_ns(ts) // 604800000000000 AS p
+             FROM events),
+c AS (SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS p0
+      FROM act),
+tri AS (SELECT p0 AS cohort_period, p - p0 AS period_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM c GROUP BY 1, 2),
+size0 AS (SELECT cohort_period, n_users AS cohort_size
+          FROM tri WHERE period_offset = 0)
+SELECT t.cohort_period, t.period_offset, t.n_users,
+       ROUND(t.n_users * CAST(1.0 AS DOUBLE) / s.cohort_size, 6) AS rate
+FROM tri t JOIN size0 s ON s.cohort_period = t.cohort_period
+"""
+    o["order_ship_lag"] = """
+WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY 1),
+lag AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(fs.first_ship AS DATE)) AS lag_days
+  FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(lag_days), 6) AS avg_days,
+       ROUND(quantile_cont(lag_days, 0.5), 6) AS median_days
+FROM lag GROUP BY o_orderpriority
+"""
     o["rec_trending_items"] = """
 WITH r AS (
   SELECT CAST(json_extract_string(props, 'k') AS INT) AS itemid,
