@@ -496,6 +496,16 @@ SELECT o_custkey, o_orderkey, o_totalprice,
 FROM orders WHERE o_custkey < 100
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
+    # PG statistical aggregates (corr / covar_samp / stddev_samp /
+    # regression slope) — single-pass, map-side-combined moments
+    "lineitem_stats_agg": """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope
+FROM lineitem GROUP BY l_returnflag
+""",
     # explicit GROUPING SETS (the general form behind rollup/cube) +
     # GROUPING() markers disambiguating real NULL group values from
     # subtotal rows — one Expand + one aggregate, same plan family as
@@ -1808,6 +1818,33 @@ def q_rec_negative_samples(spark, sf_dir):
                 F.col("item").alias("itemid"), "neg_rank")
 
 
+def q_rec_blend_topk(spark, sf_dir):
+    """Hybrid ranking: 0.8 x min-max-normalized item-CF score +
+    0.2 x normalized popularity — the production blend that keeps
+    sparse-history users from seeing pure-zero CF lists. Both
+    normalizers are one-row broadcast maxima (never a SUM() OVER ());
+    blend rounds before ranking. Top-5 per user for users < 10."""
+    from pyspark.sql import Window
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 10)
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    pop = r.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    maxes = (scores.agg(F.max("score").alias("_ms"))
+             .crossJoin(pop.agg(F.max("n").alias("_mn"))))
+    blended = (scores.join(pop, scores.itemid == pop.item)
+               .crossJoin(F.broadcast(maxes))
+               .select("userid", "itemid",
+                       F.round(F.lit(0.8) * F.col("score") / F.col("_ms")
+                               + F.lit(0.2) * F.col("n") / F.col("_mn"),
+                               6).alias("blend")))
+    w = Window.partitionBy("userid").orderBy(F.col("blend").desc(),
+                                             F.col("itemid"))
+    return (blended.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5))
+
+
 def q_rec_trending_items(spark, sf_dir):
     """Batch-side trending: per item, the half-life-decayed interaction
     mass sum(2^(-age/12h)) — recent events dominate, old ones fade
@@ -2710,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_content_similar": q_part_content_similar,
         "events_retention_rate": q_events_retention_rate,
         "order_ship_lag": q_order_ship_lag,
+        "lineitem_stats_agg": _rel_query("lineitem_stats_agg"),
+        "rec_blend_topk": q_rec_blend_topk,
         # round-7 late batch: corpus-cleaning v2 + entity resolution
         "docs_segment_dedup": q_docs_segment_dedup,
         "docs_c4_flags": q_docs_c4_flags,
@@ -2960,6 +2999,26 @@ SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
     # beyond-accuracy eval: per-user top-5 from the SAME predict SQL as
     # rec_peruser_topk (nested, its WITH shadows the outer CTEs), plus
     # the outer model CTEs for pairwise similarity
+    o["rec_blend_topk"] = f"""
+WITH {RATINGS_CTE.strip()},
+pred AS (SELECT * FROM ({_item_predict_sql(ITEMCOS_MODEL_CTES, "userid < 10", "")}) p),
+pop AS (SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ratings GROUP BY itemid),
+maxes AS (SELECT (SELECT MAX(score) FROM pred) AS ms,
+                 (SELECT MAX(n) FROM pop) AS mn),
+blended AS (
+  SELECT p.userid, p.itemid,
+         ROUND(CAST(0.8 AS DOUBLE) * p.score / ms
+             + CAST(0.2 AS DOUBLE) * pop.n / mn, 6) AS blend
+  FROM pred p JOIN pop ON pop.itemid = p.itemid, maxes
+)
+SELECT userid, itemid, blend, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT userid, itemid, blend,
+         ROW_NUMBER() OVER (PARTITION BY userid
+                            ORDER BY blend DESC, itemid) AS rank
+  FROM blended
+) t WHERE rank <= 5
+"""
     o["events_retention_rate"] = """
 WITH act AS (SELECT DISTINCT user_id,
                     epoch_ns(ts) // 604800000000000 AS p

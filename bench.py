@@ -109,6 +109,7 @@ HEADLINE = [
     "rec_eval_loo_hit", "window_frame_functions", "events_histogram_eqdepth",
     "rec_trending_items", "part_content_similar",
     "events_retention_rate", "order_ship_lag",
+    "lineitem_stats_agg", "rec_blend_topk",
     "graph_triangles", "rec_markov_next", "events_outliers",
     "docs_dsir_resample", "rec_eval_prec_at_k", "text_bpe_tokens",
     "rec_eval_ndcg",
