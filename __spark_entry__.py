@@ -2632,7 +2632,9 @@ def q_events_ewma(spark, sf_dir):
     float sum is bit-identical to the oracle's identical expression."""
     from recdb_postgresql_spark.operators import temporal
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull()))  # Spark orders nulls first,
+    # DuckDB last — exclude them like events_debounce does
     return temporal.ewma_smooth(ev, alpha=0.3, window=20)
 
 
@@ -3540,7 +3542,7 @@ new_v AS (
 SELECT COALESCE(old.doc_id, new_v.doc_id) AS doc_id,
        CASE WHEN old.doc_id IS NULL THEN 'added'
             WHEN new_v.doc_id IS NULL THEN 'removed'
-            WHEN old.text = new_v.text THEN 'unchanged'
+            WHEN old.text IS NOT DISTINCT FROM new_v.text THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new_v ON old.doc_id = new_v.doc_id
 """
@@ -3552,8 +3554,8 @@ b AS (SELECT event_type,
              quantile_cont(value, 0.95) AS hi
       FROM e GROUP BY 1)
 SELECT event_id, e.event_type, value,
-       ROUND(LEAST(GREATEST(value, lo), hi), 6) AS clipped
-FROM e JOIN b USING (event_type)
+       ROUND(COALESCE(LEAST(GREATEST(value, lo), hi), value), 6) AS clipped
+FROM e LEFT JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
 """
     # EWMA: the SAME 20 lag terms in the SAME left-associative order as
     # ewma_smooth builds them — float addition order is part of the
@@ -3568,6 +3570,7 @@ FROM e JOIN b USING (event_type)
 SELECT event_id, user_id, epoch_ns(ts) AS tsn, CAST(value AS DOUBLE) AS value,
        ROUND(({_ew_num}) / ({_ew_den}), 6) AS ewma
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
 """
     o["rec_item_cooccur"] = f"""
@@ -4819,7 +4822,9 @@ u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
 f AS (SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf,
              COUNT(*) AS n_lists
       FROM u GROUP BY 1)
-SELECT doc_id, rrf, n_lists FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+SELECT doc_id, rrf, n_lists,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
 """
     o["docs_importance_dsir"] = """
 WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks

@@ -218,12 +218,20 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     One content hash per side + one full-outer join on the id: at
     100 TB the texts themselves never co-shuffle, only (id, int64)
     rows do. Pair with ``EventStore``'s time travel to diff a table
-    against its own version N."""
-    o = old.select(F.col(id_col), hash_fn(F.col(text_col)).alias("_h_old"))
-    n = new.select(F.col(id_col), hash_fn(F.col(text_col)).alias("_h_new"))
-    status = (F.when(F.col("_h_old").isNull(), F.lit("added"))
-              .when(F.col("_h_new").isNull(), F.lit("removed"))
-              .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+    against its own version N.
+
+    Presence is carried as an explicit per-side flag (not hash
+    nullity): a document present with NULL text is still *present*, so
+    it reports changed/unchanged like any other row, and NULL-vs-NULL
+    text compares as unchanged (null-safe hash equality)."""
+    o = old.select(F.col(id_col), hash_fn(F.col(text_col)).alias("_h_old"),
+                   F.lit(True).alias("_in_old"))
+    n = new.select(F.col(id_col), hash_fn(F.col(text_col)).alias("_h_new"),
+                   F.lit(True).alias("_in_new"))
+    status = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+              .when(F.col("_in_new").isNull(), F.lit("removed"))
+              .when(F.col("_h_old").eqNullSafe(F.col("_h_new")),
+                    F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return (o.join(n, id_col, "full_outer")
             .select(id_col, status.alias("status")))

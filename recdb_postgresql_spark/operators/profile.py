@@ -80,14 +80,23 @@ def winsorize(df: DataFrame, val_col: str = "value",
     ``exact=True`` computes interpolated percentiles (a per-group sort
     — the oracle-checkable path); ``exact=False`` swaps in
     approx_percentile's constant-size sketch, the 100 TB form (same
-    switch as ``profile_table``)."""
+    switch as ``profile_table``).
+
+    NULL groups are first-class: the join is null-safe, so rows whose
+    ``group_col`` is NULL clip against the NULL group's own bounds
+    instead of silently dropping (groupBy emits a NULL-group row). A
+    row whose group has no usable bounds (e.g. all values NULL) passes
+    through unclipped rather than vanishing."""
     pct = (F.percentile(F.col(val_col), F.lit([lo, hi])) if exact
            else F.percentile_approx(F.col(val_col), F.lit([lo, hi]),
                                     F.lit(accuracy)))
     bounds = df.groupBy(group_col).agg(pct.alias("_b"))
-    bounds = bounds.select(group_col, F.col("_b")[0].alias("_lo"),
+    bounds = bounds.select(F.col(group_col).alias("_g"),
+                           F.col("_b")[0].alias("_lo"),
                            F.col("_b")[1].alias("_hi"))
     clipped = F.least(F.greatest(F.col(val_col), F.col("_lo")), F.col("_hi"))
-    return (df.join(F.broadcast(bounds), group_col)
-            .withColumn("clipped", F.round(clipped, 6))
-            .drop("_lo", "_hi"))
+    return (df.join(F.broadcast(bounds),
+                    F.col(group_col).eqNullSafe(F.col("_g")), "left")
+            .withColumn("clipped",
+                        F.round(F.coalesce(clipped, F.col(val_col)), 6))
+            .drop("_g", "_lo", "_hi"))

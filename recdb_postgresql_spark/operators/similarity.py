@@ -341,12 +341,13 @@ def rrf_fuse(rankings, k0: int = 60, k: int = 10, id_col: str = "doc_id",
                                                + F.col(rank_col))), 6)
                    .alias("rrf"),
                    F.count(F.lit(1)).alias("n_lists")))
-    if group_cols:
-        w = Window.partitionBy(*group_cols).orderBy(F.desc("rrf"),
-                                                    F.col(id_col))
-        return (scores.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k))
-    return scores.orderBy(F.desc("rrf"), F.col(id_col)).limit(k)
+    # Both branches return the SAME schema (…, rrf, n_lists, rank):
+    # downstream code must not have to rely on implicit row order,
+    # which any shuffle would destroy.
+    w = (Window.partitionBy(*group_cols) if group_cols else Window
+         .partitionBy()).orderBy(F.desc("rrf"), F.col(id_col))
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def dim_stats(emb: DataFrame, id_col: str = "vec_id",

@@ -43,6 +43,34 @@ def test_corpus_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
 
 
+def test_corpus_diff_null_text_is_presence_not_hash(spark):
+    """A NULL text is a present document: NULL-vs-NULL is unchanged,
+    NULL-vs-text is changed, and a NULL-text doc on one side only is
+    added/removed by PRESENCE, never misreported via hash nullity."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "gone"), (5, None)], SCHEMA)
+    new = spark.createDataFrame(
+        [(1, None), (2, "now text"), (4, None)], SCHEMA)
+    got = {r.doc_id: r.status
+           for r in dedup.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "removed"}
+
+
+def test_winsorize_null_group_rows_survive(spark):
+    """NULL-group rows clip against the NULL group's own bounds (null-
+    safe join) instead of silently dropping from the dataset."""
+    rows = ([(i, "a", float(i)) for i in range(1, 11)]
+            + [(100, None, 50.0), (101, None, -50.0), (102, None, 0.0)])
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r.clipped
+           for r in winsorize(df, lo=0.05, hi=0.95).collect()}
+    assert len(out) == 13                       # nothing dropped
+    # the NULL group's bounds come from its own 3 values
+    assert out[100] < 50.0 and out[101] > -50.0 and out[102] == 0.0
+
+
 def test_winsorize_clips_to_group_bounds(spark):
     rows = ([(i, "a", float(i)) for i in range(1, 101)]
             + [(200, "b", 1000.0), (201, "b", -1000.0), (202, "b", 0.0)])

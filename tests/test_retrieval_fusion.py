@@ -40,3 +40,14 @@ def test_rrf_tie_breaks_by_id(spark):
     rows = rrf_fuse([a], k0=60, k=2).collect()
     # equal rrf -> ascending doc_id first
     assert [r.doc_id for r in rows] == [3, 5]
+
+
+def test_rrf_ungrouped_schema_matches_grouped(spark):
+    """Both modes return an explicit rank column — downstream code must
+    never depend on implicit row order, which any shuffle destroys."""
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank int")
+    out = rrf_fuse([lex, sem], k0=60, k=10)
+    assert out.columns == ["doc_id", "rrf", "n_lists", "rank"]
+    ranks = {r.doc_id: r.rank for r in out.collect()}
+    assert ranks[1] == 1  # doc in both lists fuses to the top
