@@ -906,12 +906,13 @@ def q_rec_item_cooccur(spark, sf_dir):
 def q_docs_related_tfidf(spark, sf_dir):
     """Topical related-document pairs: TF-IDF cosine over each doc's
     top-5 terms — finds neighbors Jaccard dedup scores near zero.
-    top_m=5 keeps the inverted join tractable on this corpus's tiny
-    shared vocabulary (nothing is rare here — the operator's rare-term
-    sparsification has no tail to exploit, the documented dense-vocab
-    regime).
-    The sparsified (rare-term) inverted join is the index; cosines and
-    kept-term sets are rounded-then-ranked for engine portability."""
+    This corpus's tiny shared vocabulary (~31 terms) is the DENSE
+    regime, so the operator's adaptive switch pivots docs into |V|-dim
+    weight vectors and scores pairs via the block-pair BLAS matmul
+    (3x the inverted join here, which degenerates toward Sigma
+    bucket^2 rows when nothing is rare); corpora with a rare-term tail
+    take the sparsified inverted-join path instead. Cosines round
+    before the threshold in BOTH regimes — identical output."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_similar_pairs(docs, top_m=5, threshold=0.6)
 

@@ -191,7 +191,8 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
                         threshold: float = 0.2,
                         max_df: int | None = None,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        dense_vocab_max: int = 256) -> DataFrame:
     """Related-document pairs by TF-IDF cosine: (id1, id2, cos) over
     each doc's top-``top_m`` TF-IDF terms, L2-normalized — the
     "similar articles" operator, complementing the dedup family
@@ -206,7 +207,18 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
     before ranking (the stop-term cap, same role as winnowing's
     ``max_doc_freq``). Weights round to 6 BEFORE ranking and
     normalization so the kept-term sets and the final cosines are
-    engine-portable."""
+    engine-portable.
+
+    Adaptive regime choice: the inverted index wins when kept terms
+    are RARE (buckets stay small). When the post-cut vocabulary is
+    tiny (<= ``dense_vocab_max`` distinct kept terms — the dense
+    regime, where every term bucket is huge and the inverted join
+    degenerates toward Sigma bucket^2 pair rows), each doc pivots into
+    a |V|-dim dense weight vector and pairs score through the same
+    block-pair BLAS matmul layout as ``_near_dup_numpy`` (no driver
+    collect, two blocks per task). One tiny vocab-count job picks the
+    regime at build time; both paths produce identical rounded
+    cosines."""
     from pyspark.sql import Window
 
     words = (spread_small(docs)
@@ -226,7 +238,13 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
                       .alias("w")))
     rk = Window.partitionBy("id").orderBy(F.col("w").desc(), F.col("term"))
     kept = (scored.withColumn("rank", F.row_number().over(rk))
-            .where(F.col("rank") <= top_m).drop("rank"))
+            .where(F.col("rank") <= top_m).drop("rank")
+            .localCheckpoint(eager=True))  # used 3x below (norms + both
+    # join sides) — without this the whole tf/idf/window subtree
+    # recomputes per consumer
+    n_vocab = kept.select("term").distinct().count()
+    if n_vocab <= dense_vocab_max:
+        return _tfidf_pairs_dense(kept, n_vocab, threshold)
     norms = kept.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a = kept.select(F.col("id").alias("id1"), "term", F.col("w").alias("w1"))
@@ -241,6 +259,70 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
                     F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6)
                     .alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+def _tfidf_pairs_dense(kept: DataFrame, n_vocab: int,
+                       threshold: float) -> DataFrame:
+    """Dense-regime scorer for ``tfidf_similar_pairs``: (id, term, w)
+    rows pivot into |V|-dim dense weight vectors (term -> dim index by
+    sorted term order, deterministic), then every unordered block pair
+    scores through one float64 BLAS matmul per task — the same
+    replicated block-pair layout as ``dedup._near_dup_numpy`` (no
+    driver collect, each task holds two blocks). Cosine = dot / (n1 *
+    n2) rounded to 6 BEFORE the threshold, matching the sparse path's
+    output contract."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    dims = (kept.select("term").distinct()
+            .select("term", (F.row_number().over(
+                Window.partitionBy().orderBy("term")) - 1).alias("dim")))
+    vecs = (kept.join(F.broadcast(dims), "term")
+            .groupBy("id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("dim", "w"))).alias("m"))
+            .select("id", F.transform(
+                F.sequence(F.lit(0), F.lit(n_vocab - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0))).alias("v")))
+    sc = kept.sparkSession.sparkContext
+    B = max(4, math.isqrt(2 * sc.defaultParallelism))
+    base = vecs.select("id", "v", F.pmod(F.col("id"), F.lit(B)).alias("blk"))
+    pair_keys = F.array_union(
+        F.transform(F.sequence(F.col("blk"), F.lit(B - 1)),
+                    lambda j: F.concat_ws("_", F.col("blk"), j)),
+        F.transform(F.sequence(F.lit(0), F.col("blk")),
+                    lambda i: F.concat_ws("_", i, F.col("blk"))))
+    replicated = base.select("id", "v", "blk",
+                             F.explode(pair_keys).alias("pair"))
+
+    def score(key, pdf):
+        bi, bj = (int(x) for x in key[0].split("_"))
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        ids = pdf["id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        li, ri = np.where(blk == bi)[0], np.where(blk == bj)[0]
+        cos = np.round((mat[li] @ mat[ri].T)
+                       / np.maximum(np.outer(nrm[li], nrm[ri]), 1e-300), 6)
+        lid, rid = ids[li], ids[ri]
+        if bi == bj:
+            keep = (cos >= threshold) & (lid[:, None] < rid[None, :])
+            a, b = np.where(keep)
+            id1, id2 = lid[a], rid[b]
+        else:
+            keep = cos >= threshold
+            a, b = np.where(keep)
+            id1 = np.minimum(lid[a], rid[b])
+            id2 = np.maximum(lid[a], rid[b])
+        return pd.DataFrame({"id1": id1, "id2": id2, "cos": cos[a, b]})
+
+    out_schema = "id1 long, id2 long, cos double"
+    return (replicated.groupBy("pair")
+            .applyInPandas(score, schema=out_schema))
 
 
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
