@@ -119,6 +119,8 @@ HEADLINE = [
     "split_leakage_pairs", "embedding_dim_stats", "events_funnel",
     "events_cohorts", "lineitem_bloom_semijoin", "events_attribution",
     "events_moving_avg",
+    # round 8 wave 1: MERGE upsert, SCD2, exact edit-distance join
+    "events_merge_upsert", "user_state_scd2", "er_exact_editjoin",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

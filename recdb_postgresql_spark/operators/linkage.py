@@ -49,6 +49,131 @@ def blocked_matches(df: DataFrame, block_key: Column,
                     .alias("dist")))
 
 
+def edit_distance_join(df: DataFrame, id_col: str = "id",
+                       name_col: str = "name", max_dist: int = 1,
+                       q: int = 2, strategy: str = "auto") -> DataFrame:
+    """EXACT Levenshtein self-join: every (id1 < id2) pair within
+    ``max_dist`` edits — no blocking recall loss, unlike
+    ``blocked_matches`` (the heuristic-blocking twin). Output
+    (id1, id2, name1, name2, dist). Candidates always verify with the
+    codegen'd ``levenshtein``, so every strategy returns the identical
+    exact pair set; the strategies differ only in candidate volume.
+
+    strategy='deletion' (FastSS/SymSpell, auto-picked for d <= 2):
+    two strings within ``d`` edits share a member of their depth-d
+    DELETION neighborhoods (every way of deleting <= d chars), so
+    candidate generation is an equi-join on variant strings. Variant
+    buckets collapse only for true near-matches — in particular this
+    survives id-like corpora ('Customer#000012345') where EVERY q-gram
+    is common and any gram-based filter degenerates. Row blowup is
+    C(len, d) variants per string — the reason it caps at small d.
+
+    strategy='prefix' (Ed-Join-style, Xiao et al. 2008, re-derived
+    for distinct q-gram sets; auto fallback for d > 2): an edit
+    changes at most ``q`` distinct q-grams, so qualifying pairs share
+    >= |D| - q*d of either side's grams; with grams globally ordered
+    rarest-first, each string's first q*d + 1 grams as its join
+    prefix provably meets every qualifying pair whenever
+    max(|D1|, |D2|) > q*d. Strings with <= q*d distinct grams (short
+    or repetitive, where the bound collapses) brute-force against
+    themselves — any qualifying pair with one member outside that set
+    is caught by the prefix join, so the union is complete."""
+    d = int(max_dist)
+    if strategy == "auto":
+        strategy = "deletion" if d <= 2 else "prefix"
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(name_col).alias("_name"))
+    if strategy == "deletion":
+        return _edit_join_deletion(base, d)
+    return _edit_join_prefix(base, d, q)
+
+
+def _edit_join_deletion(base: DataFrame, d: int) -> DataFrame:
+    """Deletion-neighborhood candidate join (exact after verify)."""
+    if d > 2:
+        raise ValueError("deletion strategy supports max_dist <= 2 "
+                         "(variant count grows C(len, d)) — use "
+                         "strategy='prefix'")
+    name = F.col("_name")
+    L = F.length(name)
+
+    def del1(i):
+        return F.concat(name.substr(F.lit(1), i - 1),
+                        name.substr(i + 1, L))
+
+    def del2(i, j):  # delete ORIGINAL positions i < j
+        return F.concat(name.substr(F.lit(1), i - 1),
+                        name.substr(i + 1, j - i - 1),
+                        name.substr(j + 1, L))
+
+    pos = F.filter(F.sequence(F.lit(1), F.greatest(L, F.lit(1))),
+                   lambda i: i <= L)
+    variants = F.concat(F.array(name), F.transform(pos, del1))
+    if d >= 2:
+        pairs = F.flatten(F.transform(pos, lambda i: F.transform(
+            F.filter(pos, lambda j: j > i), lambda j: del2(i, j))))
+        variants = F.concat(variants, pairs)
+    v = base.select("_id", "_name",
+                    F.explode(F.array_distinct(variants)).alias("g"))
+    a = v.select("g", F.col("_id").alias("id1"),
+                 F.col("_name").alias("name1"))
+    b = v.select("g", F.col("_id").alias("id2"),
+                 F.col("_name").alias("name2"))
+    cand = (a.join(b, "g").where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "name1", "name2").distinct())
+    dist = F.levenshtein("name1", "name2")
+    return (cand.where(dist <= d)
+            .select("id1", "id2", "name1", "name2",
+                    dist.cast("int").alias("dist")))
+
+
+def _edit_join_prefix(base: DataFrame, d: int, q: int) -> DataFrame:
+    """Rarest-first q-gram prefix candidate join (exact after verify),
+    plus the short/repetitive brute-force residue."""
+    from pyspark.sql import Window
+
+    prefix_n = q * d + 1
+    n = F.length("_name")
+    idx = F.sequence(F.lit(1), F.greatest(n - q + 1, F.lit(1)))
+    grams = (base.select("_id", "_name",
+                         F.explode(F.array_distinct(F.transform(
+                             idx,
+                             lambda i: F.col("_name").substr(i, F.lit(q))
+                         ))).alias("g")))
+    # global rarest-first gram order (df asc, gram asc) — determines
+    # the prefix deterministically and keeps join buckets smallest
+    gfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
+    rk = Window.partitionBy("_id").orderBy("_gdf", "g")
+    ranked = (grams.join(gfreq, "g")
+              .withColumn("_rn", F.row_number().over(rk)))
+    sizes = ranked.groupBy("_id").agg(F.max("_rn").alias("_nd"))
+    pref = (ranked.where(F.col("_rn") <= prefix_n)
+            .select("g", "_id", "_name"))
+    a = pref.select("g", F.col("_id").alias("id1"),
+                    F.col("_name").alias("name1"))
+    b = pref.select("g", F.col("_id").alias("id2"),
+                    F.col("_name").alias("name2"))
+    cand = (a.join(b, "g").where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "name1", "name2")
+            .distinct())
+    # short/repetitive residue: strings with <= q*d distinct grams —
+    # any pair the prefix join can miss has BOTH members here
+    shorts = (base.join(sizes, "_id", "left")
+              .where(F.coalesce(F.col("_nd"), F.lit(0)) <= q * d)
+              .select("_id", "_name"))
+    sa = shorts.select(F.col("_id").alias("id1"),
+                       F.col("_name").alias("name1"))
+    sb = shorts.select(F.col("_id").alias("id2"),
+                       F.col("_name").alias("name2"))
+    scand = (sa.crossJoin(sb).where(F.col("id1") < F.col("id2")))
+    dist = F.levenshtein("name1", "name2")
+    return (cand.unionByName(scand).distinct()
+            .where(F.abs(F.length("name1") - F.length("name2")) <= d)
+            .where(dist <= d)
+            .select("id1", "id2", "name1", "name2",
+                    dist.cast("int").alias("dist")))
+
+
 def best_match(matches: DataFrame) -> DataFrame:
     """(id1, id2, dist): keep each left id's single best match
     (smallest distance, then smallest id2) — the assignment step after

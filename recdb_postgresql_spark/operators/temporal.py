@@ -433,6 +433,45 @@ def ewma_smooth(events: DataFrame, alpha: float = 0.3, window: int = 20,
                        F.round(num / den, 6).alias("ewma"))
 
 
+def scd2_build(changes: DataFrame, key_cols, ts_col: str,
+               attr_cols, order_cols=()) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a change log: one row per
+    (key, attribute-state) validity interval — (keys..., attrs...,
+    valid_from, valid_to, is_current), with ``valid_to`` the next
+    state's start (exclusive; NULL = open) and consecutive no-change
+    events collapsed. The standard warehouse shape for "what was this
+    entity's state at time T" joins (pair with ``interval_join``).
+
+    Attribute comparison is null-safe (NULL -> value IS a change,
+    NULL -> NULL is not). ``order_cols`` breaks same-timestamp ties
+    deterministically (pass the change log's id column).
+
+    Scale shape: one shuffle on the keys, two window passes over the
+    same (key, ts) sort — change detection (lag) then interval close
+    (lead) — with the filter between them running map-side. No join,
+    no collect; hot-key bound is the usual single-key-sorts-in-one-
+    task caveat shared with every keyed window here."""
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    order_cols = list(order_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    first = F.lag(F.lit(1)).over(w).isNull()
+    diffs = [~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+             for a in attr_cols]
+    changed = first
+    for d in diffs:
+        changed = changed | d
+    kept = (changes
+            .select(*key_cols, ts_col, *order_cols, *attr_cols)
+            .withColumn("_chg", changed)
+            .where(F.col("_chg")).drop("_chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    return (kept
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop(ts_col, *order_cols))
+
+
 def moving_aggregate(events: DataFrame, window_ns: int,
                      key_col: str = "user_id", ts_col: str = "ts",
                      val_col: str = "value",

@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Mapping, Optional
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -254,6 +254,65 @@ class EventStore:
         d = self._new_dir("update")
         df.select(*cols).write.mode("overwrite").parquet(os.path.join(self.path, d))
         self._commit([d])
+
+    def merge(self, source: DataFrame, keys: Sequence[str],
+              update_cols: Optional[Sequence[str]] = None,
+              insert: bool = True,
+              delete_col: Optional[str] = None) -> None:
+        """MERGE INTO (upsert) — the canonical CDC-ingest statement:
+        matched keys update, unmatched source rows insert, source
+        tombstones (``delete_col`` true) delete. Semantics are
+        ``operators.dml.merge_into``'s (including the unique-source-key
+        precondition); this method applies them transactionally via
+        the same copy-on-write commit as update/delete.
+
+        Partitioned stores rewrite ONLY affected partitions: the ones
+        holding a matched key (one semi-join to discover) plus the
+        ones the source itself lands rows in — untouched partitions'
+        files stay byte-identical. The partition column cannot be an
+        update target (rows would change partition) — delete + insert
+        instead, same rule as ``update``."""
+        from recdb_postgresql_spark.operators.dml import merge_into
+
+        keys = list(keys)
+        if not self.partition_col:
+            merged = merge_into(self.read(), source, keys, update_cols,
+                                insert, delete_col)
+            d = self._new_dir("merge")
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.path, d))
+            self._commit([d])
+            return
+        if update_cols is not None and self.partition_col in update_cols:
+            raise ValueError(
+                f"updating the partition column {self.partition_col!r} "
+                "moves rows across partitions — use delete + append")
+        if update_cols is None:
+            update_cols = [c for c in source.columns
+                           if c in self.read().columns
+                           and c not in keys and c != delete_col
+                           and c != self.partition_col]
+        tgt = self.read()
+        pcol = F.col(self.partition_col).cast("string").alias("_p")
+        matched_vals = (tgt.join(source.select(*keys).distinct(),
+                                 keys, "left_semi")
+                        .select(pcol).distinct().collect())
+        source_vals = source.select(pcol).distinct().collect()
+        vals = sorted({"__HIVE_DEFAULT_PARTITION__" if r["_p"] is None
+                       else r["_p"] for r in matched_vals + source_vals})
+        m = self._manifest()
+        existing = [v for v in vals if v in m["parts"]]
+        sub = self._read_parts(existing) if existing else tgt.limit(0)
+        merged = merge_into(sub, source, keys, update_cols,
+                            insert, delete_col)
+        moved = self._write_parts(merged, "merge")
+        m = self._manifest()
+        for val in vals:
+            if val in moved:
+                m["parts"][val] = [moved[val]]
+            else:
+                m["parts"].pop(val, None)  # partition emptied by merge
+        self._write_manifest(m)
 
     # -- maintenance ---------------------------------------------------
     def compact(self) -> None:

@@ -1,0 +1,184 @@
+"""Round-7 wave 1: MERGE upsert (pure transform + EventStore apply),
+SCD Type-2 build, and the exact edit-distance join."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators.dml import merge_into
+from recdb_postgresql_spark.operators.linkage import edit_distance_join
+from recdb_postgresql_spark.operators.temporal import scd2_build
+from recdb_postgresql_spark.sources.event_store import EventStore
+
+T_SCHEMA = "k long, name string, v double"
+
+
+def test_merge_into_full_matrix(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], T_SCHEMA)
+    source = spark.createDataFrame(
+        [(2, "B", 20.0, False),   # matched update
+         (3, None, 0.0, True),    # matched tombstone -> drop
+         (4, "d", 4.0, False),    # insert
+         (5, None, 0.0, True)],   # source-only tombstone -> no-op
+        "k long, name string, v double, is_del boolean")
+    out = {r.k: (r.name, r.v)
+           for r in merge_into(target, source, ["k"],
+                               delete_col="is_del").collect()}
+    assert out == {1: ("a", 1.0), 2: ("B", 20.0), 4: ("d", 4.0)}
+
+
+def test_merge_into_null_key_upserts_not_duplicates(spark):
+    target = spark.createDataFrame([(None, "x", 1.0), (1, "a", 1.0)],
+                                   T_SCHEMA)
+    source = spark.createDataFrame([(None, "X", 9.0)], T_SCHEMA)
+    out = {r.k: (r.name, r.v)
+           for r in merge_into(target, source, ["k"]).collect()}
+    # the NULL key MATCHED (null-safe) and updated in place
+    assert out == {None: ("X", 9.0), 1: ("a", 1.0)}
+
+
+def test_merge_into_insert_false_and_partial_update_cols(spark):
+    target = spark.createDataFrame([(1, "a", 1.0)], T_SCHEMA)
+    source = spark.createDataFrame([(1, "Z", 9.0), (2, "n", 5.0)],
+                                   T_SCHEMA)
+    rows = merge_into(target, source, ["k"], update_cols=["v"],
+                      insert=False).collect()
+    assert [(r.k, r.name, r.v) for r in rows] == [(1, "a", 9.0)]
+
+
+def test_merge_into_rejects_unknown_update_col(spark):
+    target = spark.createDataFrame([(1, "a", 1.0)], T_SCHEMA)
+    source = spark.createDataFrame([(1, "b", 2.0)], T_SCHEMA)
+    with pytest.raises(ValueError, match="update_cols"):
+        merge_into(target, source, ["k"], update_cols=["ghost"])
+
+
+SCHEMA = "userid long, itemid long, ratingval double"
+
+
+def test_event_store_merge_unpartitioned(spark, tmp_path):
+    s = EventStore(spark, str(tmp_path / "ev"))
+    s.append(spark.createDataFrame(
+        [(1, 10, 4.0), (1, 20, 2.0), (2, 10, 5.0)], SCHEMA))
+    src = spark.createDataFrame(
+        [(1, 10, 1.0, False), (2, 10, 0.0, True), (3, 30, 3.0, False)],
+        "userid long, itemid long, ratingval double, is_del boolean")
+    v0 = s.version
+    s.merge(src, ["userid", "itemid"], delete_col="is_del")
+    rows = {(r.userid, r.itemid): r.ratingval for r in s.read().collect()}
+    assert rows == {(1, 10): 1.0, (1, 20): 2.0, (3, 30): 3.0}
+    # transactional: old snapshot still time-travelable
+    assert s.read(version=v0).count() == 3
+
+
+def test_event_store_merge_partition_scoped(spark, tmp_path):
+    s = EventStore(spark, str(tmp_path / "pev"), partition_col="userid")
+    s.append(spark.createDataFrame(
+        [(1, 10, 4.0), (2, 10, 5.0), (3, 30, 1.0)], SCHEMA))
+
+    def mtimes():
+        out = {}
+        for dirpath, _d, files in os.walk(str(tmp_path / "pev")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = {p: t for p, t in mtimes().items() if "part=3" in p}
+    src = spark.createDataFrame(
+        [(1, 10, 9.0, False), (4, 40, 4.0, False), (2, 10, 0.0, True)],
+        "userid long, itemid long, ratingval double, is_del boolean")
+    s.merge(src, ["userid", "itemid"], delete_col="is_del")
+    rows = {(r.userid, r.itemid): r.ratingval for r in s.read().collect()}
+    assert rows == {(1, 10): 9.0, (3, 30): 1.0, (4, 40): 4.0}
+    # untouched partition's files are byte-identical on disk
+    after = {p: t for p, t in mtimes().items() if "part=3" in p}
+    assert before == after and before
+
+
+def test_event_store_merge_rejects_partition_col_update(spark, tmp_path):
+    s = EventStore(spark, str(tmp_path / "pev2"), partition_col="userid")
+    s.append(spark.createDataFrame([(1, 10, 4.0)], SCHEMA))
+    with pytest.raises(ValueError, match="partition column"):
+        s.merge(spark.createDataFrame([(1, 10, 5.0)], SCHEMA),
+                ["itemid"], update_cols=["userid"])
+
+
+def test_scd2_collapses_and_closes_intervals(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, 1, "free"), (1, 200, 2, "free"),   # no-change collapsed
+         (1, 300, 3, "paid"), (1, 400, 4, None),     # paid -> NULL = change
+         (1, 500, 5, None),                          # NULL -> NULL = same
+         (2, 100, 6, "paid")],
+        "user_id long, ts long, event_id long, state string")
+    rows = sorted(
+        scd2_build(ev, ["user_id"], "ts", ["state"],
+                   order_cols=["event_id"]).collect(),
+        key=lambda r: (r.user_id, r.valid_from))
+    got = [(r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+           for r in rows]
+    assert got == [(1, "free", 100, 300, False),
+                   (1, "paid", 300, 400, False),
+                   (1, None, 400, None, True),
+                   (2, "paid", 100, None, True)]
+
+
+def test_scd2_same_ts_ties_break_by_order_col(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, 2, "b"), (1, 100, 1, "a")],
+        "user_id long, ts long, event_id long, state string")
+    rows = sorted(scd2_build(ev, ["user_id"], "ts", ["state"],
+                             order_cols=["event_id"]).collect(),
+                  key=lambda r: r.valid_from is None)
+    assert [(r.state, r.is_current) for r in rows] == [("a", False),
+                                                       ("b", True)]
+
+
+def _brute(spark, df, d):
+    a = df.select(F.col("id").alias("id1"), F.col("name").alias("n1"))
+    b = df.select(F.col("id").alias("id2"), F.col("name").alias("n2"))
+    return {(r.id1, r.id2) for r in
+            a.crossJoin(b)
+            .where((F.col("id1") < F.col("id2"))
+                   & (F.levenshtein("n1", "n2") <= d)).collect()}
+
+
+@pytest.mark.parametrize("d,q,strategy", [
+    (1, 2, "deletion"), (2, 2, "deletion"),
+    (1, 2, "prefix"), (2, 2, "prefix"), (2, 3, "prefix"),
+    (3, 2, "prefix"),
+])
+def test_edit_distance_join_exact_vs_bruteforce(spark, d, q, strategy):
+    """Deterministic battery over a nasty little universe: short
+    strings, highly repetitive strings ('aaaa' has ONE distinct gram),
+    near-misses, and a shared-prefix family — every pair the brute
+    force finds, the prefix-filtered plan must find."""
+    names = ["a", "ab", "abc", "aaaa", "aaab", "aaaaaaa", "banana",
+             "banane", "bananas", "kitten", "sitten", "sittin",
+             "prefix_000", "prefix_001", "prefix_010", "prefix_100",
+             "xyz", "", "zzzz", "zzzy"]
+    df = spark.createDataFrame(list(enumerate(names)),
+                               "id long, name string")
+    got = {(r.id1, r.id2) for r in
+           edit_distance_join(df, "id", "name", max_dist=d, q=q,
+                              strategy=strategy).collect()}
+    assert got == _brute(spark, df, d)
+
+
+def test_edit_distance_join_deletion_caps_at_two(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, name string")
+    with pytest.raises(ValueError, match="max_dist <= 2"):
+        edit_distance_join(df, max_dist=3, strategy="deletion")
+
+
+def test_edit_distance_join_emits_verified_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "sitting")],
+        "id long, name string")
+    rows = {(r.id1, r.id2): r.dist
+            for r in edit_distance_join(df, "id", "name",
+                                        max_dist=2, q=2).collect()}
+    assert rows == {(1, 2): 1, (2, 3): 2}
