@@ -1758,6 +1758,47 @@ def q_rec_popular_topk(spark, sf_dir):
                     F.col("n_raters").cast("long").alias("n_raters")))
 
 
+def q_rec_baseline_topk(spark, sf_dir):
+    """Damped-mean bias baseline (Koren's b_ui = mu + b_u + b_i):
+    the model every factor method benchmarks against, and — unlike
+    SVD/ALS — fully SQL-expressible, so the whole model train +
+    serve is hash-checked. Exact bounded-candidate serve: rankings
+    are the same item-bias order for every user, so the global top
+    (k + max-ratings-per-user) items by bias are a provably
+    sufficient candidate set (operators/cf.bias_baseline_topk)."""
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    users = r.select("user").where(F.col("user") < 20).distinct()
+    return (cf_ops.bias_baseline_topk(r, users, k=10, damping=5.0)
+            .select(F.col("user").alias("userid"),
+                    F.col("item").alias("itemid"), "score"))
+
+
+def q_rec_mmr_rerank(spark, sf_dir):
+    """Serving-side diversity: item-cos top-50 candidates per user
+    (< 20) re-ranked to top-10 by greedy Maximal Marginal Relevance
+    (lam=0.7, item embeddings as the similarity space) — sequential
+    in k, parallel across users via one Arrow applyInPandas; ties by
+    item id. No DuckDB oracle (greedy argmax chain is not
+    SQL-expressible) — hand-checked cases + determinism pinned in
+    tests/test_mmr.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # per-user candidate lists (recommend()'s k is the reference's
+    # GLOBAL LIMIT — per-user truncation happens here via one window)
+    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 20)
+    w = Window.partitionBy("userid").orderBy(F.col("score").desc(),
+                                             F.col("itemid"))
+    cand = (scores.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 50).drop("_rn"))
+    return similarity.mmr_rerank(
+        cand, emb, k=10, lam=0.7,
+        user_col="userid", item_col="itemid", score_col="score") \
+        .select(F.col("user").alias("userid"),
+                F.col("item").alias("itemid"), "score", "mmr_rank")
+
+
 def _eval_split(spark, sf_dir):
     """The rec_eval_* family's shared scaffold: 80/20 hash split by
     (user, item), eval users < 200, item-cos model trained on the
@@ -2779,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_merge_upsert": q_events_merge_upsert,
         "user_state_scd2": q_user_state_scd2,
         "er_exact_editjoin": q_er_exact_editjoin,
+        "rec_baseline_topk": q_rec_baseline_topk,
+        "rec_mmr_rerank": q_rec_mmr_rerank,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5338,6 +5381,32 @@ unrated AS (SELECT g.* FROM grid g LEFT JOIN ratings r
 SELECT userid, itemid, n_raters FROM unrated
 QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
                            ORDER BY n_raters DESC, itemid) <= 10
+"""
+    # bias baseline: the SAME expression tree as cf.train_bias_baseline
+    # (sum(r - mu), not sum(r) - n*mu — float expression order is part
+    # of the contract), damping literals CAST to DOUBLE (DuckDB bare
+    # 5.0 is DECIMAL); the oracle ranks the FULL user x item grid while
+    # the engine uses the bounded candidate cut — same rounded result
+    o["rec_baseline_topk"] = "WITH " + _ratings_cte + """,
+mu AS (SELECT AVG(rating) AS mu FROM ratings),
+bi AS (SELECT itemid,
+              SUM(rating - mu) / (COUNT(*) + CAST(5.0 AS DOUBLE)) AS b_i
+       FROM ratings, mu GROUP BY itemid, mu.mu),
+bu AS (SELECT userid,
+              SUM(rating - mu - b_i) / (COUNT(*) + CAST(5.0 AS DOUBLE)) AS b_u
+       FROM ratings JOIN bi USING (itemid), mu GROUP BY userid, mu.mu),
+users AS (SELECT DISTINCT userid FROM ratings WHERE userid < 20),
+grid AS (SELECT u.userid, b.itemid,
+                ROUND(mu.mu + COALESCE(bu.b_u, CAST(0.0 AS DOUBLE))
+                      + b.b_i, 6) AS score
+         FROM users u CROSS JOIN bi b CROSS JOIN mu
+         LEFT JOIN bu ON bu.userid = u.userid),
+unrated AS (SELECT g.* FROM grid g LEFT JOIN ratings r
+            ON r.userid = g.userid AND r.itemid = g.itemid
+            WHERE r.itemid IS NULL)
+SELECT userid, itemid, score FROM unrated
+QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
+                           ORDER BY score DESC, itemid) <= 10
 """
     # the eval family (RMSE / P,R@10 / NDCG@10) shares ONE split+model
     # CTE chunk and ONE grid->topk chunk, mirroring the shared Python

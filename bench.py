@@ -121,6 +121,8 @@ HEADLINE = [
     "events_moving_avg",
     # round 8 wave 1: MERGE upsert, SCD2, exact edit-distance join
     "events_merge_upsert", "user_state_scd2", "er_exact_editjoin",
+    # round 8 wave 2: bias baseline + MMR diversity re-rank
+    "rec_baseline_topk", "rec_mmr_rerank",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -395,6 +395,67 @@ def negative_samples(ratings: DataFrame, k: int = 3,
             .select("user", "item", "neg_rank"))
 
 
+def train_bias_baseline(ratings: DataFrame, damping: float = 5.0):
+    """The classic damped-mean baseline predictor (Koren's b_ui):
+    mu (global mean), item bias b_i = sum(r - mu) / (n_i + damping),
+    user bias b_u = sum(r - mu - b_i) / (n_u + damping);
+    predict(u, i) = mu + b_u + b_i. The model every factor method is
+    benchmarked against — and the right cheap fallback between pure
+    popularity and a full CF model (it personalizes LEVEL, not
+    ranking). Returns (mu_df, item_bias_df, user_bias_df).
+
+    Scale shape: one global aggregate (broadcast one-row mu), one
+    item aggregate, one join + user aggregate — three shuffles total,
+    all partial-aggregated map-side; no window, no collect. Fully
+    SQL-expressible, so the whole model is oracle-checkable (unlike
+    SVD/ALS)."""
+    mu = ratings.agg(F.avg("rating").alias("mu"))
+    with_mu = ratings.crossJoin(F.broadcast(mu))
+    bi = (with_mu.groupBy("item")
+          .agg((F.sum(F.col("rating") - F.col("mu"))
+                / (F.count(F.lit(1)) + F.lit(float(damping))))
+               .alias("b_i")))
+    bu = (with_mu.join(bi, "item")
+          .groupBy("user")
+          .agg((F.sum(F.col("rating") - F.col("mu") - F.col("b_i"))
+                / (F.count(F.lit(1)) + F.lit(float(damping))))
+               .alias("b_u")))
+    return mu, bi, bu
+
+
+def bias_baseline_topk(ratings: DataFrame, users: DataFrame,
+                       k: int = 10, damping: float = 5.0) -> DataFrame:
+    """(user, item, score): top-k unrated items per user under the
+    bias baseline. Because score = mu + b_u + b_i and b_u is constant
+    within a user, every user's ranking is the SAME item-bias order —
+    so the exact candidate set is the global top ``k + c`` items by
+    b_i (c = max ratings per user, the popularity_topk bound): even
+    the heaviest rater cannot exclude enough candidates to starve
+    their top-k. Candidates broadcast; per-user work is one anti-join
+    and a bounded window. Scores round to 6 before ranking (ties by
+    ascending item) for engine portability."""
+    from pyspark.sql import Window
+
+    mu, bi, bu = train_bias_baseline(ratings, damping)
+    c = (ratings.groupBy("user").agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.max("n")).collect()[0][0] or 0)
+    cand = (bi.orderBy(F.desc("b_i"), F.col("item"))
+            .limit(k + int(c)))
+    grid = (users.join(bu, "user", "left")
+            .crossJoin(F.broadcast(cand))
+            .crossJoin(F.broadcast(mu)))
+    unrated = grid.join(ratings.select("user", "item"),
+                        ["user", "item"], "left_anti")
+    score = F.round(F.col("mu") + F.coalesce(F.col("b_u"), F.lit(0.0))
+                    + F.col("b_i"), 6)
+    w = Window.partitionBy("user").orderBy(F.desc("score"),
+                                           F.col("item"))
+    return (unrated.withColumn("score", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("user", "item", "score"))
+
+
 def popularity_topk(ratings: DataFrame, users: DataFrame,
                     k: int = 10) -> DataFrame:
     """(user, item, n_raters): cold-start fallback recommender — rank

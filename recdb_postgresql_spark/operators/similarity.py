@@ -350,6 +350,70 @@ def rrf_fuse(rankings, k0: int = 60, k: int = 10, id_col: str = "doc_id",
             .where(F.col("rank") <= k))
 
 
+def mmr_rerank(candidates: DataFrame, item_vecs: DataFrame,
+               k: int = 10, lam: float = 0.7,
+               user_col: str = "user", item_col: str = "item",
+               score_col: str = "score",
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Greedy Maximal Marginal Relevance re-rank (Carbonell &
+    Goldstein): per user, iteratively select the candidate maximizing
+    ``lam * score - (1 - lam) * max cosine to the already-selected``
+    — the standard diversity pass between a recommender's top-N and
+    the page it serves (a plain top-k happily shows ten near-identical
+    items). Output (user, item, score, mmr_rank), rank 1..k.
+
+    Greedy selection is inherently sequential IN k but embarrassingly
+    parallel ACROSS users: one join attaches each candidate's vector,
+    then an Arrow-batched applyInPandas runs the tiny O(k * n_cand * d)
+    greedy per user — no driver collect, state bounded by one user's
+    candidate list. Deterministic: ties break by ascending item id;
+    callers should pre-normalize scores if they want ``lam`` to mean
+    the same thing across models. Not SQL-expressible (sequential
+    argmax chain) — pinned by hand-checked pytest cases instead of a
+    DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = item_vecs.select(F.col(id_col).alias("item"),
+                            F.col(vec_col).alias("_v"))
+    joined = candidates.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item"),
+        F.col(score_col).alias("score")).join(vecs, "item")
+
+    def greedy(pdf):
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-300)
+        # deterministic processing order: item id ascending
+        order = np.argsort(pdf["item"].to_numpy(), kind="stable")
+        items = pdf["item"].to_numpy()[order]
+        scores = pdf["score"].to_numpy()[order]
+        mat = mat[order]
+        n = len(items)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        free = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            obj = lam * scores - (1.0 - lam) * max_sim
+            obj[~free] = -np.inf
+            best = int(np.argmax(obj))  # argmax takes FIRST max ->
+            free[best] = False          # lowest item id on ties
+            picked.append(best)
+            sims = mat @ mat[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame({
+            "user": pdf["user"].iloc[0],
+            "item": items[picked],
+            "score": scores[picked],
+            "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+        })
+
+    return joined.groupBy("user").applyInPandas(
+        greedy, schema="user long, item long, score double, "
+                       "mmr_rank int")
+
+
 def dim_stats(emb: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     """(dim, mean, std, min_val, max_val): per-dimension profile of an

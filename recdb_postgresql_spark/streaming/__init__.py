@@ -1,4 +1,5 @@
 from recdb_postgresql_spark.streaming.ingest import (StreamingIndexDeduper,
+                                                     StreamingMerger,
                                                      StreamingNearDupDeduper)
 from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
 from recdb_postgresql_spark.streaming.rollup import (count_milestones,
@@ -8,6 +9,6 @@ from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      trending_items)
 
 __all__ = ["StreamingMaintainer", "StreamingIndexDeduper",
-           "StreamingNearDupDeduper", "hourly_rollup",
+           "StreamingMerger", "StreamingNearDupDeduper", "hourly_rollup",
            "sessionize", "count_milestones", "dedup_stream",
            "trending_items"]

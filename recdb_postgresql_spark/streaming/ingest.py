@@ -163,3 +163,52 @@ class StreamingNearDupDeduper:
         self.survivor_count += n_sur
         self.dropped_count += batch_df.count() - n_sur
         return survivors
+
+
+class StreamingMerger:
+    """Streaming CDC apply: each micro-batch of change rows (upserts +
+    ``delete_col`` tombstones) MERGEs into an ``EventStore`` through
+    ``writeStream.foreachBatch(merger.on_batch)`` — the standard
+    "CDC stream -> warehouse table" sink (Debezium-style feeds).
+
+    Each batch is ONE transactional ``EventStore.merge`` commit
+    (partition-scoped copy-on-write when the store is partitioned),
+    so readers never observe a half-applied batch and time travel
+    steps batch by batch. A batch may contain several changes to the
+    SAME key; ``merge`` requires unique source keys, so the batch is
+    first collapsed to its LAST change per key, ordered by
+    ``seq_col`` (the CDC sequence / log offset — REQUIRED: relying on
+    arrival order inside a shuffled batch would be nondeterministic).
+
+    Exactly-once: checkpoint-recovery re-delivers a batch whose merge
+    already committed; re-merging the same collapsed changes is
+    idempotent on table STATE (same final rows), so the sink is
+    effectively exactly-once for state even though the commit log
+    gains a duplicate version."""
+
+    def __init__(self, store, keys, seq_col: str,
+                 update_cols=None, insert: bool = True,
+                 delete_col: Optional[str] = None):
+        self.store = store
+        self.keys = list(keys)
+        self.seq_col = seq_col
+        self.update_cols = update_cols
+        self.insert = insert
+        self.delete_col = delete_col
+        self.batches = 0
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: Optional[int] = None) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col(self.seq_col).desc())
+        last = (batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn", self.seq_col)
+                .localCheckpoint())  # materialize BEFORE merge mutates
+        # the manifest the lazy plan would re-read
+        if last.rdd.isEmpty():
+            return
+        self.store.merge(last, self.keys, update_cols=self.update_cols,
+                         insert=self.insert, delete_col=self.delete_col)
+        self.batches += 1

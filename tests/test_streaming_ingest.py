@@ -132,3 +132,52 @@ def test_neardup_deduper_through_real_stream(spark, tmp_path):
     assert {r.doc_id for r in clean.collect()} == {31}
     for suf in ("_bands", "_sh"):
         spark.sql(f"DROP TABLE nd_idx_s{suf}")
+
+
+def test_streaming_merger_batches_and_real_stream(spark, tmp_path):
+    """CDC micro-batches MERGE into an EventStore: last-change-per-key
+    collapse inside a batch, tombstones delete, one commit per batch;
+    then the same contract through a real availableNow stream."""
+    from recdb_postgresql_spark.sources.event_store import EventStore
+    from recdb_postgresql_spark.streaming import StreamingMerger
+
+    cdc = ("userid long, itemid long, ratingval double, "
+           "seq long, is_del boolean")
+    store = EventStore(spark, str(tmp_path / "ev"))
+    store.append(spark.createDataFrame(
+        [(1, 10, 4.0), (2, 10, 5.0)],
+        "userid long, itemid long, ratingval double"))
+    merger = StreamingMerger(store, ["userid", "itemid"], seq_col="seq",
+                             delete_col="is_del")
+
+    # same key changed twice in one batch: seq order wins, not arrival
+    b1 = spark.createDataFrame(
+        [(1, 10, 9.0, 2, False), (1, 10, 7.0, 1, False),
+         (3, 30, 3.0, 1, False)], cdc)
+    merger.on_batch(b1)
+    rows = {(r.userid, r.itemid): r.ratingval for r in store.read().collect()}
+    assert rows == {(1, 10): 9.0, (2, 10): 5.0, (3, 30): 3.0}
+
+    # update-then-tombstone for one key: the LAST change (tombstone)
+    # applies; an empty batch is a no-op commit-wise
+    b2 = spark.createDataFrame(
+        [(2, 10, 6.0, 1, False), (2, 10, 0.0, 2, True)], cdc)
+    merger.on_batch(b2)
+    merger.on_batch(spark.createDataFrame([], cdc))
+    rows = {(r.userid, r.itemid): r.ratingval for r in store.read().collect()}
+    assert rows == {(1, 10): 9.0, (3, 30): 3.0}
+    assert merger.batches == 2
+
+    # real stream wiring: one more CDC file applied via foreachBatch
+    incoming = tmp_path / "cdc_in"
+    spark.createDataFrame([(4, 40, 4.0, 1, False),
+                           (1, 10, 0.0, 1, True)], cdc) \
+        .write.parquet(str(incoming))
+    q = (spark.readStream.schema(cdc).parquet(str(incoming))
+         .writeStream.foreachBatch(merger.on_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    rows = {(r.userid, r.itemid): r.ratingval for r in store.read().collect()}
+    assert rows == {(3, 30): 3.0, (4, 40): 4.0}
