@@ -1688,6 +1688,66 @@ def q_graph_pagerank(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def q_docs_quality_classifier(spark, sf_dir):
+    """fastText-style model-based corpus filter, trained by
+    DISTILLATION (the CCNet recipe: an expensive/multi-factor signal
+    becomes a cheap linear model): weak label = heuristic
+    quality_score >= 0.75, hashed-BoW logistic regression fit on the
+    %5 != 0 docs, scoring the held-out %5 == 0 docs map-side
+    (broadcast coefficients, no shuffle — plan-pinned). Rows-only by
+    nature (iterative L-BFGS); holdout accuracy pinned in
+    tests/test_classifier.py."""
+    from recdb_postgresql_spark.operators import classifier
+
+    raw = load_table(spark, sf_dir, "documents")
+    docs = raw.join(
+        text.quality_score(raw).select(
+            "doc_id", (F.col("quality") >= 0.75).cast("double")
+            .alias("label")), "doc_id")
+    model = classifier.train_quality_classifier(
+        docs.where(F.col("doc_id") % 5 != 0), "label")
+    held = docs.where(F.col("doc_id") % 5 == 0)
+    return classifier.score_quality(model, held) \
+        .join(held.select("doc_id", "label"), "doc_id") \
+        .select("doc_id", F.col("label").cast("int").alias("label"),
+                "quality_prob")
+
+
+def q_ann_pca_topk(spark, sf_dir):
+    """ANN in a PCA-reduced space: 64-dim embeddings projected to 16
+    PCA components (one Arrow partial-moments pass + driver-side d x d
+    eigh — the data never leaves executors), then exact cosine top-10
+    for the doc-0 query IN THE REDUCED SPACE — 4x less per-pair
+    arithmetic for every downstream ANN operator. Rows-only by nature
+    (eigendecomposition is not SQL-expressible); recall vs the
+    full-space ranking and the PCA invariants are pinned in
+    tests/test_reduction.py."""
+    from recdb_postgresql_spark.operators import reduction
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = reduction.pca_fit(emb, k=16)
+    proj = reduction.pca_project(emb, mean, comps)
+    q0 = proj.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("pvec").alias("qvec"))
+    return similarity.brute_force_topk(proj, q0, k=10,
+                                       vec_col="pvec") \
+        .select("vec_id", "cos", "rank")
+
+
+def q_graph_bfs_hops(spark, sf_dir):
+    """Level-synchronous BFS over the exact near-dup graph: minimum
+    hop distance from the %97 seed documents (duplication blast
+    radius) — Pregel frontier expansion, early exit on an empty
+    frontier, max_hops=6 matching the oracle's recursive-CTE depth
+    guard (operators/graph.bfs_distances)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    sources = docs.where(F.col("doc_id") % 97 == 0) \
+        .select(F.col("doc_id").alias("id"))
+    return graph.bfs_distances(pairs, sources, max_hops=6) \
+        .withColumnRenamed("id", "doc_id")
+
+
 def q_events_profile(spark, sf_dir):
     """ANALYZE analog: per-column statistics (counts, distincts,
     min/max/mean, exact quartiles) for the events table in ONE
@@ -2822,6 +2882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_exact_editjoin": q_er_exact_editjoin,
         "rec_baseline_topk": q_rec_baseline_topk,
         "rec_mmr_rerank": q_rec_mmr_rerank,
+        "graph_bfs_hops": q_graph_bfs_hops,
+        "ann_pca_topk": q_ann_pca_topk,
+        "docs_quality_classifier": q_docs_quality_classifier,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -3076,6 +3139,40 @@ j AS (
   FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
 )
 SELECT id1, id2, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
+"""
+    # BFS min-hop distance: same exact-jaccard edge CTE as
+    # dedup_ngram_jaccard; the recursive walk is depth-guarded at the
+    # SAME max_hops as the engine's frontier loop, and MIN(dist) over
+    # bounded walks IS the BFS distance for every node within range
+    o["graph_bfs_hops"] = f"""
+WITH RECURSIVE {SHINGLES_CTE_DUCK},
+hashed AS (SELECT id, {base_h} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM jp
+  UNION
+  SELECT id2 AS a, id1 AS b FROM jp
+),
+srcs AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+walk(id, dist) AS (
+  SELECT id, 0 AS dist FROM srcs
+  UNION
+  SELECT e.b AS id, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON e.a = w.id
+  WHERE w.dist < 6
+)
+SELECT id AS doc_id, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY id
 """
     o["dedup_lsh_verified"] = f"""
 WITH {SHINGLES_CTE_DUCK},

@@ -123,6 +123,9 @@ HEADLINE = [
     "events_merge_upsert", "user_state_scd2", "er_exact_editjoin",
     # round 8 wave 2: bias baseline + MMR diversity re-rank
     "rec_baseline_topk", "rec_mmr_rerank",
+    # round 8 wave 3: BFS blast radius, PCA-reduced ANN, distilled
+    # quality classifier
+    "graph_bfs_hops", "ann_pca_topk", "docs_quality_classifier",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

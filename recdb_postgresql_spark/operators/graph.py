@@ -149,3 +149,44 @@ def triangle_count(edges: DataFrame, src: str = "id1",
                 .unionByName(tris.select(F.col("y").alias("id"))))
     return (per_node.groupBy("id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_hops: int = 6, src: str = "id1", dst: str = "id2",
+                  source_col: str = "id",
+                  directed: bool = False) -> DataFrame:
+    """(id, dist): minimum hop count from ANY source node, by
+    level-synchronous BFS (the Pregel frontier shape) — "how far does
+    this template's duplication neighborhood reach", contamination
+    blast radius, feature propagation depth.
+
+    Per round: frontier joins the static checkpointed edge frame,
+    newly-reached nodes (anti-join against visited) become the next
+    frontier at dist+1. Only (node, int) rows shuffle per round; the
+    loop exits early when a frontier empties (one scalar count per
+    round — the same driver-side control every iterative algorithm
+    here uses). ``max_hops`` bounds the recursion identically to the
+    oracle's recursive-CTE depth guard, so results are comparable
+    engine-to-engine. Sources not present in the edge list still
+    report dist 0 (a source IS reachable from itself)."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    if not directed:
+        e = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    visited = (sources.select(F.col(source_col).alias("id")).distinct()
+               .withColumn("dist", F.lit(0))
+               .localCheckpoint(eager=True))
+    frontier = visited
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (e.join(frontier.select(F.col("id").alias("u")), "u")
+               .select(F.col("v").alias("id")).distinct()
+               .join(visited, "id", "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("id", F.col("dist").cast("int").alias("dist"))
