@@ -310,6 +310,8 @@ def main():
     asof_hotkey_probe(spark)
     funnel_hotkey_probe(spark)
     graph_probe(spark)
+    editjoin_probe(spark, sf_dir, mult=4)
+    merge_probe(spark, sf_dir, mult=10)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     # probe flat-ish vs corpus (batch-driven), from-scratch linear in
@@ -389,6 +391,82 @@ def lsh_index_probe(spark, sf_dir: str, mult: int) -> None:
            speedup_x=t_scratch / max(t_probe, 1e-9))
     for suf in ("_bands", "_sh"):
         spark.sql(f"DROP TABLE stress_lsh{suf}")
+
+
+def editjoin_probe(spark, sf_dir: str, mult: int = 4) -> None:
+    """Exact edit-distance join: deletion-neighborhood vs gram-prefix
+    strategy on the id-like name corpus (the gram filter's documented
+    worst case — every q-gram is common). Replicas get distinct
+    DOUBLE-letter tags so cross-replica distances are >= 2 (> d) and
+    the true pair set scales exactly linearly; the probe then measures
+    each strategy's candidate behavior at the same output. The prefix
+    strategy runs at x1 only — its candidate set is already ~10M there
+    (vs ~0.5M for deletion) and grows quadratically in bucket size."""
+    from recdb_postgresql_spark.operators.linkage import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    parts = []
+    for i in range(mult):
+        tag = chr(65 + i) * 2
+        parts.append(cust.select(
+            (F.col("c_custkey") + i * 1_000_000).alias("id"),
+            F.concat(F.lit(tag), F.col("c_name")).alias("name")))
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.localCheckpoint()
+    n = big.count()
+    t0 = time.perf_counter()
+    n_del = edit_distance_join(big, "id", "name", max_dist=1,
+                               strategy="deletion").count()
+    t_del = time.perf_counter() - t0
+    one = parts[0].localCheckpoint()
+    t0 = time.perf_counter()
+    n_pref = edit_distance_join(one, "id", "name", max_dist=1,
+                                strategy="prefix").count()
+    t_pref = time.perf_counter() - t0
+    record(f"editjoin_x{mult}", names=n, pairs_deletion=n_del,
+           deletion_s=t_del, prefix_x1_pairs=n_pref,
+           prefix_x1_s=t_pref)
+
+
+def merge_probe(spark, sf_dir: str, mult: int = 10) -> None:
+    """MERGE upsert at amplified scale: ~1M-row target, 10% CDC batch
+    (half updates, quarter tombstones, quarter inserts) — one
+    key-shuffle join + codegen CASE; the probe pins that the merged
+    count algebra holds exactly at scale."""
+    from recdb_postgresql_spark.operators.dml import merge_into
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    parts = [ev.select((F.col("event_id") + i * 10_000_000)
+                       .alias("event_id"), "event_type", "value")
+             for i in range(mult)]
+    tgt = parts[0]
+    for p in parts[1:]:
+        tgt = tgt.unionByName(p)
+    tgt = tgt.localCheckpoint()
+    n = tgt.count()
+    upd = (tgt.where(F.col("event_id") % 10 == 1)
+           .select("event_id", F.lit("upd").alias("event_type"),
+                   "value", F.lit(False).alias("is_del")))
+    dele = (tgt.where(F.col("event_id") % 20 == 2)
+            .select("event_id", "event_type", "value",
+                    F.lit(True).alias("is_del")))
+    ins = (tgt.where(F.col("event_id") % 20 == 3)
+           .select((F.col("event_id") + 900_000_000).alias("event_id"),
+                   F.lit("ins").alias("event_type"), "value",
+                   F.lit(False).alias("is_del")))
+    src = upd.unionByName(dele).unionByName(ins).localCheckpoint()
+    n_del = dele.count()
+    n_ins = ins.count()
+    t0 = time.perf_counter()
+    n_merged = merge_into(tgt, src, ["event_id"],
+                          delete_col="is_del").count()
+    t = time.perf_counter() - t0
+    assert n_merged == n - n_del + n_ins, (n_merged, n, n_del, n_ins)
+    record(f"merge_x{mult}", target_rows=n, cdc_rows=src.count(),
+           merged_rows=n_merged, merge_s=t)
 
 
 def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
