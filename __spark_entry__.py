@@ -1734,6 +1734,46 @@ def q_ann_pca_topk(spark, sf_dir):
         .select("vec_id", "cos", "rank")
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Periodic (hour-of-day) seasonal profile per event type: slot
+    averages vs the type's overall mean as a seasonality index — the
+    baseline an anomaly detector subtracts before flagging residuals.
+    Integer nanos div for the slot (doubles lose nanos past 2^53);
+    overall means reduce to one broadcast row per type, the index is
+    map-side — same shape as nation_revenue_share's OVER()-free
+    ratio."""
+    HOUR_NS = 3600 * 10**9
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()))
+    slot = F.expr(f"ts div {HOUR_NS}") % 24
+    by_slot = (ev.groupBy("event_type", slot.alias("hour_of_day"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("value").alias("slot_avg")))
+    overall = ev.groupBy("event_type").agg(
+        F.avg("value").alias("type_avg"))
+    return (by_slot.join(F.broadcast(overall), "event_type")
+            .select("event_type",
+                    F.col("hour_of_day").cast("int").alias("hour_of_day"),
+                    "n", F.round("slot_avg", 6).alias("slot_avg"),
+                    F.round(F.col("slot_avg") / F.col("type_avg"), 6)
+                    .alias("season_index")))
+
+
+def q_events_profile_drift(spark, sf_dir):
+    """Data-contract drift check: the events stream split into two
+    halves (even/odd ids standing in for yesterday/today), profiled
+    independently (one aggregation job per side), stat rows joined to
+    (old, new, abs_change, rel_change) — the report a pipeline gates a
+    rebuild promotion on. rel_change is NULL at old=0, never a
+    blow-up (operators/profile.profile_drift)."""
+    from recdb_postgresql_spark.operators import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile.profile_drift(ev.where(F.col("event_id") % 2 == 0),
+                                 ev.where(F.col("event_id") % 2 == 1),
+                                 ["value"], quantiles=(0.5,))
+
+
 def q_graph_bfs_hops(spark, sf_dir):
     """Level-synchronous BFS over the exact near-dup graph: minimum
     hop distance from the %97 seed documents (duplication blast
@@ -2885,6 +2925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": q_graph_bfs_hops,
         "ann_pca_topk": q_ann_pca_topk,
         "docs_quality_classifier": q_docs_quality_classifier,
+        "events_profile_drift": q_events_profile_drift,
+        "events_seasonality": q_events_seasonality,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5626,6 +5668,65 @@ SELECT event_type,
        CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k,
        ROUND(AVG(CASE WHEN k IS NOT NULL THEN value END), 6) AS avg_value_with_k
 FROM d GROUP BY event_type
+"""
+    # drift report: per-side profiles round to 6 BEFORE the join (the
+    # engine's profile_table contract), changes computed from the
+    # rounded values; rel_change NULL at old=0 via NULLIF
+    # seasonality: epoch_ns // (3600e9 as integer) % 24 — same integer
+    # slot arithmetic; the per-type overall mean is the same AVG both
+    # engines compute, index rounded after the division
+    o["events_seasonality"] = """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 % 24 AS hour_of_day,
+                  CAST(value AS DOUBLE) AS value
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT event_type, hour_of_day, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS slot_avg
+      FROM e GROUP BY 1, 2),
+t AS (SELECT event_type, avg(value) AS type_avg FROM e GROUP BY 1)
+SELECT s.event_type, CAST(hour_of_day AS INT) AS hour_of_day, n,
+       ROUND(slot_avg, 6) AS slot_avg,
+       ROUND(slot_avg / type_avg, 6) AS season_index
+FROM s JOIN t ON s.event_type = t.event_type
+"""
+    o["events_profile_drift"] = """
+WITH po AS (
+  SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS n_rows,
+         ROUND(CAST(count(value) AS DOUBLE), 6) AS n_notnull,
+         ROUND(CAST(count(DISTINCT value) AS DOUBLE), 6) AS n_distinct,
+         ROUND(min(CAST(value AS DOUBLE)), 6) AS min,
+         ROUND(max(CAST(value AS DOUBLE)), 6) AS max,
+         ROUND(avg(CAST(value AS DOUBLE)), 6) AS mean,
+         ROUND(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS q50
+  FROM events WHERE event_id % 2 = 0),
+pn AS (
+  SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS n_rows,
+         ROUND(CAST(count(value) AS DOUBLE), 6) AS n_notnull,
+         ROUND(CAST(count(DISTINCT value) AS DOUBLE), 6) AS n_distinct,
+         ROUND(min(CAST(value AS DOUBLE)), 6) AS min,
+         ROUND(max(CAST(value AS DOUBLE)), 6) AS max,
+         ROUND(avg(CAST(value AS DOUBLE)), 6) AS mean,
+         ROUND(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS q50
+  FROM events WHERE event_id % 2 = 1),
+lo AS (
+  SELECT 'n_rows' AS stat, n_rows AS v FROM po
+  UNION ALL SELECT 'n_notnull', n_notnull FROM po
+  UNION ALL SELECT 'n_distinct', n_distinct FROM po
+  UNION ALL SELECT 'min', min FROM po
+  UNION ALL SELECT 'max', max FROM po
+  UNION ALL SELECT 'mean', mean FROM po
+  UNION ALL SELECT 'q50', q50 FROM po),
+ln AS (
+  SELECT 'n_rows' AS stat, n_rows AS v FROM pn
+  UNION ALL SELECT 'n_notnull', n_notnull FROM pn
+  UNION ALL SELECT 'n_distinct', n_distinct FROM pn
+  UNION ALL SELECT 'min', min FROM pn
+  UNION ALL SELECT 'max', max FROM pn
+  UNION ALL SELECT 'mean', mean FROM pn
+  UNION ALL SELECT 'q50', q50 FROM pn)
+SELECT 'value' AS "column", lo.stat, lo.v AS old_value, ln.v AS new_value,
+       ROUND(ln.v - lo.v, 6) AS abs_change,
+       ROUND((ln.v - lo.v) / NULLIF(ABS(lo.v), 0.0), 6) AS rel_change
+FROM lo JOIN ln ON lo.stat = ln.stat
 """
     # MERGE as the full-outer-join CASE it lowers to: matched keys
     # update (tombstones drop), source-only rows insert (source-only

@@ -126,6 +126,8 @@ HEADLINE = [
     # round 8 wave 3: BFS blast radius, PCA-reduced ANN, distilled
     # quality classifier
     "graph_bfs_hops", "ann_pca_topk", "docs_quality_classifier",
+    # round 8 wave 4: drift report + seasonal baseline
+    "events_profile_drift", "events_seasonality",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -100,3 +100,31 @@ def winsorize(df: DataFrame, val_col: str = "value",
             .withColumn("clipped",
                         F.round(F.coalesce(clipped, F.col(val_col)), 6))
             .drop("_g", "_lo", "_hi"))
+
+
+def profile_drift(old: DataFrame, new: DataFrame, columns,
+                  quantiles=(0.25, 0.5, 0.75),
+                  exact: bool = True) -> DataFrame:
+    """(column, stat, old_value, new_value, abs_change, rel_change):
+    distribution-drift report between two snapshots of a table — the
+    data-contract check a pipeline runs before promoting a rebuild
+    (did the null rate spike? did the median move?). rel_change is
+    NULL when the old value is 0 (no meaningful ratio), never a
+    division blow-up.
+
+    Scale shape: two independent ``profile_table`` passes (one
+    aggregation job each) joined on ~|columns| x |stats| rows — the
+    join input is stats-sized, never data-sized. Pair with
+    ``EventStore`` time travel to diff a table against its own
+    version N, like ``dedup.corpus_diff`` does for content."""
+    po = profile_table(old, columns, quantiles, exact) \
+        .withColumnRenamed("value", "old_value")
+    pn = profile_table(new, columns, quantiles, exact) \
+        .withColumnRenamed("value", "new_value")
+    delta = F.col("new_value") - F.col("old_value")
+    return (po.join(pn, ["column", "stat"])
+            .select("column", "stat", "old_value", "new_value",
+                    F.round(delta, 6).alias("abs_change"),
+                    F.round(delta / F.nullif(F.abs("old_value"),
+                                             F.lit(0.0)), 6)
+                    .alias("rel_change")))

@@ -90,3 +90,25 @@ def test_ingest_example_end_to_end(spark, tmp_path):
     assert out["diff_mix"].get("removed", 0) == 0
     assert out["diff_mix"]["unchanged"] == out["day0_docs"]
     assert out["diff_mix"]["added"] == out["clean_docs"]
+
+
+def test_cdc_warehouse_example_end_to_end(spark, tmp_path):
+    from examples.cdc_warehouse_example import run
+
+    store, dim = run(spark, work_dir=str(tmp_path), verbose=False)
+    rows = {(r.userid, r.itemid): r.ratingval
+            for r in store.read().collect()}
+    assert rows[(0, 10)] == 5.0          # seq=2 update won over seq=1
+    assert (1, 20) not in rows           # tombstone applied
+    assert (9, 10) not in rows           # inserted day 1, deleted day 2
+    assert rows[(2, 30)] == 2.5          # day-2 update
+    # SCD2: the twice-updated key has two closed intervals + a
+    # current one, in change-log order
+    iv = sorted((r.valid_from, r.is_current)
+                for r in dim.collect()
+                if r.userid == 0 and r.itemid == 10)
+    assert iv == [(0, False), (1, False), (2, True)]
+    # vacuum retained only the recent window
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        store.read(version=1)
