@@ -1734,6 +1734,32 @@ def q_ann_pca_topk(spark, sf_dir):
         .select("vec_id", "cos", "rank")
 
 
+def q_docs_fts_match(spark, sf_dir):
+    """PG full-text search (tsvector @@ tsquery) analog: documents
+    matching 'spark & (merge | window) & !error', scored by summed
+    positive-term frequency (the documented ts_rank simplification) —
+    pure map over the scan, zero shuffle, zero Python
+    (operators/text.fts_match; DEVIATIONS.md for the ts_rank note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fts_match(docs, all_of=("spark",),
+                          any_of=("merge", "window"),
+                          none_of=("error",))
+
+
+def q_ann_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction (k=5) for the %25 held-out
+    vectors against the labeled rest — retrieval (rounded-cosine
+    top-k) AND voting fully SQL-expressible, so the whole classifier
+    is hash-checked end to end; vote ties break by ascending label
+    (operators/similarity.knn_classify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    labeled = emb.where(F.col("vec_id") % 25 != 0)
+    return similarity.knn_classify(labeled, queries, k=5) \
+        .select(F.col("qid").alias("vec_id"), "pred_label", "votes")
+
+
 def q_events_seasonality(spark, sf_dir):
     """Periodic (hour-of-day) seasonal profile per event type: slot
     averages vs the type's overall mean as a seasonality index — the
@@ -2927,6 +2953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": q_docs_quality_classifier,
         "events_profile_drift": q_events_profile_drift,
         "events_seasonality": q_events_seasonality,
+        "ann_knn_classify": q_ann_knn_classify,
+        "docs_fts_match": q_docs_fts_match,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5672,6 +5700,50 @@ FROM d GROUP BY event_type
     # drift report: per-side profiles round to 6 BEFORE the join (the
     # engine's profile_table contract), changes computed from the
     # rounded values; rel_change NULL at old=0 via NULLIF
+    # FTS: same tokenizer regex as the engine; score = summed positive
+    # term frequency (the documented ts_rank simplification)
+    o["docs_fts_match"] = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0) AS toks
+           FROM documents),
+f AS (SELECT doc_id,
+             len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+             len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+             len(list_filter(toks, x -> x = 'window')) AS tf_window,
+             len(list_filter(toks, x -> x = 'error')) AS tf_error
+      FROM t)
+SELECT doc_id,
+       CAST(tf_spark + tf_merge + tf_window AS BIGINT) AS score
+FROM f
+WHERE tf_spark > 0 AND (tf_merge > 0 OR tf_window > 0) AND tf_error = 0
+"""
+    # k-NN classify: the ann_cosine_topk retrieval shape + a majority
+    # vote; ties in the vote break by ascending label in both engines
+    o["ann_knn_classify"] = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id % 25 = 0),
+lab AS (SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 25 != 0),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+  FROM lab e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+topk AS (
+  SELECT qid, vec_id, label FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY cos DESC, vec_id) <= 5
+),
+votes AS (
+  SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+  FROM topk GROUP BY 1, 2
+)
+SELECT qid AS vec_id, label AS pred_label, votes FROM votes
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY votes DESC, label) = 1
+"""
     # seasonality: epoch_ns // (3600e9 as integer) % 24 — same integer
     # slot arithmetic; the per-type overall mean is the same AVG both
     # engines compute, index rounded after the division

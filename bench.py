@@ -128,6 +128,8 @@ HEADLINE = [
     "graph_bfs_hops", "ann_pca_topk", "docs_quality_classifier",
     # round 8 wave 4: drift report + seasonal baseline
     "events_profile_drift", "events_seasonality",
+    # round 8 wave 5: hash-checked kNN classifier + PG FTS analog
+    "ann_knn_classify", "docs_fts_match",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

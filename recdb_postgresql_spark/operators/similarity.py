@@ -350,6 +350,35 @@ def rrf_fuse(rankings, k0: int = 60, k: int = 10, id_col: str = "doc_id",
             .where(F.col("rank") <= k))
 
 
+def knn_classify(labeled: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label", qid_col: str = "qid",
+                 qvec_col: str = "qvec") -> DataFrame:
+    """(qid, pred_label, votes): k-NN majority-vote classification over
+    an embedding corpus — the zero-training ML-serving primitive (label
+    a new item by its nearest labeled neighbors). Deterministic: cosine
+    rounds before ranking (brute_force_topk's contract), vote ties
+    break by ascending label — so the WHOLE classifier, retrieval
+    included, is SQL-expressible and hash-checkable, which no trained
+    model here can claim.
+
+    Scale shape: exactly brute_force_topk's (broadcast queries, one
+    window top-k) plus a votes-sized aggregate; at corpus scale swap
+    the retrieval for ``ivf_topk``/the persisted IVF index — the vote
+    step is retrieval-agnostic."""
+    top = brute_force_topk(labeled, queries, k, id_col, vec_col,
+                           qid_col, qvec_col)
+    lab = labeled.select(F.col(id_col), F.col(label_col).alias("_lbl"))
+    votes = (top.join(lab, id_col)
+             .groupBy("qid", "_lbl")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.col("_lbl"))
+    return (votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("qid", F.col("_lbl").alias("pred_label"),
+                    F.col("votes").cast("long").alias("votes")))
+
+
 def mmr_rerank(candidates: DataFrame, item_vecs: DataFrame,
                k: int = 10, lam: float = 0.7,
                user_col: str = "user", item_col: str = "item",

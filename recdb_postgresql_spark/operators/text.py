@@ -325,6 +325,48 @@ def _tfidf_pairs_dense(kept: DataFrame, n_vocab: int,
             .applyInPandas(score, schema=out_schema))
 
 
+def fts_match(docs: DataFrame, all_of=(), any_of=(), none_of=(),
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, score): PostgreSQL full-text-search analog — the
+    ``to_tsvector(text) @@ to_tsquery('a & b & (c | d) & !e')``
+    surface the reference inherits from PG 9.2, expressed as a CNF
+    boolean match over the tokenized document: ALL of ``all_of``,
+    at least one of ``any_of`` (when given), NONE of ``none_of``.
+    Score is the summed term frequency of the positive query terms —
+    a documented simplification of ts_rank (which also weights by
+    position/cover density; see DEVIATIONS.md). Stemming/stop
+    dictionaries are not replicated: PG's are language-specific C
+    dictionaries, and callers wanting them normalize text first
+    (``normalize_text``).
+
+    Scale shape: pure map over the scan — per-document token array +
+    higher-order filters, zero shuffle, zero Python; the query is a
+    literal, so this composes with BM25 (`bm25_topk`) the way PG
+    users combine @@ filters with ranking."""
+    toks = _tokens(F.col(text_col))
+
+    def tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    cond = F.lit(True)
+    score = F.lit(0)
+    for term in all_of:
+        cond = cond & (tf(term) > 0)
+        score = score + tf(term)
+    if any_of:
+        any_cond = F.lit(False)
+        for term in any_of:
+            any_cond = any_cond | (tf(term) > 0)
+            score = score + tf(term)
+        cond = cond & any_cond
+    for term in none_of:
+        cond = cond & (tf(term) == 0)
+    return (docs.select(F.col(id_col), cond.alias("_m"),
+                        score.cast("long").alias("score"))
+            .where(F.col("_m")).drop("_m"))
+
+
 def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         w: int = 4) -> DataFrame:
