@@ -180,3 +180,56 @@ def test_round7_operators_handle_empty_inputs(spark):
     assert text.importance_weights(docs, docs).count() == 0
     assert sampling.weighted_sample(
         docs, F.lit(1.0), F.col("doc_id"), 5).count() == 0
+
+
+def test_round8_operators_handle_empty_inputs(spark):
+    """Same contract for this round's operators: empty in, empty (or
+    pass-through) out — never a crash."""
+    from recdb_postgresql_spark.operators import text
+    from recdb_postgresql_spark.operators.dml import merge_into
+    from recdb_postgresql_spark.operators.graph import bfs_distances
+    from recdb_postgresql_spark.operators.linkage import edit_distance_join
+    from recdb_postgresql_spark.operators.profile import profile_drift
+    from recdb_postgresql_spark.operators.similarity import (knn_classify,
+                                                             mmr_rerank)
+    from recdb_postgresql_spark.operators.temporal import scd2_build
+
+    t_schema = "k long, name string, v double"
+    empty_t = spark.createDataFrame([], t_schema)
+    one_t = spark.createDataFrame([(1, "a", 1.0)], t_schema)
+    # empty source -> target unchanged; empty target -> pure inserts
+    assert merge_into(one_t, empty_t, ["k"]).count() == 1
+    assert merge_into(empty_t, one_t, ["k"]).count() == 1
+    assert merge_into(empty_t, empty_t, ["k"]).count() == 0
+
+    changes = spark.createDataFrame([], "u long, ts long, s string")
+    assert scd2_build(changes, ["u"], "ts", ["s"]).count() == 0
+
+    names = spark.createDataFrame([], "id long, name string")
+    for strategy in ("deletion", "prefix"):
+        assert edit_distance_join(names, strategy=strategy).count() == 0
+
+    edges = spark.createDataFrame([], "id1 long, id2 long")
+    srcs = spark.createDataFrame([], "id long")
+    assert bfs_distances(edges, srcs).count() == 0
+    # sources with NO edges still report themselves at dist 0
+    one_src = spark.createDataFrame([(7,)], "id long")
+    rows = bfs_distances(edges, one_src).collect()
+    assert [(r.id, r.dist) for r in rows] == [(7, 0)]
+
+    lab = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int")
+    q = spark.createDataFrame([], "qid long, qvec array<double>")
+    assert knn_classify(lab, q).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame([], "user long, item long, score double")
+    assert mmr_rerank(cand, emb).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.fts_match(docs, all_of=("x",)).count() == 0
+    # profile_drift on empty sides: stats rows exist (counts are 0)
+    d = profile_drift(spark.createDataFrame([], "value double"),
+                      spark.createDataFrame([], "value double"),
+                      ["value"], quantiles=(0.5,))
+    stats = {r.stat: (r.old_value, r.new_value) for r in d.collect()}
+    assert stats["n_rows"] == (0.0, 0.0)
