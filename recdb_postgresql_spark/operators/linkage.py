@@ -113,16 +113,30 @@ def _edit_join_deletion(base: DataFrame, d: int) -> DataFrame:
         pairs = F.flatten(F.transform(pos, lambda i: F.transform(
             F.filter(pos, lambda j: j > i), lambda j: del2(i, j))))
         variants = F.concat(variants, pairs)
-    v = base.select("_id", "_name",
-                    F.explode(F.array_distinct(variants)).alias("g"))
-    a = v.select("g", F.col("_id").alias("id1"),
-                 F.col("_name").alias("name1"))
-    b = v.select("g", F.col("_id").alias("id2"),
-                 F.col("_name").alias("name2"))
-    cand = (a.join(b, "g").where(F.col("id1") < F.col("id2"))
-            .select("id1", "id2", "name1", "name2").distinct())
+    v = base.select("_id", F.explode(F.array_distinct(variants))
+                    .alias("g"))
+    # candidates stay NARROW (id1, id2) through the dedup shuffle —
+    # carrying both name strings through the distinct measured 3x
+    # slower; names re-attach afterwards on the (tiny relative to
+    # candidates) id-keyed base
+    cand = (v.select("g", F.col("_id").alias("id1"))
+            .join(v.select("g", F.col("_id").alias("id2")), "g")
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+    return _verify_pairs(cand, base, d)
+
+
+def _verify_pairs(cand: DataFrame, base: DataFrame, d: int) -> DataFrame:
+    """Re-attach names to (id1, id2) candidates and verify: length
+    filter (necessary condition) then the codegen'd levenshtein."""
+    n1 = base.select(F.col("_id").alias("id1"),
+                     F.col("_name").alias("name1"))
+    n2 = base.select(F.col("_id").alias("id2"),
+                     F.col("_name").alias("name2"))
     dist = F.levenshtein("name1", "name2")
-    return (cand.where(dist <= d)
+    return (cand.join(n1, "id1").join(n2, "id2")
+            .where(F.abs(F.length("name1") - F.length("name2")) <= d)
+            .where(dist <= d)
             .select("id1", "id2", "name1", "name2",
                     dist.cast("int").alias("dist")))
 
@@ -147,31 +161,22 @@ def _edit_join_prefix(base: DataFrame, d: int, q: int) -> DataFrame:
     ranked = (grams.join(gfreq, "g")
               .withColumn("_rn", F.row_number().over(rk)))
     sizes = ranked.groupBy("_id").agg(F.max("_rn").alias("_nd"))
-    pref = (ranked.where(F.col("_rn") <= prefix_n)
-            .select("g", "_id", "_name"))
-    a = pref.select("g", F.col("_id").alias("id1"),
-                    F.col("_name").alias("name1"))
-    b = pref.select("g", F.col("_id").alias("id2"),
-                    F.col("_name").alias("name2"))
-    cand = (a.join(b, "g").where(F.col("id1") < F.col("id2"))
-            .select("id1", "id2", "name1", "name2")
-            .distinct())
+    pref = ranked.where(F.col("_rn") <= prefix_n).select("g", "_id")
+    # candidates stay NARROW (id1, id2) through the dedup shuffle
+    # (same 3x win as the deletion path); names re-attach in verify
+    cand = (pref.select("g", F.col("_id").alias("id1"))
+            .join(pref.select("g", F.col("_id").alias("id2")), "g")
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2"))
     # short/repetitive residue: strings with <= q*d distinct grams —
     # any pair the prefix join can miss has BOTH members here
     shorts = (base.join(sizes, "_id", "left")
               .where(F.coalesce(F.col("_nd"), F.lit(0)) <= q * d)
-              .select("_id", "_name"))
-    sa = shorts.select(F.col("_id").alias("id1"),
-                       F.col("_name").alias("name1"))
-    sb = shorts.select(F.col("_id").alias("id2"),
-                       F.col("_name").alias("name2"))
-    scand = (sa.crossJoin(sb).where(F.col("id1") < F.col("id2")))
-    dist = F.levenshtein("name1", "name2")
-    return (cand.unionByName(scand).distinct()
-            .where(F.abs(F.length("name1") - F.length("name2")) <= d)
-            .where(dist <= d)
-            .select("id1", "id2", "name1", "name2",
-                    dist.cast("int").alias("dist")))
+              .select("_id"))
+    scand = (shorts.select(F.col("_id").alias("id1"))
+             .crossJoin(shorts.select(F.col("_id").alias("id2")))
+             .where(F.col("id1") < F.col("id2")))
+    return _verify_pairs(cand.unionByName(scand).distinct(), base, d)
 
 
 def best_match(matches: DataFrame) -> DataFrame:
