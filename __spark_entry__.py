@@ -1734,6 +1734,24 @@ def q_ann_pca_topk(spark, sf_dir):
         .select("vec_id", "cos", "rank")
 
 
+def q_distinct_on_latest_order(spark, sf_dir):
+    """PostgreSQL's DISTINCT ON idiom (each customer's most recent
+    order) — SELECT DISTINCT ON (o_custkey) ... ORDER BY o_custkey,
+    o_orderdate DESC, o_orderkey. Spark has no DISTINCT ON; the
+    canonical lowering is one row_number window over the same sort,
+    which Catalyst executes as a single shuffle + per-partition
+    TopK-ish sort. The oracle runs the LITERAL DISTINCT ON statement
+    (DuckDB supports the PG syntax), pinning semantic equivalence of
+    the lowering, tie-breaks included."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey"))
+    return (o.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.col("o_orderdate").cast("date").alias("o_orderdate")))
+
+
 def q_docs_fts_match(spark, sf_dir):
     """PG full-text search (tsvector @@ tsquery) analog: documents
     matching 'spark & (merge | window) & !error', scored by summed
@@ -2955,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
+        "distinct_on_latest_order": q_distinct_on_latest_order,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5700,6 +5719,15 @@ FROM d GROUP BY event_type
     # drift report: per-side profiles round to 6 BEFORE the join (the
     # engine's profile_table contract), changes computed from the
     # rounded values; rel_change NULL at old=0 via NULLIF
+    # the LITERAL PG DISTINCT ON statement — DuckDB keeps the syntax;
+    # the engine's row_number lowering must match it tie-for-tie
+    o["distinct_on_latest_order"] = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+"""
     # FTS: same tokenizer regex as the engine; score = summed positive
     # term frequency (the documented ts_rank simplification)
     o["docs_fts_match"] = """
