@@ -41,10 +41,19 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A competing writer committed between this mutation's base read
+    and its commit (or holds the commit lock) — re-read and re-apply;
+    a blind retry of the stale state would drop the other writer's
+    rows."""
 
 
 class EventStore:
@@ -84,7 +93,70 @@ class EventStore:
                 f"{m.get('partition_col')!r}, not {self.partition_col!r}")
         return m
 
+    @contextmanager
+    def _commit_lock(self, timeout: float = 10.0):
+        """O_CREAT|O_EXCL lock file serializing commits on any POSIX
+        filesystem — the atomic primitive under the optimistic check.
+        A crashed writer leaves a stale lock; the timeout surfaces it
+        as an error instead of hanging (delete `_commit.lock` after
+        confirming no writer is live — the Delta-stale-txn analog)."""
+        lock = os.path.join(self.path, "_commit.lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"commit lock at {lock} held past {timeout}s — "
+                        "another writer is committing, or a crashed "
+                        "one left a stale lock")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def _begin_mutation(self) -> None:
+        """Capture the version this mutation's DATA derives from —
+        the optimistic-concurrency base. Called first thing by every
+        mutating method; the commit CAS-checks against it."""
+        self._base_version = self._manifest()["version"]
+
     def _write_manifest(self, m: dict) -> None:
+        """Optimistic-concurrency commit (the Delta protocol shape):
+        every mutation captured its base version at entry
+        (``_begin_mutation``), derived new state from that snapshot,
+        and commits here — under the lock, the on-disk version must
+        still BE the base or a concurrent writer won the race and this
+        commit raises ``ConcurrentWriteError`` (retry = re-read and
+        re-apply; a blind retry of the stale derivation would silently
+        drop the other writer's rows). Snapshot isolation for readers
+        is untouched — they never take the lock."""
+        expect = getattr(self, "_base_version", None)
+        if expect is None:
+            expect = m["version"]
+        try:
+            with self._commit_lock():
+                p = os.path.join(self.path, "manifest.json")
+                if os.path.exists(p):
+                    with open(p) as f:
+                        on_disk = json.load(f)["version"]
+                else:
+                    on_disk = 0
+                if on_disk != expect:
+                    raise ConcurrentWriteError(
+                        f"write-write conflict at {self.path}: this "
+                        f"mutation derived from version {expect} but "
+                        f"version {on_disk} is now committed — re-read "
+                        "and re-apply")
+                self._write_manifest_locked(m)
+        finally:
+            self._base_version = None
+
+    def _write_manifest_locked(self, m: dict) -> None:
         m["version"] += 1
         tmp = os.path.join(self.path, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -186,6 +258,7 @@ class EventStore:
         return self.spark.read.parquet(*paths)
 
     def append(self, df: DataFrame) -> None:
+        self._begin_mutation()
         if self.partition_col:
             moved = self._write_parts(df, "append")
             m = self._manifest()
@@ -200,6 +273,7 @@ class EventStore:
             engine.record_insert(name, df, self.read())
 
     def delete(self, predicate: Column) -> None:
+        self._begin_mutation()
         # survivors are rows where the predicate is NOT TRUE: a NULL
         # predicate (NULL in a predicate column) must KEEP the row,
         # matching SQL DELETE ... WHERE three-valued logic
@@ -224,6 +298,7 @@ class EventStore:
         self._commit([d])
 
     def update(self, set_map: Mapping[str, Column], predicate: Column) -> None:
+        self._begin_mutation()
         if self.partition_col and self.partition_col in set_map:
             raise ValueError(
                 f"updating the partition column {self.partition_col!r} "
@@ -274,6 +349,7 @@ class EventStore:
         instead, same rule as ``update``."""
         from recdb_postgresql_spark.operators.dml import merge_into
 
+        self._begin_mutation()
         keys = list(keys)
         if not self.partition_col:
             merged = merge_into(self.read(), source, keys, update_cols,
@@ -316,6 +392,7 @@ class EventStore:
 
     # -- maintenance ---------------------------------------------------
     def compact(self) -> None:
+        self._begin_mutation()
         """Merge accumulated append deltas into one snapshot per
         table (unpartitioned) or per multi-dir partition (partitioned
         — single-dir partitions are already compact and are NOT

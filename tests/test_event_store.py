@@ -252,3 +252,42 @@ def test_vacuum_without_history_never_sweeps_current_data(spark, store):
     shutil.rmtree(os.path.join(store.path, "_versions"))
     store.vacuum()
     assert store.read().count() == 4      # current snapshot intact
+
+
+def test_concurrent_writer_conflict_detected(spark, tmp_path):
+    """Two writer handles on the same store: the one whose mutation
+    derived from a stale version must get ConcurrentWriteError, never
+    silently drop the other's commit."""
+    from recdb_postgresql_spark.sources.event_store import (
+        ConcurrentWriteError)
+
+    a = EventStore(spark, str(tmp_path / "occ"))
+    a.append(spark.createDataFrame([(1, 10, 4.0)], SCHEMA))
+    b = EventStore(spark, str(tmp_path / "occ"))
+
+    # interleave: a captures its base, b commits first
+    a._begin_mutation()
+    b.append(spark.createDataFrame([(2, 20, 2.0)], SCHEMA))
+    with pytest.raises(ConcurrentWriteError, match="conflict"):
+        a._commit(a._manifest()["dirs"] + ["ghost_dir"])
+    # the losing writer retried from fresh state -> both rows live
+    a.delete(F.col("userid") == 99)  # no-op mutation, fresh base: OK
+    assert {r.userid for r in a.read().collect()} == {1, 2}
+
+
+def test_commit_lock_timeout_surfaces_stale_lock(spark, tmp_path):
+    import os
+
+    from recdb_postgresql_spark.sources.event_store import (
+        ConcurrentWriteError)
+
+    s = EventStore(spark, str(tmp_path / "locked"))
+    s.append(spark.createDataFrame([(1, 10, 4.0)], SCHEMA))
+    lock = os.path.join(str(tmp_path / "locked"), "_commit.lock")
+    open(lock, "w").close()  # a crashed writer's leftover
+    with pytest.raises(ConcurrentWriteError, match="lock"):
+        with s._commit_lock(timeout=0.3):
+            pass
+    os.unlink(lock)
+    s.append(spark.createDataFrame([(2, 20, 2.0)], SCHEMA))  # recovered
+    assert s.read().count() == 2
