@@ -1985,16 +1985,14 @@ def _eval_topk10(spark, sf_dir):
     return test, users, topk
 
 
-def q_rec_eval_rmse(spark, sf_dir):
-    """Evaluation as a query: hash-split ratings 80/20 by (user, item),
-    train item-cos on the train split, score the test pairs of users
-    < 200 whose items exist in training, report one metrics row
-    (n_test, n_cold, n_scored, rmse). Unreachable pairs score 0 (the
-    reference's itemCFpredict convention), cold items are excluded
+def _rmse_row(train, test, model, train_items):
+    """Shared RMSE metrics row for any (train, test) split: score the
+    test pairs whose items exist in training, one row of (n_test,
+    n_cold, n_scored, rmse). Unreachable pairs score 0 (the
+    reference's itemCFpredict convention); cold items are excluded
     and counted."""
     from recdb_postgresql_spark.operators import cf as cf_ops
 
-    train, test, model, train_items = _eval_split(spark, sf_dir)
     test_known = test.join(F.broadcast(train_items), "item")
     users = test_known.select("user").distinct()
     preds = cf_ops.predict_item_cf(model, train, users, train_items)
@@ -2011,6 +2009,52 @@ def q_rec_eval_rmse(spark, sf_dir):
                     .alias("n_cold"),
                     F.col("n_scored").cast("long").alias("n_scored"),
                     "rmse"))
+
+
+def q_rec_eval_rmse(spark, sf_dir):
+    """Evaluation as a query: hash-split ratings 80/20 by (user, item),
+    train item-cos on the train split, report one RMSE metrics row
+    (shared shape `_rmse_row`)."""
+    train, test, model, train_items = _eval_split(spark, sf_dir)
+    return _rmse_row(train, test, model, train_items)
+
+
+def q_rec_eval_walkforward(spark, sf_dir):
+    """WALK-FORWARD evaluation — the production-correct temporal
+    protocol the hash split can't give: train on everything before
+    the 80th-percentile event time, test on interactions strictly
+    after it (users < 200). No future leaks into the model, unlike
+    the random split where a user's later ratings train predictions
+    of earlier ones. The cutoff is an interpolated percentile over
+    integer SECONDS (nanos div 1e9 — exact in doubles, so the
+    boundary comparison is engine-stable), reduced to one broadcast
+    row. Same `_rmse_row` metrics shape as rec_eval_rmse, so the two
+    protocols are directly comparable."""
+    from recdb_postgresql_spark.operators import cf as cf_ops
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select(F.col("user_id").alias("userid"),
+                  F.get_json_object("props", "$.k").cast("int")
+                  .alias("itemid"),
+                  F.col("value").cast("double").alias("r"),
+                  F.expr("ts div 1000000000").alias("sec"))
+          .where(F.col("itemid").isNotNull() & F.col("userid").isNotNull()
+                 & F.col("r").isNotNull() & F.col("sec").isNotNull()))
+    cut = ev.agg(F.percentile(F.col("sec").cast("double"), F.lit(0.8))
+                 .alias("cutoff"))
+    ev = ev.crossJoin(F.broadcast(cut))
+    train = (ev.where(F.col("sec") <= F.col("cutoff"))
+             .groupBy(F.col("userid").alias("user"),
+                      F.col("itemid").alias("item"))
+             .agg(F.avg("r").alias("rating")))
+    test = (ev.where((F.col("sec") > F.col("cutoff"))
+                     & (F.col("userid") < 200))
+            .groupBy(F.col("userid").alias("user"),
+                     F.col("itemid").alias("item"))
+            .agg(F.avg("r").alias("rating")))
+    model = cf_ops.train_item_cos(train)
+    train_items = train.select("item").distinct()
+    return _rmse_row(train, test, model, train_items)
 
 
 def q_rec_eval_loo_hit(spark, sf_dir):
@@ -2974,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
         "distinct_on_latest_order": q_distinct_on_latest_order,
+        "rec_eval_walkforward": q_rec_eval_walkforward,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5598,13 +5643,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY userid
     # CTE chunk and ONE grid->topk chunk, mirroring the shared Python
     # helpers (_eval_split / _eval_topk10) — a threshold or formula
     # change lands in exactly one place on each side
-    _eval_split_sql = """
+    _eval_hashsplit_sql = """
 b AS (SELECT userid, itemid, rating,
              CAST(concat('0x', substring(md5(concat(CAST(userid AS VARCHAR), ':', CAST(itemid AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS bk
       FROM ratings),
 train AS (SELECT userid, itemid, rating FROM b WHERE bk < 800000),
 test AS (SELECT userid, itemid, rating FROM b
-         WHERE bk >= 800000 AND userid < 200),
+         WHERE bk >= 800000 AND userid < 200),"""
+    _eval_model_sql = """
 norms AS (SELECT itemid, SQRT(SUM(rating*rating)) AS nrm
           FROM train GROUP BY itemid),
 dots AS (SELECT a.itemid AS i1, b2.itemid AS i2, SUM(a.rating*b2.rating) AS dot
@@ -5618,6 +5664,24 @@ model AS (SELECT i1, i2, dot/(n1.nrm*n2.nrm) AS sim
 sym AS (SELECT i1 AS a, i2 AS b2, sim FROM model
         UNION ALL SELECT i2, i1, sim FROM model),
 titems AS (SELECT DISTINCT itemid FROM train),"""
+    _eval_split_sql = _eval_hashsplit_sql + _eval_model_sql
+    # walk-forward temporal split: cutoff = interpolated 80th
+    # percentile of integer SECONDS (exact in doubles); same model and
+    # metric chunks as the hash split, so protocols are comparable
+    _eval_timesplit_sql = """
+ev AS (SELECT user_id AS userid,
+              CAST(json_extract_string(props, 'k') AS INT) AS itemid,
+              CAST(value AS DOUBLE) AS r,
+              epoch_ns(ts) // 1000000000 AS sec
+       FROM events
+       WHERE json_extract_string(props, 'k') IS NOT NULL
+         AND user_id IS NOT NULL AND value IS NOT NULL
+         AND ts IS NOT NULL),
+cut AS (SELECT quantile_cont(CAST(sec AS DOUBLE), 0.8) AS cutoff FROM ev),
+train AS (SELECT userid, itemid, AVG(r) AS rating FROM ev, cut
+          WHERE sec <= cutoff GROUP BY 1, 2),
+test AS (SELECT userid, itemid, AVG(r) AS rating FROM ev, cut
+         WHERE sec > cutoff AND userid < 200 GROUP BY 1, 2),"""
     _eval_topk_sql = """
 users AS (SELECT DISTINCT userid FROM test),
 grid AS (SELECT u.userid, ti.itemid FROM users u CROSS JOIN titems ti),
@@ -5638,7 +5702,7 @@ topk AS (SELECT userid, itemid,
                    ORDER BY ROUND(score, 6) DESC, itemid) AS rn
          FROM unrated
          QUALIFY rn <= 10),"""
-    o["rec_eval_rmse"] = "WITH " + _ratings_cte + "," + _eval_split_sql + """
+    _eval_rmse_tail = """
 known AS (SELECT t.* FROM test t JOIN titems ti ON ti.itemid = t.itemid),
 pred AS (SELECT kn.userid, kn.itemid,
                 SUM(s.sim * tr.rating) / SUM(ABS(s.sim)) AS score
@@ -5657,6 +5721,10 @@ tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM test)
 SELECT n_test, CAST(n_test - n_eval AS BIGINT) AS n_cold, n_scored, rmse
 FROM m, tt
 """
+    o["rec_eval_rmse"] = ("WITH " + _ratings_cte + ","
+                          + _eval_split_sql + _eval_rmse_tail)
+    o["rec_eval_walkforward"] = ("WITH " + _eval_timesplit_sql
+                                 + _eval_model_sql + _eval_rmse_tail)
     o["rec_eval_prec_at_k"] = ("WITH " + _ratings_cte + ","
                                + _eval_split_sql + _eval_topk_sql + """
 hits AS (SELECT t.userid, COUNT(*) AS h

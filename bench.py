@@ -130,6 +130,8 @@ HEADLINE = [
     "events_profile_drift", "events_seasonality",
     # round 8 wave 5: hash-checked kNN classifier + PG FTS analog
     "ann_knn_classify", "docs_fts_match",
+    # round 8 wave 6: PG DISTINCT ON + walk-forward temporal eval
+    "distinct_on_latest_order", "rec_eval_walkforward",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
