@@ -1422,6 +1422,34 @@ def q_events_merge_upsert(spark, sf_dir):
                          F.round("value", 6).alias("value"))
 
 
+def q_events_cdc_diff(spark, sf_dir):
+    """CDC GENERATION (merge's dual): the change stream that
+    transforms snapshot v1 (2/3 of events) into v2 (%5 re-typed and
+    re-valued, %7 dropped, %11 id-shifted inserts) — one full-outer
+    join on the key, null-safe change detection, tombstones carrying
+    the last-known row. Round-trip law merge_into(v1, diff) == v2 is
+    pinned in tests (operators/dml.cdc_diff)."""
+    from recdb_postgresql_spark.operators.dml import cdc_diff
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    old = ev.where(F.col("event_id") % 3 != 0)
+    new = (old.where(F.col("event_id") % 7 != 0)
+           .select("event_id",
+                   F.when(F.col("event_id") % 5 == 0, F.lit("retyped"))
+                   .otherwise(F.col("event_type")).alias("event_type"),
+                   F.when(F.col("event_id") % 5 == 0,
+                          F.col("value") + 100.0)
+                   .otherwise(F.col("value")).alias("value"))
+           .unionByName(
+               ev.where(F.col("event_id") % 11 == 0)
+               .select((F.col("event_id") + 10_000_000).alias("event_id"),
+                       F.lit("inserted").alias("event_type"), "value")))
+    return cdc_diff(old, new, ["event_id"]) \
+        .select("op", "event_id", "event_type",
+                F.round("value", 6).alias("value"))
+
+
 def q_user_state_scd2(spark, sf_dir):
     """SCD Type-2 dimension build: the event log read as a change
     stream of each user's current state (event_type), collapsed to
@@ -3019,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fts_match": q_docs_fts_match,
         "distinct_on_latest_order": q_distinct_on_latest_order,
         "rec_eval_walkforward": q_rec_eval_walkforward,
+        "events_cdc_diff": q_events_cdc_diff,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5921,6 +5950,37 @@ SELECT COALESCE(t.event_id, s.event_id) AS event_id,
                   ELSE t.value END, 6) AS value
 FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
 WHERE NOT COALESCE(s.is_del, FALSE)
+"""
+    # CDC generation: full-outer presence CASE, null-safe change
+    # detection, tombstone rows carry the OLD values
+    o["events_cdc_diff"] = """
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+old AS (SELECT * FROM ev WHERE event_id % 3 != 0),
+new_v AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'retyped'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 5 = 0 THEN value + 100.0
+              ELSE value END AS value
+  FROM old WHERE event_id % 7 != 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, 'inserted' AS event_type,
+         value
+  FROM ev WHERE event_id % 11 = 0
+)
+SELECT op, event_id, event_type, ROUND(value, 6) AS value FROM (
+  SELECT CASE WHEN o.event_id IS NULL THEN 'insert'
+              WHEN n.event_id IS NULL THEN 'delete'
+              WHEN o.event_type IS DISTINCT FROM n.event_type
+                OR o.value IS DISTINCT FROM n.value THEN 'update'
+         END AS op,
+         COALESCE(o.event_id, n.event_id) AS event_id,
+         CASE WHEN n.event_id IS NULL THEN o.event_type
+              ELSE n.event_type END AS event_type,
+         CASE WHEN n.event_id IS NULL THEN o.value
+              ELSE n.value END AS value
+  FROM old o FULL OUTER JOIN new_v n ON o.event_id = n.event_id)
+WHERE op IS NOT NULL
 """
     # SCD2: change detection (lag) then interval close (lead) over the
     # same (user, ts, event_id) order; attr compare is null-safe and

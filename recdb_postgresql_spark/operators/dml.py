@@ -84,3 +84,48 @@ def merge_into(target: DataFrame, source: DataFrame, keys: Sequence[str],
         return F.when(src_only, sval).otherwise(tval).alias(c)
 
     return j.where(keep).select(*[out(c) for c in tcols])
+
+
+def cdc_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+             compare_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """The change stream that transforms ``old`` into ``new`` —
+    (op, <new's columns>) with op in insert / update / delete:
+    MERGE's dual (CDC *generation* instead of CDC *apply*). Row values
+    come from ``new`` for insert/update and from ``old`` for delete
+    (the tombstone carries the last-known row, Debezium-style).
+    Unchanged rows emit nothing; change detection over
+    ``compare_cols`` (default: all shared non-key columns) is
+    null-safe, so NULL -> value is an update and NULL -> NULL is not.
+
+    Round-trip law (pinned in tests):
+    ``merge_into(old, cdc_diff(old, new), delete_col=...)`` == new.
+    Scale shape: one full-outer join on the keys, presence flags +
+    per-column CASE — identical to merge_into's plan. Pair with
+    ``EventStore`` time travel to generate the feed between any two
+    committed versions."""
+    ncols = list(new.columns)
+    if compare_cols is None:
+        compare_cols = [c for c in ncols
+                        if c in old.columns and c not in keys]
+    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in old.columns],
+                   F.lit(True).alias("_in_o"))
+    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in ncols],
+                   F.lit(True).alias("_in_n"))
+    cond = reduce(lambda a, b: a & b,
+                  [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in keys])
+    j = o.join(n, cond, "full_outer")
+    ins = F.col("_in_o").isNull()
+    dele = F.col("_in_n").isNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (F.when(ins, F.lit("insert"))
+          .when(dele, F.lit("delete"))
+          .when(changed, F.lit("update")))
+
+    def val(c: str):
+        oval = F.col(f"_o_{c}") if c in old.columns else F.lit(None)
+        return F.when(dele, oval).otherwise(F.col(f"_n_{c}")).alias(c)
+
+    return (j.select(op.alias("op"), *[val(c) for c in ncols])
+            .where(F.col("op").isNotNull()))

@@ -182,3 +182,37 @@ def test_edit_distance_join_emits_verified_distance(spark):
             for r in edit_distance_join(df, "id", "name",
                                         max_dist=2, q=2).collect()}
     assert rows == {(1, 2): 1, (2, 3): 2}
+
+
+def test_cdc_diff_roundtrip_law(spark):
+    """merge_into(old, cdc_diff(old, new)) must reproduce new exactly
+    — including NULL-involving updates in both directions, deletes,
+    and inserts with NULL fields."""
+    from recdb_postgresql_spark.operators.dml import cdc_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "keep", 4.0),
+         (5, "gone", 5.0)], T_SCHEMA)
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),          # unchanged -> no diff row
+         (2, "b", 2.0),          # NULL -> value update
+         (3, None, None),        # value -> NULL update
+         (4, "keep", 4.0),       # unchanged
+         (6, None, 6.0)], T_SCHEMA)  # insert with NULL field
+    diff = cdc_diff(old, new, ["k"])
+    ops = {r.k: r.op for r in diff.collect()}
+    assert ops == {2: "update", 3: "update", 5: "delete", 6: "insert"}
+    src = diff.withColumn("is_del", F.col("op") == "delete").drop("op")
+    merged = merge_into(old, src, ["k"], delete_col="is_del")
+    got = {(r.k, r.name, r.v) for r in merged.collect()}
+    want = {(r.k, r.name, r.v) for r in new.collect()}
+    assert got == want
+
+
+def test_cdc_diff_tombstone_carries_old_row(spark):
+    from recdb_postgresql_spark.operators.dml import cdc_diff
+
+    old = spark.createDataFrame([(1, "last known", 9.0)], T_SCHEMA)
+    new = spark.createDataFrame([], T_SCHEMA)
+    r = cdc_diff(old, new, ["k"]).collect()[0]
+    assert (r.op, r.k, r.name, r.v) == ("delete", 1, "last known", 9.0)
