@@ -1741,6 +1741,26 @@ def q_docs_quality_classifier(spark, sf_dir):
                 "quality_prob")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-Quantization ANN: 64-dim vectors compress to 8 code
+    bytes (32x), the doc-0 query scores the whole corpus as 8 table
+    lookups per vector (ADC) — the memory-bound ANN standard beside
+    IVF (recall-bound) and SQ8 (4x). Deterministic hash-ordered
+    sample + RNG-free Lloyd for the codebooks, so the encoding is
+    reproducible run to run; rows-only by nature (iterative k-means);
+    planted-duplicate recall pinned in tests/test_pq.py. Vectors are
+    L2-normalized first so ADC dot = approximate cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = similarity.unit_normalize(emb).withColumnRenamed("unit", "uv")
+    books = similarity.pq_train(unit, m=8, k=64, vec_col="uv",
+                                sample=4096, iters=5)
+    codes = similarity.pq_encode(unit, books, vec_col="uv")
+    q0 = unit.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    return similarity.pq_topk(codes, books, q0, k=10) \
+        .select("vec_id", "score", "rank")
+
+
 def q_ann_pca_topk(spark, sf_dir):
     """ANN in a PCA-reduced space: 64-dim embeddings projected to 16
     PCA components (one Arrow partial-moments pass + driver-side d x d
@@ -3048,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_on_latest_order": q_distinct_on_latest_order,
         "rec_eval_walkforward": q_rec_eval_walkforward,
         "events_cdc_diff": q_events_cdc_diff,
+        "ann_pq_topk": q_ann_pq_topk,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),

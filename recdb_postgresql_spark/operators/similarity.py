@@ -209,6 +209,129 @@ def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def pq_train(emb: DataFrame, m: int = 8, k: int = 256,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample: int = 8192, iters: int = 10):
+    """Product-Quantization codebooks (Jégou et al.): the vector
+    splits into ``m`` subvectors, each subspace gets its own
+    ``k``-centroid codebook — a vector compresses to m code bytes
+    (32x for 64-dim float32), and ADC scoring needs only a per-query
+    lookup table. The memory-bound ANN standard beside the
+    recall-bound IVF and the 4x SQ8.
+
+    Training is driver-side Lloyd on a DETERMINISTIC hash-ordered
+    sample (same train-on-sample recipe as ``kmeans_centroids``;
+    init = first k distinct sampled subvectors in hash order, so the
+    whole fit is reproducible — no RNG). Returns a numpy array
+    (m, k, d/m) — model metadata, like centroids."""
+    import numpy as np
+
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    rows = (emb.select(F.col(vec_col).alias("v"),
+                       md5_long(F.col(id_col).cast("string")).alias("_h"))
+            .orderBy("_h").limit(int(sample)).collect())
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        uniq = np.unique(xs, axis=0)
+        kk = min(k, len(uniq))
+        cent = uniq[:kk].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                pts = xs[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j, :kk] = cent
+        if kk < k:
+            books[j, kk:] = cent[0]  # duplicate filler, never harmful
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int> of length m): each subvector mapped to
+    its nearest codebook centroid — one Arrow map pass with the
+    broadcast (m, k, d/m) codebooks, zero shuffle. The codes ARE the
+    compressed corpus; at 100 TB this is what sits in memory/storage
+    while the raw vectors stay cold."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+
+    def enc(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d2 = (-2.0 * xs @ books[j].T
+                      + (books[j] ** 2).sum(axis=1)[None, :])
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return (emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v"))
+            .mapInPandas(enc, schema="id long, codes array<int>")
+            .select(F.col("id").alias(id_col), "codes"))
+
+
+def pq_topk(codes: DataFrame, codebooks, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", qid_col: str = "qid",
+            qvec_col: str = "qvec", round_to: int = 6) -> DataFrame:
+    """(qid, vec_id, score, rank): ADC top-k — each query precomputes
+    one (m x k) dot-product table against the codebooks (driver-free:
+    inside the Arrow batch), and every corpus vector scores as m table
+    lookups summed, never touching the raw floats. Approximate dot
+    product; queries and codebooks should be built on L2-normalized
+    vectors if cosine semantics are wanted. Scores round before
+    ranking (ties by id) like every ANN scorer here."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = books.shape
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("qv"))
+
+    def score(it):
+        for pdf in it:
+            # a batch can interleave several queries after the
+            # replicating crossJoin — handle each qid's slice
+            for qid, grp in pdf.groupby("_qid", sort=False):
+                cds = np.array(list(grp["codes"]), dtype=np.int64)
+                qv = np.asarray(grp["_qv"].iloc[0], dtype=np.float64)
+                table = np.stack([books[j] @ qv[j * sub:(j + 1) * sub]
+                                  for j in range(m)])     # (m, k)
+                s = table[np.arange(m)[None, :], cds].sum(axis=1)
+                yield pd.DataFrame({"qid": int(qid), "vec_id": grp["id"],
+                                    "score": np.round(s, round_to)})
+
+    joined = (codes.select(F.col(id_col).alias("id"), "codes")
+              .crossJoin(F.broadcast(q.select(F.col("qid").alias("_qid"),
+                                              F.col("qv").alias("_qv")))))
+    scored = joined.mapInPandas(
+        score, schema="qid long, vec_id long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("vec_id"))
+    return (scored.where(F.col("vec_id") != F.col("qid"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def hyperplane_planes(spark, n_planes: int = 8, dim: int = 64) -> DataFrame:
     """(p, plane array<double>): deterministic pseudo-random hyperplanes
     from the portable md5 family — coeff(p,d) =

@@ -1,0 +1,80 @@
+"""Product Quantization: determinism, compression shape, ADC fidelity
+on planted duplicates — the no-oracle pins for ann_pq_topk."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import similarity
+from recdb_postgresql_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _unit(spark):
+    emb = load_table(spark, SF, "embeddings")
+    return similarity.unit_normalize(emb).withColumnRenamed("unit", "uv")
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    unit = _unit(spark)
+    b1 = similarity.pq_train(unit, m=8, k=32, vec_col="uv",
+                             sample=1024, iters=3)
+    b2 = similarity.pq_train(unit.repartition(7), m=8, k=32,
+                             vec_col="uv", sample=1024, iters=3)
+    # hash-ordered sample + RNG-free Lloyd -> identical codebooks
+    np.testing.assert_allclose(b1, b2)
+    codes = similarity.pq_encode(unit, b1, vec_col="uv")
+    rows = codes.limit(5).collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r.codes)
+
+
+def test_pq_identical_vectors_get_identical_codes(spark):
+    unit = _unit(spark)
+    dup = unit.limit(10)
+    both = unit.unionByName(
+        dup.select((F.col("vec_id") + 100000).alias("vec_id"), "uv"))
+    books = similarity.pq_train(unit, m=8, k=32, vec_col="uv",
+                                sample=1024, iters=3)
+    codes = {r.vec_id: tuple(r.codes)
+             for r in similarity.pq_encode(both, books,
+                                           vec_col="uv").collect()}
+    for r in dup.collect():
+        assert codes[r.vec_id] == codes[r.vec_id + 100000]
+
+
+def test_pq_adc_finds_planted_duplicate_at_rank_one(spark):
+    """A verbatim copy of the query vector must be the ADC top-1:
+    identical vectors share codes, so their ADC score is the maximal
+    self-score — the recall property compression must not break."""
+    unit = _unit(spark)
+    q_src = unit.where(F.col("vec_id") == 3)
+    planted = q_src.select(F.lit(99999).alias("vec_id"), "uv")
+    corpus = unit.unionByName(planted)
+    books = similarity.pq_train(unit, m=8, k=32, vec_col="uv",
+                                sample=1024, iters=3)
+    codes = similarity.pq_encode(corpus, books, vec_col="uv")
+    q = q_src.select(F.col("vec_id").alias("qid"),
+                     F.col("uv").alias("qvec"))
+    top = similarity.pq_topk(codes, books, q, k=5).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.vec_id == 99999
+
+
+def test_pq_adc_approximates_true_dot(spark):
+    """ADC score vs the exact dot product on the same normalized
+    vectors: mean absolute error well under the score scale (the
+    quantization-error bound a 32x compression buys here)."""
+    unit = _unit(spark)
+    books = similarity.pq_train(unit, m=8, k=64, vec_col="uv",
+                                sample=2048, iters=5)
+    codes = similarity.pq_encode(unit, books, vec_col="uv")
+    q = unit.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    adc = {r.vec_id: r.score
+           for r in similarity.pq_topk(codes, books, q, k=50).collect()}
+    exact = {r.vec_id: r.cos
+             for r in similarity.brute_force_topk(
+                 unit, q, k=500, vec_col="uv").collect()}
+    errs = [abs(adc[v] - exact[v]) for v in adc if v in exact]
+    assert errs and sum(errs) / len(errs) < 0.15
