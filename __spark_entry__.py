@@ -1761,6 +1761,34 @@ def q_ann_pq_topk(spark, sf_dir):
         .select("vec_id", "score", "rank")
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the faiss-standard composition, built from the
+    engine's existing pieces in ONE lazy plan: coarse IVF cells prune
+    the corpus (query probes its 4 nearest of 16 cells), and ONLY the
+    probed cells' PQ codes are ADC-scored — at scale the raw vectors
+    are never read at query time (codes are 32x smaller) AND ~3/4 of
+    the codes are pruned before scoring. Deterministic first-k coarse
+    centroids keep the cell layout reproducible; rows-only by nature
+    (Lloyd codebooks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = similarity.unit_normalize(emb).withColumnRenamed("unit", "uv")
+    cent = similarity.first_k_centroids(unit, k=16, vec_col="uv")
+    books = similarity.pq_train(unit, m=8, k=64, vec_col="uv",
+                                sample=4096, iters=5)
+    codes = similarity.pq_encode(unit, books, vec_col="uv")
+    assign = similarity.ivf_assign(unit, cent, vec_col="uv")
+    q0 = unit.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    probed = similarity.ivf_assign(
+        q0.select(F.col("qid").alias("vec_id"),
+                  F.col("qvec").alias("uv")),
+        cent, vec_col="uv", n=4).select("cell").distinct()
+    cand = codes.join(assign, "vec_id") \
+        .join(F.broadcast(probed), "cell").select("vec_id", "codes")
+    return similarity.pq_topk(cand, books, q0, k=10) \
+        .select("vec_id", "score", "rank")
+
+
 def q_ann_pca_topk(spark, sf_dir):
     """ANN in a PCA-reduced space: 64-dim embeddings projected to 16
     PCA components (one Arrow partial-moments pass + driver-side d x d
@@ -3069,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_walkforward": q_rec_eval_walkforward,
         "events_cdc_diff": q_events_cdc_diff,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),

@@ -78,3 +78,29 @@ def test_pq_adc_approximates_true_dot(spark):
                  unit, q, k=500, vec_col="uv").collect()}
     errs = [abs(adc[v] - exact[v]) for v in adc if v in exact]
     assert errs and sum(errs) / len(errs) < 0.15
+
+
+def test_ivfpq_candidates_subset_and_recall_of_planted(spark):
+    """IVF-PQ returns a subset of PQ's candidates (pruning, never
+    adding), and a verbatim planted duplicate sharing the query's cell
+    still surfaces at rank 1 through BOTH stages."""
+    unit = _unit(spark)
+    q_src = unit.where(F.col("vec_id") == 3)
+    planted = q_src.select(F.lit(99999).alias("vec_id"), "uv")
+    corpus = unit.unionByName(planted)
+    cent = similarity.first_k_centroids(unit, k=8, vec_col="uv")
+    books = similarity.pq_train(unit, m=8, k=32, vec_col="uv",
+                                sample=1024, iters=3)
+    codes = similarity.pq_encode(corpus, books, vec_col="uv")
+    assign = similarity.ivf_assign(corpus, cent, vec_col="uv")
+    q = q_src.select(F.col("vec_id").alias("qid"),
+                     F.col("uv").alias("qvec"))
+    probed = similarity.ivf_assign(
+        q.select(F.col("qid").alias("vec_id"),
+                 F.col("qvec").alias("uv")),
+        cent, vec_col="uv", n=2).select("cell").distinct()
+    cand = codes.join(assign, "vec_id") \
+        .join(F.broadcast(probed), "cell").select("vec_id", "codes")
+    assert cand.count() < corpus.count()  # pruning really happened
+    top = similarity.pq_topk(cand, books, q, k=5).collect()
+    assert min(top, key=lambda r: r.rank).vec_id == 99999
