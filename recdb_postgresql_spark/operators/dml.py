@@ -18,7 +18,7 @@ whole-stage codegen.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 def merge_into(target: DataFrame, source: DataFrame, keys: Sequence[str],
                update_cols: Optional[Sequence[str]] = None,
                insert: bool = True,
-               delete_col: Optional[str] = None) -> DataFrame:
+               delete_col: Optional[str] = None,
+               update_exprs: Optional[Mapping] = None) -> DataFrame:
     """MERGE semantics as a lazy DataFrame: returns the post-merge
     relation with the TARGET's schema.
 
@@ -40,6 +41,16 @@ def merge_into(target: DataFrame, source: DataFrame, keys: Sequence[str],
       nothing
     - target-only -> passes through untouched
 
+    ``update_exprs`` upgrades matched updates from replacement to
+    COMPUTED merges (Delta's ``whenMatchedUpdate(set=...)``): a map of
+    column -> ``lambda t, s: ...`` where ``t``/``s`` are accessors for
+    the target/source value of any column — e.g. ``{"n": lambda t, s:
+    t("n") + s("n")}`` turns MERGE into the additive rollup
+    maintenance step (the continuous-aggregate pattern: micro-batch
+    partial aggregates merge into a summary table). Columns named in
+    ``update_exprs`` need not exist in the source at all; inserts
+    still take the source value (or NULL if absent).
+
     PRECONDITION: ``keys`` must be unique within ``source`` (one
     action per key — the same contract Delta's MERGE enforces at run
     time); duplicate source keys would fan out matched target rows.
@@ -51,11 +62,17 @@ def merge_into(target: DataFrame, source: DataFrame, keys: Sequence[str],
     shuffle (or none, if the source broadcasts)."""
     tcols = list(target.columns)
     scols = [c for c in source.columns if c != delete_col]
+    update_exprs = dict(update_exprs or {})
     if update_cols is None:
-        update_cols = [c for c in scols if c in tcols and c not in keys]
+        update_cols = [c for c in scols if c in tcols and c not in keys
+                       and c not in update_exprs]
     missing = [c for c in update_cols if c not in scols or c not in tcols]
     if missing:
         raise ValueError(f"update_cols not in both schemas: {missing}")
+    bad = [c for c in update_exprs if c not in tcols or c in keys]
+    if bad:
+        raise ValueError(f"update_exprs must target non-key target "
+                         f"columns: {bad}")
     t = target.select(
         *[F.col(c).alias(f"_t_{c}") for c in tcols],
         F.lit(True).alias("_in_t"))
@@ -74,11 +91,19 @@ def merge_into(target: DataFrame, source: DataFrame, keys: Sequence[str],
         .when(src_only, F.lit(insert) & ~F.col("_del")) \
         .otherwise(F.lit(True))
 
+    def tacc(c: str):
+        return F.col(f"_t_{c}")
+
+    def sacc(c: str):
+        return F.col(f"_s_{c}") if c in scols else F.lit(None)
+
     def out(c: str):
-        tval = F.col(f"_t_{c}")
-        sval = F.col(f"_s_{c}") if c in scols else F.lit(None)
+        tval, sval = tacc(c), sacc(c)
         if c in keys:
             return F.coalesce(tval, sval).alias(c)
+        if c in update_exprs:
+            return (F.when(matched, update_exprs[c](tacc, sacc))
+                    .when(src_only, sval).otherwise(tval).alias(c))
         if c in update_cols:
             return F.when(matched | src_only, sval).otherwise(tval).alias(c)
         return F.when(src_only, sval).otherwise(tval).alias(c)

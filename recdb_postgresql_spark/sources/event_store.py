@@ -333,7 +333,8 @@ class EventStore:
     def merge(self, source: DataFrame, keys: Sequence[str],
               update_cols: Optional[Sequence[str]] = None,
               insert: bool = True,
-              delete_col: Optional[str] = None) -> None:
+              delete_col: Optional[str] = None,
+              update_exprs: Optional[Mapping] = None) -> None:
         """MERGE INTO (upsert) — the canonical CDC-ingest statement:
         matched keys update, unmatched source rows insert, source
         tombstones (``delete_col`` true) delete. Semantics are
@@ -353,13 +354,14 @@ class EventStore:
         keys = list(keys)
         if not self.partition_col:
             merged = merge_into(self.read(), source, keys, update_cols,
-                                insert, delete_col)
+                                insert, delete_col, update_exprs)
             d = self._new_dir("merge")
             merged.write.mode("overwrite").parquet(
                 os.path.join(self.path, d))
             self._commit([d])
             return
-        if update_cols is not None and self.partition_col in update_cols:
+        if ((update_cols is not None and self.partition_col in update_cols)
+                or (update_exprs and self.partition_col in update_exprs)):
             raise ValueError(
                 f"updating the partition column {self.partition_col!r} "
                 "moves rows across partitions — use delete + append")
@@ -367,7 +369,8 @@ class EventStore:
             update_cols = [c for c in source.columns
                            if c in self.read().columns
                            and c not in keys and c != delete_col
-                           and c != self.partition_col]
+                           and c != self.partition_col
+                           and c not in (update_exprs or {})]
         tgt = self.read()
         pcol = F.col(self.partition_col).cast("string").alias("_p")
         matched_vals = (tgt.join(source.select(*keys).distinct(),
@@ -380,7 +383,7 @@ class EventStore:
         existing = [v for v in vals if v in m["parts"]]
         sub = self._read_parts(existing) if existing else tgt.limit(0)
         merged = merge_into(sub, source, keys, update_cols,
-                            insert, delete_col)
+                            insert, delete_col, update_exprs)
         moved = self._write_parts(merged, "merge")
         m = self._manifest()
         for val in vals:

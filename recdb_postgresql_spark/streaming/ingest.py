@@ -186,29 +186,53 @@ class StreamingMerger:
     effectively exactly-once for state even though the commit log
     gains a duplicate version."""
 
-    def __init__(self, store, keys, seq_col: str,
+    def __init__(self, store, keys, seq_col: Optional[str] = None,
                  update_cols=None, insert: bool = True,
-                 delete_col: Optional[str] = None):
+                 delete_col: Optional[str] = None,
+                 update_exprs=None, pre_aggregate=None):
+        """Exactly one of ``seq_col`` / ``pre_aggregate`` chooses the
+        batch-collapse strategy:
+
+        - ``seq_col``: last change per key wins (CDC replacement
+          semantics — idempotent on checkpoint redelivery).
+        - ``pre_aggregate``: a callable batch_df -> one-row-per-key
+          frame (e.g. a groupBy().agg of partial counts), paired with
+          ``update_exprs`` for ADDITIVE merges — the
+          continuous-aggregate / hypertable-rollup maintenance step
+          (each micro-batch's partials fold into the summary store).
+          CAVEAT, stated plainly: additive merges are NOT idempotent —
+          a batch redelivered after a crash between commit and
+          checkpoint double-counts; production pairs this with a
+          processed-batch-id ledger."""
+        if (seq_col is None) == (pre_aggregate is None):
+            raise ValueError(
+                "exactly one of seq_col / pre_aggregate is required")
         self.store = store
         self.keys = list(keys)
         self.seq_col = seq_col
         self.update_cols = update_cols
         self.insert = insert
         self.delete_col = delete_col
+        self.update_exprs = update_exprs
+        self.pre_aggregate = pre_aggregate
         self.batches = 0
 
     def on_batch(self, batch_df: DataFrame,
                  batch_id: Optional[int] = None) -> None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*self.keys).orderBy(
-            F.col(self.seq_col).desc())
-        last = (batch_df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1).drop("_rn", self.seq_col)
-                .localCheckpoint())  # materialize BEFORE merge mutates
-        # the manifest the lazy plan would re-read
+        if self.pre_aggregate is not None:
+            last = self.pre_aggregate(batch_df).localCheckpoint()
+        else:
+            w = Window.partitionBy(*self.keys).orderBy(
+                F.col(self.seq_col).desc())
+            last = (batch_df.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1).drop("_rn", self.seq_col)
+                    .localCheckpoint())  # materialize BEFORE merge
+            # mutates the manifest the lazy plan would re-read
         if last.rdd.isEmpty():
             return
         self.store.merge(last, self.keys, update_cols=self.update_cols,
-                         insert=self.insert, delete_col=self.delete_col)
+                         insert=self.insert, delete_col=self.delete_col,
+                         update_exprs=self.update_exprs)
         self.batches += 1

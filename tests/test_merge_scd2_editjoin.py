@@ -216,3 +216,67 @@ def test_cdc_diff_tombstone_carries_old_row(spark):
     new = spark.createDataFrame([], T_SCHEMA)
     r = cdc_diff(old, new, ["k"]).collect()[0]
     assert (r.op, r.k, r.name, r.v) == ("delete", 1, "last known", 9.0)
+
+
+def test_merge_update_exprs_additive(spark):
+    """Computed matched-updates (Delta's whenMatchedUpdate set=...):
+    counters ADD instead of replace; inserts still take source
+    values; plain update_cols coexist."""
+    target = spark.createDataFrame([(1, "a", 10.0), (2, "b", 5.0)],
+                                   T_SCHEMA)
+    source = spark.createDataFrame([(1, "A", 3.0), (9, "new", 7.0)],
+                                   T_SCHEMA)
+    out = {r.k: (r.name, r.v)
+           for r in merge_into(
+               target, source, ["k"],
+               update_exprs={"v": lambda t, s: t("v") + s("v")}).collect()}
+    assert out == {1: ("A", 13.0), 2: ("b", 5.0), 9: ("new", 7.0)}
+
+
+def test_merge_update_exprs_rejects_key_target(spark):
+    t = spark.createDataFrame([(1, "a", 1.0)], T_SCHEMA)
+    with pytest.raises(ValueError, match="update_exprs"):
+        merge_into(t, t, ["k"],
+                   update_exprs={"k": lambda a, b: a("k")})
+
+
+def test_streaming_continuous_rollup(spark, tmp_path):
+    """The continuous-aggregate pattern: micro-batches of raw events
+    pre-aggregate to per-key partials and fold ADDITIVELY into the
+    summary store — counts accumulate across batches."""
+    from recdb_postgresql_spark.streaming import StreamingMerger
+
+    summary = EventStore(spark, str(tmp_path / "rollup"))
+    summary.append(spark.createDataFrame(
+        [], "event_type string, n long, sum_value double"))
+
+    def partials(batch):
+        return (batch.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("sum_value")))
+
+    merger = StreamingMerger(
+        summary, ["event_type"], pre_aggregate=partials,
+        update_exprs={"n": lambda t, s: t("n") + s("n"),
+                      "sum_value": lambda t, s: t("sum_value")
+                      + s("sum_value")})
+    raw = "event_type string, value double"
+    merger.on_batch(spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), ("view", 5.0)], raw))
+    merger.on_batch(spark.createDataFrame(
+        [("click", 10.0), ("buy", 4.0)], raw))
+    rows = {r.event_type: (r.n, r.sum_value)
+            for r in summary.read().collect()}
+    assert rows == {"click": (3, 13.0), "view": (1, 5.0),
+                    "buy": (1, 4.0)}
+
+
+def test_streaming_merger_requires_exactly_one_strategy(spark, tmp_path):
+    from recdb_postgresql_spark.streaming import StreamingMerger
+
+    s = EventStore(spark, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="exactly one"):
+        StreamingMerger(s, ["k"])
+    with pytest.raises(ValueError, match="exactly one"):
+        StreamingMerger(s, ["k"], seq_col="seq",
+                        pre_aggregate=lambda b: b)
