@@ -312,6 +312,7 @@ def main():
     graph_probe(spark)
     editjoin_probe(spark, sf_dir, mult=4)
     merge_probe(spark, sf_dir, mult=10)
+    pq_probe(spark, sf_dir, mult=10)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     # probe flat-ish vs corpus (batch-driven), from-scratch linear in
@@ -467,6 +468,41 @@ def merge_probe(spark, sf_dir: str, mult: int = 10) -> None:
     assert n_merged == n - n_del + n_ins, (n_merged, n, n_del, n_ins)
     record(f"merge_x{mult}", target_rows=n, cdc_rows=src.count(),
            merged_rows=n_merged, merge_s=t)
+
+
+def pq_probe(spark, sf_dir: str, mult: int = 10) -> None:
+    """PQ at amplified vector scale: encode is one linear Arrow pass;
+    ADC top-k touches m code-bytes per vector where brute force reads
+    d floats — the memory-traffic ratio the method exists for. Both
+    paths score the SAME amplified corpus and the planted verbatim
+    duplicate of the query must surface at rank 1 through ADC."""
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = amplified_embeddings(spark, sf_dir, mult)
+    unit = (similarity.unit_normalize(emb)
+            .withColumnRenamed("unit", "uv").localCheckpoint())
+    n = unit.count()
+    books = similarity.pq_train(unit, m=8, k=64, vec_col="uv",
+                                sample=4096, iters=5)
+    t0 = time.perf_counter()
+    codes = similarity.pq_encode(unit, books, vec_col="uv") \
+        .localCheckpoint()
+    codes.count()
+    t_enc = time.perf_counter() - t0
+    q = unit.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    t0 = time.perf_counter()
+    top = similarity.pq_topk(codes, books, q, k=10).collect()
+    t_adc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    similarity.brute_force_topk(unit, q, k=10, vec_col="uv").count()
+    t_brute = time.perf_counter() - t0
+    # the amplified copies of vec 0 are verbatim dups -> ADC rank 1
+    # must be one of them (identical codes, maximal ADC self-score)
+    best = min(top, key=lambda r: r.rank)
+    assert best.vec_id % 10_000_000 == 0, best
+    record(f"pq_x{mult}", vectors=n, encode_s=t_enc, adc_topk_s=t_adc,
+           brute_topk_s=t_brute)
 
 
 def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
