@@ -112,3 +112,18 @@ def test_cdc_warehouse_example_end_to_end(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         store.read(version=1)
+
+
+def test_ann_serving_example_end_to_end(spark):
+    from examples.ann_serving_example import run
+
+    shortlist, refined, fused, page = run(spark, verbose=False)
+    n_short = shortlist.count()
+    assert 0 < n_short <= 50            # ADC pruned the corpus
+    # refine re-ranked only shortlist members
+    refined_ids = {r.vec_id for r in refined.collect()}
+    assert refined_ids <= {r.vec_id for r in shortlist.collect()}
+    # fused list carries both retrievers' contributions and ranks
+    assert {r.n_lists for r in fused.collect()} <= {1, 2}
+    # the served page is the MMR top-10 with contiguous ranks
+    assert [r.mmr_rank for r in page] == list(range(1, 11))
