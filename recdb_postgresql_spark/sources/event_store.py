@@ -394,14 +394,29 @@ class EventStore:
         self._write_manifest(m)
 
     # -- maintenance ---------------------------------------------------
-    def compact(self) -> None:
-        self._begin_mutation()
+    def compact(self, zorder_by: Optional[Sequence[str]] = None,
+                zorder_bits: int = 16, zorder_files: int = 32) -> None:
         """Merge accumulated append deltas into one snapshot per
         table (unpartitioned) or per multi-dir partition (partitioned
         — single-dir partitions are already compact and are NOT
         rewritten). Appends-heavy stores accrete many small file sets;
-        compaction restores scan efficiency without changing a row."""
+        compaction restores scan efficiency without changing a row.
+
+        ``zorder_by`` (unpartitioned stores) makes the rewritten
+        snapshot Z-ORDER CLUSTERED on the given columns — the Delta
+        OPTIMIZE ZORDER analog via ``sinks.write_zordered``: every
+        output file covers a compact range in ALL the interleaved
+        dimensions, so parquet footer stats skip files for predicates
+        on any of them. Clustering changes bytes, so it rewrites even
+        an already-single-dir snapshot. Partitioned stores reject it:
+        the partition layout IS their coarse index, and re-clustering
+        inside partitions is a different (finer) maintenance knob."""
+        self._begin_mutation()
         if self.partition_col:
+            if zorder_by:
+                raise ValueError(
+                    "zorder_by applies to unpartitioned stores — the "
+                    "partition layout is already the coarse index")
             m = self._manifest()
             frag = [v for v, rels in m["parts"].items() if len(rels) > 1]
             if not frag:
@@ -413,12 +428,47 @@ class EventStore:
             self._write_manifest(m)
             return
         m = self._manifest()
-        if len(m["dirs"]) <= 1:
+        if len(m["dirs"]) <= 1 and not zorder_by:
             return
         d = self._new_dir("compact")
-        self.read().write.mode("overwrite").parquet(
-            os.path.join(self.path, d))
+        if zorder_by:
+            from recdb_postgresql_spark.sources.sinks import write_zordered
+
+            write_zordered(self.read(), os.path.join(self.path, d),
+                           list(zorder_by), bits=zorder_bits,
+                           num_files=zorder_files)
+        else:
+            self.read().write.mode("overwrite").parquet(
+                os.path.join(self.path, d))
         self._commit([d])
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY analog: one record per committed version,
+        oldest first — (version, op, n_refs), with op recovered from
+        the snapshot-dir naming convention (``v<N>_<tag>``) and n_refs
+        the number of live dirs that version references. Versions
+        vacuumed away report op='vacuumed' (their manifest is gone but
+        their number is implied by the sequence)."""
+        hist_dir = os.path.join(self.path, "_versions")
+        cur = self._manifest()["version"]
+        out = []
+        for v in range(1, cur + 1):
+            p = os.path.join(hist_dir, f"v{v}.json")
+            if not os.path.exists(p):
+                out.append({"version": v, "op": "vacuumed", "n_refs": 0})
+                continue
+            with open(p) as f:
+                m = json.load(f)
+            rels = ([r for rs in m["parts"].values() for r in rs]
+                    if self.partition_col else m["dirs"])
+            tag = "unknown"
+            for rel in rels:
+                base = os.path.basename(rel)
+                if base.startswith(f"v{v}_"):
+                    tag = base[len(f"v{v}_"):]
+                    break
+            out.append({"version": v, "op": tag, "n_refs": len(rels)})
+        return out
 
     def vacuum(self, retain_versions: int = 0) -> list[str]:
         """Reclaim snapshot dirs no version within the last

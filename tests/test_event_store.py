@@ -291,3 +291,31 @@ def test_commit_lock_timeout_surfaces_stale_lock(spark, tmp_path):
     os.unlink(lock)
     s.append(spark.createDataFrame([(2, 20, 2.0)], SCHEMA))  # recovered
     assert s.read().count() == 2
+
+
+def test_compact_zorder_and_history(spark, tmp_path):
+    s = EventStore(spark, str(tmp_path / "zs"))
+    s.append(spark.createDataFrame(
+        [(u, i, float(u + i)) for u in range(40) for i in range(10, 14)],
+        SCHEMA))
+    s.append(spark.createDataFrame([(99, 99, 1.0)], SCHEMA))
+    s.delete(F.col("userid") == 99)
+    before = {(r.userid, r.itemid, r.ratingval) for r in s.read().collect()}
+    s.compact(zorder_by=["userid", "itemid"], zorder_files=4)
+    after = {(r.userid, r.itemid, r.ratingval) for r in s.read().collect()}
+    assert after == before                      # clustering changes no row
+    hist = s.history()
+    assert [h["op"] for h in hist] == ["append", "append", "delete",
+                                       "compact"]
+    assert all(h["n_refs"] >= 1 for h in hist)
+    # vacuumed versions are reported, not silently skipped
+    s.vacuum(retain_versions=0)
+    ops = [h["op"] for h in s.history()]
+    assert ops[-1] == "compact" and "vacuumed" in ops[:-1]
+
+
+def test_compact_zorder_rejected_on_partitioned(spark, tmp_path):
+    s = EventStore(spark, str(tmp_path / "zp"), partition_col="userid")
+    s.append(spark.createDataFrame([(1, 10, 4.0)], SCHEMA))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        s.compact(zorder_by=["itemid"])
