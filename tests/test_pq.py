@@ -104,3 +104,24 @@ def test_ivfpq_candidates_subset_and_recall_of_planted(spark):
     assert cand.count() < corpus.count()  # pruning really happened
     top = similarity.pq_topk(cand, books, q, k=5).collect()
     assert min(top, key=lambda r: r.rank).vec_id == 99999
+
+
+def test_pq_topk_multiple_queries_batched(spark):
+    """The ADC scorer must handle Arrow batches interleaving several
+    queries (the replicating crossJoin mixes them): per-query top-k
+    matches the single-query runs exactly."""
+    unit = _unit(spark)
+    books = similarity.pq_train(unit, m=8, k=32, vec_col="uv",
+                                sample=1024, iters=3)
+    codes = similarity.pq_encode(unit, books, vec_col="uv")
+    qs = unit.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    multi = {(r.qid, r.rank): r.vec_id
+             for r in similarity.pq_topk(codes, books, qs, k=5)
+             .coalesce(1).collect()}  # one partition = mixed batches
+    for qv in (0, 1, 2):
+        one = qs.where(F.col("qid") == qv)
+        single = {(r.qid, r.rank): r.vec_id
+                  for r in similarity.pq_topk(codes, books, one,
+                                              k=5).collect()}
+        assert {k: v for k, v in multi.items() if k[0] == qv} == single
