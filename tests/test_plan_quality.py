@@ -223,3 +223,34 @@ def test_lateral_decorrelates_to_window(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round8_operators_keep_scale_plan_shapes(spark):
+    """Round-8 pins: SCD2's two window passes reuse ONE keyed
+    Exchange (the filter between them is map-side); MERGE lowers to
+    exactly one join; the FTS and seasonality maps stay JVM-side with
+    the expected shuffle inventory."""
+    plan = _plan(entrymod.queries()["user_state_scd2"](spark, SF))
+    # one shuffle on the keys serves both window passes
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    plan = _plan(entrymod.queries()["events_merge_upsert"](spark, SF))
+    assert plan.count("Join") == 1, plan  # MERGE = one full-outer join
+
+    plan = _plan(entrymod.queries()["events_cdc_diff"](spark, SF))
+    assert plan.count("Join") == 1, plan  # its dual too
+
+    plan = _plan(entrymod.queries()["docs_fts_match"](spark, SF))
+    assert "Exchange" not in plan, plan   # pure map over the scan
+
+    plan = _plan(entrymod.queries()["events_seasonality"](spark, SF))
+    assert "BroadcastHashJoin" in plan    # per-type index, no window
+    assert "SortMergeJoin" not in plan
+
+    for name in ("user_state_scd2", "events_merge_upsert",
+                 "events_cdc_diff", "distinct_on_latest_order",
+                 "er_exact_editjoin", "graph_bfs_hops",
+                 "events_profile_drift", "rec_baseline_topk"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
