@@ -15,6 +15,8 @@ centroids.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -161,6 +163,65 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame,
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def write_ivfpq_index(emb: DataFrame, centroids: DataFrame, codebooks,
+                      path: str, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Persist the FULLY compressed corpus: PQ codes partitioned BY
+    COARSE CELL (``.../cell=7/part-*.parquet``) plus the codebooks and
+    centroids as sidecar parquet. Combines both storage levers — a
+    probe prunes unvisited cell directories (static partition pruning,
+    like ``write_ivf_index``) AND the files it does read hold m code
+    bytes per vector instead of d floats. The raw vectors live
+    elsewhere (cold); this index is the serving footprint."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+    codes = pq_encode(emb, books, id_col, vec_col)
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    (codes.join(assign, id_col)
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(os.path.join(path, "codes")))
+    rows = [(int(j), int(c), books[j, c].tolist())
+            for j in range(m) for c in range(k)]
+    spark.createDataFrame(rows, "j int, c int, v array<double>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "codebooks"))
+    centroids.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, "centroids"))
+
+
+def ivfpq_topk_indexed(spark, path: str, queries: DataFrame, k: int = 10,
+                       qid_col: str = "qid", qvec_col: str = "qvec",
+                       nprobe: int = 2, round_to: int = 6) -> DataFrame:
+    """ADC top-k against a ``write_ivfpq_index`` layout: codebooks and
+    centroids load from their sidecars (model-metadata-sized), each
+    query's ``nprobe`` cells become a static partition-pruning
+    predicate (the one legitimate collect), and ONLY those cells' code
+    files are read — never a raw vector, never an unprobed directory."""
+    import numpy as np
+
+    brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    m = 1 + max(r.j for r in brows)
+    k_codes = 1 + max(r.c for r in brows)
+    sub = len(brows[0].v)
+    books = np.zeros((m, k_codes, sub))
+    for r in brows:
+        books[r.j, r.c] = r.v
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    q_assign = ivf_assign(
+        queries.select(F.col(qid_col).alias("vec_id"),
+                       F.col(qvec_col).alias("embedding")),
+        centroids, n=nprobe)
+    cells = [r.cell for r in q_assign.select("cell").distinct().collect()]
+    codes = (spark.read.parquet(os.path.join(path, "codes"))
+             .where(F.col("cell").isin(cells))
+             .select("vec_id", "codes"))
+    return pq_topk(codes, books, queries, k, qid_col=qid_col,
+                   qvec_col=qvec_col, round_to=round_to)
 
 
 def sq8_quantize(emb: DataFrame, id_col: str = "vec_id",

@@ -125,3 +125,36 @@ def test_pq_topk_multiple_queries_batched(spark):
                   for r in similarity.pq_topk(codes, books, one,
                                               k=5).collect()}
         assert {k: v for k, v in multi.items() if k[0] == qv} == single
+
+
+def test_ivfpq_index_roundtrip_and_pruning(spark, tmp_path):
+    """Persisted IVF-PQ: the indexed probe returns exactly the
+    in-memory IVF-PQ result for the same nprobe, and the scan reads
+    ONLY the probed cell directories (static partition pruning over
+    code files — never a raw vector)."""
+    unit = _unit(spark)
+    cent = similarity.first_k_centroids(unit, k=8, vec_col="uv")
+    books = similarity.pq_train(unit, m=8, k=32, vec_col="uv",
+                                sample=1024, iters=3)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(unit, cent, books, path, vec_col="uv")
+    q = unit.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    out = similarity.ivfpq_topk_indexed(spark, path, q, k=10, nprobe=2)
+    # in-memory equivalent with the same pieces
+    codes = similarity.pq_encode(unit, books, vec_col="uv")
+    assign = similarity.ivf_assign(unit, cent, vec_col="uv")
+    probed = similarity.ivf_assign(
+        q.select(F.col("qid").alias("vec_id"),
+                 F.col("qvec").alias("uv")),
+        cent, vec_col="uv", n=2).select("cell").distinct()
+    cand = codes.join(assign, "vec_id") \
+        .join(F.broadcast(probed), "cell").select("vec_id", "codes")
+    mem = similarity.pq_topk(cand, books, q, k=10)
+    assert ([(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+            == [(r.vec_id, r.rank) for r in mem.orderBy("rank").collect()])
+    # pruning visible in the executed plan's partition filters
+    plan = (spark.read.parquet(path + "/codes")
+            .where(F.col("cell").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cell" in plan
