@@ -743,6 +743,7 @@ def q_ann_ivf_trained(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 _IVF_INDEX: dict[str, str] = {}
+_IVFPQ_INDEX: dict[str, str] = {}
 _HASH_INDEX: dict[str, str] = {}
 _LSH_INDEX: dict[str, str] = {}
 _TRAINED_CENTERS: dict[str, list] = {}
@@ -836,6 +837,24 @@ def _trained_cents(spark, sf_dir: str):
                                  schema="cid int, cvec array<double>")
 
 
+def _ivfpq_index_path(spark, sf_dir: str) -> str:
+    """write_ivfpq_index layout (cell-partitioned PQ codes + sidecar
+    codebooks/centroids) over the L2-normalized embeddings."""
+    if sf_dir not in _IVFPQ_INDEX:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_indexes", _sf_tag(sf_dir), "ivfpq")
+        emb = load_table(spark, sf_dir, "embeddings")
+        unit = similarity.unit_normalize(emb) \
+            .withColumnRenamed("unit", "uv")
+        cent = similarity.first_k_centroids(unit, k=16, vec_col="uv")
+        books = similarity.pq_train(unit, m=8, k=64, vec_col="uv",
+                                    sample=4096, iters=5)
+        similarity.write_ivfpq_index(unit, cent, books, path,
+                                     vec_col="uv")
+        _IVFPQ_INDEX[sf_dir] = path
+    return _IVFPQ_INDEX[sf_dir]
+
+
 def build_bench_indexes(spark, sf_dir: str) -> None:
     """bench.py warmup hook: materialize the persisted indexes and the
     trained centroids so timed reps measure probes, not builds."""
@@ -843,6 +862,7 @@ def build_bench_indexes(spark, sf_dir: str) -> None:
     _hash_index_table(spark, sf_dir)
     _lsh_index_table(spark, sf_dir)
     _trained_cents(spark, sf_dir)
+    _ivfpq_index_path(spark, sf_dir)
 
 
 def q_ann_ivf_indexed(spark, sf_dir):
@@ -858,6 +878,23 @@ def q_ann_ivf_indexed(spark, sf_dir):
     cents = similarity.first_k_centroids(emb, k=8)
     return similarity.ivf_topk_indexed(spark, path, qs, cents, k=10) \
         .select("qid", "vec_id", "cos", "rank")
+
+
+def q_ann_ivfpq_indexed(spark, sf_dir):
+    """ann_ivfpq_topk in its amortized storage form: codes partitioned
+    by coarse cell on disk, codebooks/centroids from sidecars; the
+    query's 4 probed cells become a static partition-pruning predicate
+    and only those cells' CODE files are read — never a raw vector.
+    rows-only (Lloyd codebooks); indexed==in-memory parity pinned in
+    tests/test_pq.py."""
+    path = _ivfpq_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = similarity.unit_normalize(emb).withColumnRenamed("unit", "uv")
+    q0 = unit.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("uv").alias("qvec"))
+    return similarity.ivfpq_topk_indexed(spark, path, q0, k=10,
+                                         nprobe=4) \
+        .select("vec_id", "score", "rank")
 
 
 def q_ann_ivf_trained_probe(spark, sf_dir):
@@ -3098,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_diff": q_events_cdc_diff,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
