@@ -280,3 +280,71 @@ def test_streaming_merger_requires_exactly_one_strategy(spark, tmp_path):
     with pytest.raises(ValueError, match="exactly one"):
         StreamingMerger(s, ["k"], seq_col="seq",
                         pre_aggregate=lambda b: b)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_into_random_vs_python_reference(spark, seed):
+    """Randomized battery: merge_into against a plain-Python dict
+    merge over frames with NULL keys, NULL values, tombstones and
+    inserts — the full semantic space, not just the hand cases."""
+    import random
+
+    rnd = random.Random(seed)
+
+    def val():
+        return None if rnd.random() < 0.2 else round(rnd.random() * 10, 3)
+
+    tkeys = [None] + list(range(8))
+    target_rows = [(k, rnd.choice(["a", "b", None]), val())
+                   for k in tkeys if rnd.random() < 0.8]
+    skeys = rnd.sample([None] + list(range(12)),
+                       k=rnd.randint(1, 8))
+    source_rows = [(k, rnd.choice(["x", None]), val(),
+                    rnd.random() < 0.3) for k in skeys]
+    target = spark.createDataFrame(target_rows, T_SCHEMA)
+    source = spark.createDataFrame(
+        source_rows, "k long, name string, v double, is_del boolean")
+    got = {(r.k, r.name, r.v)
+           for r in merge_into(target, source, ["k"],
+                               delete_col="is_del").collect()}
+    ref = {k: (n, v) for k, n, v in target_rows}
+    for k, n, v, dele in source_rows:
+        if dele:
+            ref.pop(k, None)
+        else:
+            ref[k] = (n, v)
+    want = {(k, n, v) for k, (n, v) in ref.items()}
+    assert got == want, (seed, got ^ want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scd2_random_vs_python_reference(spark, seed):
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = 0
+        for _ in range(rnd.randint(1, 12)):
+            t += rnd.randint(1, 5)
+            rows.append((u, t, eid, rnd.choice(["a", "b", None])))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, state string")
+    got = {(r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+           for r in scd2_build(ev, ["user_id"], "ts", ["state"],
+                               order_cols=["event_id"]).collect()}
+    want = set()
+    by_user = {}
+    for u, t, e, s in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user.setdefault(u, []).append((t, s))
+    for u, seq in by_user.items():
+        kept = [seq[0]]
+        for t, s in seq[1:]:
+            if s != kept[-1][1]:
+                kept.append((t, s))
+        for i, (t, s) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            want.add((u, s, t, nxt, nxt is None))
+    assert got == want, seed
