@@ -576,6 +576,11 @@ def mmr_rerank(candidates: DataFrame, item_vecs: DataFrame,
     the page it serves (a plain top-k happily shows ten near-identical
     items). Output (user, item, score, mmr_rank), rank 1..k.
 
+    Candidates with no row in ``item_vecs`` are dropped by the vector
+    join (an item the similarity space doesn't know can't be diversity-
+    scored) — pad ``item_vecs`` with a zero vector per unknown item if
+    pass-through is wanted.
+
     Greedy selection is inherently sequential IN k but embarrassingly
     parallel ACROSS users: one join attaches each candidate's vector,
     then an Arrow-batched applyInPandas runs the tiny O(k * n_cand * d)

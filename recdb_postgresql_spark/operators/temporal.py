@@ -453,6 +453,11 @@ def scd2_build(changes: DataFrame, key_cols, ts_col: str,
     task caveat shared with every keyed window here."""
     key_cols, attr_cols = list(key_cols), list(attr_cols)
     order_cols = list(order_cols)
+    reserved = {"valid_from", "valid_to", "is_current"}
+    clash = reserved & set(key_cols) | reserved & set(attr_cols)
+    if clash:
+        raise ValueError(f"scd2_build output reserves {sorted(reserved)}; "
+                         f"rename input columns {sorted(clash)}")
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
     first = F.lag(F.lit(1)).over(w).isNull()
     diffs = [~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))

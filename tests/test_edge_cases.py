@@ -233,3 +233,18 @@ def test_round8_operators_handle_empty_inputs(spark):
                       ["value"], quantiles=(0.5,))
     stats = {r.stat: (r.old_value, r.new_value) for r in d.collect()}
     assert stats["n_rows"] == (0.0, 0.0)
+
+
+def test_bfs_directed_respects_edge_direction(spark):
+    from recdb_postgresql_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 1)],
+                                  "id1 long, id2 long")
+    srcs = spark.createDataFrame([(1,)], "id long")
+    directed = {(r.id, r.dist) for r in
+                bfs_distances(edges, srcs, directed=True).collect()}
+    # 4 -> 1 is inbound only: unreachable when directed
+    assert directed == {(1, 0), (2, 1), (3, 2)}
+    undirected = {(r.id, r.dist) for r in
+                  bfs_distances(edges, srcs).collect()}
+    assert undirected == {(1, 0), (2, 1), (4, 1), (3, 2)}

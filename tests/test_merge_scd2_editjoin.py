@@ -348,3 +348,10 @@ def test_scd2_random_vs_python_reference(spark, seed):
             nxt = kept[i + 1][0] if i + 1 < len(kept) else None
             want.add((u, s, t, nxt, nxt is None))
     assert got == want, seed
+
+
+def test_scd2_rejects_reserved_output_names(spark):
+    ev = spark.createDataFrame([(1, 1, "a")],
+                               "u long, ts long, valid_to string")
+    with pytest.raises(ValueError, match="reserves"):
+        scd2_build(ev, ["u"], "ts", ["valid_to"])
