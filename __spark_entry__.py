@@ -1502,6 +1502,24 @@ def q_user_state_scd2(spark, sf_dir):
                                order_cols=["event_id"])
 
 
+def q_er_cross_source_links(spark, sf_dir):
+    """TWO-TABLE exact record linkage (the dirty-reimport shape): a
+    second customer feed whose names lost their last character to a
+    '0' links back to the master list at d<=1 — every cross pair
+    within one edit, via the FastSS deletion join's two-table form
+    (variants of BOTH sides equi-joined; exactness pinned vs the
+    brute-force cross join in tests)."""
+    from recdb_postgresql_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    reimport = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.expr("substring(c_name, 1, length(c_name) - 1)"),
+                 F.lit("0")).alias("c_name"))
+    return linkage.edit_distance_join(cust, "c_custkey", "c_name",
+                                      max_dist=1, right=reimport)
+
+
 def q_er_exact_editjoin(spark, sf_dir):
     """EXACT Levenshtein self-join (d<=1) over customer names — the
     no-recall-loss twin of the blocked ER pass. Auto strategy picks
@@ -3136,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "er_cross_source_links": q_er_cross_source_links,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -6089,6 +6108,18 @@ FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY tsn, event_id)
 """
     # the exact edit-distance join IS the quadratic statement; the
     # engine's prefix-filtered plan must produce the identical pair set
+    o["er_cross_source_links"] = """
+WITH re AS (
+  SELECT c_custkey + 1000000 AS id2,
+         concat(substring(c_name, 1, length(c_name) - 1), '0') AS name2
+  FROM customer)
+SELECT a.c_custkey AS id1, re.id2,
+       a.c_name AS name1, re.name2,
+       CAST(levenshtein(a.c_name, re.name2) AS INT) AS dist
+FROM customer a CROSS JOIN re
+WHERE abs(length(a.c_name) - length(re.name2)) <= 1
+  AND levenshtein(a.c_name, re.name2) <= 1
+"""
     o["er_exact_editjoin"] = """
 SELECT a.c_custkey AS id1, b.c_custkey AS id2,
        a.c_name AS name1, b.c_name AS name2,

@@ -51,13 +51,20 @@ def blocked_matches(df: DataFrame, block_key: Column,
 
 def edit_distance_join(df: DataFrame, id_col: str = "id",
                        name_col: str = "name", max_dist: int = 1,
-                       q: int = 2, strategy: str = "auto") -> DataFrame:
-    """EXACT Levenshtein self-join: every (id1 < id2) pair within
-    ``max_dist`` edits — no blocking recall loss, unlike
-    ``blocked_matches`` (the heuristic-blocking twin). Output
-    (id1, id2, name1, name2, dist). Candidates always verify with the
-    codegen'd ``levenshtein``, so every strategy returns the identical
-    exact pair set; the strategies differ only in candidate volume.
+                       q: int = 2, strategy: str = "auto",
+                       right: DataFrame | None = None,
+                       right_id_col: str | None = None,
+                       right_name_col: str | None = None) -> DataFrame:
+    """EXACT Levenshtein join: every pair within ``max_dist`` edits —
+    no blocking recall loss, unlike ``blocked_matches`` (the
+    heuristic-blocking twin). Self-join by default (id1 < id2
+    deduplicates the symmetric pair); pass ``right`` for the
+    TWO-TABLE record-linkage form (id1 from ``df``, id2 from
+    ``right``, every cross pair within distance — the dirty-reimport /
+    cross-source matching shape). Output (id1, id2, name1, name2,
+    dist). Candidates always verify with the codegen'd
+    ``levenshtein``, so every strategy returns the identical exact
+    pair set; the strategies differ only in candidate volume.
 
     strategy='deletion' (FastSS/SymSpell, auto-picked for d <= 2):
     two strings within ``d`` edits share a member of their depth-d
@@ -83,17 +90,19 @@ def edit_distance_join(df: DataFrame, id_col: str = "id",
         strategy = "deletion" if d <= 2 else "prefix"
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(name_col).alias("_name"))
+    base_r = None
+    if right is not None:
+        base_r = right.select(
+            F.col(right_id_col or id_col).alias("_id"),
+            F.col(right_name_col or name_col).alias("_name"))
     if strategy == "deletion":
-        return _edit_join_deletion(base, d)
-    return _edit_join_prefix(base, d, q)
+        return _edit_join_deletion(base, d, base_r)
+    return _edit_join_prefix(base, d, q, base_r)
 
 
-def _edit_join_deletion(base: DataFrame, d: int) -> DataFrame:
-    """Deletion-neighborhood candidate join (exact after verify)."""
-    if d > 2:
-        raise ValueError("deletion strategy supports max_dist <= 2 "
-                         "(variant count grows C(len, d)) — use "
-                         "strategy='prefix'")
+def _del_variants(base: DataFrame, d: int) -> DataFrame:
+    """(id, variant) rows: the string plus every way of deleting up to
+    ``d`` of its characters (depth-d deletion neighborhood)."""
     name = F.col("_name")
     L = F.length(name)
 
@@ -113,26 +122,40 @@ def _edit_join_deletion(base: DataFrame, d: int) -> DataFrame:
         pairs = F.flatten(F.transform(pos, lambda i: F.transform(
             F.filter(pos, lambda j: j > i), lambda j: del2(i, j))))
         variants = F.concat(variants, pairs)
-    v = base.select("_id", F.explode(F.array_distinct(variants))
-                    .alias("g"))
+    return base.select("_id", F.explode(F.array_distinct(variants))
+                       .alias("g"))
+
+
+def _edit_join_deletion(base: DataFrame, d: int,
+                        base_r: DataFrame | None = None) -> DataFrame:
+    """Deletion-neighborhood candidate join (exact after verify)."""
+    if d > 2:
+        raise ValueError("deletion strategy supports max_dist <= 2 "
+                         "(variant count grows C(len, d)) — use "
+                         "strategy='prefix'")
+    v = _del_variants(base, d)
+    vr = v if base_r is None else _del_variants(base_r, d)
     # candidates stay NARROW (id1, id2) through the dedup shuffle —
     # carrying both name strings through the distinct measured 3x
     # slower; names re-attach afterwards on the (tiny relative to
     # candidates) id-keyed base
     cand = (v.select("g", F.col("_id").alias("id1"))
-            .join(v.select("g", F.col("_id").alias("id2")), "g")
-            .where(F.col("id1") < F.col("id2"))
-            .select("id1", "id2").distinct())
-    return _verify_pairs(cand, base, d)
+            .join(vr.select("g", F.col("_id").alias("id2")), "g"))
+    if base_r is None:
+        cand = cand.where(F.col("id1") < F.col("id2"))
+    cand = cand.select("id1", "id2").distinct()
+    return _verify_pairs(cand, base, d, base_r)
 
 
-def _verify_pairs(cand: DataFrame, base: DataFrame, d: int) -> DataFrame:
+def _verify_pairs(cand: DataFrame, base: DataFrame, d: int,
+                  base_r: DataFrame | None = None) -> DataFrame:
     """Re-attach names to (id1, id2) candidates and verify: length
     filter (necessary condition) then the codegen'd levenshtein."""
     n1 = base.select(F.col("_id").alias("id1"),
                      F.col("_name").alias("name1"))
-    n2 = base.select(F.col("_id").alias("id2"),
-                     F.col("_name").alias("name2"))
+    n2 = (base_r if base_r is not None else base) \
+        .select(F.col("_id").alias("id2"),
+                F.col("_name").alias("name2"))
     dist = F.levenshtein("name1", "name2")
     return (cand.join(n1, "id1").join(n2, "id2")
             .where(F.abs(F.length("name1") - F.length("name2")) <= d)
@@ -141,42 +164,64 @@ def _verify_pairs(cand: DataFrame, base: DataFrame, d: int) -> DataFrame:
                     dist.cast("int").alias("dist")))
 
 
-def _edit_join_prefix(base: DataFrame, d: int, q: int) -> DataFrame:
+def _grams(side: DataFrame, q: int) -> DataFrame:
+    n = F.length("_name")
+    idx = F.sequence(F.lit(1), F.greatest(n - q + 1, F.lit(1)))
+    return side.select("_id", F.explode(F.array_distinct(F.transform(
+        idx, lambda i: F.col("_name").substr(i, F.lit(q))))).alias("g"))
+
+
+def _edit_join_prefix(base: DataFrame, d: int, q: int,
+                      base_r: DataFrame | None = None) -> DataFrame:
     """Rarest-first q-gram prefix candidate join (exact after verify),
-    plus the short/repetitive brute-force residue."""
+    plus the short/repetitive brute-force residue. Two-table mode
+    computes ONE shared gram-frequency order over both sides — the
+    prefix-filter lemma needs a common total order."""
     from pyspark.sql import Window
 
     prefix_n = q * d + 1
-    n = F.length("_name")
-    idx = F.sequence(F.lit(1), F.greatest(n - q + 1, F.lit(1)))
-    grams = (base.select("_id", "_name",
-                         F.explode(F.array_distinct(F.transform(
-                             idx,
-                             lambda i: F.col("_name").substr(i, F.lit(q))
-                         ))).alias("g")))
+    gl = _grams(base, q)
+    gr = gl if base_r is None else _grams(base_r, q)
     # global rarest-first gram order (df asc, gram asc) — determines
-    # the prefix deterministically and keeps join buckets smallest
-    gfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
-    rk = Window.partitionBy("_id").orderBy("_gdf", "g")
-    ranked = (grams.join(gfreq, "g")
-              .withColumn("_rn", F.row_number().over(rk)))
-    sizes = ranked.groupBy("_id").agg(F.max("_rn").alias("_nd"))
-    pref = ranked.where(F.col("_rn") <= prefix_n).select("g", "_id")
+    # the prefix deterministically and keeps join buckets smallest;
+    # shared across sides in two-table mode
+    both = gl if base_r is None else gl.unionByName(gr)
+    gfreq = both.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
+
+    def ranked_prefix(grams):
+        rk = Window.partitionBy("_id").orderBy("_gdf", "g")
+        ranked = (grams.join(gfreq, "g")
+                  .withColumn("_rn", F.row_number().over(rk)))
+        sizes = ranked.groupBy("_id").agg(F.max("_rn").alias("_nd"))
+        pref = ranked.where(F.col("_rn") <= prefix_n).select("g", "_id")
+        return pref, sizes
+
+    pref_l, sizes_l = ranked_prefix(gl)
+    pref_r, sizes_r = (pref_l, sizes_l) if base_r is None \
+        else ranked_prefix(gr)
     # candidates stay NARROW (id1, id2) through the dedup shuffle
     # (same 3x win as the deletion path); names re-attach in verify
-    cand = (pref.select("g", F.col("_id").alias("id1"))
-            .join(pref.select("g", F.col("_id").alias("id2")), "g")
-            .where(F.col("id1") < F.col("id2"))
-            .select("id1", "id2"))
+    cand = (pref_l.select("g", F.col("_id").alias("id1"))
+            .join(pref_r.select("g", F.col("_id").alias("id2")), "g"))
+    if base_r is None:
+        cand = cand.where(F.col("id1") < F.col("id2"))
+    cand = cand.select("id1", "id2")
+
     # short/repetitive residue: strings with <= q*d distinct grams —
     # any pair the prefix join can miss has BOTH members here
-    shorts = (base.join(sizes, "_id", "left")
-              .where(F.coalesce(F.col("_nd"), F.lit(0)) <= q * d)
-              .select("_id"))
-    scand = (shorts.select(F.col("_id").alias("id1"))
-             .crossJoin(shorts.select(F.col("_id").alias("id2")))
-             .where(F.col("id1") < F.col("id2")))
-    return _verify_pairs(cand.unionByName(scand).distinct(), base, d)
+    def shorts(side, sizes):
+        return (side.join(sizes, "_id", "left")
+                .where(F.coalesce(F.col("_nd"), F.lit(0)) <= q * d)
+                .select("_id"))
+
+    sl = shorts(base, sizes_l)
+    sr = sl if base_r is None else shorts(base_r, sizes_r)
+    scand = (sl.select(F.col("_id").alias("id1"))
+             .crossJoin(sr.select(F.col("_id").alias("id2"))))
+    if base_r is None:
+        scand = scand.where(F.col("id1") < F.col("id2"))
+    return _verify_pairs(cand.unionByName(scand).distinct(), base, d,
+                         base_r)
 
 
 def best_match(matches: DataFrame) -> DataFrame:

@@ -355,3 +355,28 @@ def test_scd2_rejects_reserved_output_names(spark):
                                "u long, ts long, valid_to string")
     with pytest.raises(ValueError, match="reserves"):
         scd2_build(ev, ["u"], "ts", ["valid_to"])
+
+
+@pytest.mark.parametrize("d,strategy", [
+    (1, "deletion"), (2, "deletion"), (1, "prefix"), (2, "prefix"),
+])
+def test_edit_distance_join_two_table_exact(spark, d, strategy):
+    """Two-table (R x S) form vs the brute-force cross join — the
+    dirty-reimport linkage shape, over the same nasty universe plus
+    mutated twins on the right."""
+    names = ["a", "ab", "aaaa", "banana", "kitten", "prefix_000",
+             "prefix_001", "zzzz", ""]
+    left = spark.createDataFrame(list(enumerate(names)),
+                                 "id long, name string")
+    rights = [(100 + i, n[:-1] + "0" if n else "x")
+              for i, n in enumerate(names)]
+    right = spark.createDataFrame(rights, "id long, name string")
+    got = {(r.id1, r.id2) for r in
+           edit_distance_join(left, "id", "name", max_dist=d,
+                              strategy=strategy, right=right).collect()}
+    a = left.select(F.col("id").alias("id1"), F.col("name").alias("n1"))
+    b = right.select(F.col("id").alias("id2"), F.col("name").alias("n2"))
+    want = {(r.id1, r.id2) for r in
+            a.crossJoin(b)
+            .where(F.levenshtein("n1", "n2") <= d).collect()}
+    assert got == want, (d, strategy, got ^ want)
