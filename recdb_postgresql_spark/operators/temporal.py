@@ -256,7 +256,13 @@ def interval_join(points: DataFrame, intervals: DataFrame, on: str,
     interval then explodes to ~2 cells; much smaller cells inflate the
     explode, much larger cells inflate residual-filtered candidates.
     At 100 TB both sides shuffle once on (key, cell) — skew follows
-    the hottest (key, cell), which ``cell`` directly bounds."""
+    the hottest (key, cell), which ``cell`` directly bounds.
+
+    NULL semantics (all grid joins here + operators/geo.py share it):
+    a row with a NULL timestamp/endpoint/key maps to no cell and joins
+    nothing — it silently emits no pairs, the same as SQL's
+    ``BETWEEN``/equality on NULL. Filter such rows out beforehand if
+    you need to count them."""
     cell = int(cell)
     _check_no_internal_names(points, intervals)
     # the residual compares via RENAMED internal columns (_ivs/_ive/
