@@ -145,6 +145,9 @@ SLOPE = [
     "ann_ivf_multiprobe", "dedup_minhash_lsh", "events_hourly_rollup",
     "semantic_dedup", "graph_pagerank", "dedup_jaccard_prefix",
     "docs_related_tfidf", "docs_topic_clusters",
+    # round 8 heavies: edit joins, BFS, classifier
+    "er_exact_editjoin", "er_cross_source_links", "graph_bfs_hops",
+    "docs_quality_classifier",
 ]
 
 # the 35 queries shared with the r1 recorded baseline (BENCH_r01.json)
