@@ -1909,6 +1909,27 @@ def q_ann_knn_classify(spark, sf_dir):
         .select(F.col("qid").alias("vec_id"), "pred_label", "votes")
 
 
+def q_events_ols_value(spark, sf_dir):
+    """Trained model with a VALUE-HASH parity gate: two-feature OLS
+    (value ~ hour-of-day + day-of-week) solved closed-form — one
+    map-combined moment aggregate + Cramer's rule in Catalyst
+    expressions, no iteration, no collect — so unlike SVD/ALS/L-BFGS
+    the fitted coefficients hash-match the DuckDB oracle exactly
+    (operators/regression.ols_fit_sql; the general-p numpy-solve twin
+    is the rows-only lane)."""
+    from recdb_postgresql_spark.operators import regression
+
+    DAY = 86_400 * 10**9
+    HOUR = 3600 * 10**9
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("value",
+                  (F.expr(f"ts div {HOUR}") % 24).alias("hour_of_day"),
+                  (F.expr(f"ts div {DAY}") % 7).alias("day_of_week")))
+    return regression.ols_fit_sql(ev, "value",
+                                  ["hour_of_day", "day_of_week"])
+
+
 def q_events_seasonality(spark, sf_dir):
     """Periodic (hour-of-day) seasonal profile per event type: slot
     averages vs the type's overall mean as a seasonality index — the
@@ -3155,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "er_cross_source_links": q_er_cross_source_links,
+        "events_ols_value": q_events_ols_value,
         "q18_big_volume_customers": _rel_query("q18_big_volume_customers"),
         "cube_order_matrix": _rel_query("cube_order_matrix"),
         "date_functions": _rel_query("date_functions"),
@@ -5975,6 +5997,42 @@ votes AS (
 SELECT qid AS vec_id, label AS pred_label, votes FROM votes
 QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
                            ORDER BY votes DESC, label) = 1
+"""
+    # closed-form OLS: the SAME moment sums and the SAME expanded
+    # Cramer determinants — no iteration anywhere, so the fitted
+    # coefficients are value-hash comparable across engines
+    o["events_ols_value"] = """
+WITH e AS (SELECT CAST(value AS DOUBLE) AS y,
+                  CAST(epoch_ns(ts) // 3600000000000 % 24 AS DOUBLE) AS x0,
+                  CAST(epoch_ns(ts) // 86400000000000 % 7 AS DOUBLE) AS x1
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             SUM(y) AS sy, SUM(y*y) AS syy,
+             SUM(x0) AS s0, SUM(x0*y) AS s0y,
+             SUM(x0*x0) AS s00, SUM(x0*x1) AS s01,
+             SUM(x1) AS s1, SUM(x1*y) AS s1y, SUM(x1*x1) AS s11
+      FROM e),
+d AS (SELECT *,
+             (n * (s00 * s11 - s01 * s01)
+              - s0 * (s0 * s11 - s01 * s1)
+              + s1 * (s0 * s01 - s00 * s1)) AS det,
+             (sy * (s00 * s11 - s01 * s01)
+              - s0 * (s0y * s11 - s01 * s1y)
+              + s1 * (s0y * s01 - s00 * s1y)) AS det0,
+             (n * (s0y * s11 - s01 * s1y)
+              - sy * (s0 * s11 - s01 * s1)
+              + s1 * (s0 * s1y - s0y * s1)) AS det1,
+             (n * (s00 * s1y - s0y * s01)
+              - s0 * (s0 * s1y - s0y * s1)
+              + sy * (s0 * s01 - s00 * s1)) AS det2
+      FROM m)
+SELECT ROUND(det0 / det, 6) AS b0,
+       ROUND(det1 / det, 6) AS b1,
+       ROUND(det2 / det, 6) AS b2,
+       ROUND(1 - (syy - ((det0 / det) * sy + (det1 / det) * s0y
+                         + (det2 / det) * s1y))
+                 / (syy - sy * sy / n), 6) AS r2
+FROM d
 """
     # seasonality: epoch_ns // (3600e9 as integer) % 24 — same integer
     # slot arithmetic; the per-type overall mean is the same AVG both

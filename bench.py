@@ -133,7 +133,7 @@ HEADLINE = [
     # round 8 wave 6: PG DISTINCT ON + walk-forward temporal eval
     "distinct_on_latest_order", "rec_eval_walkforward",
     "events_cdc_diff", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_ivfpq_indexed", "er_cross_source_links",
+    "ann_ivfpq_indexed", "er_cross_source_links", "events_ols_value",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

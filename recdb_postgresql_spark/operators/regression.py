@@ -1,0 +1,121 @@
+"""Closed-form linear regression — ML as one aggregate.
+
+PG ships the one-feature family (``regr_slope``/``regr_intercept``,
+mirrored in the statistical-aggregates query); this module is the
+multi-feature extension done the distributed-systems way: ordinary
+least squares reduces to a MOMENT MATRIX (n, Σx_i, Σx_i x_j, Σx_i y)
+— one map-combined aggregate producing a single row, independent of
+row count — and a p x p solve on that row. Unlike every iterative
+model here (SVD, ALS, L-BFGS, Lloyd), the solution is CLOSED-FORM:
+two engines computing the same moments get the same coefficients, so
+``ols_fit_sql`` (p <= 2 features, Cramer's rule spelled out in
+Catalyst expressions) is fully DuckDB-oracle-checkable — a trained
+model with a value-hash parity gate.
+
+``ols_fit`` generalizes to any p by solving the p x p system with
+numpy on the collected single moment row (model metadata, like
+centroids) — still deterministic, but float op order differs from an
+in-SQL solve, so it takes the rows-only lane.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moments(df: DataFrame, y_col: str, x_cols: Sequence[str]):
+    """One aggregate: n, S_i, S_ij (i<=j), Sy, S_iy, Syy."""
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi).alias(f"s{i}"))
+        aggs.append(F.sum(xi * y).alias(f"s{i}y"))
+        for j, xj in enumerate(xs):
+            if i <= j:
+                aggs.append(F.sum(xi * xj).alias(f"s{i}{j}"))
+    keep = y.isNotNull()
+    for xi in xs:
+        keep = keep & xi.isNotNull()
+    return df.where(keep).agg(*aggs)
+
+
+def ols_fit_sql(df: DataFrame, y_col: str,
+                x_cols: Sequence[str]) -> DataFrame:
+    """One-row (b0, b1[, b2], r2): OLS with intercept for EXACTLY one
+    or two features, Cramer's rule written out as Catalyst expressions
+    over the moment row — no collect, no iteration, and the identical
+    formula runs in the SQL oracle. NULL rows (in y or any x) are
+    excluded, like every SQL aggregate. R² = 1 - SSE/SST with
+    SSE = Syy - b·X'y (the standard moment identity)."""
+    p = len(x_cols)
+    if p not in (1, 2):
+        raise ValueError("ols_fit_sql supports 1 or 2 features "
+                         "(Cramer's rule in-plan) — use ols_fit for "
+                         "general p")
+    m = _moments(df, y_col, x_cols)
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    if p == 1:
+        s0, s00, s0y = F.col("s0"), F.col("s00"), F.col("s0y")
+        det = n * s00 - s0 * s0
+        b0 = (sy * s00 - s0 * s0y) / det
+        b1 = (n * s0y - s0 * sy) / det
+        sse = syy - (b0 * sy + b1 * s0y)
+        sst = syy - sy * sy / n
+        return m.select(F.round(b0, 6).alias("b0"),
+                        F.round(b1, 6).alias("b1"),
+                        F.round(1 - sse / sst, 6).alias("r2"))
+    s0, s1 = F.col("s0"), F.col("s1")
+    s00, s01, s11 = F.col("s00"), F.col("s01"), F.col("s11")
+    s0y, s1y = F.col("s0y"), F.col("s1y")
+    # A = [[n, s0, s1], [s0, s00, s01], [s1, s01, s11]],
+    # c = [sy, s0y, s1y]; 3x3 determinants expanded along row 1
+    det = (n * (s00 * s11 - s01 * s01)
+           - s0 * (s0 * s11 - s01 * s1)
+           + s1 * (s0 * s01 - s00 * s1))
+    det0 = (sy * (s00 * s11 - s01 * s01)
+            - s0 * (s0y * s11 - s01 * s1y)
+            + s1 * (s0y * s01 - s00 * s1y))
+    det1 = (n * (s0y * s11 - s01 * s1y)
+            - sy * (s0 * s11 - s01 * s1)
+            + s1 * (s0 * s1y - s0y * s1))
+    det2 = (n * (s00 * s1y - s0y * s01)
+            - s0 * (s0 * s1y - s0y * s1)
+            + sy * (s0 * s01 - s00 * s1))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (b0 * sy + b1 * s0y + b2 * s1y)
+    sst = syy - sy * sy / n
+    return m.select(F.round(b0, 6).alias("b0"),
+                    F.round(b1, 6).alias("b1"),
+                    F.round(b2, 6).alias("b2"),
+                    F.round(1 - sse / sst, 6).alias("r2"))
+
+
+def ols_fit(df: DataFrame, y_col: str,
+            x_cols: Sequence[str]) -> tuple[np.ndarray, float]:
+    """General-p OLS: the same single moment-row aggregate, solved
+    driver-side with numpy (p x p — microseconds; the DATA never
+    leaves executors). Returns (coefficients [b0, b1..bp], r2).
+    Deterministic, but the solver's float op order differs from the
+    in-SQL Cramer path — rows-only lane, like KMeans centroids."""
+    row = _moments(df, y_col, x_cols).collect()[0]
+    p = len(x_cols)
+    a = np.zeros((p + 1, p + 1))
+    c = np.zeros(p + 1)
+    a[0, 0], c[0] = row["n"], row["sy"]
+    for i in range(p):
+        a[0, i + 1] = a[i + 1, 0] = row[f"s{i}"]
+        c[i + 1] = row[f"s{i}y"]
+        for j in range(p):
+            if i <= j:
+                a[i + 1, j + 1] = a[j + 1, i + 1] = row[f"s{i}{j}"]
+    b = np.linalg.solve(a, c)
+    sse = row["syy"] - float(b @ c)
+    sst = row["syy"] - row["sy"] ** 2 / row["n"]
+    return b, 1.0 - sse / sst

@@ -1,0 +1,67 @@
+"""Closed-form OLS: numpy parity, planted-coefficient recovery, the
+single-aggregate plan shape, and the SQL vs general-p agreement."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import regression
+
+
+def _planted(spark, seed=5, n=4000):
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(0, 10, n)
+    x1 = rng.uniform(-3, 3, n)
+    y = 2.5 + 1.25 * x0 - 0.75 * x1 + rng.normal(scale=0.1, size=n)
+    rows = [(float(y[i]), float(x0[i]), float(x1[i])) for i in range(n)]
+    return (spark.createDataFrame(rows, "y double, x0 double, x1 double"),
+            np.column_stack([np.ones(n), x0, x1]), y)
+
+
+def test_ols_sql_recovers_planted_coefficients(spark):
+    df, X, y = _planted(spark)
+    r = regression.ols_fit_sql(df, "y", ["x0", "x1"]).collect()[0]
+    assert r.b0 == pytest.approx(2.5, abs=0.02)
+    assert r.b1 == pytest.approx(1.25, abs=0.01)
+    assert r.b2 == pytest.approx(-0.75, abs=0.01)
+    assert r.r2 > 0.99
+
+
+def test_ols_sql_matches_numpy_lstsq(spark):
+    df, X, y = _planted(spark, seed=9)
+    r = regression.ols_fit_sql(df, "y", ["x0", "x1"]).collect()[0]
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    np.testing.assert_allclose([r.b0, r.b1, r.b2], ref, atol=1e-5)
+    # general-p driver-solve path agrees too
+    b, r2 = regression.ols_fit(df, "y", ["x0", "x1"])
+    np.testing.assert_allclose(b, ref, atol=1e-8)
+    assert r2 == pytest.approx(float(r.r2), abs=1e-4)
+
+
+def test_ols_single_feature_matches_pg_regr(spark):
+    """p=1 reduces to PG's regr_slope / regr_intercept — pin against
+    Spark's own implementations of those aggregates."""
+    df, _, _ = _planted(spark, seed=11)
+    r = regression.ols_fit_sql(df, "y", ["x0"]).collect()[0]
+    pg = df.agg(F.expr("regr_slope(y, x0)").alias("s"),
+                F.expr("regr_intercept(y, x0)").alias("i")).collect()[0]
+    assert r.b1 == pytest.approx(pg.s, abs=1e-6)
+    assert r.b0 == pytest.approx(pg.i, abs=1e-6)
+
+
+def test_ols_null_rows_excluded_and_plan_is_one_aggregate(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 1.0), (2.0, 2.0, 0.0), (None, 3.0, 1.0),
+         (3.0, None, 0.0), (4.0, 4.0, None), (3.0, 3.0, 1.0)],
+        "y double, x0 double, x1 double")
+    out = regression.ols_fit_sql(df, "y", ["x0", "x1"])
+    assert out.count() == 1  # well-defined with 3 clean rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one partial+final aggregate
+    assert "Join" not in plan
+
+
+def test_ols_rejects_unsupported_arity(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "y double, x0 double")
+    with pytest.raises(ValueError, match="1 or 2"):
+        regression.ols_fit_sql(df, "y", ["x0", "x0", "x0"])
