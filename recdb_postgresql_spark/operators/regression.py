@@ -97,13 +97,18 @@ def ols_fit_sql(df: DataFrame, y_col: str,
                     F.round(1 - sse / sst, 6).alias("r2"))
 
 
-def ols_fit(df: DataFrame, y_col: str,
-            x_cols: Sequence[str]) -> tuple[np.ndarray, float]:
-    """General-p OLS: the same single moment-row aggregate, solved
-    driver-side with numpy (p x p — microseconds; the DATA never
-    leaves executors). Returns (coefficients [b0, b1..bp], r2).
-    Deterministic, but the solver's float op order differs from the
-    in-SQL Cramer path — rows-only lane, like KMeans centroids."""
+def ols_fit(df: DataFrame, y_col: str, x_cols: Sequence[str],
+            ridge: float = 0.0) -> tuple[np.ndarray, float]:
+    """General-p OLS (optionally RIDGE): the same single moment-row
+    aggregate, solved driver-side with numpy (p x p — microseconds;
+    the DATA never leaves executors). ``ridge`` adds the standard L2
+    penalty to the feature block of the normal equations (the
+    intercept is not penalized) — the first knob a user reaches for
+    when features are collinear and Cramer's determinant heads to 0.
+    Returns (coefficients [b0, b1..bp], r2 — computed from the true
+    residual quadratic form, exact for any ridge). Deterministic, but
+    the solver's float op order differs from the in-SQL Cramer path —
+    rows-only lane, like KMeans centroids."""
     row = _moments(df, y_col, x_cols).collect()[0]
     p = len(x_cols)
     a = np.zeros((p + 1, p + 1))
@@ -115,7 +120,11 @@ def ols_fit(df: DataFrame, y_col: str,
         for j in range(p):
             if i <= j:
                 a[i + 1, j + 1] = a[j + 1, i + 1] = row[f"s{i}{j}"]
-    b = np.linalg.solve(a, c)
-    sse = row["syy"] - float(b @ c)
+    reg = a.copy()
+    reg[1:, 1:] += float(ridge) * np.eye(p)
+    b = np.linalg.solve(reg, c)
+    # SSE = y'y - 2 b'X'y + b'(X'X)b — exact for ridge too (the
+    # b'c shortcut only holds when b solves the UNregularized system)
+    sse = row["syy"] - 2.0 * float(b @ c) + float(b @ a @ b)
     sst = row["syy"] - row["sy"] ** 2 / row["n"]
     return b, 1.0 - sse / sst

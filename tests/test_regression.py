@@ -65,3 +65,22 @@ def test_ols_rejects_unsupported_arity(spark):
     df = spark.createDataFrame([(1.0, 1.0)], "y double, x0 double")
     with pytest.raises(ValueError, match="1 or 2"):
         regression.ols_fit_sql(df, "y", ["x0", "x0", "x0"])
+
+
+def test_ridge_shrinks_and_matches_sklearn_free_reference(spark):
+    """Ridge: coefficients shrink monotonically with the penalty; the
+    closed-form matches a direct numpy normal-equations reference."""
+    df, X, y = _planted(spark, seed=13)
+    b0, _ = regression.ols_fit(df, "y", ["x0", "x1"], ridge=0.0)
+    b1, _ = regression.ols_fit(df, "y", ["x0", "x1"], ridge=100.0)
+    b2, r2_big = regression.ols_fit(df, "y", ["x0", "x1"], ridge=1e7)
+    assert abs(b1[1]) < abs(b0[1]) and abs(b2[1]) < abs(b1[1])
+    assert abs(b2[2]) < 0.05           # huge penalty -> near zero
+    a = X.T @ X
+    a_reg = a.copy()
+    a_reg[1:, 1:] += 100.0 * np.eye(2)
+    ref = np.linalg.solve(a_reg, X.T @ y)
+    np.testing.assert_allclose(b1, ref, atol=1e-8)
+    # r2 from the true quadratic form stays in [-inf, 1] and drops
+    _, r2_0 = regression.ols_fit(df, "y", ["x0", "x1"], ridge=0.0)
+    assert r2_big < r2_0 <= 1.0
