@@ -3149,14 +3149,45 @@ def entry(spark: SparkSession) -> DataFrame:
                 F.col("userid") < 10, k=10)
 
 
+# Registry ORDER matters: the driver samples a 50-row window of the
+# queries() dict.  VERDICT r7 Missing #1: 34 oracle-checked entries had
+# never landed in any round's window because each round's brand-new
+# queries kept displacing the backlog.  _DRIVER_PRIORITY drains that
+# backlog explicitly: the never-sampled oracle-checked entries first
+# (computed from CORRECTNESS_r01..r07), then this round's new
+# oracle-checked entries, then the never-sampled rows-only pair, then
+# the long-green remainder in historical order.
+_DRIVER_PRIORITY = [
+    # never-driver-sampled oracle-checked backlog (VERDICT r7 list)
+    "lineitem_bloom_semijoin", "events_attribution", "events_moving_avg",
+    "docs_split_assign", "docs_quality_filter", "text_top_ngrams",
+    "semantic_dedup", "events_json_props", "dedup_jaccard_prefix",
+    "docs_strip_spans", "docs_bm25", "docs_importance_dsir",
+    "docs_mix_sample", "graph_pagerank", "events_profile",
+    "fulljoin_user_activity", "events_histogram", "rec_popular_topk",
+    "rec_eval_rmse", "text_lm_perplexity", "graph_triangles",
+    "rec_markov_next", "events_outliers", "docs_dsir_resample",
+    "rec_eval_prec_at_k", "rec_eval_ndcg", "ann_ivf_indexed",
+    "dedup_incremental", "rec_itemcos_halflife", "events_asof_bucketed",
+    "events_interval_join", "events_interval_overlap",
+    "events_resample_6h", "docs_pack_sequences",
+    # round-8 new oracle-checked entries (fill the window's remainder)
+    "docs_lcs_spans", "rec_als_foldin_check", "events_calibration",
+    "er_short_string_links", "docs_minhash_containment",
+    "events_ols_multifeature", "docs_fts_ranked", "rec_bias_cut_check",
+    "docs_tfidf_string_ids", "events_theilsen_value",
+    "docs_paragraph_dedup", "events_anomaly_stl", "docs_udf_quality",
+    "orders_skew_salted_join", "events_grid_density",
+    "docs_entropy_filter",
+    # never-sampled rows-only entries (behind the oracle-checked ones)
+    "text_bpe_tokens", "ann_ivf_trained_probe",
+    "rec_als_implicit", "docs_quality_classifier_probe",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # Registry ORDER matters: the driver samples a 50-row window of
-        # this dict, and across rounds 1-5 these four relational queries
-        # never landed in it (VERDICT r5 Missing #3) — so the
-        # never-yet-sampled entries and this round's new operators go
-        # FIRST; the long-green rec_*/dedup_* families follow.
-        # round-7 new operators (never sampled yet -> first)
+        # round-7 new operators
         "events_merge_upsert": q_events_merge_upsert,
         "user_state_scd2": q_user_state_scd2,
         "er_exact_editjoin": q_er_exact_editjoin,
@@ -3346,7 +3377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
-    return q
+    prio = [k for k in _DRIVER_PRIORITY if k in q]
+    rest = [k for k in q if k not in set(prio)]
+    return {k: q[k] for k in prio + rest}
 
 
 def _itemcos_model(spark, sf_dir):

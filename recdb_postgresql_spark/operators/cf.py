@@ -439,7 +439,12 @@ def bias_baseline_topk(ratings: DataFrame, users: DataFrame,
     mu, bi, bu = train_bias_baseline(ratings, damping)
     c = (ratings.groupBy("user").agg(F.count(F.lit(1)).alias("n"))
          .agg(F.max("n")).collect()[0][0] or 0)
-    cand = (bi.orderBy(F.desc("b_i"), F.col("item"))
+    # Cut by ROUNDED b_i (same round-6 + item-asc order as the final
+    # ranking and the oracle) so the candidate set is a true prefix of
+    # the serving order — an unrounded cut can exclude an item that
+    # rounds into a tie with the boundary and wins the item tie-break
+    # (ADVICE r7).
+    cand = (bi.orderBy(F.desc(F.round(F.col("b_i"), 6)), F.col("item"))
             .limit(k + int(c)))
     grid = (users.join(bu, "user", "left")
             .crossJoin(F.broadcast(cand))

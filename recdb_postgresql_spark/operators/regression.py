@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 
 def _moments(df: DataFrame, y_col: str, x_cols: Sequence[str]):
-    """One aggregate: n, S_i, S_ij (i<=j), Sy, S_iy, Syy."""
+    """One aggregate: n, S_i, S_ij (i<=j), Sy, S_iy, Syy.
+
+    Cross moments use the separator alias ``s{i}_{j}`` — the plain
+    ``s{i}{j}`` scheme collides for p >= 13 (s12 = sum(x12) vs
+    s1_2 = sum(x1*x2)) and Spark resolves duplicate aliases to the
+    first silently (ADVICE r7)."""
     y = F.col(y_col).cast("double")
     xs = [F.col(c).cast("double") for c in x_cols]
     aggs = [F.count(F.lit(1)).cast("double").alias("n"),
@@ -39,7 +44,7 @@ def _moments(df: DataFrame, y_col: str, x_cols: Sequence[str]):
         aggs.append(F.sum(xi * y).alias(f"s{i}y"))
         for j, xj in enumerate(xs):
             if i <= j:
-                aggs.append(F.sum(xi * xj).alias(f"s{i}{j}"))
+                aggs.append(F.sum(xi * xj).alias(f"s{i}_{j}"))
     keep = y.isNotNull()
     for xi in xs:
         keep = keep & xi.isNotNull()
@@ -62,7 +67,7 @@ def ols_fit_sql(df: DataFrame, y_col: str,
     m = _moments(df, y_col, x_cols)
     n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
     if p == 1:
-        s0, s00, s0y = F.col("s0"), F.col("s00"), F.col("s0y")
+        s0, s00, s0y = F.col("s0"), F.col("s0_0"), F.col("s0y")
         det = n * s00 - s0 * s0
         b0 = (sy * s00 - s0 * s0y) / det
         b1 = (n * s0y - s0 * sy) / det
@@ -72,7 +77,7 @@ def ols_fit_sql(df: DataFrame, y_col: str,
                         F.round(b1, 6).alias("b1"),
                         F.round(1 - sse / sst, 6).alias("r2"))
     s0, s1 = F.col("s0"), F.col("s1")
-    s00, s01, s11 = F.col("s00"), F.col("s01"), F.col("s11")
+    s00, s01, s11 = F.col("s0_0"), F.col("s0_1"), F.col("s1_1")
     s0y, s1y = F.col("s0y"), F.col("s1y")
     # A = [[n, s0, s1], [s0, s00, s01], [s1, s01, s11]],
     # c = [sy, s0y, s1y]; 3x3 determinants expanded along row 1
@@ -119,7 +124,7 @@ def ols_fit(df: DataFrame, y_col: str, x_cols: Sequence[str],
         c[i + 1] = row[f"s{i}y"]
         for j in range(p):
             if i <= j:
-                a[i + 1, j + 1] = a[j + 1, i + 1] = row[f"s{i}{j}"]
+                a[i + 1, j + 1] = a[j + 1, i + 1] = row[f"s{i}_{j}"]
     reg = a.copy()
     reg[1:, 1:] += float(ridge) * np.eye(p)
     b = np.linalg.solve(reg, c)

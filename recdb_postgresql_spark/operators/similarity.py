@@ -527,11 +527,18 @@ def rrf_fuse(rankings, k0: int = 60, k: int = 10, id_col: str = "doc_id",
                    F.count(F.lit(1)).alias("n_lists")))
     # Both branches return the SAME schema (…, rrf, n_lists, rank):
     # downstream code must not have to rely on implicit row order,
-    # which any shuffle would destroy.
-    w = (Window.partitionBy(*group_cols) if group_cols else Window
-         .partitionBy()).orderBy(F.desc("rrf"), F.col(id_col))
-    return (scores.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    # which any shuffle would destroy. The UNGROUPED branch must not
+    # window the full score set (Window.partitionBy() is one task) —
+    # orderBy().limit(k) runs as a parallel TakeOrdered, and the rank
+    # column is then computed over just those k rows (ADVICE r7).
+    order = [F.desc("rrf"), F.col(id_col)]
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return (scores.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+    topk = scores.orderBy(*order).limit(k)
+    w = Window.partitionBy().orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def knn_classify(labeled: DataFrame, queries: DataFrame, k: int = 5,

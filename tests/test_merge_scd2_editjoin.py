@@ -380,3 +380,39 @@ def test_edit_distance_join_two_table_exact(spark, d, strategy):
             a.crossJoin(b)
             .where(F.levenshtein("n1", "n2") <= d).collect()}
     assert got == want, (d, strategy, got ^ want)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_edit_join_prefix_short_string_heavy_exact(spark, d):
+    """A corpus DOMINATED by short strings (single tokens with
+    <= q*d distinct grams — the residue regime, VERDICT r7 wrong #3):
+    the prefix strategy's deletion-routed residue must still return
+    the exact brute-force pair set."""
+    names = ([chr(ord("a") + i) for i in range(26)]          # 1-char
+             + [chr(ord("a") + i) * 2 for i in range(26)]    # aa..zz
+             + ["ab", "ba", "ax", "xa", "xy", "yx", ""]
+             + ["longenoughstring", "longenoughstrinG"])
+    df = spark.createDataFrame(list(enumerate(names)),
+                               "id long, name string")
+    got = {(r.id1, r.id2) for r in
+           edit_distance_join(df, "id", "name", max_dist=d,
+                              strategy="prefix").collect()}
+    assert got == _brute(spark, df, d)
+
+
+def test_edit_join_prefix_residue_guard_raises(spark):
+    """d > 2 keeps the brute-force residue but the pair-count guard
+    refuses to go quadratic past short_residue_cap; cap=None accepts
+    and stays exact."""
+    names = [chr(ord("a") + i % 26) + str(i) for i in range(40)]
+    df = spark.createDataFrame(list(enumerate(names)),
+                               "id long, name string")
+    with pytest.raises(ValueError, match="short_residue_cap"):
+        edit_distance_join(df, "id", "name", max_dist=3,
+                           strategy="prefix", short_residue_cap=10) \
+            .collect()
+    got = {(r.id1, r.id2) for r in
+           edit_distance_join(df, "id", "name", max_dist=3,
+                              strategy="prefix",
+                              short_residue_cap=None).collect()}
+    assert got == _brute(spark, df, 3)
