@@ -855,14 +855,45 @@ def _ivfpq_index_path(spark, sf_dir: str) -> str:
     return _IVFPQ_INDEX[sf_dir]
 
 
+_QUALITY_MODEL: dict[str, object] = {}
+
+
+def _labeled_quality_docs(spark, sf_dir: str):
+    """documents + the distillation weak label (heuristic
+    quality_score >= 0.75) — the ONE definition shared by
+    docs_quality_classifier (fit inside the timed query — the build
+    recipe) and docs_quality_classifier_probe (fit cached — the
+    amortized serving shape)."""
+    raw = load_table(spark, sf_dir, "documents")
+    return raw.join(
+        text.quality_score(raw).select(
+            "doc_id", (F.col("quality") >= 0.75).cast("double")
+            .alias("label")), "doc_id")
+
+
+def _quality_model(spark, sf_dir: str):
+    """The fitted hashed-BoW LR, cached per sf_dir (model metadata —
+    broadcast coefficient vector, same legitimacy class as the
+    trained IVF centroids)."""
+    if sf_dir not in _QUALITY_MODEL:
+        from recdb_postgresql_spark.operators import classifier
+
+        docs = _labeled_quality_docs(spark, sf_dir)
+        _QUALITY_MODEL[sf_dir] = classifier.train_quality_classifier(
+            docs.where(F.col("doc_id") % 5 != 0), "label")
+    return _QUALITY_MODEL[sf_dir]
+
+
 def build_bench_indexes(spark, sf_dir: str) -> None:
-    """bench.py warmup hook: materialize the persisted indexes and the
-    trained centroids so timed reps measure probes, not builds."""
+    """bench.py warmup hook: materialize the persisted indexes, the
+    trained centroids, and the fitted quality classifier so timed
+    reps measure probes, not builds."""
     _ivf_index_path(spark, sf_dir)
     _hash_index_table(spark, sf_dir)
     _lsh_index_table(spark, sf_dir)
     _trained_cents(spark, sf_dir)
     _ivfpq_index_path(spark, sf_dir)
+    _quality_model(spark, sf_dir)
 
 
 def q_ann_ivf_indexed(spark, sf_dir):
@@ -1782,14 +1813,28 @@ def q_docs_quality_classifier(spark, sf_dir):
     tests/test_classifier.py."""
     from recdb_postgresql_spark.operators import classifier
 
-    raw = load_table(spark, sf_dir, "documents")
-    docs = raw.join(
-        text.quality_score(raw).select(
-            "doc_id", (F.col("quality") >= 0.75).cast("double")
-            .alias("label")), "doc_id")
+    docs = _labeled_quality_docs(spark, sf_dir)
     model = classifier.train_quality_classifier(
         docs.where(F.col("doc_id") % 5 != 0), "label")
     held = docs.where(F.col("doc_id") % 5 == 0)
+    return classifier.score_quality(model, held) \
+        .join(held.select("doc_id", "label"), "doc_id") \
+        .select("doc_id", F.col("label").cast("int").alias("label"),
+                "quality_prob")
+
+
+def q_docs_quality_classifier_probe(spark, sf_dir):
+    """docs_quality_classifier with the fit AMORTIZED (model cached by
+    the bench warmup, like ann_ivf_trained_probe): the timed work is
+    the 100 TB serving story alone — map-side scoring with broadcast
+    coefficients, zero shuffle beyond the label join. Identical rows
+    to docs_quality_classifier (same labeled frame, same training
+    split, same hyperparameters)."""
+    from recdb_postgresql_spark.operators import classifier
+
+    model = _quality_model(spark, sf_dir)
+    held = _labeled_quality_docs(spark, sf_dir) \
+        .where(F.col("doc_id") % 5 == 0)
     return classifier.score_quality(model, held) \
         .join(held.select("doc_id", "label"), "doc_id") \
         .select("doc_id", F.col("label").cast("int").alias("label"),
@@ -2700,6 +2745,56 @@ def q_rec_als(spark, sf_dir):
             .orderBy(F.col("score").desc(), "userid", "itemid").limit(20))
 
 
+def q_rec_als_implicit(spark, sf_dir):
+    """Implicit-feedback ALS (Hu/Koren/Volinsky) — the commonest
+    real-world recommender regime: the rating becomes a CONFIDENCE
+    (c = 1 + alpha*r) on binary preference, and serving ranks by
+    preference score. Seeded but optimizer-dependent: rows-only;
+    the regime's accuracy is pinned by the LOO-hit-beats-popularity
+    test in tests/test_als_foldin.py."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    ev = _ratings(spark, sf_dir)
+    ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
+    um, im = svd.train_als(ratings, rank=8, max_iter=5, num_blocks=4,
+                           implicit_prefs=True, alpha=0.5)
+    users = ratings.select("user").distinct().where(F.col("user") < 5)
+    items = ratings.select("item").distinct()
+    unrated = (svd.predict_svd(um, im, users, items)
+               .join(ratings.select("user", "item"),
+                     ["user", "item"], "left_anti"))
+    return (unrated
+            .select(F.col("user").alias("userid"),
+                    F.col("item").alias("itemid"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), "userid", "itemid").limit(20))
+
+
+def q_rec_als_foldin_check(spark, sf_dir):
+    """Cold-user fold-in self-check as a query: fold EXISTING users'
+    ratings against the trained item factors and report the per-user
+    relative gap between the folded and trained user factors — at
+    ALS convergence the half-step reproduces the trained factor, so
+    max_rel_err stays small. Rows-only (optimizer-dependent); the
+    exact-parity pin lives in tests/test_als_foldin.py."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    ev = _ratings(spark, sf_dir)
+    ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
+    um, im = svd.train_als(ratings, rank=8, max_iter=8, num_blocks=4)
+    target = ratings.where(F.col("user") < 8)
+    fold = (svd.als_fold_in(im, target, reg=svd.PENALTY)
+            .select("users", "feature", F.col("value").alias("fv")))
+    both = um.join(fold, ["users", "feature"])
+    return (both.groupBy("users")
+            .agg(F.round(
+                F.sqrt(F.sum((F.col("fv") - F.col("value")) ** 2))
+                / F.sqrt(F.sum(F.col("value") ** 2)), 4)
+                .alias("rel_err"))
+            .select(F.col("users").alias("userid"), "rel_err")
+            .orderBy("userid"))
+
+
 def q_rec_peruser_topk(spark, sf_dir):
     """Per-user top-3 via window over the scored grid — the common
     serving shape (global top-k is the regression suite's shape)."""
@@ -3196,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": q_graph_bfs_hops,
         "ann_pca_topk": q_ann_pca_topk,
         "docs_quality_classifier": q_docs_quality_classifier,
+        "docs_quality_classifier_probe": q_docs_quality_classifier_probe,
         "events_profile_drift": q_events_profile_drift,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
@@ -3325,6 +3421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                           F.col("userid") < 5, k=20),
         # R10 scale path: distributed ALS factorization (rows-only)
         "rec_als_topk": q_rec_als,
+        "rec_als_implicit": q_rec_als_implicit,
+        "rec_als_foldin_check": q_rec_als_foldin_check,
         # pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,

@@ -134,6 +134,10 @@ HEADLINE = [
     "distinct_on_latest_order", "rec_eval_walkforward",
     "events_cdc_diff", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_indexed", "er_cross_source_links", "events_ols_value",
+    # round 8 (this round): amortized classifier probe + the r7-advice
+    # exercise queries + the round's new operators
+    "docs_quality_classifier_probe", "rec_als_implicit",
+    "rec_als_foldin_check",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
@@ -178,7 +182,24 @@ FLAGSHIP = [
 ]
 
 
-def build_output(times: dict, errors: dict, reps: int, sf: float) -> dict:
+def run_calibration(spark, reps: int = 3) -> float:
+    """Fixed-shape machine-state probe (VERDICT r7 next #7): a pure
+    codegen sum over spark.range — no I/O, no data dependence, no
+    code under test — so its round-over-round drift measures the
+    MACHINE (CPU contention, JIT, thermal state), not the engine.
+    BASELINE.md normalizes the round table with it. Min over reps,
+    like every suite entry."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32) \
+            .selectExpr("sum(id * 3 + id % 7) AS s").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def build_output(times: dict, errors: dict, reps: int, sf: float,
+                 calib: float | None = None) -> dict:
     """The printed headline record. MUST serialize well under the
     driver's 2000-char stdout tail window (asserted here; pinned with
     a worst-case registry in tests/test_bench_contract.py)."""
@@ -201,6 +222,7 @@ def build_output(times: dict, errors: dict, reps: int, sf: float) -> dict:
         "missing_names": missing[:3],
         "reps": reps,
         "sf": sf,
+        "calib": calib,
         "queries": {n: times[n] for n in FLAGSHIP if n in times},
     }
     if len(json.dumps(out)) > 1500:  # belt + suspenders vs the window
@@ -243,6 +265,7 @@ def main() -> None:
     # timed reps of ann_ivf_indexed / dedup_incremental /
     # ann_ivf_trained_probe measure the probe, not the build
     entrymod.build_bench_indexes(spark, sf_dir)
+    calib = run_calibration(spark)
 
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -285,7 +308,7 @@ def main() -> None:
     times = {n: round(min(ts), 3) for n, ts in runs.items()}
     # value = headline suite + the pinned SVD entry (the r1-r3 total's
     # composition); the new @sf0.01 slope entries are informational only
-    out = build_output(times, errors, reps, sf)
+    out = build_output(times, errors, reps, sf, calib)
     detail = {
         "queries": times,
         "queries_spread": {n: round(max(ts) - min(ts), 3)

