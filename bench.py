@@ -137,7 +137,9 @@ HEADLINE = [
     # round 8 (this round): amortized classifier probe + the r7-advice
     # exercise queries + the round's new operators
     "docs_quality_classifier_probe", "rec_als_implicit",
-    "rec_als_foldin_check",
+    "rec_als_foldin_check", "docs_lcs_spans", "docs_entropy_filter",
+    "events_theilsen_daily", "er_short_string_links", "docs_fts_ranked",
+    "docs_tfidf_string_ids", "orders_skew_salted_join",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
@@ -151,7 +153,7 @@ SLOPE = [
     "docs_related_tfidf", "docs_topic_clusters",
     # round 8 heavies: edit joins, BFS, classifier
     "er_exact_editjoin", "er_cross_source_links", "graph_bfs_hops",
-    "docs_quality_classifier",
+    "docs_quality_classifier", "docs_lcs_spans",
 ]
 
 # the 35 queries shared with the r1 recorded baseline (BENCH_r01.json)

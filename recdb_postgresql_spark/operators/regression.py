@@ -133,3 +133,47 @@ def ols_fit(df: DataFrame, y_col: str, x_cols: Sequence[str],
     sse = row["syy"] - 2.0 * float(b @ c) + float(b @ a @ b)
     sst = row["syy"] - row["sy"] ** 2 / row["n"]
     return b, 1.0 - sse / sst
+
+
+def theil_sen(df: DataFrame, x_col: str, y_col: str,
+              round_to: int = 6) -> DataFrame:
+    """One-row (slope, intercept): Theil-Sen ROBUST regression — the
+    median of all pairwise slopes (y_j-y_i)/(x_j-x_i), then intercept
+    = median(y - slope*x). Breakdown point ~29%: a few wild outlier
+    points move OLS arbitrarily but barely move Theil-Sen — the
+    estimator a monitoring pipeline wants for trend-on-dirty-data.
+
+    Exactness/parity: both medians are continuous quantiles (linear
+    interpolation — Spark ``percentile`` == DuckDB ``median``), all
+    arithmetic double, rounded at the end, so the fitted model
+    hash-checks cross-engine like ols_fit_sql.
+
+    Scale shape: pairwise slopes are O(n^2) — this operator is meant
+    for AGGREGATED series (fit a daily/hourly rollup: n = #buckets,
+    pairs = #buckets^2, both tiny and independent of event count;
+    the composition q_events_theilsen_daily demonstrates it). For a
+    large raw n, pre-aggregate or sample x-strata first; a silent
+    guard raises past ``2**22`` pair rows to keep the quadratic
+    explicit."""
+    pts = df.select(F.col(x_col).cast("double").alias("x"),
+                    F.col(y_col).cast("double").alias("y")) \
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    n = pts.count()
+    if n * n > 2 ** 22:
+        raise ValueError(
+            f"theil_sen is exact-quadratic ({n}^2 pairs): aggregate "
+            "the series into buckets first (the intended shape)")
+    a = pts.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = (a.crossJoin(F.broadcast(b))
+              .where(F.col("x1") < F.col("x2"))
+              .select(((F.col("y2") - F.col("y1"))
+                       / (F.col("x2") - F.col("x1"))).alias("s")))
+    slope = slopes.agg(F.expr("percentile(s, 0.5)").alias("slope"))
+    resid = pts.crossJoin(F.broadcast(slope)) \
+        .select("slope", (F.col("y") - F.col("slope") * F.col("x"))
+                .alias("r"))
+    return (resid.groupBy("slope")
+            .agg(F.expr("percentile(r, 0.5)").alias("intercept"))
+            .select(F.round("slope", round_to).alias("slope"),
+                    F.round("intercept", round_to).alias("intercept")))
