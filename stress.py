@@ -311,6 +311,7 @@ def main():
     funnel_hotkey_probe(spark)
     graph_probe(spark)
     editjoin_probe(spark, sf_dir, mult=4)
+    shortstring_residue_probe(spark)
     merge_probe(spark, sf_dir, mult=10)
     pq_probe(spark, sf_dir, mult=10)
     for mult in mults:
@@ -429,6 +430,49 @@ def editjoin_probe(spark, sf_dir: str, mult: int = 4) -> None:
     record(f"editjoin_x{mult}", names=n, pairs_deletion=n_del,
            deletion_s=t_del, prefix_x1_pairs=n_pref,
            prefix_x1_s=t_pref)
+
+
+def shortstring_residue_probe(spark, n: int = 18_000) -> None:
+    """Prefix-strategy edit join on a corpus that is ~ALL residue
+    (every string has <= q*d distinct 2-grams): n DISTINCT 2-3 char
+    tokens (injective base-26 enumeration — distinctness matters:
+    duplicate strings would make the TRUE pair set itself quadratic
+    and hide the plan's behavior). Each short string has a bounded
+    edit-distance-1 neighborhood, so true pairs grow ~linearly in n;
+    the old cross-join residue verified n²/2 pairs regardless (162M
+    at n=18k). The deletion-routed residue (r8 fix) generates
+    candidates via the variant equi-join, so runtime tracks the true
+    match volume — recorded at n/4 and n to show the slope the cross
+    join could never have."""
+    from recdb_postgresql_spark.operators.linkage import edit_distance_join
+
+    def corpus(m):
+        two = F.concat(F.chr(F.lit(97) + (F.col("id") % 26)),
+                       F.chr(F.lit(97) + (F.expr("id div 26") % 26)))
+        rest = F.col("id") - 676
+        three = F.concat(F.chr(F.lit(97) + (rest % 26)),
+                         F.chr(F.lit(97) + (F.expr("(id - 676) div 26")
+                                            % 26)),
+                         F.chr(F.lit(97) + (F.expr("(id - 676) div 676")
+                                            % 26)))
+        return spark.range(m).select(
+            F.col("id"),
+            F.when(F.col("id") < 676, two).otherwise(three)
+            .alias("name")).localCheckpoint()
+
+    small = corpus(n // 4)
+    t0 = time.perf_counter()
+    p_small = edit_distance_join(small, "id", "name", max_dist=1,
+                                 strategy="prefix").count()
+    t_small = time.perf_counter() - t0
+    big = corpus(n)
+    t0 = time.perf_counter()
+    p_big = edit_distance_join(big, "id", "name", max_dist=1,
+                               strategy="prefix").count()
+    t_big = time.perf_counter() - t0
+    record("shortstring_residue", n_small=n // 4, s_small=t_small,
+           pairs_small=p_small, n_big=n, s_big=t_big, pairs_big=p_big,
+           old_crossjoin_pairs=n * (n - 1) // 2)
 
 
 def merge_probe(spark, sf_dir: str, mult: int = 10) -> None:
