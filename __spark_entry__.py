@@ -1766,6 +1766,16 @@ def q_docs_lcs_spans(spark, sf_dir):
     return text.common_span_pairs(docs, k=5, min_span=6)
 
 
+def q_docs_strip_lcs(spark, sf_dir):
+    """APPLIED exact substring dedup (Lee et al. keep-first): every
+    shared span >= 6 words found by docs_lcs_spans is deleted from
+    the higher-id document; survivors rebuild in order. Covered
+    positions are output-sized; tokens never shuffle
+    (operators/text.strip_duplicate_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.strip_duplicate_spans(docs, k=5, min_span=6)
+
+
 def q_docs_bm25(spark, sf_dir):
     """BM25 keyword retrieval (Lucene +1-idf variant): top 15 docs for
     a 3-term query. One map pass computes tf/dl; N/avgdl/df reduce to
@@ -3379,7 +3389,8 @@ _DRIVER_PRIORITY = [
     "events_interval_join", "events_interval_overlap",
     "events_resample_6h", "docs_pack_sequences",
     # round-8 new oracle-checked entries (fill the window's remainder)
-    "docs_lcs_spans", "er_short_string_links", "docs_fts_ranked",
+    "docs_lcs_spans", "docs_strip_lcs", "er_short_string_links",
+    "docs_fts_ranked",
     "docs_tfidf_string_ids", "events_theilsen_daily",
     "orders_skew_salted_join", "docs_entropy_filter",
     # never-sampled rows-only entries (behind the oracle-checked ones)
@@ -3477,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "docs_strip_spans": q_docs_strip_spans,
         "docs_lcs_spans": q_docs_lcs_spans,
+        "docs_strip_lcs": q_docs_strip_lcs,
         "docs_entropy_filter": q_docs_entropy_filter,
         "events_theilsen_daily": q_events_theilsen_daily,
         "er_short_string_links": q_er_short_string_links,
@@ -5519,6 +5531,39 @@ SELECT id1, id2, CAST(MIN(i) AS BIGINT) AS start1,
        CAST(COUNT(*) + 4 AS BIGINT) AS span_words
 FROM r GROUP BY id1, id2, diag, isl
 HAVING COUNT(*) + 4 >= 6
+"""
+    # applied LCS dedup: the lcs-span CTEs verbatim, then covered
+    # positions -> positional rebuild (same rebuild idiom as
+    # docs_strip_spans' oracle)
+    o["docs_strip_lcs"] = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+g AS (SELECT doc_id, u.i AS pos,
+             array_to_string(w[u.i:u.i+4], ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(w)-3, 1))) AS u(i)),
+m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS i, b.pos AS j,
+             a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+r AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY id1, id2, diag
+                                       ORDER BY i) AS isl
+      FROM m),
+spans AS (SELECT id2, MIN(j) AS start2, COUNT(*) + 4 AS span_words
+          FROM r GROUP BY id1, id2, diag, isl
+          HAVING COUNT(*) + 4 >= 6),
+cov AS (SELECT DISTINCT id2 AS doc_id, u.p
+        FROM spans, unnest(range(start2, start2 + span_words)) AS u(p)),
+pos AS (SELECT doc_id, u.i AS p, w[u.i] AS word
+        FROM t, unnest(range(1, len(w) + 1)) AS u(i)),
+keptw AS (SELECT pos.doc_id, pos.p, pos.word
+          FROM pos LEFT JOIN cov
+            ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+          WHERE cov.p IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_kept
+            FROM keptw GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(rebuilt.clean_text, '') AS clean_text,
+       CAST(len(t.w) - COALESCE(rebuilt.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id
 """
     o["docs_bm25"] = """
 WITH t AS (SELECT doc_id,

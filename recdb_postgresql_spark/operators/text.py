@@ -759,7 +759,9 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
 def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 5,
                       min_span: int = 6,
-                      max_gram_df: int | None = None) -> DataFrame:
+                      max_gram_df: int | None = None,
+                      candidate_pairs: DataFrame | None = None
+                      ) -> DataFrame:
     """(id1, id2, start1, start2, span_words): every MAXIMAL shared
     word span of >= ``min_span`` words between any two documents —
     the EXACT substring-level dedup real pretraining pipelines run
@@ -783,14 +785,20 @@ def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
     Scale shape: ONE inverted gram join (the candidate-pair
     generator every dedup flow here uses) + one pair-keyed window +
     one aggregate. Hot grams (boilerplate phrases shared by
-    thousands of docs) quadratically inflate the join; at corpus
-    scale pass ``max_gram_df`` to drop grams in more than that many
+    thousands of docs) quadratically inflate the join; two knobs:
+    pass ``max_gram_df`` to drop grams in more than that many
     documents — removed grams can only break VERY common spans into
-    undetected pieces (the same trade ``strip_common_spans`` makes),
-    so exactness degrades only on boilerplate, which substring dedup
-    removes wholesale anyway. Grams travel as raw strings for
-    cross-engine parity; hashing them (``hashing.xxhash64_long``) is
-    the shuffle-width knob when parity is not required."""
+    undetected pieces (the same trade ``strip_common_spans`` makes)
+    — or pass ``candidate_pairs`` (id1, id2) to make the flow
+    CANDIDATE-DRIVEN: gram matching runs only inside given pairs, so
+    hot grams cost |pairs| x matches, never corpus². Winnow overlap
+    pairs (``winnow_fingerprints`` k=k_w, window w) are the natural
+    anchor: winnowing guarantees a shared fingerprint for any common
+    span of >= k_w + w - 1 words, so for min_span >= k_w + w - 1 the
+    candidate-driven span set is EXACTLY the exhaustive one (pinned
+    in tests). Grams travel as raw strings for cross-engine parity;
+    hashing them (``hashing.xxhash64_long``) is the shuffle-width
+    knob when parity is not required."""
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.col(text_col)), " ")
@@ -809,13 +817,26 @@ def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
                 .where(F.col("_df") <= max_gram_df)
                 .select("gram"))
         grams = grams.join(keep, "gram")
-    a = grams.select(F.col("_id").alias("id1"), F.col("pos").alias("i"),
-                     "gram")
-    b = grams.select(F.col("_id").alias("id2"), F.col("pos").alias("j"),
-                     "gram")
-    m = (a.join(b, "gram").where(F.col("id1") < F.col("id2"))
-         .select("id1", "id2", "i", "j", (F.col("i") - F.col("j"))
-                 .alias("diag")))
+    if candidate_pairs is not None:
+        # candidate-driven: attach each side's grams to the pair rows,
+        # match inside the pair (id1 < id2 normalization assumed, as
+        # every pair generator here emits)
+        pairs = candidate_pairs.select("id1", "id2").distinct()
+        ga = grams.select(F.col("_id").alias("id1"),
+                          F.col("pos").alias("i"), "gram")
+        gb = grams.select(F.col("_id").alias("id2"),
+                          F.col("pos").alias("j"), "gram")
+        m = (pairs.join(ga, "id1").join(gb, ["id2", "gram"])
+             .select("id1", "id2", "i", "j",
+                     (F.col("i") - F.col("j")).alias("diag")))
+    else:
+        a = grams.select(F.col("_id").alias("id1"),
+                         F.col("pos").alias("i"), "gram")
+        b = grams.select(F.col("_id").alias("id2"),
+                         F.col("pos").alias("j"), "gram")
+        m = (a.join(b, "gram").where(F.col("id1") < F.col("id2"))
+             .select("id1", "id2", "i", "j", (F.col("i") - F.col("j"))
+                     .alias("diag")))
     w = Window.partitionBy("id1", "id2", "diag").orderBy("i")
     runs = m.withColumn("isl", F.col("i") - F.row_number().over(w))
     return (runs.groupBy("id1", "id2", "diag", "isl")
@@ -823,6 +844,47 @@ def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
                  (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_words"))
             .where(F.col("span_words") >= min_span)
             .select("id1", "id2", "start1", "start2", "span_words"))
+
+
+def strip_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 5,
+                          min_span: int = 6,
+                          max_gram_df: int | None = None,
+                          candidate_pairs: DataFrame | None = None
+                          ) -> DataFrame:
+    """(doc_id, clean_text, n_removed): APPLY exact substring dedup —
+    for every maximal shared span found by ``common_span_pairs``,
+    keep the copy in the LOWER-id document and delete the covered
+    words from the higher-id one (the keep-first policy of Lee et
+    al. 2022; deterministic because ids order the pair). Text is
+    lowercased by the span tokenization, so clean_text is lowercase —
+    the standard normalize-then-dedup pipeline order.
+
+    Scale shape: spans explode to (doc, position) rows — output-sized,
+    tiny next to the corpus — then one per-doc collect_set and a
+    higher-order filter rebuild; tokens never shuffle (same rebuild
+    shape as ``strip_common_spans``)."""
+    spans = common_span_pairs(docs, id_col, text_col, k, min_span,
+                              max_gram_df, candidate_pairs)
+    covered = (spans.select(
+        F.col("id2").alias(id_col),
+        F.explode(F.sequence(
+            F.col("start2"),
+            F.col("start2") + F.col("span_words") - 1)).alias("p"))
+        .distinct()
+        .groupBy(id_col).agg(F.collect_set("p").alias("_cov")))
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    out = (docs.join(covered, id_col, "left")
+           .withColumn("_cov", F.coalesce(
+               F.col("_cov"), F.array().cast("array<bigint>"))))
+    kept = F.filter(
+        toks,
+        lambda w, i: ~F.exists(F.col("_cov"),
+                               lambda p: p == (i + F.lit(1)).cast("bigint")))
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"))
 
 
 def strip_common_spans(docs: DataFrame, id_col: str = "doc_id",

@@ -312,6 +312,7 @@ def main():
     graph_probe(spark)
     editjoin_probe(spark, sf_dir, mult=4)
     shortstring_residue_probe(spark)
+    lcs_probe(spark, sf_dir, mult=8)
     merge_probe(spark, sf_dir, mult=10)
     pq_probe(spark, sf_dir, mult=10)
     for mult in mults:
@@ -473,6 +474,34 @@ def shortstring_residue_probe(spark, n: int = 18_000) -> None:
     record("shortstring_residue", n_small=n // 4, s_small=t_small,
            pairs_small=p_small, n_big=n, s_big=t_big, pairs_big=p_big,
            old_crossjoin_pairs=n * (n - 1) // 2)
+
+
+def lcs_probe(spark, sf_dir: str, mult: int = 8) -> None:
+    """Exact LCS span dedup at amplified duplication: amplified_docs
+    makes every document a near-dup of its mult-1 siblings (whole-body
+    shared spans — TRUE output grows C(mult,2) per doc group, the
+    worst honest case for span discovery). Records seconds for span
+    discovery and the applied strip at two mults, plus the df-cut
+    approximation (`strip_common_spans`) on the same corpus for the
+    cost-of-exactness comparison."""
+    from recdb_postgresql_spark.operators import text as t
+
+    for m in (max(2, mult // 4), mult):
+        docs = amplified_docs(spark, sf_dir, m).localCheckpoint()
+        t0 = time.perf_counter()
+        n_spans = t.common_span_pairs(docs, k=5, min_span=6).count()
+        t_spans = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_strip = t.strip_duplicate_spans(docs, k=5, min_span=6) \
+            .where(F.col("n_removed") > 0).count()
+        t_strip = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_df = t.strip_common_spans(docs, n=3, max_doc_freq=50) \
+            .where(F.col("n_removed") > 0).count()
+        t_df = time.perf_counter() - t0
+        record(f"lcs_spans_x{m}", mult=m, spans=n_spans,
+               spans_s=t_spans, stripped_docs=n_strip, strip_s=t_strip,
+               dfcut_stripped_docs=n_df, dfcut_s=t_df)
 
 
 def merge_probe(spark, sf_dir: str, mult: int = 10) -> None:

@@ -122,3 +122,38 @@ def test_max_gram_df_drops_only_boilerplate(spark):
     full = {(r.id1, r.id2) for r in
             text.common_span_pairs(df, k=3, min_span=5).collect()}
     assert (1, 2) in full and (10, 11) in full
+
+
+def test_winnow_anchored_candidates_are_exact(spark):
+    """Winnowing (k-gram size kw, window w) guarantees a shared
+    fingerprint for any common span >= kw + w - 1 words, so with
+    min_span >= kw + w - 1 the candidate-driven span set equals the
+    exhaustive one."""
+    from recdb_postgresql_spark.operators.text import winnow_fingerprints
+
+    kw, w = 3, 4  # guarantee bound: spans >= 6 words share a print
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=kw, w=w)
+    a = fp.select(fp.doc_id.alias("id1"), "fp")
+    b = fp.select(fp.doc_id.alias("id2"), "fp")
+    cand = (a.join(b, "fp").where("id1 < id2")
+            .select("id1", "id2").distinct())
+    full = {tuple(r) for r in
+            text.common_span_pairs(df, k=3, min_span=6).collect()}
+    anchored = {tuple(r) for r in
+                text.common_span_pairs(df, k=3, min_span=6,
+                                       candidate_pairs=cand).collect()}
+    assert anchored == full and full  # non-empty: doc1/doc2 7-word span
+
+
+def test_strip_duplicate_spans_keep_first(spark):
+    docs = [(1, "alpha beta gamma delta epsilon zeta unique_one"),
+            (2, "prefix alpha beta gamma delta epsilon zeta tail_two"),
+            (3, "nothing in common whatsoever here at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           text.strip_duplicate_spans(df, k=3, min_span=5).collect()}
+    # doc1 (lower id) keeps its copy; doc2 loses the 6 shared words
+    assert got[1] == ("alpha beta gamma delta epsilon zeta unique_one", 0)
+    assert got[2] == ("prefix tail_two", 6)
+    assert got[3][1] == 0
