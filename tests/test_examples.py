@@ -127,3 +127,17 @@ def test_ann_serving_example_end_to_end(spark):
     assert {r.n_lists for r in fused.collect()} <= {1, 2}
     # the served page is the MMR top-10 with contiguous ranks
     assert [r.mmr_rank for r in page] == list(range(1, 11))
+
+
+def test_substring_dedup_example_end_to_end(spark):
+    from examples.substring_dedup_example import run
+
+    out = run(spark)
+    # 39 planted 10-word passages (every third doc from i=3) — all
+    # anchored, found, and stripped; keep-first leaves exactly one
+    # copy so the cleaned corpus has zero shared spans left
+    assert out["candidate_pairs"] >= 39
+    assert out["shared_spans"] == 39
+    assert out["docs_stripped"] == 39
+    assert out["words_removed"] == 390
+    assert out["spans_after"] == 0
