@@ -254,3 +254,30 @@ def test_round8_operators_keep_scale_plan_shapes(spark):
         plan = _plan(entrymod.queries()[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_round8b_operators_keep_scale_plan_shapes(spark):
+    """Pins for the round-8 second wave: LCS span discovery is pure
+    JVM (gram join + window + aggregate — no Python, no cartesian);
+    the applied strip rebuilds map-side (covered positions broadcast
+    or hash-joined, tokens never in a SortMergeJoin); char entropy
+    stays JVM-side; Theil-Sen's only cross joins carry broadcast
+    sides; the classifier PROBE's scoring plan has no L-BFGS stage
+    (the fit happened at cache time)."""
+    for name in ("docs_lcs_spans", "docs_strip_lcs",
+                 "docs_entropy_filter"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = _plan(entrymod.queries()["events_theilsen_daily"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # both cross joins (pair slopes, slope->residuals) broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+
+    plan = _plan(entrymod.queries()["orders_skew_salted_join"](spark, SF))
+    # the salt explode replicates the SMALL side; the join itself is
+    # a plain shuffled hash/sort join on (key, salt) — no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -63,7 +63,22 @@ def main() -> None:
                                 k=10).collect()
         vlat.append(time.perf_counter() - t0)
 
-    lat.sort(); vlat.sort()
+    # serving tier 3 (factor models only): cold-user FOLD-IN — the
+    # between-retrains path for users who arrived after the last
+    # threshold retrain (closed-form ridge vs the stored item factors)
+    flat = []
+    if method == "svd":
+        max_uid = max(users)
+        for i in range(n_queries):
+            new = spark.createDataFrame(
+                [(max_uid + 1 + i, rng.choice(range(1, 50)),
+                  float(rng.randint(40, 90))) for _ in range(3)],
+                "userid long, itemid long, ratingval double")
+            t0 = time.perf_counter()
+            eng.recommend_foldin("wl", new, k=10).collect()
+            flat.append(time.perf_counter() - t0)
+
+    lat.sort(); vlat.sort(); flat.sort()
     out = {
         "metric": f"rec_workload {method} single-user top-10",
         "n_queries": n_queries,
@@ -77,6 +92,9 @@ def main() -> None:
         "recview_p95_s": round(vlat[int(len(vlat) * 0.95)], 3),
         "sf_dir": sf_dir,
     }
+    if flat:
+        out["foldin_avg_s"] = round(sum(flat) / len(flat), 3)
+        out["foldin_p95_s"] = round(flat[int(len(flat) * 0.95)], 3)
     print(json.dumps(out))
 
 
