@@ -1776,6 +1776,15 @@ def q_docs_strip_lcs(spark, sf_dir):
     return text.strip_duplicate_spans(docs, k=5, min_span=6)
 
 
+def q_docs_self_repeats(spark, sf_dir):
+    """WITHIN-document repeated spans >= 3 words (internal templates /
+    generation stutter — invisible to cross-doc dedup): the diagonal
+    gaps-and-islands method self-joined per document, cost bounded by
+    document length (operators/text.self_span_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.self_span_pairs(docs, k=3, min_span=3)
+
+
 def q_docs_bm25(spark, sf_dir):
     """BM25 keyword retrieval (Lucene +1-idf variant): top 15 docs for
     a 3-term query. One map pass computes tf/dl; N/avgdl/df reduce to
@@ -3389,7 +3398,8 @@ _DRIVER_PRIORITY = [
     "events_interval_join", "events_interval_overlap",
     "events_resample_6h", "docs_pack_sequences",
     # round-8 new oracle-checked entries (fill the window's remainder)
-    "docs_lcs_spans", "docs_strip_lcs", "er_short_string_links",
+    "docs_lcs_spans", "docs_strip_lcs", "docs_self_repeats",
+    "er_short_string_links",
     "docs_fts_ranked",
     "docs_tfidf_string_ids", "events_theilsen_daily",
     "orders_skew_salted_join", "docs_entropy_filter",
@@ -3489,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_strip_spans": q_docs_strip_spans,
         "docs_lcs_spans": q_docs_lcs_spans,
         "docs_strip_lcs": q_docs_strip_lcs,
+        "docs_self_repeats": q_docs_self_repeats,
         "docs_entropy_filter": q_docs_entropy_filter,
         "events_theilsen_daily": q_events_theilsen_daily,
         "er_short_string_links": q_er_short_string_links,
@@ -5564,6 +5575,24 @@ rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
 SELECT t.doc_id, COALESCE(rebuilt.clean_text, '') AS clean_text,
        CAST(len(t.w) - COALESCE(rebuilt.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id
+"""
+    o["docs_self_repeats"] = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+g AS (SELECT doc_id, u.i AS pos,
+             array_to_string(w[u.i:u.i+2], ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(w)-1, 1))) AS u(i)),
+m AS (SELECT a.doc_id, a.pos AS i, b.pos AS j, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gram = b.gram
+      AND a.pos < b.pos),
+r AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+                                       ORDER BY i) AS isl
+      FROM m)
+SELECT doc_id, CAST(MIN(i) AS BIGINT) AS start1,
+       CAST(MIN(j) AS BIGINT) AS start2,
+       CAST(COUNT(*) + 2 AS BIGINT) AS span_words
+FROM r GROUP BY doc_id, diag, isl
+HAVING COUNT(*) + 2 >= 3
 """
     o["docs_bm25"] = """
 WITH t AS (SELECT doc_id,

@@ -140,7 +140,7 @@ HEADLINE = [
     "rec_als_foldin_check", "docs_lcs_spans", "docs_entropy_filter",
     "events_theilsen_daily", "er_short_string_links", "docs_fts_ranked",
     "docs_tfidf_string_ids", "orders_skew_salted_join",
-    "docs_strip_lcs",
+    "docs_strip_lcs", "docs_self_repeats",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

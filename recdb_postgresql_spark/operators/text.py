@@ -846,6 +846,53 @@ def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id1", "id2", "start1", "start2", "span_words"))
 
 
+def self_span_pairs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    min_span: int = 6) -> DataFrame:
+    """(doc_id, start1, start2, span_words): every maximal REPEATED
+    word span of >= ``min_span`` words WITHIN one document (start1 <
+    start2) — the internal-template failure mode (navigation blocks,
+    crawler loops, generation stutter) that cross-document dedup
+    can't see and ``text_repetition``'s gram ratios only score.
+
+    Same diagonal gaps-and-islands method as ``common_span_pairs``
+    restricted to one document: positional k-grams self-join on (id,
+    gram) with pos1 < pos2; a maximal run along offset diagonal
+    pos1-pos2 is a maximal repeat of run+k-1 words at that offset.
+    Overlapping periodic repeats ('a b a b a b') produce one run per
+    offset — deterministic in both engines, so the span set is
+    hash-checkable.
+
+    Scale shape: the join is per-document (equi-key includes the id),
+    so cost is Σ_doc (gram-multiplicity²) — bounded by document
+    length, never corpus size; one doc-keyed window + aggregate."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1),
+                                          F.lit(0)))
+    grams = spread_small(docs).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(
+            idx, lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, k)).alias("gram"))))
+        .alias("g")).select("_id", "g.pos", "g.gram")
+    a = grams.select("_id", F.col("pos").alias("i"), "gram")
+    b = grams.select("_id", F.col("pos").alias("j"), "gram")
+    m = (a.join(b, ["_id", "gram"]).where(F.col("i") < F.col("j"))
+         .select("_id", "i", "j", (F.col("i") - F.col("j"))
+                 .alias("diag")))
+    w = Window.partitionBy("_id", "diag").orderBy("i")
+    runs = m.withColumn("isl", F.col("i") - F.row_number().over(w))
+    return (runs.groupBy("_id", "diag", "isl")
+            .agg(F.min("i").alias("start1"), F.min("j").alias("start2"),
+                 (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_words"))
+            .where(F.col("span_words") >= min_span)
+            .select(F.col("_id").alias(id_col), "start1", "start2",
+                    "span_words"))
+
+
 def strip_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 5,
                           min_span: int = 6,

@@ -157,3 +157,48 @@ def test_strip_duplicate_spans_keep_first(spark):
     assert got[1] == ("alpha beta gamma delta epsilon zeta unique_one", 0)
     assert got[2] == ("prefix tail_two", 6)
     assert got[3][1] == 0
+
+
+def test_self_span_pairs_finds_internal_repeats(spark):
+    docs = [
+        # "one two three four five" repeated at offset 6 (pos 1 and 7)
+        (1, "one two three four five gap one two three four five end"),
+        (2, "no internal repetition in this document at all okay"),
+        # periodic: "a b" x6 — runs on several offsets
+        (3, "a b a b a b a b a b a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.start1, r.start2, r.span_words)
+           for r in text.self_span_pairs(df, k=3, min_span=5).collect()}
+    assert (1, 1, 7, 5) in got
+    assert not any(d == 2 for d, *_ in got)
+    # doc 3: offset-2 diagonal gives the 10-word repeat (pos 1 vs 3)
+    assert (3, 1, 3, 10) in got
+
+
+def test_self_span_pairs_duckdb_mirror(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {tuple(r) for r in
+           text.self_span_pairs(df, k=2, min_span=3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in DOCS)
+                + ") AS v(doc_id, text)")
+    want = {tuple(r) for r in con.execute("""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+g AS (SELECT doc_id, u.i AS pos,
+             array_to_string(w[u.i:u.i+1], ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(w), 1))) AS u(i)),
+m AS (SELECT a.doc_id, a.pos AS i, b.pos AS j, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gram = b.gram
+      AND a.pos < b.pos),
+r AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+                                       ORDER BY i) AS isl
+      FROM m)
+SELECT doc_id, MIN(i) AS start1, MIN(j) AS start2,
+       COUNT(*) + 1 AS span_words
+FROM r GROUP BY doc_id, diag, isl
+HAVING COUNT(*) + 1 >= 3
+""").fetchall()}
+    assert got == want
