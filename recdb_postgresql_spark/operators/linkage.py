@@ -166,7 +166,16 @@ def _edit_join_deletion(base: DataFrame, d: int,
 def _verify_pairs(cand: DataFrame, base: DataFrame, d: int,
                   base_r: DataFrame | None = None) -> DataFrame:
     """Re-attach names to (id1, id2) candidates and verify: length
-    filter (necessary condition) then the codegen'd levenshtein."""
+    filter (necessary condition) then the codegen'd levenshtein.
+
+    The candidate frame arrives from a distinct whose narrow
+    (id1, id2) rows compress so well that AQE coalesces them into ONE
+    partition — and then the levenshtein pass (the CPU-heavy step)
+    runs single-threaded (measured 35 s for 9.9M candidates that
+    verify in ~2 s spread). An explicit repartition of the narrow
+    pairs is one cheap shuffle that pins the verify's parallelism."""
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id1")
     n1 = base.select(F.col("_id").alias("id1"),
                      F.col("_name").alias("name1"))
     n2 = (base_r if base_r is not None else base) \
@@ -209,8 +218,13 @@ def _edit_join_prefix(base: DataFrame, d: int, q: int,
 
     def ranked_prefix(grams):
         rk = Window.partitionBy("_id").orderBy("_gdf", "g")
+        # materialized ONCE: the ranked-gram frame feeds four consumers
+        # (both prefix join sides, the sizes aggregate, the residue) —
+        # left lazy, Catalyst inlines the gfreq+window subtree into
+        # each (measured 44 s vs 16 s on the x1 probe corpus)
         ranked = (grams.join(gfreq, "g")
-                  .withColumn("_rn", F.row_number().over(rk)))
+                  .withColumn("_rn", F.row_number().over(rk))
+                  .localCheckpoint(eager=True))
         sizes = ranked.groupBy("_id").agg(F.max("_rn").alias("_nd"))
         pref = ranked.where(F.col("_rn") <= prefix_n).select("g", "_id")
         return pref, sizes
@@ -241,14 +255,20 @@ def _edit_join_prefix(base: DataFrame, d: int, q: int,
                 .where(F.coalesce(F.col("_nd"), F.lit(0)) <= q * d)
                 .select("_id"))
 
-    sl = shorts(base, sizes_l)
-    sr = sl if base_r is None else shorts(base_r, sizes_r)
+    # the residue ID frames are tiny (by definition) but sit on top of
+    # the expensive ranked-gram subtree (gfreq + per-id window); the
+    # deletion route would re-evaluate that subtree once per side of
+    # its variant self-join (measured 9.8 -> 39 s on the x4 probe), so
+    # materialize the id lists first
+    sl = shorts(base, sizes_l).localCheckpoint(eager=True)
+    sr = sl if base_r is None else \
+        shorts(base_r, sizes_r).localCheckpoint(eager=True)
     if d <= 2:
         res_l = base.join(sl, "_id")
         res_r = None if base_r is None else base_r.join(sr, "_id")
         scand = _deletion_candidates(res_l, d, res_r)
     else:
-        n_l = sl.count()
+        n_l = sl.count()  # cheap: sl is materialized above
         n_r = n_l if base_r is None else sr.count()
         npairs = n_l * (n_l - 1) // 2 if base_r is None else n_l * n_r
         if short_residue_cap is not None and npairs > short_residue_cap:

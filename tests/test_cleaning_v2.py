@@ -247,3 +247,25 @@ def test_dim_stats_shape(spark):
     for r in rows:
         assert r["min_val"] <= r["mean"] <= r["max_val"]
         assert r["std"] >= 0
+
+
+def test_char_entropy_extremes_and_nulls(spark):
+    """Repeated-char spam ~0 nats; uniform alphabet = ln(26); NULL and
+    empty text score 0.0 without dropping the row."""
+    import math
+
+    from recdb_postgresql_spark.operators import text
+
+    docs = [(1, "aaaaaaaaaaaaaaaa"),
+            (2, "abcdefghijklmnopqrstuvwxyz"),
+            (3, None),
+            (4, ""),
+            (5, "The QUICK brown fox")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.char_entropy for r in
+           text.char_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(26), 6)) < 1e-9
+    assert got[3] == 0.0 and got[4] == 0.0
+    # case-insensitive: 'T' and 't' are one symbol
+    assert got[5] > 2.0

@@ -84,3 +84,32 @@ def test_ridge_shrinks_and_matches_sklearn_free_reference(spark):
     # r2 from the true quadratic form stays in [-inf, 1] and drops
     _, r2_0 = regression.ols_fit(df, "y", ["x0", "x1"], ridge=0.0)
     assert r2_big < r2_0 <= 1.0
+
+
+def test_theil_sen_ignores_planted_outliers(spark):
+    """The estimator's whole point: a clean slope-2 series with 3 wild
+    outliers — OLS drags toward them, Theil-Sen stays on the true
+    line (breakdown ~29%)."""
+    rows = [(float(x), 2.0 * x + 5.0) for x in range(30)]
+    rows += [(3.0, 900.0), (11.0, -700.0), (22.0, 1500.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    ts = regression.theil_sen(df, "x", "y").collect()[0]
+    assert abs(ts["slope"] - 2.0) < 0.1, ts
+    assert abs(ts["intercept"] - 5.0) < 2.0, ts
+    ols = regression.ols_fit_sql(df, "y", ["x"]).collect()[0]
+    assert abs(ols["b1"] - 2.0) > 1.0      # OLS got dragged
+
+
+def test_theil_sen_exact_on_clean_line_and_null_safe(spark):
+    rows = [(float(x), 3.0 * x - 1.0) for x in range(10)]
+    rows += [(None, 5.0), (4.0, None)]     # excluded like any SQL agg
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = regression.theil_sen(df, "x", "y").collect()[0]
+    assert got["slope"] == 3.0 and got["intercept"] == -1.0
+
+
+def test_theil_sen_quadratic_guard(spark):
+    df = spark.range(3000).selectExpr("CAST(id AS DOUBLE) AS x",
+                                      "CAST(id * 2 AS DOUBLE) AS y")
+    with pytest.raises(ValueError, match="exact-quadratic"):
+        regression.theil_sen(df, "x", "y")
