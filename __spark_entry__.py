@@ -3292,6 +3292,24 @@ def q_events_theilsen_daily(spark, sf_dir):
     return regression.theil_sen(daily, "day", "total")
 
 
+def q_events_theilsen_by_type(spark, sf_dir):
+    """Per-event-type robust daily trend: Theil-Sen fit per type over
+    the (day, daily total) rollup — the monitoring report shape
+    (thousands of keys, one equi-keyed pair join whose cost is
+    Σ_type n_days², never event count)
+    (operators/regression.theil_sen_grouped)."""
+    from recdb_postgresql_spark.operators import regression
+
+    DAY = 86_400 * 10**9
+    daily = (load_table(spark, sf_dir, "events")
+             .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                    & F.col("event_type").isNotNull())
+             .groupBy("event_type", F.expr(f"ts div {DAY}").alias("day"))
+             .agg(F.sum("value").alias("total")))
+    return regression.theil_sen_grouped(daily, ["event_type"],
+                                        "day", "total")
+
+
 def q_er_short_string_links(spark, sf_dir):
     """Exact edit-distance join over a SHORT-TOKEN corpus: the
     distinct words of p_name plus their one-char truncations (the
@@ -3402,6 +3420,7 @@ _DRIVER_PRIORITY = [
     "er_short_string_links",
     "docs_fts_ranked",
     "docs_tfidf_string_ids", "events_theilsen_daily",
+    "events_theilsen_by_type",
     "orders_skew_salted_join", "docs_entropy_filter",
     # never-sampled rows-only entries (behind the oracle-checked ones)
     "text_bpe_tokens", "ann_ivf_trained_probe",
@@ -3502,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_self_repeats": q_docs_self_repeats,
         "docs_entropy_filter": q_docs_entropy_filter,
         "events_theilsen_daily": q_events_theilsen_daily,
+        "events_theilsen_by_type": q_events_theilsen_by_type,
         "er_short_string_links": q_er_short_string_links,
         "docs_fts_ranked": q_docs_fts_ranked,
         "docs_tfidf_string_ids": q_docs_tfidf_string_ids,
@@ -6552,6 +6572,25 @@ resid AS (SELECT sl.slope, total - sl.slope * day AS r
           FROM daily CROSS JOIN sl)
 SELECT ROUND(slope, 6) AS slope, ROUND(median(r), 6) AS intercept
 FROM resid GROUP BY slope
+"""
+    o["events_theilsen_by_type"] = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         SUM(value) AS total
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+sl AS (
+  SELECT a.event_type,
+         median((b.total - a.total) / CAST(b.day - a.day AS DOUBLE)) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1),
+r AS (SELECT daily.event_type, total - sl.s * day AS resid, sl.s
+      FROM daily JOIN sl ON sl.event_type = daily.event_type)
+SELECT event_type, ROUND(s, 6) AS slope,
+       ROUND(median(resid), 6) AS intercept
+FROM r GROUP BY event_type, s
 """
     o["er_short_string_links"] = """
 WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),

@@ -141,6 +141,7 @@ HEADLINE = [
     "events_theilsen_daily", "er_short_string_links", "docs_fts_ranked",
     "docs_tfidf_string_ids", "orders_skew_salted_join",
     "docs_strip_lcs", "docs_self_repeats",
+    "events_theilsen_by_type",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -135,6 +135,38 @@ def ols_fit(df: DataFrame, y_col: str, x_cols: Sequence[str],
     return b, 1.0 - sse / sst
 
 
+def theil_sen_grouped(df: DataFrame, group_cols: Sequence[str],
+                      x_col: str, y_col: str,
+                      round_to: int = 6) -> DataFrame:
+    """(group..., slope, intercept): Theil-Sen per group — the robust
+    per-entity trend report (per-type daily drift, per-user spend
+    trajectory) a monitoring pipeline runs over thousands of keys at
+    once. Same estimator as ``theil_sen``; the pair join is an
+    EQUI-join on the group columns, so cost is Σ_g n_g² — bounded by
+    the per-group series length (fit aggregated rollups, as with the
+    ungrouped form), never by group count. Groups with a single point
+    (no pairs) are omitted, like SQL's regr_slope returning NULL."""
+    gcols = list(group_cols)
+    pts = (df.select(*gcols,
+                     F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"))
+           .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()))
+    a = pts.select(*gcols, F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(*gcols, F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = (a.join(b, gcols)
+              .where(F.col("x1") < F.col("x2"))
+              .groupBy(*gcols)
+              .agg(F.expr("percentile((y2 - y1) / (x2 - x1), 0.5)")
+                   .alias("_slope")))
+    resid = (pts.join(slopes, gcols)
+             .groupBy(*gcols, "_slope")
+             .agg(F.expr("percentile(y - _slope * x, 0.5)")
+                  .alias("_icept")))
+    return resid.select(*gcols,
+                        F.round("_slope", round_to).alias("slope"),
+                        F.round("_icept", round_to).alias("intercept"))
+
+
 def theil_sen(df: DataFrame, x_col: str, y_col: str,
               round_to: int = 6) -> DataFrame:
     """One-row (slope, intercept): Theil-Sen ROBUST regression — the

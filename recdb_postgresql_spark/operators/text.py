@@ -802,8 +802,12 @@ def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1),
-                                          F.lit(0)))
+    # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
+    # shorter than k words must gate to an empty index explicitly
+    # (found by the hypothesis battery on random short corpora)
+    idx = F.when(F.size(toks) >= k,
+                 F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     grams = spread_small(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.transform(
@@ -869,8 +873,12 @@ def self_span_pairs(docs: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1),
-                                          F.lit(0)))
+    # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
+    # shorter than k words must gate to an empty index explicitly
+    # (found by the hypothesis battery on random short corpora)
+    idx = F.when(F.size(toks) >= k,
+                 F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     grams = spread_small(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.transform(

@@ -413,3 +413,27 @@ def test_lm_perplexity_matches_bruteforce(spark, texts):
               for a, b in trans]
         expect[i] = (len(trans), round(-sum(lp) / len(lp), 6))
     assert got == expect, (got, expect)
+
+
+# random tiny-vocabulary corpora maximize shared grams and diagonal
+# collisions — the adversarial regime for the span-run derivation
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=14)
+    .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=corpus_strategy)
+def test_common_span_pairs_matches_bruteforce_on_random_corpora(
+        spark, texts):
+    from recdb_postgresql_spark.operators import text as text_ops
+    from tests.test_lcs_spans import _brute_spans
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id1, r.id2, r.start1, r.start2, r.span_words)
+           for r in text_ops.common_span_pairs(df, k=2,
+                                               min_span=3).collect()}
+    assert got == _brute_spans(docs, 2, 3)

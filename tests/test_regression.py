@@ -113,3 +113,21 @@ def test_theil_sen_quadratic_guard(spark):
                                       "CAST(id * 2 AS DOUBLE) AS y")
     with pytest.raises(ValueError, match="exact-quadratic"):
         regression.theil_sen(df, "x", "y")
+
+
+def test_theil_sen_grouped_matches_per_group_ungrouped(spark):
+    """Grouped == ungrouped run per key; single-point groups omitted."""
+    rows = ([("a", float(x), 2.0 * x + 1.0) for x in range(8)]
+            + [("b", float(x), -1.0 * x + 4.0) for x in range(6)]
+            + [("b", 2.0, 500.0)]            # outlier, shrugged off
+            + [("solo", 1.0, 1.0)])          # one point -> no pairs
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.k: (r.slope, r.intercept) for r in
+           regression.theil_sen_grouped(df, ["k"], "x", "y").collect()}
+    assert "solo" not in got
+    for k in ("a", "b"):
+        one = regression.theil_sen(df.where(F.col("k") == k),
+                                   "x", "y").collect()[0]
+        assert got[k] == (one["slope"], one["intercept"]), k
+    assert got["a"] == (2.0, 1.0)
+    assert got["b"][0] == -1.0
