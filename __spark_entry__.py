@@ -3425,6 +3425,10 @@ _DRIVER_PRIORITY = [
     # never-sampled rows-only entries (behind the oracle-checked ones)
     "text_bpe_tokens", "ann_ivf_trained_probe",
     "rec_als_implicit", "docs_quality_classifier_probe",
+    "rec_als_foldin_check",
+    # r9 NOTE: after this round's 50-row window every registry entry
+    # has at least one driver CORRECTNESS row — next round only the
+    # round's NEW queries need to lead.
 ]
 
 
