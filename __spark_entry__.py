@@ -3310,6 +3310,24 @@ def q_events_theilsen_by_type(spark, sf_dir):
                                         "day", "total")
 
 
+def q_er_part_composite(spark, sf_dir):
+    """Multi-FIELD entity resolution: parts blocked on the COMPOSITE
+    key (brand, size) — multi-column blocking is how production ER
+    keeps Σ n_b² down (50x fewer pairs than brand alone here, same
+    405 matches) — and scored on two evidence columns (name
+    token-Jaccard w=2, type token-Jaccard w=1). Token arrays build
+    once per row BEFORE the join; per-pair work is one codegen'd
+    array_intersect per field (operators/linkage.composite_matches)."""
+    from recdb_postgresql_spark.operators import linkage
+
+    parts = load_table(spark, sf_dir, "part")
+    return linkage.composite_matches(
+        parts, F.concat_ws("|", F.col("p_brand"), F.col("p_size")),
+        [("p_name", "token_jaccard", 2.0),
+         ("p_type", "token_jaccard", 1.0)],
+        id_col="p_partkey", threshold=0.75)
+
+
 def q_er_short_string_links(spark, sf_dir):
     """Exact edit-distance join over a SHORT-TOKEN corpus: the
     distinct words of p_name plus their one-char truncations (the
@@ -3420,7 +3438,7 @@ _DRIVER_PRIORITY = [
     "er_short_string_links",
     "docs_fts_ranked",
     "docs_tfidf_string_ids", "events_theilsen_daily",
-    "events_theilsen_by_type",
+    "events_theilsen_by_type", "er_part_composite",
     "orders_skew_salted_join", "docs_entropy_filter",
     # never-sampled rows-only entries (behind the oracle-checked ones)
     "text_bpe_tokens", "ann_ivf_trained_probe",
@@ -3527,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilsen_daily": q_events_theilsen_daily,
         "events_theilsen_by_type": q_events_theilsen_by_type,
         "er_short_string_links": q_er_short_string_links,
+        "er_part_composite": q_er_part_composite,
         "docs_fts_ranked": q_docs_fts_ranked,
         "docs_tfidf_string_ids": q_docs_tfidf_string_ids,
         "orders_skew_salted_join": q_orders_skew_salted_join,
@@ -6595,6 +6614,29 @@ r AS (SELECT daily.event_type, total - sl.s * day AS resid, sl.s
 SELECT event_type, ROUND(s, 6) AS slope,
        ROUND(median(resid), 6) AS intercept
 FROM r GROUP BY event_type, s
+"""
+    o["er_part_composite"] = """
+WITH tok AS (SELECT p_partkey, p_brand, p_size,
+                    list_distinct(string_split_regex(lower(p_name),
+                                                     '\s+')) AS tn,
+                    list_distinct(string_split_regex(lower(p_type),
+                                                     '\s+')) AS tt
+             FROM part),
+sc AS (
+  SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+         ROUND(
+           (CAST(2 AS DOUBLE)/3) * COALESCE(
+             len(list_intersect(a.tn, b.tn))
+             / NULLIF(len(list_distinct(list_concat(a.tn, b.tn))), 0),
+             0.0)
+         + (CAST(1 AS DOUBLE)/3) * COALESCE(
+             len(list_intersect(a.tt, b.tt))
+             / NULLIF(len(list_distinct(list_concat(a.tt, b.tt))), 0),
+             0.0), 6) AS score
+  FROM tok a JOIN tok b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey)
+SELECT id1, id2, score FROM sc WHERE score >= 0.75
 """
     o["er_short_string_links"] = """
 WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),

@@ -416,3 +416,43 @@ def test_edit_join_prefix_residue_guard_raises(spark):
                               strategy="prefix",
                               short_residue_cap=None).collect()}
     assert got == _brute(spark, df, 3)
+
+
+def test_composite_matches_field_kinds_and_weights(spark):
+    from recdb_postgresql_spark.operators.linkage import composite_matches
+
+    rows = [
+        (1, "blk", "acme corp intl", "widget", "p1"),
+        (2, "blk", "intl acme corp", "widget", "p2"),   # reordered name
+        (3, "blk", "zzz completely other", "gadget", "p1"),
+        (4, "other", "acme corp intl", "widget", "p1"),  # wrong block
+        (5, "blk", None, "widget", "p1"),                # null name -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, blk string, name string, typ string, ph string")
+    got = {(r.id1, r.id2): r.score for r in composite_matches(
+        df, F.col("blk"),
+        [("name", "token_jaccard", 2.0),
+         ("typ", "exact", 1.0),
+         ("ph", "exact", 1.0)],
+        threshold=0.5).collect()}
+    # 1-2: name jaccard 1.0 (order-insensitive), typ 1, ph 0 -> 0.75
+    assert got[(1, 2)] == 0.75
+    # wrong block never pairs; null field scores 0 (below threshold
+    # here: name 0, typ 1, ph 1 -> 0.5 kept at >= 0.5)
+    assert (1, 4) not in got
+    assert got.get((1, 5)) == 0.5
+
+
+def test_composite_matches_levenshtein_ratio(spark):
+    from recdb_postgresql_spark.operators.linkage import composite_matches
+
+    df = spark.createDataFrame(
+        [(1, 1, "kitten"), (2, 1, "sitten"), (3, 1, "xyzzyq")],
+        "id long, blk long, name string")
+    got = {(r.id1, r.id2): r.score for r in composite_matches(
+        df, F.col("blk"), [("name", "levenshtein_ratio", 1.0)],
+        threshold=0.6).collect()}
+    # lev(kitten, sitten) = 1 over len 6 -> 1 - 1/6
+    assert got[(1, 2)] == round(1 - 1 / 6, 6)
+    assert (1, 3) not in got
