@@ -3310,6 +3310,25 @@ def q_events_theilsen_by_type(spark, sf_dir):
                                         "day", "total")
 
 
+def q_events_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the hourly series per event
+    type: centered 25-point trend, phase-mean seasonal (centered),
+    residual — the series an anomaly detector actually thresholds.
+    All windows/aggregates over the AGGREGATED series (#buckets rows
+    per type) (operators/temporal.seasonal_decompose)."""
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                     & F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.sum("value").alias("y")))
+    from recdb_postgresql_spark.operators import temporal
+
+    return temporal.seasonal_decompose(hourly, ["event_type"],
+                                       "bucket", "y", period=24)
+
+
 def q_er_part_composite(spark, sf_dir):
     """Multi-FIELD entity resolution: parts blocked on the COMPOSITE
     key (brand, size) — multi-column blocking is how production ER
@@ -3439,6 +3458,7 @@ _DRIVER_PRIORITY = [
     "docs_fts_ranked",
     "docs_tfidf_string_ids", "events_theilsen_daily",
     "events_theilsen_by_type", "er_part_composite",
+    "events_seasonal_decompose",
     "orders_skew_salted_join", "docs_entropy_filter",
     # never-sampled rows-only entries (behind the oracle-checked ones)
     "text_bpe_tokens", "ann_ivf_trained_probe",
@@ -3546,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilsen_by_type": q_events_theilsen_by_type,
         "er_short_string_links": q_er_short_string_links,
         "er_part_composite": q_er_part_composite,
+        "events_seasonal_decompose": q_events_seasonal_decompose,
         "docs_fts_ranked": q_docs_fts_ranked,
         "docs_tfidf_string_ids": q_docs_tfidf_string_ids,
         "orders_skew_salted_join": q_orders_skew_salted_join,
@@ -6614,6 +6635,29 @@ r AS (SELECT daily.event_type, total - sl.s * day AS resid, sl.s
 SELECT event_type, ROUND(s, 6) AS slope,
        ROUND(median(resid), 6) AS intercept
 FROM r GROUP BY event_type, s
+"""
+    o["events_seasonal_decompose"] = """
+WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+                  SUM(value) AS y
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+tr AS (SELECT event_type, bucket, y,
+              CASE WHEN COUNT(*) OVER w = 25
+                   THEN AVG(y) OVER w END AS trend
+       FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+sr AS (SELECT event_type, bucket % 24 AS phase, AVG(y - trend) AS s
+       FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+sm AS (SELECT event_type, AVG(s) AS smean FROM sr GROUP BY 1),
+sea AS (SELECT sr.event_type, phase, s - smean AS seas
+        FROM sr JOIN sm ON sm.event_type = sr.event_type)
+SELECT tr.event_type, bucket, ROUND(y, 6) AS y, ROUND(trend, 6) AS trend,
+       ROUND(seas, 6) AS seasonal,
+       ROUND(y - trend - seas, 6) AS residual
+FROM tr LEFT JOIN sea ON sea.event_type = tr.event_type
+                     AND sea.phase = tr.bucket % 24
 """
     o["er_part_composite"] = """
 WITH tok AS (SELECT p_partkey, p_brand, p_size,

@@ -508,3 +508,54 @@ def moving_aggregate(events: DataFrame, window_ns: int,
             .withColumn("win_avg", F.round(F.avg(val_col).over(w), 6))
             .withColumn("win_sum", F.round(F.sum(val_col).over(w), 6))
             .withColumn("win_n", F.count(F.lit(1)).over(w).cast("long")))
+
+
+def seasonal_decompose(series: DataFrame, key_cols, bucket_col: str,
+                       y_col: str, period: int,
+                       round_to: int = 6) -> DataFrame:
+    """(key..., bucket, y, trend, seasonal, residual): CLASSICAL
+    additive seasonal decomposition of an aggregated series — the
+    step a real anomaly detector runs so it flags residuals, not raw
+    values (a daily peak is not an anomaly; a deviation FROM the
+    daily pattern is).
+
+    Definitions (symmetric-window variant of the classical method):
+    trend = centered (period+1)-point moving average, NULL where the
+    window is incomplete (the first/last half-period, as classical
+    decomposition leaves them); seasonal = per-phase
+    (bucket mod period) mean of the detrended values, CENTERED so the
+    seasonal components sum to ~0; residual = y - trend - seasonal
+    (NULL where trend is). Every step is a window/groupBy over the
+    AGGREGATED series — per-key cost is #buckets, never event count —
+    and the identical arithmetic runs in the SQL oracle.
+    """
+    keys = list(key_cols)
+    half = int(period) // 2
+    w = Window.partitionBy(*keys).orderBy(bucket_col) \
+        .rowsBetween(-half, half)
+    y = F.col(y_col).cast("double")
+    t = series.select(*keys, F.col(bucket_col).alias("bucket"),
+                      y.alias("y"))
+    trended = t.withColumn(
+        "trend",
+        F.when(F.count(F.lit(1)).over(
+            Window.partitionBy(*keys).orderBy("bucket")
+            .rowsBetween(-half, half)) == 2 * half + 1,
+            F.avg("y").over(Window.partitionBy(*keys).orderBy("bucket")
+                            .rowsBetween(-half, half))))
+    phase = F.pmod(F.col("bucket"), F.lit(int(period)))
+    sea_raw = (trended.where(F.col("trend").isNotNull())
+               .groupBy(*keys, phase.alias("phase"))
+               .agg(F.avg(F.col("y") - F.col("trend")).alias("_s")))
+    sea_mean = sea_raw.groupBy(*keys).agg(F.avg("_s").alias("_sm"))
+    seasonal = (sea_raw.join(sea_mean, keys)
+                .select(*keys, "phase",
+                        (F.col("_s") - F.col("_sm")).alias("_seas")))
+    out = (trended.withColumn("phase", phase)
+           .join(seasonal, [*keys, "phase"], "left"))
+    return out.select(
+        *keys, "bucket", F.round("y", round_to).alias("y"),
+        F.round("trend", round_to).alias("trend"),
+        F.round("_seas", round_to).alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - F.col("_seas"),
+                round_to).alias("residual"))

@@ -288,3 +288,37 @@ def test_debounce_predecessor_rule(spark):
             temporal.debounce_events(df, window_ns=100).collect()}
     # 1 (gap 50) and 2 (gap 40) and 4 (gap 49) dropped; 3 kept (gap 210)
     assert kept == {0, 3, 5}
+
+
+def test_seasonal_decompose_recovers_planted_signal(spark):
+    """y = 10*bucket (linear trend) + planted period-4 seasonal
+    pattern: the decomposition must recover the centered seasonal
+    component and leave ~zero residual; the first/last half-period
+    have NULL trend (incomplete window), like classical
+    decomposition."""
+    import math
+
+    from recdb_postgresql_spark.operators.temporal import seasonal_decompose
+
+    seas = {0: 5.0, 1: -2.0, 2: -4.0, 3: 1.0}   # sums to 0 (centered)
+    rows = [("k", b, 10.0 * b + seas[b % 4]) for b in range(40)]
+    df = spark.createDataFrame(rows, "k string, bucket long, y double")
+    out = {r.bucket: r for r in
+           seasonal_decompose(df, ["k"], "bucket", "y",
+                              period=4).collect()}
+    assert len(out) == 40
+    half = 2
+    for b in range(40):
+        r = out[b]
+        if b < half or b >= 40 - half:
+            assert r.trend is None and r.residual is None
+        else:
+            # 5-point centered MA of a linear trend is exact; the
+            # period-4 seasonal does not cancel exactly in a 5-point
+            # window (one phase repeats), so allow its bounded bias
+            assert abs(r.trend - 10.0 * b) <= 1.3
+            assert abs(r.seasonal - seas[b % 4]) <= 1.2
+            assert abs(r.residual) <= 2.0
+    # seasonal components centered: one value per phase, sums ~0
+    phases = {b % 4: out[b].seasonal for b in range(half, 38)}
+    assert abs(sum(phases.values())) < 1e-6
