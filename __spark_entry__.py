@@ -3465,8 +3465,9 @@ _DRIVER_PRIORITY = [
     "rec_als_implicit", "docs_quality_classifier_probe",
     "rec_als_foldin_check",
     # r9 NOTE: after this round's 50-row window every registry entry
-    # has at least one driver CORRECTNESS row — next round only the
-    # round's NEW queries need to lead.
+    # except rec_als_foldin_check (rows-only, position 51) has at
+    # least one driver CORRECTNESS row — next round lead with it and
+    # the round's NEW queries.
 ]
 
 
