@@ -3329,6 +3329,35 @@ def q_events_seasonal_decompose(spark, sf_dir):
                                        "bucket", "y", period=24)
 
 
+def q_events_anomaly_residual(spark, sf_dir):
+    """The decomposition's PAYOFF: the top-20 hours whose residual
+    (y - trend - seasonal) deviates most, in z-scores of the type's
+    residual spread — anomalies measured AGAINST the pattern, where
+    raw-value thresholds flag every daily peak. Round-then-rank with
+    a (type, bucket) tiebreak keeps the cut engine-portable."""
+    from pyspark.sql import Window as W
+
+    from recdb_postgresql_spark.operators import temporal
+
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                     & F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.sum("value").alias("y")))
+    dec = temporal.seasonal_decompose(hourly, ["event_type"],
+                                      "bucket", "y", period=24)         .where(F.col("residual").isNotNull())
+    sd = dec.groupBy("event_type").agg(
+        F.stddev_samp("residual").alias("_sd"))
+    z = (dec.join(sd, "event_type")
+         .select("event_type", "bucket", "y", "residual",
+                 F.round(F.abs(F.col("residual")) / F.col("_sd"), 4)
+                 .alias("abs_z")))
+    return (z.orderBy(F.col("abs_z").desc(), "event_type", "bucket")
+            .limit(20))
+
+
 def q_er_part_composite(spark, sf_dir):
     """Multi-FIELD entity resolution: parts blocked on the COMPOSITE
     key (brand, size) — multi-column blocking is how production ER
@@ -3458,7 +3487,7 @@ _DRIVER_PRIORITY = [
     "docs_fts_ranked",
     "docs_tfidf_string_ids", "events_theilsen_daily",
     "events_theilsen_by_type", "er_part_composite",
-    "events_seasonal_decompose",
+    "events_seasonal_decompose", "events_anomaly_residual",
     "orders_skew_salted_join", "docs_entropy_filter",
     # never-sampled rows-only entries (behind the oracle-checked ones)
     "text_bpe_tokens", "ann_ivf_trained_probe",
@@ -3568,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_short_string_links": q_er_short_string_links,
         "er_part_composite": q_er_part_composite,
         "events_seasonal_decompose": q_events_seasonal_decompose,
+        "events_anomaly_residual": q_events_anomaly_residual,
         "docs_fts_ranked": q_docs_fts_ranked,
         "docs_tfidf_string_ids": q_docs_tfidf_string_ids,
         "orders_skew_salted_join": q_orders_skew_salted_join,
@@ -6659,6 +6689,36 @@ SELECT tr.event_type, bucket, ROUND(y, 6) AS y, ROUND(trend, 6) AS trend,
        ROUND(y - trend - seas, 6) AS residual
 FROM tr LEFT JOIN sea ON sea.event_type = tr.event_type
                      AND sea.phase = tr.bucket % 24
+"""
+    o["events_anomaly_residual"] = """
+WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+                  SUM(value) AS y
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+tr AS (SELECT event_type, bucket, y,
+              CASE WHEN COUNT(*) OVER w = 25
+                   THEN AVG(y) OVER w END AS trend
+       FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+sr AS (SELECT event_type, bucket % 24 AS phase, AVG(y - trend) AS s
+       FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+sm AS (SELECT event_type, AVG(s) AS smean FROM sr GROUP BY 1),
+sea AS (SELECT sr.event_type, phase, s - smean AS seas
+        FROM sr JOIN sm ON sm.event_type = sr.event_type),
+dec AS (SELECT tr.event_type, bucket, ROUND(y, 6) AS y,
+               ROUND(y - trend - seas, 6) AS residual
+        FROM tr JOIN sea ON sea.event_type = tr.event_type
+                        AND sea.phase = tr.bucket % 24
+        WHERE trend IS NOT NULL),
+sd AS (SELECT event_type, stddev_samp(residual) AS sdv
+       FROM dec GROUP BY 1)
+SELECT dec.event_type, bucket, y, residual,
+       ROUND(abs(residual) / sdv, 4) AS abs_z
+FROM dec JOIN sd ON sd.event_type = dec.event_type
+ORDER BY abs_z DESC, dec.event_type, bucket
+LIMIT 20
 """
     o["er_part_composite"] = """
 WITH tok AS (SELECT p_partkey, p_brand, p_size,
