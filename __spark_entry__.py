@@ -3494,9 +3494,10 @@ _DRIVER_PRIORITY = [
     "rec_als_implicit", "docs_quality_classifier_probe",
     "rec_als_foldin_check",
     # r9 NOTE: after this round's 50-row window every registry entry
-    # except rec_als_foldin_check (rows-only, position 51) has at
-    # least one driver CORRECTNESS row — next round lead with it and
-    # the round's NEW queries.
+    # except two rows-only ones pushed past position 50 by the late
+    # oracle-checked batch (docs_quality_classifier_probe,
+    # rec_als_foldin_check) has at least one driver CORRECTNESS row —
+    # next round lead with those two and the round's NEW queries.
 ]
 
 
