@@ -756,6 +756,27 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                                 lambda s: hash_fn(s))).alias("fingerprint"))
 
 
+def _positional_grams(docs: DataFrame, id_col: str, text_col: str,
+                      k: int) -> DataFrame:
+    """(_id, pos, gram): every POSITIONAL word k-gram (1-based start)
+    of the lowercased single-space tokenization — the shared substrate
+    of the span-dedup family. Docs shorter than k words gate to an
+    empty index explicitly (Spark's sequence(1, 0) DESCENDS instead of
+    being empty — found by the hypothesis battery on random short
+    corpora)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.when(F.size(toks) >= k,
+                 F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return spread_small(docs).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(
+            idx, lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, k)).alias("gram"))))
+        .alias("g")).select("_id", "g.pos", "g.gram")
+
+
 def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 5,
                       min_span: int = 6,
@@ -801,20 +822,7 @@ def common_span_pairs(docs: DataFrame, id_col: str = "doc_id",
     knob when parity is not required."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
-    # shorter than k words must gate to an empty index explicitly
-    # (found by the hypothesis battery on random short corpora)
-    idx = F.when(F.size(toks) >= k,
-                 F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = spread_small(docs).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.transform(
-            idx, lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice(toks, i, k)).alias("gram"))))
-        .alias("g")).select("_id", "g.pos", "g.gram")
+    grams = _positional_grams(docs, id_col, text_col, k)
     if max_gram_df is not None:
         keep = (grams.groupBy("gram")
                 .agg(F.count_distinct("_id").alias("_df"))
@@ -872,20 +880,7 @@ def self_span_pairs(docs: DataFrame, id_col: str = "doc_id",
     length, never corpus size; one doc-keyed window + aggregate."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    # Spark's sequence(1, 0) DESCENDS instead of being empty, so docs
-    # shorter than k words must gate to an empty index explicitly
-    # (found by the hypothesis battery on random short corpora)
-    idx = F.when(F.size(toks) >= k,
-                 F.sequence(F.lit(1), F.size(toks) - (k - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = spread_small(docs).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.transform(
-            idx, lambda i: F.struct(
-                i.alias("pos"),
-                F.concat_ws(" ", F.slice(toks, i, k)).alias("gram"))))
-        .alias("g")).select("_id", "g.pos", "g.gram")
+    grams = _positional_grams(docs, id_col, text_col, k)
     a = grams.select("_id", F.col("pos").alias("i"), "gram")
     b = grams.select("_id", F.col("pos").alias("j"), "gram")
     m = (a.join(b, ["_id", "gram"]).where(F.col("i") < F.col("j"))
@@ -1424,3 +1419,63 @@ def token_budget_select(docs: DataFrame, budget: int = 2000,
                     "n_tokens", "cum_tokens",
                     ((F.col("cum_tokens") - F.col("n_tokens"))
                      < F.lit(budget)).alias("selected")))
+
+
+def write_span_index(docs: DataFrame, table: str, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 5,
+                     buckets: int = 32) -> None:
+    """Persist the corpus's SUBSTRING-dedup state: the positional
+    k-gram table, bucketed on gram — the span-family analog of
+    ``dedup.write_lsh_index``. A probing batch's gram join then reads
+    the index with zero index-side Exchange; at 100 TB the index holds
+    the corpus's grams but never shuffles on a probe — only the
+    incoming batch's grams move. ``k`` is part of the index layout
+    (probes must use the same k, as an IVF index bakes in centroids)."""
+    from recdb_postgresql_spark.sources.sinks import write_bucketed
+
+    grams = _positional_grams(docs, id_col, text_col, k)
+    write_bucketed(grams.select("gram", F.col("_id").alias("id"), "pos"),
+                   f"{table}_grams", "gram", buckets=buckets)
+
+
+def append_span_index(docs: DataFrame, table: str, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      buckets: int = 32) -> None:
+    """Advance the span index with a batch's kept documents — appended
+    under the SAME bucket spec, so probes stay index-shuffle-free."""
+    grams = _positional_grams(docs, id_col, text_col, k)
+    (grams.select("gram", F.col("_id").alias("id"), "pos")
+     .write.mode("append").bucketBy(buckets, "gram").sortBy("gram")
+     .format("parquet").saveAsTable(f"{table}_grams"))
+
+
+def spans_against_index(docs: DataFrame, spark, table: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, min_span: int = 6) -> DataFrame:
+    """(new_id, idx_id, start_new, start_idx, span_words): every
+    maximal shared span of >= ``min_span`` words between a batch
+    document and an already-indexed one — incremental-ingest
+    substring dedup (the batch's quoted/duplicated passages found
+    WITHOUT rescanning the corpus). Same diagonal gaps-and-islands
+    derivation as ``common_span_pairs``; the only corpus-sized input
+    is the bucketed gram index, which the batch grams equi-join with
+    zero index-side Exchange."""
+    from pyspark.sql import Window
+
+    batch = _positional_grams(docs, id_col, text_col, k)
+    idx = spark.table(f"{table}_grams")
+    m = (batch.select("gram", F.col("_id").alias("new_id"),
+                      F.col("pos").alias("i"))
+         .join(idx.select("gram", F.col("id").alias("idx_id"),
+                          F.col("pos").alias("j")), "gram")
+         .select("new_id", "idx_id", "i", "j",
+                 (F.col("i") - F.col("j")).alias("diag")))
+    w = Window.partitionBy("new_id", "idx_id", "diag").orderBy("i")
+    runs = m.withColumn("isl", F.col("i") - F.row_number().over(w))
+    return (runs.groupBy("new_id", "idx_id", "diag", "isl")
+            .agg(F.min("i").alias("start_new"),
+                 F.min("j").alias("start_idx"),
+                 (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_words"))
+            .where(F.col("span_words") >= min_span)
+            .select("new_id", "idx_id", "start_new", "start_idx",
+                    "span_words"))

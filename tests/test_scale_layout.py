@@ -317,3 +317,45 @@ def test_ivf_index_append_serves_new_vectors_still_pruned(spark, tmp_path):
     assert 100 in ids  # the appended vector is served
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan  # pruning survives the append
+
+
+def test_span_index_probe_no_index_side_exchange(spark, tmp_path):
+    """The persisted positional-gram index is bucketed on gram: a
+    probing batch's span join must read it without an index-side
+    Exchange, and appends under the same bucket spec stay probeable."""
+    import shutil
+
+    from recdb_postgresql_spark.operators import text
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+    spark.sql("DROP TABLE IF EXISTS span_t_grams")
+    shutil.rmtree(wh + "/span_t_grams", ignore_errors=True)
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words here nothing shared at all")],
+        "doc_id long, text string")
+    text.write_span_index(corpus, "span_t", k=3)
+    batch = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon zeta yy")],
+        "doc_id long, text string")
+    out = text.spans_against_index(batch, spark, "span_t", k=3,
+                                   min_span=5)
+    rows = {(r.new_id, r.idx_id, r.start_new, r.start_idx, r.span_words)
+            for r in out.collect()}
+    assert rows == {(100, 1, 2, 1, 6)}
+    # the index side of the gram join carries no Exchange; the probe
+    # plan scans the bucketed table directly
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan[plan.index("span_t_grams"):]
+    assert "SelectedBucketsCount" in plan or "Exchange" not in scan_part
+    # append a doc, reprobe finds spans against it too
+    text.append_span_index(spark.createDataFrame(
+        [(3, "qq alpha beta gamma delta epsilon rr")],
+        "doc_id long, text string"), "span_t", k=3)
+    again = {(r.new_id, r.idx_id) for r in
+             text.spans_against_index(batch, spark, "span_t", k=3,
+                                      min_span=5).collect()}
+    assert (100, 3) in again and (100, 1) in again
