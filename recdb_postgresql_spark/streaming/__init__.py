@@ -1,6 +1,7 @@
 from recdb_postgresql_spark.streaming.ingest import (StreamingIndexDeduper,
                                                      StreamingMerger,
-                                                     StreamingNearDupDeduper)
+                                                     StreamingNearDupDeduper,
+                                                     StreamingSpanScrubber)
 from recdb_postgresql_spark.streaming.maintenance import StreamingMaintainer
 from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      dedup_stream,
@@ -9,6 +10,7 @@ from recdb_postgresql_spark.streaming.rollup import (count_milestones,
                                                      trending_items)
 
 __all__ = ["StreamingMaintainer", "StreamingIndexDeduper",
-           "StreamingMerger", "StreamingNearDupDeduper", "hourly_rollup",
+           "StreamingMerger", "StreamingNearDupDeduper",
+           "StreamingSpanScrubber", "hourly_rollup",
            "sessionize", "count_milestones", "dedup_stream",
            "trending_items"]

@@ -236,3 +236,86 @@ class StreamingMerger:
                          insert=self.insert, delete_col=self.delete_col,
                          update_exprs=self.update_exprs)
         self.batches += 1
+
+
+class StreamingSpanScrubber:
+    """The SUBSTRING-dedup member of the streaming ingest family:
+    where the exact/LSH dedupers DROP whole duplicate documents, this
+    one SCRUBS duplicated passages out of otherwise-novel ones (Lee
+    et al. substring dedup, incremental form). State on disk is the
+    bucketed positional-gram index (``text.write_span_index`` — seed
+    it first, possibly on an empty frame).
+
+    Per batch: every maximal shared span of >= ``min_span`` words
+    against ANY indexed document (``text.spans_against_index`` — zero
+    index-side Exchange) is cut from the batch copy (the indexed
+    corpus keeps its copy — keep-first across time); the scrubbed
+    text (lowercased by the span tokenization, like
+    ``strip_duplicate_spans``) is appended to the clean sink and its
+    grams to the index, so the NEXT batch scrubs against it too.
+    Same exactly-once caveat as the siblings; re-appended gram rows
+    cost space and candidate fan-out, never correctness."""
+
+    def __init__(self, spark: SparkSession, index_table: str,
+                 clean_path: Optional[str] = None,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 5, min_span: int = 6, buckets: int = 32):
+        self.spark = spark
+        self.index_table = index_table
+        self.clean_path = clean_path
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.min_span = k, min_span
+        self.buckets = buckets
+        self.batches = 0
+        self.scrubbed_docs = 0
+        self.words_removed = 0
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: Optional[int] = None) -> DataFrame:
+        from recdb_postgresql_spark.operators.text import (
+            append_span_index, spans_against_index)
+
+        spans = spans_against_index(batch_df, self.spark,
+                                    self.index_table,
+                                    id_col=self.id_col,
+                                    text_col=self.text_col,
+                                    k=self.k, min_span=self.min_span)
+        covered = (spans.select(
+            F.col("new_id").alias(self.id_col),
+            F.explode(F.sequence(
+                F.col("start_new"),
+                F.col("start_new") + F.col("span_words") - 1))
+            .alias("p"))
+            .distinct()
+            .groupBy(self.id_col).agg(F.collect_set("p").alias("_cov")))
+        toks = F.split(F.lower(F.col(self.text_col)), " ")
+        kept = F.filter(
+            toks,
+            lambda w, i: ~F.exists(
+                F.col("_cov"),
+                lambda p: p == (i + F.lit(1)).cast("bigint")))
+        scrubbed = (batch_df.join(covered, self.id_col, "left")
+                    .withColumn("_cov", F.coalesce(
+                        F.col("_cov"), F.array().cast("array<bigint>")))
+                    .withColumn("_kept", kept)
+                    .withColumn("n_removed",
+                                (F.size(toks) - F.size(F.col("_kept")))
+                                .cast("long"))
+                    .withColumn(self.text_col,
+                                F.array_join(F.col("_kept"), " "))
+                    .drop("_cov", "_kept")
+                    .localCheckpoint())
+        if self.clean_path:
+            scrubbed.write.mode("append").parquet(self.clean_path)
+        append_span_index(scrubbed, self.index_table,
+                          id_col=self.id_col, text_col=self.text_col,
+                          k=self.k, buckets=self.buckets)
+        self.spark.catalog.refreshTable(self.index_table + "_grams")
+        self.batches += 1
+        stats = scrubbed.agg(
+            F.count(F.lit(1)),
+            F.sum((F.col("n_removed") > 0).cast("long")),
+            F.sum("n_removed")).collect()[0]
+        self.scrubbed_docs += int(stats[1] or 0)
+        self.words_removed += int(stats[2] or 0)
+        return scrubbed

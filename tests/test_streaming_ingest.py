@@ -181,3 +181,70 @@ def test_streaming_merger_batches_and_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.userid, r.itemid): r.ratingval for r in store.read().collect()}
     assert rows == {(3, 30): 3.0, (4, 40): 4.0}
+
+
+def test_span_scrubber_across_batches(spark, tmp_path):
+    """Substring scrubbing across micro-batches: a passage quoted from
+    the seeded corpus is CUT (the doc survives, minus the span); a
+    batch-2 doc quoting a BATCH-1 survivor's novel text is scrubbed
+    against the advanced index."""
+    from recdb_postgresql_spark.operators import text as text_ops
+    from recdb_postgresql_spark.streaming import StreamingSpanScrubber
+
+    spark.sql("DROP TABLE IF EXISTS span_s_grams")
+    seed = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_ops.write_span_index(
+        spark.createDataFrame([(1, seed)], SCHEMA), "span_s",
+        k=3, buckets=4)
+    scr = StreamingSpanScrubber(spark, "span_s",
+                                clean_path=str(tmp_path / "clean"),
+                                k=3, min_span=5, buckets=4)
+
+    novel = "one two three four five six seven eight nine ten"
+    b1 = spark.createDataFrame(
+        [(10, "intro alpha beta gamma delta epsilon outro words here"),
+         (11, novel)], SCHEMA)
+    out1 = {r.doc_id: (r.text, r.n_removed)
+            for r in scr.on_batch(b1).collect()}
+    assert out1[10] == ("intro outro words here", 5)
+    assert out1[11] == (novel, 0)
+
+    b2 = spark.createDataFrame(
+        [(20, "quoting one two three four five six now")], SCHEMA)
+    out2 = {r.doc_id: (r.text, r.n_removed)
+            for r in scr.on_batch(b2).collect()}
+    assert out2[20] == ("quoting now", 6)
+    assert (scr.batches, scr.scrubbed_docs, scr.words_removed) == (2, 2, 11)
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r.doc_id for r in clean.collect()} == {10, 11, 20}
+    spark.sql("DROP TABLE span_s_grams")
+
+
+def test_span_scrubber_through_real_stream(spark, tmp_path):
+    from recdb_postgresql_spark.operators import text as text_ops
+    from recdb_postgresql_spark.streaming import StreamingSpanScrubber
+
+    spark.sql("DROP TABLE IF EXISTS span_ss_grams")
+    seed = "the quick brown fox jumps over the lazy dog again"
+    text_ops.write_span_index(
+        spark.createDataFrame([(1, seed)], SCHEMA), "span_ss",
+        k=3, buckets=4)
+    scr = StreamingSpanScrubber(spark, "span_ss",
+                                clean_path=str(tmp_path / "clean"),
+                                k=3, min_span=5, buckets=4)
+    incoming = tmp_path / "incoming"
+    spark.createDataFrame(
+        [(30, "prefix the quick brown fox jumps suffix stays")],
+        SCHEMA).write.parquet(str(incoming))
+
+    q = (spark.readStream.schema(SCHEMA).parquet(str(incoming))
+         .writeStream.foreachBatch(scr.on_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    clean = {r.doc_id: r.text for r in
+             spark.read.parquet(str(tmp_path / "clean")).collect()}
+    assert clean == {30: "prefix suffix stays"}
+    spark.sql("DROP TABLE span_ss_grams")
