@@ -141,7 +141,9 @@ HEADLINE = [
     "events_theilsen_daily", "er_short_string_links", "docs_fts_ranked",
     "docs_tfidf_string_ids", "orders_skew_salted_join",
     "docs_strip_lcs", "docs_self_repeats",
-    "events_theilsen_by_type",
+    "events_theilsen_by_type", "er_part_composite",
+    "events_seasonal_decompose", "events_anomaly_residual",
+    "dedup_incremental_spans",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
