@@ -2861,6 +2861,26 @@ def q_rec_als_foldin_check(spark, sf_dir):
             .orderBy("userid"))
 
 
+def q_rec_item2vec_similar(spark, sf_dir):
+    """ITEM2VEC similar items (Barkan & Koenigstein): skip-gram
+    embeddings over per-user item sequences via distributed MLlib
+    Word2Vec — the latent-item family that needs interaction ORDER,
+    not ratings. Seeded but optimizer-dependent: rows-only;
+    planted-taste-group recovery pinned in tests/test_als_foldin.py.
+    Serving = broadcast pair scoring over the item-count-sized vector
+    table (operators/svd.train_item2vec / item2vec_similar)."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    ev = _ratings(spark, sf_dir)
+    ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
+    vecs = svd.train_item2vec(ratings, vector_size=8, window=4,
+                              max_iter=2)
+    return (svd.item2vec_similar(vecs, k=3)
+            .select(F.col("item").alias("itemid"),
+                    F.col("neighbor").alias("similar_itemid"),
+                    "cos", F.col("rank").cast("int").alias("rank")))
+
+
 def q_rec_peruser_topk(spark, sf_dir):
     """Per-user top-3 via window over the scored grid — the common
     serving shape (global top-k is the regression suite's shape)."""
@@ -3695,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_als_topk": q_rec_als,
         "rec_als_implicit": q_rec_als_implicit,
         "rec_als_foldin_check": q_rec_als_foldin_check,
+        "rec_item2vec_similar": q_rec_item2vec_similar,
         # pipeline extensions
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,

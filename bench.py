@@ -143,7 +143,7 @@ HEADLINE = [
     "docs_strip_lcs", "docs_self_repeats",
     "events_theilsen_by_type", "er_part_composite",
     "events_seasonal_decompose", "events_anomaly_residual",
-    "dedup_incremental_spans",
+    "dedup_incremental_spans", "rec_item2vec_similar",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

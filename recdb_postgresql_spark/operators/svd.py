@@ -256,3 +256,73 @@ def predict_svd(user_model: DataFrame, item_model: DataFrame,
     return (uf.join(itf, "feature")
             .groupBy("user", "item")
             .agg(F.sum(F.col("uv") * F.col("iv")).alias("score")))
+
+
+def train_item2vec(ratings_df: DataFrame, vector_size: int = 16,
+                   window: int = 5, min_count: int = 1,
+                   max_iter: int = 1) -> DataFrame:
+    """(items, vec): ITEM2VEC — skip-gram embeddings over per-user
+    item sequences (Barkan & Koenigstein 2016): users who interact
+    with items in sequence play the role of sentences, so items
+    co-consumed by the same users embed nearby. The third latent-item
+    family here beside ALS (optimization on explicit ratings) and
+    item-cos (co-rating geometry): item2vec needs NO ratings at all —
+    pure interaction ORDER — which is the signal implicit-feedback
+    logs actually carry.
+
+    Distributed via MLlib Word2Vec (hierarchical-softmax skip-gram);
+    seeded but optimizer-dependent — rows-only lane, accuracy pinned
+    by the planted-structure test. Sequences order by (rating desc,
+    item) for determinism when no timestamp exists; pass pre-ordered
+    sequences for temporal order.
+
+    Scale shape: ONE groupBy(user) builds sequences (per-user state =
+    their items); W2V training is MLlib's distributed SGD over
+    sentence partitions; the model is vocab x vector_size — item-count
+    metadata, broadcastable for serving."""
+    from pyspark.ml.feature import Word2Vec
+
+    seqs = (ratings_df
+            .groupBy("user")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    (-F.col("rating")).alias("neg_r"),
+                    F.col("item").cast("long").alias("item")))),
+                lambda s: F.concat(F.lit("i"),
+                                   s["item"].cast("string")))
+                .alias("seq")))
+    w2v = Word2Vec(vectorSize=int(vector_size), windowSize=int(window),
+                   minCount=int(min_count), maxIter=int(max_iter),
+                   seed=42, inputCol="seq", outputCol="_v")
+    model = w2v.fit(seqs)
+    from pyspark.ml.functions import vector_to_array
+
+    return (model.getVectors()
+            .select(F.expr("CAST(substring(word, 2) AS LONG)")
+                    .alias("items"),
+                    vector_to_array(F.col("vector")).alias("vec")))
+
+
+def item2vec_similar(vectors: DataFrame, k: int = 5,
+                     round_to: int = 6) -> DataFrame:
+    """(item, neighbor, cos, rank): top-k cosine neighbors per item
+    from an item2vec table — the similar-items serving shape. The
+    item-vector table is item-count-sized (model metadata), so the
+    pair scoring broadcasts one side; swap in the IVF/PQ serving
+    stack when the catalog outgrows broadcast."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.functions.vector import cosine_sim
+
+    a = vectors.select(F.col("items").alias("item"),
+                       F.col("vec").alias("va"))
+    b = vectors.select(F.col("items").alias("neighbor"),
+                       F.col("vec").alias("vb"))
+    scored = (a.join(F.broadcast(b), F.col("item") != F.col("neighbor"))
+              .select("item", "neighbor",
+                      F.round(cosine_sim(F.col("va"), F.col("vb")),
+                              round_to).alias("cos")))
+    w = Window.partitionBy("item").orderBy(F.col("cos").desc(),
+                                           F.col("neighbor"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

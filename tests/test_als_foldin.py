@@ -140,3 +140,28 @@ def test_implicit_als_beats_popularity_on_loo_holdout(ckpt):
     # popularity would rank the global decoy + other-group items; the
     # factor model must recover the in-group held-out item for most
     assert hits / n_users > 0.5, (hits, n_users)
+
+
+def test_item2vec_recovers_planted_taste_groups(ckpt):
+    """Two disjoint taste groups: every item's nearest item2vec
+    neighbors must come from its own group (co-consumption geometry),
+    and the serving top-k shape is contiguous-ranked."""
+    spark = ckpt
+    rng = np.random.RandomState(3)
+    rows = []
+    for u in range(40):
+        group = u % 2
+        pool = range(0, 8) if group == 0 else range(8, 16)
+        for i in pool:
+            if rng.rand() < 0.75:
+                rows.append((u, i, float(rng.randint(1, 6))))
+    df = spark.createDataFrame(rows, "user int, item int, rating double")
+    vecs = svd.train_item2vec(df, vector_size=8, window=4, max_iter=3)
+    assert vecs.count() == 16
+    sim = svd.item2vec_similar(vecs, k=3).collect()
+    hits = sum(1 for r in sim if (r.item < 8) == (r.neighbor < 8))
+    assert hits / len(sim) > 0.8, hits / len(sim)
+    by_item = {}
+    for r in sim:
+        by_item.setdefault(r.item, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_item.values())
