@@ -141,3 +141,18 @@ def test_substring_dedup_example_end_to_end(spark):
     assert out["docs_stripped"] == 39
     assert out["words_removed"] == 390
     assert out["spans_after"] == 0
+
+
+def test_monitoring_example_end_to_end(spark):
+    from examples.monitoring_example import run
+
+    out = run(spark)
+    # robust trend recovered exactly despite the incident outliers
+    assert out["trend_api_per_day"] == 48.0
+    assert out["trend_ratio_batch_api"] == 0.5
+    # the top anomalous hours are EXACTLY the planted incidents,
+    # for both event types — and none of the daily cycle peaks
+    assert out["anomalous_hours"] == [
+        ("api", 5, 3), ("api", 11, 14), ("api", 17, 22),
+        ("batch", 5, 3), ("batch", 11, 14), ("batch", 17, 22)]
+    assert out["drift_metrics"] > 0
