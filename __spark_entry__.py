@@ -3318,6 +3318,20 @@ def q_embedding_dim_stats(spark, sf_dir):
     return similarity.dim_stats(emb)
 
 
+def q_docs_temperature_mix(spark, sf_dir):
+    """Temperature re-balancing (the mBERT/XLM-R mixing standard):
+    keep fractions ∝ share^alpha per language (alpha=0.5), applied
+    through the deterministic md5-threshold rule — the data-driven
+    twin of docs_mix_sample's explicit proportions. Fraction table =
+    one tiny aggregate, broadcast; the scan stays one pass
+    (functions/sampling.temperature_mix)."""
+    from recdb_postgresql_spark.functions.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs.select("doc_id", "lang"), "lang",
+                           F.col("doc_id"), alpha=0.5)
+
+
 def q_docs_entropy_filter(spark, sf_dir):
     """Character-entropy gibberish filter: Shannon entropy of each
     doc's character distribution (position-enumerated chars — the
@@ -3546,6 +3560,7 @@ _DRIVER_PRIORITY = [
     "events_theilsen_by_type", "er_part_composite",
     "events_seasonal_decompose", "events_anomaly_residual",
     "orders_skew_salted_join", "docs_entropy_filter",
+    "docs_temperature_mix",
     # never-sampled rows-only entries (behind the oracle-checked ones)
     "text_bpe_tokens", "ann_ivf_trained_probe",
     "rec_als_implicit", "docs_quality_classifier_probe",
@@ -3651,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_self_repeats": q_docs_self_repeats,
         "dedup_incremental_spans": q_dedup_incremental_spans,
         "docs_entropy_filter": q_docs_entropy_filter,
+        "docs_temperature_mix": q_docs_temperature_mix,
         "events_theilsen_daily": q_events_theilsen_daily,
         "events_theilsen_by_type": q_events_theilsen_by_type,
         "er_short_string_links": q_er_short_string_links,
@@ -5138,6 +5154,19 @@ SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
 FROM n, UNNEST(generate_series(0, nc - 1)) AS g(i)
 """
     doc_h = MD5L.format(x="CAST(doc_id AS VARCHAR)")
+    # temperature mix: fraction table re-derived from counts in SQL,
+    # same md5-threshold keep rule
+    o["docs_temperature_mix"] = f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang),
+t AS (SELECT SUM(n) AS tot, SUM(POW(n, 0.5)) AS z FROM c),
+fr AS (SELECT lang, ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                   t.tot * POW(c.n, 0.5) / t.z / c.n), 6) AS fraction
+       FROM c CROSS JOIN t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN fr ON fr.lang = d.lang
+WHERE ({doc_h}) % 1000000 < CAST(fr.fraction * 1000000 AS BIGINT)
+"""
     o["docs_hash_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({doc_h}) % 1000000 < 250000

@@ -144,6 +144,7 @@ HEADLINE = [
     "events_theilsen_by_type", "er_part_composite",
     "events_seasonal_decompose", "events_anomaly_residual",
     "dedup_incremental_spans", "rec_item2vec_similar",
+    "docs_temperature_mix",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -127,3 +127,51 @@ def weighted_sample(df: DataFrame, weight: Column, key: Column,
             .orderBy(F.desc("_pri"), key)  # key breaks exact-pri ties
             .limit(k)
             .drop("_pri"))
+
+
+def temperature_fractions(df: DataFrame, group_col: str,
+                          alpha: float = 0.5,
+                          target_rows: int | None = None) -> DataFrame:
+    """(group, n, fraction): per-group KEEP fractions under
+    TEMPERATURE sampling (the multilingual-LM mixing standard —
+    mBERT/XLM-R/mT5): sampling probability q_g ∝ p_g^alpha, where p_g
+    is the group's corpus share. alpha=1 keeps the natural
+    distribution; alpha->0 approaches uniform-over-groups; 0.3-0.7 is
+    the usual range that keeps head languages from drowning the tail.
+
+    ``target_rows`` sets the expected output size (default: the corpus
+    size — pure re-balancing). Fractions cap at 1.0 — temperature
+    UP-sampling of tail groups (repeating epochs) is a training-loop
+    concern; pair with ``weighted_sample`` when true upsampling is
+    needed. One tiny groupBy produces the fraction table (group-count
+    rows — broadcastable metadata)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("_tot"),
+                     F.sum(F.pow(F.col("n"), F.lit(float(alpha))))
+                     .alias("_z"))
+    frac_raw = (F.coalesce(F.lit(target_rows).cast("double"),
+                           F.col("_tot"))
+                * F.pow(F.col("n"), F.lit(float(alpha)))
+                / F.col("_z") / F.col("n"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(group_col, "n",
+                    F.round(F.least(F.lit(1.0), frac_raw), 6)
+                    .alias("fraction")))
+
+
+def temperature_mix(df: DataFrame, group_col: str, key: Column,
+                    alpha: float = 0.5,
+                    target_rows: int | None = None) -> DataFrame:
+    """Apply ``temperature_fractions`` with the deterministic
+    hash-threshold rule: keep rows whose md5 bucket falls under their
+    group's fraction — reproducible across runs, partitionings,
+    engines, and appends (the ``stratified_sample`` contract with the
+    fractions COMPUTED from corpus statistics instead of passed in).
+    The fraction table joins as a broadcast (group-count rows); the
+    scan stays one pass."""
+    fr = temperature_fractions(df, group_col, alpha, target_rows)
+    b = hash_bucket(key)
+    return (df.join(F.broadcast(fr.select(group_col, "fraction")),
+                    group_col)
+            .where(b < (F.col("fraction") * _MOD).cast("long"))
+            .drop("fraction"))

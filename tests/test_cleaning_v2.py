@@ -269,3 +269,36 @@ def test_char_entropy_extremes_and_nulls(spark):
     assert got[3] == 0.0 and got[4] == 0.0
     # case-insensitive: 'T' and 't' are one symbol
     assert got[5] > 2.0
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from recdb_postgresql_spark.functions.sampling import (
+        temperature_fractions, temperature_mix)
+
+    rows = ([(i, "en") for i in range(800)]
+            + [(i + 1000, "de") for i in range(150)]
+            + [(i + 2000, "zh") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    from pyspark.sql import functions as F
+
+    # alpha=1 keeps the natural distribution: every fraction is 1.0
+    fr1 = {r.lang: r.fraction for r in
+           temperature_fractions(df, "lang", alpha=1.0).collect()}
+    assert all(f == 1.0 for f in fr1.values())
+    # alpha=0.5 downsamples the head, keeps the tail whole
+    fr = {r.lang: r.fraction for r in
+          temperature_fractions(df, "lang", alpha=0.5).collect()}
+    # tail groups cap at 1.0 (upsampling is a training-loop concern);
+    # only the head is cut: q_de = 1000*sqrt(150)/z > 150 -> capped
+    assert fr["zh"] == 1.0 and fr["de"] == 1.0
+    assert fr["en"] < 1.0
+    out = temperature_mix(df, "lang", F.col("doc_id"), alpha=0.5)
+    by = {r.lang: r.n for r in
+          out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # head share shrinks toward the tail; zh fully kept
+    assert by["zh"] == 50
+    assert by["en"] / 800 < by["de"] / 150
+    # deterministic: same rows on a re-run
+    again = temperature_mix(df, "lang", F.col("doc_id"), alpha=0.5)
+    assert {r.doc_id for r in out.collect()} == \
+        {r.doc_id for r in again.collect()}
