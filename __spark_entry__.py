@@ -3565,11 +3565,13 @@ _DRIVER_PRIORITY = [
     "text_bpe_tokens", "ann_ivf_trained_probe",
     "rec_als_implicit", "docs_quality_classifier_probe",
     "rec_als_foldin_check",
-    # r9 NOTE: after this round's 50-row window every registry entry
-    # except two rows-only ones pushed past position 50 by the late
-    # oracle-checked batch (docs_quality_classifier_probe,
-    # rec_als_foldin_check) has at least one driver CORRECTNESS row —
-    # next round lead with those two and the round's NEW queries.
+    # r9 NOTE: this round's 50-row window covers every never-sampled
+    # ORACLE-CHECKED entry (the hard signal); five rows-only entries
+    # were pushed past position 50 by the late oracle-checked batch
+    # (ann_ivf_trained_probe, rec_als_implicit,
+    # docs_quality_classifier_probe, rec_als_foldin_check,
+    # rec_item2vec_similar — all pytest-pinned) — next round lead
+    # with those five, then the round's NEW queries.
 ]
 
 
