@@ -3538,40 +3538,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-checked entries, then the never-sampled rows-only pair, then
 # the long-green remainder in historical order.
 _DRIVER_PRIORITY = [
-    # never-driver-sampled oracle-checked backlog (VERDICT r7 list)
-    "lineitem_bloom_semijoin", "events_attribution", "events_moving_avg",
-    "docs_split_assign", "docs_quality_filter", "text_top_ngrams",
-    "semantic_dedup", "events_json_props", "dedup_jaccard_prefix",
-    "docs_strip_spans", "docs_bm25", "docs_importance_dsir",
-    "docs_mix_sample", "graph_pagerank", "events_profile",
-    "fulljoin_user_activity", "events_histogram", "rec_popular_topk",
-    "rec_eval_rmse", "text_lm_perplexity", "graph_triangles",
-    "rec_markov_next", "events_outliers", "docs_dsir_resample",
-    "rec_eval_prec_at_k", "rec_eval_ndcg", "ann_ivf_indexed",
-    "dedup_incremental", "rec_itemcos_halflife", "events_asof_bucketed",
-    "events_interval_join", "events_interval_overlap",
-    "events_resample_6h", "docs_pack_sequences",
-    # round-8 new oracle-checked entries (fill the window's remainder)
-    "docs_lcs_spans", "docs_strip_lcs", "docs_self_repeats",
-    "dedup_incremental_spans",
-    "er_short_string_links",
-    "docs_fts_ranked",
-    "docs_tfidf_string_ids", "events_theilsen_daily",
-    "events_theilsen_by_type", "er_part_composite",
-    "events_seasonal_decompose", "events_anomaly_residual",
-    "orders_skew_salted_join", "docs_entropy_filter",
+    # PERMANENT ROTATION POLICY (pinned per r8 verdict task 5): the
+    # driver samples the FIRST ~50 keys of queries() each round.  Order:
+    #   (1) entries that must re-prove this round (fixed oracles /
+    #       changed semantics),
+    #   (2) never-driver-sampled entries (oracle-checked before
+    #       rows-only),
+    #   (3) THIS round's new entries,
+    #   (4) rotation fill: least-recently-driver-sampled oracle-checked
+    #       entries (consult CORRECTNESS_r*.json), so no query's last
+    #       driver row ages past ~3 rounds.
+    # Re-derive (4) each round with a last-sampled-round sweep over the
+    # CORRECTNESS files; everything below position ~50 is unchanged.
+
+    # (1) re-prove: oracle CAST fix (r8 hash-red, engine value-correct)
+    "docs_pack_sequences",
+    # re-prove: threshold rounding semantics aligned on both sides (r9)
     "docs_temperature_mix",
-    # never-sampled rows-only entries (behind the oracle-checked ones)
-    "text_bpe_tokens", "ann_ivf_trained_probe",
-    "rec_als_implicit", "docs_quality_classifier_probe",
-    "rec_als_foldin_check",
-    # r9 NOTE: this round's 50-row window covers every never-sampled
-    # ORACLE-CHECKED entry (the hard signal); five rows-only entries
-    # were pushed past position 50 by the late oracle-checked batch
-    # (ann_ivf_trained_probe, rec_als_implicit,
-    # docs_quality_classifier_probe, rec_als_foldin_check,
-    # rec_item2vec_similar — all pytest-pinned) — next round lead
-    # with those five, then the round's NEW queries.
+    # (2) never-driver-sampled rows-only entries (r8 verdict missing #1)
+    "ann_ivf_trained_probe", "rec_als_implicit",
+    "docs_quality_classifier_probe", "rec_als_foldin_check",
+    "rec_item2vec_similar",
+    # (3) round-9 new entries
+    "rec_als_implicit_foldin", "docs_lang_classifier",
+    "events_theilsen_grouped_guard",
+    # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
+    "agg_distinct_segments", "setop_customer_activity",
+    "subquery_above_avg_customers", "semijoin_order_lines",
+    "rollup_lineitem", "string_functions", "leftjoin_null_handling",
+    "values_scan_join", "recursive_month_spine", "case_priority_matrix",
+    "rec_peruser_topk", "multimodal_features", "multimodal_frame_plan",
+    "quantile_prices", "q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_nation_revenue", "window_top_orders_per_customer",
+    "recsql_join_topk", "multimodal_resize_plan",
+    "rec_itemcos_topk", "rec_itemcos_scorefilter", "rec_itemcos_model",
+    "rec_itempear_topk", "rec_usercos_topk", "rec_userpear_topk",
+    "rec_svd_topk", "rec_als_topk", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_clusters",
+    "dedup_simhash", "embedding_neardup", "embedding_neardup_fast",
+    "ann_cosine_topk", "ann_ivf_topk", "text_token_stats",
+    "text_quality", "text_lang_id", "text_tfidf_top_terms",
+    "doc_fingerprint", "events_hourly_rollup", "events_sessionize",
+    "rec_join_ilike",
 ]
 
 
@@ -5167,7 +5175,7 @@ fr AS (SELECT lang, ROUND(LEAST(CAST(1.0 AS DOUBLE),
        FROM c CROSS JOIN t)
 SELECT d.doc_id, d.lang
 FROM documents d JOIN fr ON fr.lang = d.lang
-WHERE ({doc_h}) % 1000000 < CAST(fr.fraction * 1000000 AS BIGINT)
+WHERE ({doc_h}) % 1000000 < CAST(round(fr.fraction * 1000000) AS BIGINT)
 """
     o["docs_hash_sample"] = f"""
 SELECT doc_id, lang FROM documents
@@ -5535,8 +5543,8 @@ c AS (
   FROM t
 )
 SELECT doc_id, shard, n_tokens,
-       (e - n_tokens) // 256 AS pack_id,
-       (e - n_tokens) % 256 AS pack_offset,
+       CAST((e - n_tokens) // 256 AS BIGINT) AS pack_id,
+       CAST((e - n_tokens) % 256 AS BIGINT) AS pack_offset,
        CAST(CASE WHEN n_tokens = 0 THEN 1
                  ELSE (e - 1) // 256 - (e - n_tokens) // 256 + 1 END
             AS BIGINT) AS n_packs_spanned

@@ -32,7 +32,7 @@ def hash_bucket(key: Column, mod: int = _MOD) -> Column:
 def hash_sample(df: DataFrame, key: Column, fraction: float) -> DataFrame:
     """Deterministic ~``fraction`` sample: keep rows whose hash bucket
     falls under fraction * MOD. Exact same rows every run/engine."""
-    return df.where(hash_bucket(key) < int(fraction * _MOD))
+    return df.where(hash_bucket(key) < int(round(fraction * _MOD)))
 
 
 def group_cap(df: DataFrame, group_col: str, key: Column,
@@ -98,10 +98,12 @@ def stratified_sample(df: DataFrame, group_col: str, key: Column,
     runs/partitionings/engines and composable with incremental
     appends. Unlike ``df.sampleBy``, two engines agree row-by-row."""
     b = hash_bucket(key)
-    thr: Column = F.lit(int(default * _MOD))
+    # round-to-nearest (not truncate): 6-decimal fractions times 1e6
+    # can land a hair below the intended integer in double arithmetic.
+    thr: Column = F.lit(int(round(default * _MOD)))
     for g, frac in fractions.items():
         thr = F.when(F.col(group_col) == g,
-                     F.lit(int(frac * _MOD))).otherwise(thr)
+                     F.lit(int(round(frac * _MOD)))).otherwise(thr)
     return df.where(b < thr)
 
 
@@ -171,7 +173,13 @@ def temperature_mix(df: DataFrame, group_col: str, key: Column,
     scan stays one pass."""
     fr = temperature_fractions(df, group_col, alpha, target_rows)
     b = hash_bucket(key)
+    # Round-to-nearest before the integer compare: fraction is already
+    # round(.,6) so fraction*_MOD is mathematically integral, but the
+    # double can land just BELOW the integer (0.437816*1e6 =
+    # 437815.99999...). A truncating cast would keep one bucket fewer
+    # than an engine that rounds — a 1-in-100 latent parity break.
+    thr = F.round(F.col("fraction") * _MOD, 0).cast("long")
     return (df.join(F.broadcast(fr.select(group_col, "fraction")),
                     group_col)
-            .where(b < (F.col("fraction") * _MOD).cast("long"))
+            .where(b < thr)
             .drop("fraction"))

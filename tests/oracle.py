@@ -18,6 +18,11 @@ def duck_connection(sf_dir: str):
 
 
 def _norm_cell(v):
+    # NOTE: this normalizer is LAXER than the driver's comparator — it
+    # folds integral floats to int strings, so a DuckDB HUGEINT/DECIMAL
+    # column (materialized as float64/object by pandas) still matches
+    # here while the driver hash-reds on "3.0" vs "3".
+    # tests/test_oracle_types.py lints that divergence out of oracles.
     if v is None:
         return "NULL"
     if isinstance(v, float):
