@@ -3561,7 +3561,6 @@ _DRIVER_PRIORITY = [
     "rec_item2vec_similar",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
-    "events_theilsen_grouped_guard",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",

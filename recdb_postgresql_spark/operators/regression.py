@@ -145,12 +145,28 @@ def theil_sen_grouped(df: DataFrame, group_cols: Sequence[str],
     EQUI-join on the group columns, so cost is Σ_g n_g² — bounded by
     the per-group series length (fit aggregated rollups, as with the
     ungrouped form), never by group count. Groups with a single point
-    (no pairs) are omitted, like SQL's regr_slope returning NULL."""
+    (no pairs) are omitted, like SQL's regr_slope returning NULL.
+
+    Guarded like the plain form: the equi-join pair blowup is
+    Σ_g n_g², and ONE fat group is the AQE-invisible CPU-heavy stage
+    SCALING.md warns about (the join output is byte-proportional per
+    group, so AQE never splits it). A cheap pre-count (group-count
+    rows) raises when any single group exceeds the same ``2**22``
+    pair budget the ungrouped form enforces — pre-aggregate that
+    series into buckets first, which is the intended shape."""
     gcols = list(group_cols)
     pts = (df.select(*gcols,
                      F.col(x_col).cast("double").alias("x"),
                      F.col(y_col).cast("double").alias("y"))
            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()))
+    fat = (pts.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n").alias("_m")).collect()[0]["_m"]) or 0
+    if fat * fat > 2 ** 22:
+        raise ValueError(
+            f"theil_sen_grouped is exact-quadratic PER GROUP and the "
+            f"fattest group has {fat} points ({fat}^2 pairs > 2^22): "
+            "aggregate that group's series into buckets first (the "
+            "intended shape)")
     a = pts.select(*gcols, F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = pts.select(*gcols, F.col("x").alias("x2"), F.col("y").alias("y2"))
     slopes = (a.join(b, gcols)

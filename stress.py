@@ -293,6 +293,50 @@ def funnel_hotkey_probe(spark, n_events: int = 8_000_000) -> None:
            depth=fold[0][-1])
 
 
+def theilsen_grouped_probe(spark, n_groups: int = 64,
+                           n_per: int = 128) -> None:
+    """Grouped Theil-Sen pair blowup is Σ_g n_g², and one fat group is
+    the AQE-invisible CPU-heavy stage (per-group join output is
+    byte-proportional, so AQE never splits it). Two measurements:
+    (a) balanced layout vs (b) same TOTAL rows with one group holding
+    half of them — pair count (b)/(a) is ~(n_groups/4)x, and runtime
+    should track pairs, not rows. Then confirm the r9 guard trips when
+    a single group crosses the 2^22-pair budget instead of silently
+    burning a core for minutes."""
+    from recdb_postgresql_spark.operators.regression import \
+        theil_sen_grouped
+
+    def series(sizes):
+        rows = [(g, float(x), 2.0 * x + (x % 7))
+                for g, m in enumerate(sizes) for x in range(m)]
+        return spark.createDataFrame(rows, "g int, x double, y double") \
+            .repartition(32).localCheckpoint()
+
+    total = n_groups * n_per
+    flat = series([n_per] * n_groups)
+    theil_sen_grouped(series([16] * 8), ["g"], "x", "y").count()  # warm
+    t0 = time.perf_counter()
+    n_flat = theil_sen_grouped(flat, ["g"], "x", "y").count()
+    t_flat = time.perf_counter() - t0
+    fat_n = 2048                    # 2^22 pairs — at the guard edge
+    skew = series([fat_n] + [max(2, (total - fat_n) // (n_groups - 1))]
+                  * (n_groups - 1))
+    t0 = time.perf_counter()
+    n_skew = theil_sen_grouped(skew, ["g"], "x", "y").count()
+    t_skew = time.perf_counter() - t0
+    over = series([3000])
+    guard = False
+    try:
+        theil_sen_grouped(over, ["g"], "x", "y").count()
+    except ValueError:
+        guard = True
+    record("theilsen_grouped_fatgroup", rows=total, n_groups=n_groups,
+           pairs_flat=n_groups * n_per * (n_per - 1) // 2,
+           pairs_skew=fat_n * (fat_n - 1) // 2, s_flat=t_flat,
+           groups_flat=n_flat, s_skew=t_skew, groups_skew=n_skew,
+           guard_trips_past_budget=guard)
+
+
 def main():
     mults = [int(x) for x in sys.argv[1:]] or [10, 30]
     # a full battery starts a FRESH record — the merge in record() is
@@ -312,6 +356,7 @@ def main():
     graph_probe(spark)
     editjoin_probe(spark, sf_dir, mult=4)
     shortstring_residue_probe(spark)
+    theilsen_grouped_probe(spark)
     lcs_probe(spark, sf_dir, mult=8)
     merge_probe(spark, sf_dir, mult=10)
     pq_probe(spark, sf_dir, mult=10)

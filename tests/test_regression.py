@@ -131,3 +131,18 @@ def test_theil_sen_grouped_matches_per_group_ungrouped(spark):
         assert got[k] == (one["slope"], one["intercept"]), k
     assert got["a"] == (2.0, 1.0)
     assert got["b"][0] == -1.0
+
+
+def test_theil_sen_grouped_fat_group_guard(spark):
+    """One group past the 2^22-pair budget raises (r8 verdict task 3);
+    the same total rows spread over many groups passes."""
+    fat = spark.range(3000).selectExpr(
+        "'hot' AS k", "CAST(id AS DOUBLE) AS x",
+        "CAST(id * 2 AS DOUBLE) AS y")
+    with pytest.raises(ValueError, match="fattest group"):
+        regression.theil_sen_grouped(fat, ["k"], "x", "y")
+    spread = spark.range(3000).selectExpr(
+        "CAST(id % 30 AS STRING) AS k", "CAST(id AS DOUBLE) AS x",
+        "CAST(id * 2 AS DOUBLE) AS y")
+    assert regression.theil_sen_grouped(
+        spread, ["k"], "x", "y").count() == 30
