@@ -2861,6 +2861,36 @@ def q_rec_als_foldin_check(spark, sf_dir):
             .orderBy("userid"))
 
 
+def q_rec_als_implicit_foldin(spark, sf_dir):
+    """Implicit-model cold-user fold-in self-check (r8 verdict task
+    4): train implicit ALS, fold EXISTING users' events through the
+    confidence-weighted half-step (Hu/Koren/Volinsky eq. 4 with
+    MLlib's positive-count lambda weighting,
+    operators/svd.als_fold_in_implicit) and report the per-user
+    relative factor gap — small at convergence because the half-step
+    IS MLlib's implicit user solve against fixed item factors.
+    Rows-only (optimizer-dependent); exact parity pinned in
+    tests/test_als_foldin.py."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    ev = _ratings(spark, sf_dir)
+    ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
+    um, im = svd.train_als(ratings, rank=8, max_iter=10, num_blocks=4,
+                           implicit_prefs=True, alpha=0.5)
+    target = ratings.where(F.col("user") < 8)
+    fold = (svd.als_fold_in_implicit(im, target, reg=svd.PENALTY,
+                                     alpha=0.5)
+            .select("users", "feature", F.col("value").alias("fv")))
+    both = um.join(fold, ["users", "feature"])
+    return (both.groupBy("users")
+            .agg(F.round(
+                F.sqrt(F.sum((F.col("fv") - F.col("value")) ** 2))
+                / F.sqrt(F.sum(F.col("value") ** 2)), 4)
+                .alias("rel_err"))
+            .select(F.col("users").alias("userid"), "rel_err")
+            .orderBy("userid"))
+
+
 def q_rec_item2vec_similar(spark, sf_dir):
     """ITEM2VEC similar items (Barkan & Koenigstein): skip-gram
     embeddings over per-user item sequences via distributed MLlib
@@ -3740,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_als_topk": q_rec_als,
         "rec_als_implicit": q_rec_als_implicit,
         "rec_als_foldin_check": q_rec_als_foldin_check,
+        "rec_als_implicit_foldin": q_rec_als_implicit_foldin,
         "rec_item2vec_similar": q_rec_item2vec_similar,
         # pipeline extensions
         "dedup_exact": q_dedup_exact,

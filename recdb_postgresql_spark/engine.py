@@ -323,7 +323,9 @@ class RecEngine:
 
     def recommend_foldin(self, name: str, new_ratings: DataFrame,
                          k: Optional[int] = None,
-                         reg: float = 0.1) -> DataFrame:
+                         reg: float = 0.1,
+                         implicit: bool = False, alpha: float = 1.0,
+                         on_unresolved: str = "error") -> DataFrame:
         """Between-retrains serve path for BRAND-NEW users of a
         factor-model recommender (VERDICT r7 Missing #5): R15 only
         retrains when the insert counter crosses the threshold, so a
@@ -334,7 +336,15 @@ class RecEngine:
         the normal factor-join scoring. ``new_ratings`` carries the
         new users' (user, item, rating) events; returns (user, item,
         score) top-k per user over their unrated items, the
-        ``recommend`` contract."""
+        ``recommend`` contract.
+
+        ``implicit=True`` serves cold users of an IMPLICIT model via
+        the confidence-weighted half-step (``als_fold_in_implicit``,
+        Hu/Koren/Volinsky eq. 4 with MLlib lambda weighting);
+        ``alpha`` must match the trained model. Users whose events all
+        reference items ABSENT from the stored item model cannot be
+        placed: ``on_unresolved='error'`` (default) raises naming
+        them; ``'ignore'`` drops them silently."""
         from pyspark.sql import Window
 
         info = self.catalog.get(name)
@@ -348,7 +358,29 @@ class RecEngine:
         im = models["item_model"]
         nr = cf.normalize_events(new_ratings, info.userkey,
                                  info.itemkey, info.eventval)
-        um_new = svd_mod.als_fold_in(im, nr, reg=reg)
+        # Fold-in inner-joins the new events to the STORED item
+        # factors, so a user whose events are ALL unseen items would
+        # otherwise vanish from the output silently (ADVICE r8).
+        if on_unresolved not in ("error", "ignore"):
+            raise ValueError("on_unresolved must be 'error' or 'ignore'")
+        if on_unresolved == "error":
+            known = im.select(F.col("items").alias("item")).distinct()
+            lost = (nr.select("user").distinct()
+                    .join(nr.join(known, "item", "left_semi")
+                          .select("user").distinct(), "user",
+                          "left_anti").limit(20).collect())
+            if lost:
+                raise ValueError(
+                    f"recommend_foldin({name!r}): users "
+                    f"{sorted(r['user'] for r in lost)} have NO events "
+                    "on items known to the stored item model; fold-in "
+                    "cannot place them (retrain, or pass "
+                    "on_unresolved='ignore' to drop them)")
+        if implicit:
+            um_new = svd_mod.als_fold_in_implicit(im, nr, reg=reg,
+                                                  alpha=alpha)
+        else:
+            um_new = svd_mod.als_fold_in(im, nr, reg=reg)
         users = um_new.select(F.col("users").alias("user")).distinct()
         items = im.select(F.col("items").alias("item")).distinct()
         scores = svd_mod.predict_svd(um_new, im, users, items)
