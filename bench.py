@@ -145,8 +145,8 @@ HEADLINE = [
     "events_seasonal_decompose", "events_anomaly_residual",
     "dedup_incremental_spans", "rec_item2vec_similar",
     "docs_temperature_mix",
-    # round 9: implicit-model cold-user fold-in self-check
-    "rec_als_implicit_foldin",
+    # round 9: implicit-model cold-user fold-in self-check + lang-ID
+    "rec_als_implicit_foldin", "docs_lang_classifier",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
