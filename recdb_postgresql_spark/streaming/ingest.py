@@ -253,8 +253,12 @@ class StreamingSpanScrubber:
     text (lowercased by the span tokenization, like
     ``strip_duplicate_spans``) is appended to the clean sink and its
     grams to the index, so the NEXT batch scrubs against it too.
-    Same exactly-once caveat as the siblings; re-appended gram rows
-    cost space and candidate fan-out, never correctness."""
+    Duplicated passages BETWEEN two documents of the same batch are
+    handled by a second, intra-batch pass (``strip_duplicate_spans``,
+    keep-first by id) after the index probe, so the sink and the
+    index stay span-clean within the batch too (ADVICE r8). Same
+    exactly-once caveat as the siblings; re-appended gram rows cost
+    space and candidate fan-out, never correctness."""
 
     def __init__(self, spark: SparkSession, index_table: str,
                  clean_path: Optional[str] = None,
@@ -273,7 +277,8 @@ class StreamingSpanScrubber:
     def on_batch(self, batch_df: DataFrame,
                  batch_id: Optional[int] = None) -> DataFrame:
         from recdb_postgresql_spark.operators.text import (
-            append_span_index, spans_against_index)
+            append_span_index, spans_against_index,
+            strip_duplicate_spans)
 
         spans = spans_against_index(batch_df, self.spark,
                                     self.index_table,
@@ -303,7 +308,23 @@ class StreamingSpanScrubber:
                                 .cast("long"))
                     .withColumn(self.text_col,
                                 F.array_join(F.col("_kept"), " "))
-                    .drop("_cov", "_kept")
+                    .drop("_cov", "_kept"))
+        # intra-batch pass: spans shared by two docs that ARRIVED
+        # TOGETHER are invisible to the pre-batch index probe above —
+        # scrub them keep-first-by-id before anything is persisted.
+        intra = strip_duplicate_spans(
+            scrubbed.select(self.id_col, self.text_col),
+            id_col=self.id_col, text_col=self.text_col,
+            k=self.k, min_span=self.min_span)
+        scrubbed = (scrubbed
+                    .withColumnRenamed("n_removed", "_nr_index")
+                    .drop(self.text_col)
+                    .join(intra, self.id_col)
+                    .withColumn("n_removed",
+                                (F.col("_nr_index") + F.col("n_removed"))
+                                .cast("long"))
+                    .withColumnRenamed("clean_text", self.text_col)
+                    .drop("_nr_index")
                     .localCheckpoint())
         if self.clean_path:
             scrubbed.write.mode("append").parquet(self.clean_path)

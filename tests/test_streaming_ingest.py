@@ -248,3 +248,34 @@ def test_span_scrubber_through_real_stream(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "clean")).collect()}
     assert clean == {30: "prefix suffix stays"}
     spark.sql("DROP TABLE span_ss_grams")
+
+
+def test_span_scrubber_intra_batch_pair(spark, tmp_path):
+    """ADVICE r8: a passage duplicated between two docs arriving in
+    the SAME micro-batch must be scrubbed too (keep-first by id) —
+    and only the clean copy's grams enter the index, so a later
+    batch still scrubs against the kept copy."""
+    from recdb_postgresql_spark.operators import text as text_ops
+    from recdb_postgresql_spark.streaming import StreamingSpanScrubber
+
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS span_ib_grams")
+    shutil.rmtree("spark-warehouse/span_ib_grams", ignore_errors=True)
+    text_ops.write_span_index(
+        spark.createDataFrame([], SCHEMA), "span_ib", k=3, buckets=4)
+    scr = StreamingSpanScrubber(spark, "span_ib", k=3, min_span=5,
+                                buckets=4)
+    shared = "red orange yellow green blue indigo"
+    b1 = spark.createDataFrame(
+        [(40, f"first {shared} alpha one"),
+         (41, f"second {shared} omega two")], SCHEMA)
+    out1 = {r.doc_id: (r.text, r.n_removed)
+            for r in scr.on_batch(b1).collect()}
+    assert out1[40] == (f"first {shared} alpha one", 0)  # keep-first
+    assert out1[41] == ("second omega two", 6)
+    # the kept copy is indexed: a later batch scrubs against it
+    b2 = spark.createDataFrame([(50, f"later {shared} ending")], SCHEMA)
+    out2 = {r.doc_id: (r.text, r.n_removed)
+            for r in scr.on_batch(b2).collect()}
+    assert out2[50] == ("later ending", 6)
+    spark.sql("DROP TABLE span_ib_grams")
