@@ -187,3 +187,47 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         }
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def attach_external_features(media: DataFrame, features: DataFrame,
+                             id_col: str = "media_id",
+                             features_col: str = "features",
+                             dim: int = FEATURE_DIM,
+                             on_missing: str = "error") -> DataFrame:
+    """The PRODUCTION on-ramp for real encoders (r8 verdict stretch):
+    accept feature vectors computed OUTSIDE this engine — a GPU
+    inference fleet, a vendor embedding API, a prior batch job — and
+    attach them to the media frame in exactly the layout
+    ``extract_features`` produces, so every downstream consumer (ANN
+    indexes, cross-modal retrieval, near-dup, kNN-classify) is
+    agnostic to whether features came from the in-engine encoder or
+    an external one. ``features`` needs (id_col, features_col:
+    array<float/double>); payload bytes are NEVER read on this path —
+    column pruning keeps the media scan metadata-only.
+
+    Validation: rows whose vector is missing or not ``dim`` long
+    raise by default (``on_missing='error'``, driver-side count — the
+    misuse surface of feeding a 512-dim table to a 16-dim index), or
+    are dropped with ``on_missing='drop'`` for
+    best-effort-by-contract pipelines. Scale shape: one equi-join on
+    the id (broadcast when the media batch is small), one map-side
+    size check — no shuffle beyond the join."""
+    f = features.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(features_col).cast("array<float>").alias("features"))
+    joined = (media.select(id_col, "kind")
+              .join(f, id_col, "left"))
+    bad = joined.where(F.col("features").isNull()
+                       | (F.size("features") != int(dim)))
+    if on_missing == "error":
+        n_bad = bad.limit(1).count()
+        if n_bad:
+            sample = bad.select(id_col).limit(5).collect()
+            raise ValueError(
+                f"external features missing or not {dim}-dim for ids "
+                f"{[r[id_col] for r in sample]} (pass "
+                "on_missing='drop' to skip them)")
+    elif on_missing != "drop":
+        raise ValueError("on_missing must be 'error' or 'drop'")
+    return joined.where(F.col("features").isNotNull()
+                        & (F.size("features") == int(dim)))

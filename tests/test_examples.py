@@ -156,3 +156,20 @@ def test_monitoring_example_end_to_end(spark):
         ("api", 5, 3), ("api", 11, 14), ("api", 17, 22),
         ("batch", 5, 3), ("batch", 11, 14), ("batch", 17, 22)]
     assert out["drift_metrics"] > 0
+
+
+def test_multimodal_example_end_to_end(spark):
+    """The external-features on-ramp walkthrough (r8 verdict stretch):
+    metadata-only planning prunes payload from the scan, external
+    vectors attach with validation, and the external path is
+    byte-identical to the in-engine fake encoder downstream."""
+    from examples.multimodal_example import run as run_mm
+
+    out = run_mm(spark, verbose=False)
+    assert out["media_rows"] == 60
+    assert out["planned_frames"] > 0 and out["planned_resizes"] > 0
+    assert not out["frame_plan_reads_payload"]
+    assert out["featured_rows"] == 60
+    assert out["parity_mismatch"] == 0
+    assert out["served_queries"] == 3
+    assert out["dim_check_raises"]
