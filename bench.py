@@ -147,6 +147,12 @@ HEADLINE = [
     "docs_temperature_mix",
     # round 9: implicit-model cold-user fold-in self-check + lang-ID
     "rec_als_implicit_foldin", "docs_lang_classifier",
+    # round 9: TPC-H adapted battery (q1/q3/q5/q18 landed in r1)
+    "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q12_late_priority", "q13_customer_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
+    "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
