@@ -2979,6 +2979,19 @@ def q_text_bpe_tokens(spark, sf_dir):
     return text.bpe_encode(docs, merges)
 
 
+def q_text_unigram_tokens(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) token counting: EM-train the
+    piece inventory on the corpus's word-frequency table (ONE
+    distributed groupBy; EM + pruning driver-local over vocab-sized
+    metadata, same scale contract as BPE), then Viterbi-encode every
+    document. Rows-only by nature (iterative EM trainer + pandas
+    Viterbi); likelihood monotonicity, planted-piece recovery, and
+    char-fallback coverage are pinned in tests/test_unigram.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = text.unigram_train(docs, vocab_size=80, em_iters=3)
+    return text.unigram_encode(docs, pieces)
+
+
 def q_lang_confusion(spark, sf_dir):
     """Classifier evaluation as a query: confusion counts of the
     lang-ID heuristic against the table's ground-truth lang column —
@@ -3870,6 +3883,7 @@ _DRIVER_PRIORITY = [
     "rec_item2vec_similar",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
+    "text_unigram_tokens",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4016,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_resample": q_docs_dsir_resample,
         "rec_eval_prec_at_k": q_rec_eval_prec_at_k,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_unigram_tokens": q_text_unigram_tokens,
         "rec_eval_ndcg": q_rec_eval_ndcg,
         # round-6 persisted-index probes + time-decay CF
         "ann_ivf_indexed": q_ann_ivf_indexed,

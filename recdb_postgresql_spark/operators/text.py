@@ -1256,6 +1256,183 @@ def bpe_encode(docs: DataFrame, merges, id_col: str = "doc_id",
             .select(id_col, "n_tokens", "n_words"))
 
 
+def unigram_train(docs: DataFrame, vocab_size: int = 120,
+                  max_piece_len: int = 6, em_iters: int = 4,
+                  seed_factor: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text", return_trace: bool = False):
+    """Train a unigram-LM subword tokenizer (the SentencePiece model,
+    Kudo 2018): returns [(piece, logprob)] sorted by (-logprob, piece),
+    single characters always retained so every string stays encodable.
+
+    Same scale contract as ``bpe_train``: the model is a function of
+    the WORD FREQUENCY table, so the only corpus-sized distributed job
+    is ONE groupBy(word).count(); seeding, EM, and pruning all run
+    driver-local over that vocab-sized metadata (the KMeans-centroid
+    legitimacy class). A real 100 TB corpus has a bounded distinct-word
+    table (threshold rare words upstream with the same groupBy if it
+    is not); the EM lattice work is O(sum |word|^2) over DISTINCT
+    words per iteration, independent of corpus row count.
+
+    Algorithm (public reference: Kudo 2018 "Subword Regularization",
+    sec. 3): seed = all substrings up to ``max_piece_len`` scored by
+    freq*len, top ``seed_factor * vocab_size`` kept (plus all single
+    chars); EM with per-word forward-backward lattices computes
+    expected piece counts; after each M-step the vocabulary prunes
+    toward ``vocab_size`` by dropping the lowest-expected-count
+    multi-char pieces (ties by piece string — fully deterministic).
+    Likelihood is monotone non-decreasing across EM iterations at
+    fixed vocabulary (pinned in tests/test_unigram.py)."""
+    import math
+
+    words = (spread_small(docs)
+             .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+")).alias("w"))
+             .where(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    wf = {row["w"]: int(row["n"]) for row in words.collect()}
+    if em_iters < 1:
+        raise ValueError("em_iters must be >= 1")
+    if not wf:
+        return ([], []) if return_trace else []
+
+    # ---- driver-local from here: vocab-sized metadata only ----------
+    sub_counts: dict[str, int] = {}
+    for w, n in wf.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                p = w[i:j]
+                sub_counts[p] = sub_counts.get(p, 0) + n
+    chars = {p for p in sub_counts if len(p) == 1}
+    multi = sorted((p for p in sub_counts if len(p) > 1),
+                   key=lambda p: (-sub_counts[p] * len(p), p))
+    keep = set(list(chars) + multi[:max(0, seed_factor * vocab_size
+                                        - len(chars))])
+    # init probs from raw substring counts
+    total = sum(sub_counts[p] for p in keep)
+    logp = {p: math.log(sub_counts[p] / total) for p in keep}
+
+    def _lattice(w, logp):
+        """Forward-backward over one word; returns (loglik, {piece:
+        expected_count}). OOV chars get a deep floor logprob so the
+        lattice never disconnects."""
+        n = len(w)
+        floor = -100.0
+        alpha = [float("-inf")] * (n + 1)
+        alpha[0] = 0.0
+        arcs = []  # (j, i, piece, lp)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                p = w[j:i]
+                lp = logp.get(p)
+                if lp is None:
+                    if i - j > 1:
+                        continue
+                    lp = floor
+                arcs.append((j, i, p, lp))
+                v = alpha[j] + lp
+                m = alpha[i]
+                alpha[i] = (v if m == float("-inf")
+                            else m + math.log1p(math.exp(v - m))
+                            if m >= v else v + math.log1p(math.exp(m - v)))
+        beta = [float("-inf")] * (n + 1)
+        beta[n] = 0.0
+        for j, i, p, lp in sorted(arcs, key=lambda a: -a[0]):
+            v = beta[i] + lp
+            m = beta[j]
+            beta[j] = (v if m == float("-inf")
+                       else m + math.log1p(math.exp(v - m))
+                       if m >= v else v + math.log1p(math.exp(m - v)))
+        z = alpha[n]
+        exp_c: dict[str, float] = {}
+        if z == float("-inf"):
+            return 0.0, exp_c
+        for j, i, p, lp in arcs:
+            post = math.exp(alpha[j] + lp + beta[i] - z)
+            if post > 1e-12:
+                exp_c[p] = exp_c.get(p, 0.0) + post
+        return z, exp_c
+
+    trace = []
+    for it in range(em_iters):
+        ll = 0.0
+        counts: dict[str, float] = {}
+        for w, n in wf.items():
+            z, exp_c = _lattice(w, logp)
+            ll += n * z
+            for p, c in exp_c.items():
+                counts[p] = counts.get(p, 0.0) + n * c
+        trace.append(ll)
+        tot = sum(counts.values()) or 1.0
+        logp = {p: math.log(max(counts.get(p, 0.0), 1e-12) / tot)
+                for p in keep}
+        # prune toward vocab_size (never single chars), geometric pace
+        n_multi_target = max(0, vocab_size - len(chars))
+        cur_multi = [p for p in keep if len(p) > 1]
+        if len(cur_multi) > n_multi_target and it < em_iters - 1:
+            n_next = max(n_multi_target, int(len(cur_multi) * 0.6))
+            ranked = sorted(cur_multi,
+                            key=lambda p: (-counts.get(p, 0.0), p))
+            keep = chars | set(ranked[:n_next])
+            logp = {p: lp for p, lp in logp.items() if p in keep}
+    # final hard cut to vocab_size
+    cur_multi = sorted((p for p in keep if len(p) > 1),
+                       key=lambda p: (-counts.get(p, 0.0), p))
+    keep = chars | set(cur_multi[:max(0, vocab_size - len(chars))])
+    pieces = sorted(((p, logp[p]) for p in keep),
+                    key=lambda kv: (-kv[1], kv[0]))
+    return (pieces, trace) if return_trace else pieces
+
+
+def unigram_encode(docs: DataFrame, pieces, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_words): Viterbi-segment every word with a
+    trained unigram model and count subword tokens. The piece table is
+    a broadcast constant inside an Arrow-batched pandas pass (per-word
+    DP is imperative — the honest non-Catalyst path), one output row
+    per document; NULL text encodes to 0/0, matching what train counts
+    as a document."""
+    import pandas as pd  # noqa: F401  (pandas_udf runtime)
+    from pyspark.sql.functions import pandas_udf
+
+    table = dict(pieces)
+    max_len = max((len(p) for p in table), default=1)
+
+    @pandas_udf("long")
+    def n_unigram_tokens(texts):
+        floor = -100.0
+
+        def viterbi_len(w):
+            n = len(w)
+            best = [float("-inf")] * (n + 1)
+            cnt = [0] * (n + 1)
+            best[0] = 0.0
+            for i in range(1, n + 1):
+                for j in range(max(0, i - max_len), i):
+                    lp = table.get(w[j:i])
+                    if lp is None:
+                        if i - j > 1:
+                            continue
+                        lp = floor
+                    v = best[j] + lp
+                    if v > best[i]:
+                        best[i] = v
+                        cnt[i] = cnt[j] + 1
+            return cnt[n]
+
+        return texts.map(
+            lambda t: 0 if t is None or isinstance(t, float)
+            else sum(viterbi_len(w) for w in str(t).lower().split()))
+
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col),
+                                             F.lit("")))), r"\s+")
+    n_words = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    return (spread_small(docs)
+            .select(F.col(id_col), F.col(text_col),
+                    n_words.cast("long").alias("n_words"))
+            .withColumn("n_tokens", n_unigram_tokens(F.col(text_col)))
+            .select(id_col, "n_tokens", "n_words"))
+
+
 def segment_dedup(docs: DataFrame, width: int = 3, max_doc_freq: int = 1,
                   id_col: str = "doc_id", text_col: str = "text",
                   hash_fn=md5_long) -> DataFrame:
