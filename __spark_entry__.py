@@ -2867,6 +2867,21 @@ def q_graph_triangles(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def q_graph_label_prop(spark, sf_dir):
+    """Community detection on the exact near-dup pair graph:
+    4 rounds of SYNCHRONOUS label propagation with min-label ties —
+    template families emerge as communities without the transitive
+    over-merge of plain connected components when bridges are noisy.
+    Deterministic by construction (synchronous + tie rule), so unlike
+    most iterative graph algorithms it is fully oracle-checked: the
+    DuckDB twin unrolls the 4 rounds as CTE stages over the same edge
+    derivation, all-integer arithmetic, hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    return (graph.label_propagation(pairs, rounds=4)
+            .withColumnRenamed("id", "doc_id"))
+
+
 def q_rec_markov_next(spark, sf_dir):
     """Sequential recommendation: first-order transition counts over
     each user's time-ordered item stream (lag window), then the top-3
@@ -3883,7 +3898,7 @@ _DRIVER_PRIORITY = [
     "rec_item2vec_similar",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
-    "text_unigram_tokens",
+    "text_unigram_tokens", "graph_label_prop",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4025,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_rmse": q_rec_eval_rmse,
         "text_lm_perplexity": q_text_lm_perplexity,
         "graph_triangles": q_graph_triangles,
+        "graph_label_prop": q_graph_label_prop,
         "rec_markov_next": q_rec_markov_next,
         "events_outliers": q_events_outliers,
         "docs_dsir_resample": q_docs_dsir_resample,
@@ -6541,6 +6557,49 @@ m AS (
 SELECT id1, id2, dist FROM m
 QUALIFY ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY dist, id2) = 1
 """
+    # label propagation: same near-dup edge derivation as the
+    # triangles oracle, then the 4 synchronous rounds UNROLLED as CTE
+    # stages (votes -> per-node argmax with (count desc, label) ties
+    # -> coalesce for isolated nodes) — generated, not hand-repeated
+    _lp_edges = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+shingled AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+),
+hashed AS (SELECT id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+e AS (SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+      FROM p WHERE id1 <> id2),
+ue AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+l0 AS (SELECT DISTINCT u AS id, u AS label FROM ue)"""
+    _lp_round = """,
+v{k} AS (SELECT ue.v AS node, l.label, COUNT(*) AS n
+        FROM ue JOIN l{p} l ON l.id = ue.u GROUP BY 1, 2),
+w{k} AS (SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY n DESC, label) AS rn
+          FROM v{k}) t{k} WHERE rn = 1),
+l{k} AS (SELECT l.id, COALESCE(w.label, l.label) AS label
+        FROM l{p} l LEFT JOIN w{k} w ON w.node = l.id)"""
+    o["graph_label_prop"] = (
+        _lp_edges
+        + "".join(_lp_round.format(k=k, p=k - 1) for k in range(1, 5))
+        + "\nSELECT id AS doc_id, CAST(label AS BIGINT) AS community FROM l4"
+    )
+
     o["graph_triangles"] = """
 WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
 shingled AS (

@@ -190,3 +190,73 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("id", F.col("dist").cast("int").alias("dist"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      src: str = "id1", dst: str = "id2",
+                      seed_labels: DataFrame | None = None) -> DataFrame:
+    """(id, community): community detection by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007) with deterministic tie-breaking.
+
+    Every node starts labeled with its own id (or ``seed_labels``
+    (id, label) where given — the semi-supervised form; seeded nodes
+    are CLAMPED to their seed every round, the Zhu & Ghahramani
+    convention, or synchronous majority voting washes sparse seeds
+    out immediately); each round every node adopts the most frequent
+    label among its neighbors, ties broken by the smallest label
+    (give seeds labels below the node-id space so ties resolve
+    toward them), isolated nodes keep theirs.
+    Synchronous updates + min-label ties make the result a pure
+    function of the edge set — unlike the asynchronous
+    random-visit-order variant — so a fixed-round run is
+    oracle-expressible as unrolled SQL (the driver checks it
+    hash-exact; all-integer arithmetic).
+
+    Scale shape: identical to ``pagerank`` — the static symmetrized
+    edge list is checkpointed once; each round shuffles only
+    (node, label) votes: one join keyed on the source, one
+    count aggregate keyed on (dst, label), one per-node argmax
+    window. Lineage is truncated per round (lazy checkpoint, one
+    action materializes the whole chain). Convergence is typically
+    <5 rounds on near-dup graphs; fixed ``rounds`` keeps the plan
+    bounded and the result deterministic.
+    """
+    from pyspark.sql import Window
+
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    e = e.unionByName(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    seeds = None
+    if seed_labels is not None:
+        seeds = (seed_labels.select(F.col("id"),
+                                    F.col("label").alias("seed"))
+                 .localCheckpoint(eager=True))
+        labels = (nodes.join(seeds, "id", "left")
+                  .select("id", F.coalesce("seed", F.col("id"))
+                          .alias("label")))
+    else:
+        labels = nodes.select("id", F.col("id").alias("label"))
+    win = Window.partitionBy("node").orderBy(F.col("n").desc(),
+                                             F.col("label").asc())
+    for _ in range(int(rounds)):
+        votes = (e.join(labels.withColumnRenamed("id", "u"), "u")
+                 .groupBy(F.col("v").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        winner = (votes.withColumn("rn", F.row_number().over(win))
+                  .where(F.col("rn") == 1)
+                  .select(F.col("node").alias("id"),
+                          F.col("label").alias("new_label")))
+        labels = (labels.join(winner, "id", "left")
+                  .select("id", F.coalesce("new_label", "label")
+                          .alias("label")))
+        if seeds is not None:
+            labels = (labels.join(seeds, "id", "left")
+                      .select("id", F.coalesce("seed", "label")
+                              .alias("label")))
+        labels = labels.localCheckpoint(eager=False)
+    return labels.select("id", F.col("label").alias("community"))

@@ -459,3 +459,47 @@ def test_pagerank_duplicate_edges_collapse(spark):
     a = {r.id: r.rank for r in graph.pagerank(clean).collect()}
     b = {r.id: r.rank for r in graph.pagerank(noisy).collect()}
     assert a == b
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: every node converges
+    to its clique's min id; the bridge does not merge them (each
+    bridge endpoint has 3 in-clique neighbors vs 1 cross)."""
+    from recdb_postgresql_spark.operators import graph
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    e = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r["id"]: r["community"]
+           for r in graph.label_propagation(e, rounds=4).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert {got[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_tie_breaks_min_label(spark):
+    """A path 1-2-3: node 2 sees labels {1, 3} once each -> min wins.
+    Synchronous round 1: node1 <- 2, node2 <- 1, node3 <- 2."""
+    from recdb_postgresql_spark.operators import graph
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    got = {r["id"]: r["community"]
+           for r in graph.label_propagation(e, rounds=1).collect()}
+    assert got == {1: 2, 2: 1, 3: 2}
+
+
+def test_label_propagation_seeds_and_isolated(spark):
+    """Seeded variant: clamped seeds spread along the path (seed
+    labels sit below the id space so min-label ties resolve toward
+    them); a node absent from seeds starts at its own id."""
+    from recdb_postgresql_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id1 long, id2 long")
+    seeds = spark.createDataFrame([(1, 0), (4, 0)],
+                                  "id long, label long")
+    got = {r["id"]: r["community"]
+           for r in graph.label_propagation(e, rounds=4,
+                                            seed_labels=seeds).collect()}
+    assert set(got.values()) == {0}
