@@ -2360,6 +2360,27 @@ def q_events_profile_drift(spark, sf_dir):
                                  ["value"], quantiles=(0.5,))
 
 
+# 2024-01-16T00:00:00Z — the events table spans January 2024; this
+# splits it into a baseline fortnight and a comparison fortnight
+_PSI_MID_NS = 1705363200000000000
+
+
+def q_events_psi_drift(spark, sf_dir):
+    """Population-stability-index drift between the first and second
+    half of the events month: 10 equal-width bins over the BASELINE
+    value range (out-of-range new values clamp into edge bins),
+    Laplace-smoothed shares, per-bin psi_term (total PSI = SUM). The
+    model-monitoring score production scoring pipelines alert on
+    (operators/profile.psi_drift — two scans + bins-sized joins)."""
+    from recdb_postgresql_spark.operators import profile
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    return profile.psi_drift(ev.where(F.col("ts") < _PSI_MID_NS),
+                             ev.where(F.col("ts") >= _PSI_MID_NS),
+                             val_col="value", bins=10)
+
+
 def q_graph_bfs_hops(spark, sf_dir):
     """Level-synchronous BFS over the exact near-dup graph: minimum
     hop distance from the %97 seed documents (duplication blast
@@ -3898,7 +3919,7 @@ _DRIVER_PRIORITY = [
     "rec_item2vec_similar",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
-    "text_unigram_tokens", "graph_label_prop",
+    "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -3939,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": q_docs_quality_classifier,
         "docs_quality_classifier_probe": q_docs_quality_classifier_probe,
         "events_profile_drift": q_events_profile_drift,
+        "events_psi_drift": q_events_psi_drift,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
@@ -6996,6 +7018,44 @@ SELECT s.event_type, CAST(hour_of_day AS INT) AS hour_of_day, n,
        ROUND(slot_avg / type_avg, 6) AS season_index
 FROM s JOIN t ON s.event_type = t.event_type
 """
+    o["events_psi_drift"] = f"""
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v, epoch_ns(ts) AS tsn
+  FROM events WHERE value IS NOT NULL
+),
+rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev WHERE tsn < {_PSI_MID_NS}),
+b_old AS (
+  SELECT CASE WHEN r.hi = r.lo THEN 0
+              ELSE LEAST(9, GREATEST(0, CAST(FLOOR((e.v - r.lo)
+                   / ((r.hi - r.lo) / CAST(10 AS DOUBLE))) AS INTEGER)))
+         END AS bin, COUNT(*) AS n_old
+  FROM ev e, rng r WHERE e.tsn < {_PSI_MID_NS} GROUP BY 1
+),
+b_new AS (
+  SELECT CASE WHEN r.hi = r.lo THEN 0
+              ELSE LEAST(9, GREATEST(0, CAST(FLOOR((e.v - r.lo)
+                   / ((r.hi - r.lo) / CAST(10 AS DOUBLE))) AS INTEGER)))
+         END AS bin, COUNT(*) AS n_new
+  FROM ev e, rng r WHERE e.tsn >= {_PSI_MID_NS} GROUP BY 1
+),
+bins AS (SELECT CAST(UNNEST(generate_series(0, 9)) AS INTEGER) AS bin),
+counts AS (
+  SELECT b.bin, COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+  FROM bins b
+  LEFT JOIN b_old o ON o.bin = b.bin
+  LEFT JOIN b_new n ON n.bin = b.bin
+),
+tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM counts)
+SELECT c.bin, CAST(c.n_old AS BIGINT) AS n_old, CAST(c.n_new AS BIGINT) AS n_new,
+       ROUND((CAST(c.n_old AS DOUBLE) + 0.5) / (CAST(t.t_old AS DOUBLE) + 5.0), 6) AS old_share,
+       ROUND((CAST(c.n_new AS DOUBLE) + 0.5) / (CAST(t.t_new AS DOUBLE) + 5.0), 6) AS new_share,
+       ROUND(((CAST(c.n_new AS DOUBLE) + 0.5) / (CAST(t.t_new AS DOUBLE) + 5.0)
+              - (CAST(c.n_old AS DOUBLE) + 0.5) / (CAST(t.t_old AS DOUBLE) + 5.0))
+             * LN(((CAST(c.n_new AS DOUBLE) + 0.5) / (CAST(t.t_new AS DOUBLE) + 5.0))
+                  / ((CAST(c.n_old AS DOUBLE) + 0.5) / (CAST(t.t_old AS DOUBLE) + 5.0))), 6) AS psi_term
+FROM counts c, tot t
+"""
+
     o["events_profile_drift"] = """
 WITH po AS (
   SELECT ROUND(CAST(count(*) AS DOUBLE), 6) AS n_rows,

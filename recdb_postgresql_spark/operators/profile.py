@@ -128,3 +128,66 @@ def profile_drift(old: DataFrame, new: DataFrame, columns,
                     F.round(delta / F.nullif(F.abs("old_value"),
                                              F.lit(0.0)), 6)
                     .alias("rel_change")))
+
+
+def psi_drift(old: DataFrame, new: DataFrame, val_col: str = "value",
+              bins: int = 10) -> DataFrame:
+    """(bin, n_old, n_new, old_share, new_share, psi_term): population
+    stability index between a baseline snapshot and a new one — the
+    standard model-monitoring drift score (PSI < 0.1 stable, > 0.25
+    action). Total PSI = SUM(psi_term).
+
+    Binning: ``bins`` equal-width buckets over the BASELINE min/max
+    (the convention — the baseline defines the expected distribution);
+    new values outside the baseline range clamp into the edge buckets,
+    so range drift shows up as edge-bucket mass, not dropped rows.
+    Shares are Laplace-smoothed ((n + 0.5) / (N + 0.5 * bins)) so an
+    empty bucket never produces log(0).
+
+    Scale shape: one min/max aggregate over the baseline (single-row
+    broadcast), then one map-side bucket assignment + one count
+    aggregate per side — two scans total, join input is bins-sized.
+    Determinism: bucket arithmetic is IEEE ops on identical doubles;
+    ln at 6-dp rounding is cross-engine-stable (same class as the
+    perplexity operator)."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    rng = old.agg(F.min(F.col(val_col).cast("double")).alias("lo"),
+                  F.max(F.col(val_col).cast("double")).alias("hi"))
+
+    def bucketed(df, n_name):
+        v = F.col(val_col).cast("double")
+        w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(F.lit(bins - 1),
+                    F.greatest(F.lit(0),
+                               F.floor((v - F.col("lo")) / w)
+                               .cast("int"))))
+        return (df.where(v.isNotNull())
+                .crossJoin(F.broadcast(rng))
+                .select(b.alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias(n_name)))
+
+    all_bins = (old.sparkSession.range(bins)
+                .select(F.col("id").cast("int").alias("bin")))
+    counts = (all_bins
+              .join(bucketed(old, "n_old"), "bin", "left")
+              .join(bucketed(new, "n_new"), "bin", "left")
+              .select("bin",
+                      F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    tot = counts.agg(F.sum("n_old").alias("t_old"),
+                     F.sum("n_new").alias("t_new"))
+    smooth = F.lit(0.5 * bins)
+    p_old = ((F.col("n_old") + F.lit(0.5))
+             / (F.col("t_old") + smooth))
+    p_new = ((F.col("n_new") + F.lit(0.5))
+             / (F.col("t_new") + smooth))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("bin",
+                    F.col("n_old").cast("long").alias("n_old"),
+                    F.col("n_new").cast("long").alias("n_new"),
+                    F.round(p_old, 6).alias("old_share"),
+                    F.round(p_new, 6).alias("new_share"),
+                    F.round((p_new - p_old) * F.log(p_new / p_old), 6)
+                    .alias("psi_term")))

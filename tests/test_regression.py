@@ -146,3 +146,34 @@ def test_theil_sen_grouped_fat_group_guard(spark):
         "CAST(id * 2 AS DOUBLE) AS y")
     assert regression.theil_sen_grouped(
         spread, ["k"], "x", "y").count() == 30
+
+
+def test_psi_drift_semantics(spark):
+    """Identical distributions -> PSI ~ 0; a shifted snapshot ->
+    clearly positive; a constant baseline puts everything in bin 0;
+    out-of-range new values clamp into edge bins (never dropped)."""
+    from recdb_postgresql_spark.operators import profile
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(1000)],
+                                 "value double")
+    same = profile.psi_drift(base, base, bins=10).collect()
+    assert len(same) == 10
+    assert abs(sum(r["psi_term"] for r in same)) < 1e-9
+
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(1000)], "value double")
+    drift = profile.psi_drift(base, shifted, bins=10).collect()
+    total = sum(r["psi_term"] for r in drift)
+    assert total > 0.25  # "action" threshold
+    # values beyond baseline max all clamp into the last bin
+    last = next(r for r in drift if r["bin"] == 9)
+    assert last["n_new"] > sum(r["n_new"] for r in drift) * 0.5
+
+    const = spark.createDataFrame([(1.0,)] * 50, "value double")
+    cb = {r["bin"]: r for r in profile.psi_drift(const, base,
+                                                 bins=10).collect()}
+    assert cb[0]["n_old"] == 50 and cb[0]["n_new"] == 1000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile.psi_drift(base, base, bins=1)
