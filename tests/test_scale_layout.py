@@ -359,3 +359,94 @@ def test_span_index_probe_no_index_side_exchange(spark, tmp_path):
              text.spans_against_index(batch, spark, "span_t", k=3,
                                       min_span=5).collect()}
     assert (100, 3) in again and (100, 1) in again
+
+
+def test_zorder_layout_narrows_both_dims(spark, tmp_path):
+    """Z-ordered files have NARROW min/max footprints on BOTH
+    dimensions (verified from the parquet footers via pyarrow), where
+    a linear sort is narrow only on its leading key — the property
+    row-group pruning depends on. Also: schema unchanged, all rows
+    survive, same file count."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions import layout
+
+    n = 40_000
+    # a true 200x200 grid: x and y independent and uniform
+    df = (spark.range(n)
+          .select((F.col("id") % 200).cast("double").alias("x"),
+                  F.floor(F.col("id") / 200).cast("double").alias("y"),
+                  F.col("id").alias("payload")))
+
+    zpath = str(tmp_path / "zordered")
+    lpath = str(tmp_path / "linear")
+    n_files = 16
+    layout.write_zordered(df, zpath, ["x", "y"], n_files=n_files)
+    (df.repartitionByRange(n_files, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(lpath))
+
+    def span_fractions(path):
+        import glob
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.read_metadata(f)
+            lo_x = hi_x = lo_y = hi_y = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name not in ("x", "y") or col.statistics is None:
+                        continue
+                    mn, mx = col.statistics.min, col.statistics.max
+                    if name == "x":
+                        lo_x = mn if lo_x is None else min(lo_x, mn)
+                        hi_x = mx if hi_x is None else max(hi_x, mx)
+                    else:
+                        lo_y = mn if lo_y is None else min(lo_y, mn)
+                        hi_y = mx if hi_y is None else max(hi_y, mx)
+            if lo_x is not None and lo_y is not None:
+                out.append(((hi_x - lo_x) / 199.0, (hi_y - lo_y) / 199.0))
+        return out
+
+    zs = span_fractions(zpath)
+    ls = span_fractions(lpath)
+    assert len(zs) == n_files and len(ls) == n_files
+    # Z-order's win is BOUNDED per-dim spans: every dimension stays
+    # prunable (a 4x4 tiling -> ~0.25 each), where the linear sort is
+    # narrow on x only and y spans the full range in every file
+    z_x = sum(a for a, _ in zs) / len(zs)
+    z_y = sum(b for _, b in zs) / len(zs)
+    l_y = sum(b for _, b in ls) / len(ls)
+    assert z_x < 0.6 and z_y < 0.6, (z_x, z_y)
+    assert l_y > 0.9, l_y
+    # simulated row-group pruning for a predicate on the NON-leading
+    # dim (y BETWEEN 50 AND 60): the z-ordered layout skips most
+    # files, the linear layout can skip none
+    def hit(path):
+        import glob
+        import pyarrow.parquet as pq2
+        n_hit = 0
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq2.read_metadata(f)
+            lo_y = hi_y = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema != "y" or col.statistics is None:
+                        continue
+                    mn, mx = col.statistics.min, col.statistics.max
+                    lo_y = mn if lo_y is None else min(lo_y, mn)
+                    hi_y = mx if hi_y is None else max(hi_y, mx)
+            if lo_y is not None and not (hi_y < 50 or lo_y > 60):
+                n_hit += 1
+        return n_hit
+
+    assert hit(zpath) <= n_files // 2 < hit(lpath), \
+        (hit(zpath), hit(lpath))
+
+    got = spark.read.parquet(zpath)
+    assert got.columns == ["x", "y", "payload"]
+    assert got.count() == n
