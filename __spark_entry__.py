@@ -2140,7 +2140,7 @@ def q_docs_lang_classifier(spark, sf_dir):
     train = d.where(F.col("doc_id") % 5 != 0)
     held = d.where(F.col("doc_id") % 5 == 0)
     model, labels = classifier.train_lang_classifier(
-        train, num_features=1 << 12, max_iter=20)
+        train, num_features=1 << 12, max_iter=12)
     return (classifier.predict_lang(model, labels, held)
             .join(held.select("doc_id", "lang"), "doc_id")
             .select("doc_id", "lang", "pred_lang", "lang_prob")

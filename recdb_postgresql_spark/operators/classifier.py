@@ -37,6 +37,8 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, RegexTokenizer
 
+    from recdb_postgresql_spark.functions.layout import spread_small
+
     pipe = Pipeline(stages=[
         RegexTokenizer(inputCol=text_col, outputCol="_toks",
                        pattern=TOKEN_PATTERN, gaps=False,
@@ -46,8 +48,12 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         LogisticRegression(featuresCol="_feat", labelCol=label_col,
                            regParam=float(reg), maxIter=int(max_iter)),
     ])
-    return pipe.fit(docs.withColumn(label_col,
-                                    F.col(label_col).cast("double")))
+    # spread BEFORE fit: a small labeled sample arrives as 1 parquet
+    # partition and every L-BFGS iteration's treeAggregate then runs
+    # single-threaded (each iteration is a job — the overhead
+    # multiplies by max_iter; measured 17 s -> 4 s on the lang twin)
+    return pipe.fit(spread_small(
+        docs.withColumn(label_col, F.col(label_col).cast("double"))))
 
 
 def score_quality(model, docs: DataFrame, id_col: str = "doc_id",
@@ -101,7 +107,12 @@ def train_lang_classifier(docs: DataFrame, label_col: str = "lang",
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, StringIndexer
 
-    prepped = docs.withColumn(
+    from recdb_postgresql_spark.functions.layout import spread_small
+
+    # spread BEFORE fit — same single-partition L-BFGS trap as
+    # train_quality_classifier (see comment there); gram extraction
+    # is also per-row heavy so it benefits twice
+    prepped = spread_small(docs).withColumn(
         "_grams", char_ngrams(text_col, n_lo, n_hi))
     idx = StringIndexer(inputCol=label_col, outputCol="_lbl",
                         stringOrderType="alphabetAsc")
