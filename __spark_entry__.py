@@ -2381,6 +2381,25 @@ def q_events_psi_drift(spark, sf_dir):
                              val_col="value", bins=10)
 
 
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier user-lifetime survival with right-censoring: users
+    whose last event is >7 days before the corpus end churned at their
+    observed lifetime; still-active users are censored, not counted as
+    churned (the bias cohort_retention has). The LN-sum/EXP running
+    product is the sequential window-aggregate shape with pinned
+    cross-engine float parity, so the whole curve is oracle-checked
+    (operators/funnel.kaplan_meier)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    # the synthetic users are active across the whole month, so churn
+    # is defined at 12h inactivity and lifetimes bucket at 6h to give
+    # the curve real steps (t_days is then quarter-day units)
+    return funnel.kaplan_meier(ev,
+                               churn_window_ns=12 * 3600 * 10**9,
+                               day_ns=6 * 3600 * 10**9)
+
+
 def q_graph_bfs_hops(spark, sf_dir):
     """Level-synchronous BFS over the exact near-dup graph: minimum
     hop distance from the %97 seed documents (duplication blast
@@ -3920,6 +3939,7 @@ _DRIVER_PRIORITY = [
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
+    "events_survival",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -3961,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier_probe": q_docs_quality_classifier_probe,
         "events_profile_drift": q_events_profile_drift,
         "events_psi_drift": q_events_psi_drift,
+        "events_survival": q_events_survival,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
@@ -7018,6 +7039,46 @@ SELECT s.event_type, CAST(hour_of_day AS INT) AS hour_of_day, n,
        ROUND(slot_avg / type_avg, 6) AS season_index
 FROM s JOIN t ON s.event_type = t.event_type
 """
+    o["events_survival"] = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_ns(ts) AS tsn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+t AS (SELECT MAX(tsn) AS tmax FROM ev),
+spans AS (
+  SELECT u, MIN(tsn) AS first_ts, MAX(tsn) AS last_ts FROM ev GROUP BY u
+),
+marked AS (
+  SELECT CASE WHEN s.last_ts <= t.tmax - 43200000000000
+              THEN 1 ELSE 0 END AS churned,
+         CAST(FLOOR((CASE WHEN s.last_ts <= t.tmax - 43200000000000
+                          THEN s.last_ts ELSE t.tmax END - s.first_ts)
+                    / CAST(21600000000000 AS DOUBLE)) AS BIGINT) AS t_days
+  FROM spans s, t
+),
+per_t AS (
+  SELECT t_days, CAST(SUM(churned) AS BIGINT) AS n_churned,
+         COUNT(*) AS cnt
+  FROM marked GROUP BY t_days
+),
+at_risk AS (
+  SELECT t_days, n_churned,
+         CAST(SUM(cnt) OVER (ORDER BY t_days
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_risk
+  FROM per_t
+)
+SELECT t_days, n_risk, n_churned,
+       ROUND(EXP(SUM(LN(GREATEST(CAST(1 AS DOUBLE)
+                  - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE),
+                  1e-300)))
+             OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS survival
+FROM at_risk
+ORDER BY t_days
+"""
+
     o["events_psi_drift"] = f"""
 WITH ev AS (
   SELECT CAST(value AS DOUBLE) AS v, epoch_ns(ts) AS tsn

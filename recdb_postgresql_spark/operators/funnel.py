@@ -184,3 +184,67 @@ def funnel_user_depth_multipass(events: DataFrame, steps: list[str],
     return out.select("user",
                       *[F.col(f"ts_{i + 1}") for i in range(len(steps))],
                       depth.cast("int").alias("depth"))
+
+
+DAY_NS = 86_400_000_000_000
+
+
+def kaplan_meier(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts",
+                 churn_window_ns: int = 7 * DAY_NS,
+                 day_ns: int = DAY_NS) -> DataFrame:
+    """(t_days, n_risk, n_churned, survival): Kaplan-Meier survival
+    curve for user lifetime with right-censoring — the estimator
+    ``cohort_retention`` is NOT: users still active at the end of the
+    observation window are censored (they contribute to the risk set
+    up to their observed lifetime) instead of counted as churned, so
+    the curve is unbiased when the window is short relative to
+    lifetimes (Kaplan & Meier 1958).
+
+    Definitions: a user CHURNS if their last event is more than
+    ``churn_window_ns`` before the corpus max timestamp; lifetime =
+    floor((last_seen - first_seen) / day) days for churned users,
+    censored lifetimes run to the observation end. S(t) =
+    prod_{t_i <= t} (1 - d_i / n_i) computed as EXP of the running
+    SUM of LN terms — the sequential-accumulation window-aggregate
+    shape whose cross-engine float parity this build has pinned since
+    the EWMA/seasonal operators, so the whole curve is oracle-checked.
+
+    Scale: one per-user min/max aggregate, one single-row broadcast
+    (corpus max ts), one duration-keyed count aggregate (rows =
+    distinct lifetimes, never users), two ordered windows over that
+    tiny frame. Nothing is user-quadratic."""
+    from pyspark.sql import Window
+
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("tsn")) \
+        .where(F.col("u").isNotNull() & F.col("tsn").isNotNull())
+    tmax = ev.agg(F.max("tsn").alias("tmax"))
+    spans = ev.groupBy("u").agg(F.min("tsn").alias("first_ts"),
+                                F.max("tsn").alias("last_ts"))
+    churned = (F.col("last_ts")
+               <= F.col("tmax") - F.lit(int(churn_window_ns)))
+    end_ts = F.when(churned, F.col("last_ts")).otherwise(F.col("tmax"))
+    marked = (spans.crossJoin(F.broadcast(tmax))
+              .select(F.when(churned, 1).otherwise(0).alias("churned"),
+                      F.floor((end_ts - F.col("first_ts"))
+                              / F.lit(float(day_ns)))
+                      .cast("long").alias("t_days")))
+    per_t = marked.groupBy("t_days").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.count(F.lit(1)).alias("cnt"))
+    w_risk = (Window.orderBy("t_days")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_cum = (Window.orderBy("t_days")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum("cnt").over(w_risk).cast("long"))
+    term = F.log(F.greatest(
+        F.lit(1.0) - F.col("n_churned").cast("double")
+        / F.col("n_risk").cast("double"),
+        F.lit(1e-300)))
+    return (at_risk
+            .select("t_days", "n_risk", "n_churned",
+                    F.round(F.exp(F.sum(term).over(w_cum)), 6)
+                    .alias("survival"))
+            .orderBy("t_days"))

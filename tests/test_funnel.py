@@ -150,3 +150,36 @@ def test_funnel_multipass_matches_fold_on_edge_streams(spark):
         multi = sorted(tuple(r) for r in
                        funnel.funnel_user_depth_multipass(ev, STEPS).collect())
         assert fold == multi, rows
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Textbook KM: 5 users, W=5 (day_ns=1 so timestamps ARE days).
+    tmax=20; u1 churns at t=10, u3 at t=3; u2/u4/u9 censored.
+    S: 1.0 -> x(1-1/4)=0.75 -> x(1-1/3)=0.5 -> x(1-0/2)=0.5."""
+    from recdb_postgresql_spark.operators import funnel
+
+    rows = [(1, 0), (1, 10),
+            (2, 0), (2, 18),
+            (3, 5), (3, 8),
+            (4, 0), (4, 16),
+            (9, 20)]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    got = [(r["t_days"], r["n_risk"], r["n_churned"], r["survival"])
+           for r in funnel.kaplan_meier(ev, churn_window_ns=5,
+                                        day_ns=1).collect()]
+    assert got == [(0, 5, 0, 1.0), (3, 4, 1, 0.75),
+                   (10, 3, 1, 0.5), (20, 2, 0, 0.5)]
+
+
+def test_kaplan_meier_censoring_matters(spark):
+    """Counting censored users as churned (the naive estimator) would
+    put S(final) at 0; KM keeps survival mass for them."""
+    from recdb_postgresql_spark.operators import funnel
+
+    rows = [(1, 0), (1, 2), (2, 0), (2, 99), (3, 0), (3, 99)]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {r["t_days"]: r["survival"]
+           for r in funnel.kaplan_meier(ev, churn_window_ns=10,
+                                        day_ns=1).collect()}
+    assert out[2] == round(1 - 1 / 3, 6)
+    assert out[99] == round(1 - 1 / 3, 6)  # censored tail holds
