@@ -851,6 +851,35 @@ def q_dedup_lsh_verified(spark, sf_dir):
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_canonical_pick(spark, sf_dir):
+    """The KEEP decision a dedup pipeline actually ships: near-dup
+    clusters (LSH -> verify -> connected components; singletons are
+    their own cluster) crossed with the quality score, keeping the
+    HIGHEST-quality copy per cluster (ties by doc_id) instead of the
+    lowest id — boilerplate families survive as their best exemplar.
+    Composition of two oracle-checked operators, itself hash-checked
+    end to end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    pairs = dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                     bands=4, rows_per_band=2)
+    comp = dedup.connected_components(pairs) \
+        .select(F.col("id").alias("doc_id"), "component")
+    base = (docs.select("doc_id").join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id"))
+                    .alias("component")))
+    q = text.quality_score(docs)
+    win = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (base.join(q, "doc_id")
+            .withColumn("rn", F.row_number().over(win))
+            .select("doc_id", "component", "quality",
+                    (F.col("rn") == 1).cast("int").alias("keep")))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering, production flow: LSH candidates ->
     candidate-only Jaccard verify -> connected components ->
@@ -958,6 +987,32 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     cents = similarity.first_k_centroids(emb, k=8)
     return similarity.ivf_topk(emb, qs, cents, k=10, nprobe=2) \
         .select("qid", "vec_id", "cos", "rank")
+
+
+def q_ann_recall_at_k(spark, sf_dir):
+    """ANN quality harness: recall@10 of the IVF index (first-k
+    centroids, nprobe=1) against the brute-force ground truth, per
+    query — the measurement that justifies an approximate index
+    before pointing it at 100 TB. BOTH retrieval paths are already
+    SQL-expressible here, so unlike typical ANN evals the recall
+    table itself is oracle-checked hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    truth = similarity.brute_force_topk(emb, qs, k=10) \
+        .select("qid", "vec_id")
+    cents = similarity.first_k_centroids(emb, k=8)
+    approx = similarity.ivf_topk(emb, qs, cents, k=10) \
+        .select("qid", "vec_id")
+    hits = (truth.join(approx, ["qid", "vec_id"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (qs.select("qid").join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(10.0),
+                            6).alias("recall"))
+            .orderBy("qid"))
 
 
 def q_ann_ivf_trained(spark, sf_dir):
@@ -3939,7 +3994,7 @@ _DRIVER_PRIORITY = [
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
-    "events_survival",
+    "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4139,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_lsh_verified_xxhash": q_dedup_lsh_verified_xxhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical_pick": q_dedup_canonical_pick,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -4146,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_recall_at_k": q_ann_recall_at_k,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh_topk": q_ann_lsh,
@@ -5157,6 +5214,63 @@ ranked AS (
 )
 SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 10
 """
+    o["ann_recall_at_k"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qvec, a.cell AS qcell
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+  WHERE e.vec_id < 20
+),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.qvec AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+  ) t WHERE rank <= 10
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.qvec AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN q ON a.cell = q.qcell
+    WHERE e.vec_id <> q.qid
+  ) t WHERE rank <= 10
+),
+hits AS (
+  SELECT t.qid, COUNT(*) AS n_hits
+  FROM truth t JOIN approx x ON x.qid = t.qid AND x.vec_id = t.vec_id
+  GROUP BY t.qid
+)
+SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS recall
+FROM q LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid
+"""
+
     o["ann_ivf_multiprobe"] = """
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
@@ -5875,6 +5989,30 @@ WHERE p.pid != q.qid
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms
     o["dedup_clusters_star"] = o["dedup_clusters"]
+
+    # canonical pick = clusters x quality, argmax per component —
+    # composed from the two already-oracle-checked texts (nested CTEs)
+    o["dedup_canonical_pick"] = f"""
+WITH clusters AS (
+{o["dedup_clusters"]}
+),
+qual AS (
+{o["text_quality"]}
+),
+base AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT b.doc_id, b.component, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY b.component
+                            ORDER BY q.quality DESC, b.doc_id) AS rn
+  FROM base b JOIN qual q ON q.doc_id = b.doc_id
+)
+SELECT doc_id, component, quality,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ranked
+"""
 
     # --- round-6 entries ---------------------------------------------
     # recency-weighted item-cos: the decayed ratings CTE swaps in for
