@@ -359,6 +359,8 @@ def main():
     theilsen_grouped_probe(spark)
     lcs_probe(spark, sf_dir, mult=8)
     merge_probe(spark, sf_dir, mult=10)
+    label_prop_probe(spark)
+    unigram_probe(spark, sf_dir)
     pq_probe(spark, sf_dir, mult=10)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
@@ -386,6 +388,60 @@ def main():
         record(f"cf_training_x{mult}", mult=mult, ratings=n,
                item_model_pairs=n_model, item_train_s=t_item,
                capped_user_pairs=n_user, user_train_capped_s=t_user)
+
+
+def label_prop_probe(spark, n_cliques: int = 2000,
+                     clique_size: int = 30) -> None:
+    """Label propagation at community scale: 2000 planted 30-cliques
+    (60k nodes, ~870k edges), 4 synchronous rounds. Correctness
+    asserted (every clique converges to its min id — exactly n_cliques
+    communities); the timed cost is the designed shape: 4x (one
+    source-keyed join + one (dst,label) aggregate + one argmax window)
+    over the static checkpointed edge list."""
+    from recdb_postgresql_spark.operators import graph
+
+    nodes = spark.range(n_cliques * clique_size).select(
+        F.col("id"), (F.col("id") / clique_size).cast("long").alias("c"))
+    a = nodes.select(F.col("id").alias("id1"), F.col("c").alias("c1"))
+    b = nodes.select(F.col("id").alias("id2"), F.col("c").alias("c2"))
+    edges = (a.join(b, (F.col("c1") == F.col("c2"))
+                    & (F.col("id1") < F.col("id2")))
+             .select("id1", "id2").localCheckpoint())
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    out = graph.label_propagation(edges, rounds=4)
+    n_comm = out.select("community").distinct().count()
+    t = time.perf_counter() - t0
+    assert n_comm == n_cliques, (n_comm, n_cliques)
+    record("label_prop_cliques", nodes=n_cliques * clique_size,
+           edges=n_edges, rounds=4, communities=n_comm, seconds=t)
+
+
+def unigram_probe(spark, sf_dir: str) -> None:
+    """The unigram trainer's scale contract, measured: EM cost is a
+    function of the DISTINCT-WORD table, not the corpus — training on
+    8x the rows (amplified near-copies) must cost about the same as
+    1x after the single groupBy(word) pass. Encode stays distributed
+    (Arrow Viterbi map), so it scales with rows as expected."""
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    times = {}
+    for mult in (1, 8):
+        docs = amplified_docs(spark, sf_dir, mult).localCheckpoint()
+        n = docs.count()
+        t0 = time.perf_counter()
+        pieces = text_ops.unigram_train(docs, vocab_size=80, em_iters=3)
+        t_train = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_enc = text_ops.unigram_encode(docs, pieces).count()
+        t_enc = time.perf_counter() - t0
+        assert n_enc == n
+        times[mult] = (t_train, t_enc)
+        record(f"unigram_x{mult}", mult=mult, docs=n,
+               pieces=len(pieces), train_s=t_train, encode_s=t_enc)
+    # train time must NOT scale with the corpus (allow 2x for the
+    # bigger groupBy + the handful of copytag words)
+    assert times[8][0] < max(2.0 * times[1][0], times[1][0] + 2.0), times
 
 
 def lsh_index_probe(spark, sf_dir: str, mult: int) -> None:
