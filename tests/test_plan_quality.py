@@ -281,3 +281,49 @@ def test_round8b_operators_keep_scale_plan_shapes(spark):
     # a plain shuffled hash/sort join on (key, salt) — no cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round9_new_queries_plan_shapes(spark):
+    """Round-9 family plan pins: the TPC-H battery pushes filters to
+    the scan and broadcasts its dims; PSI/survival/recall stay fully
+    JVM-side (no Python in any of them); zorder_key is a codegen
+    expression (no UDF nodes)."""
+    # q6: the pushdown showcase — shipdate/discount/quantity reach
+    # the parquet scan, and only the needed columns are read
+    plan = _plan(entrymod.queries()["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "PushedFilters: [" in plan
+    assert "l_comment" not in plan  # (column doesn't exist — sanity)
+    assert "ReadSchema" in plan and "l_extendedprice" in plan
+
+    # q8: every dimension join broadcasts at this scale
+    plan = _plan(entrymod.queries()["q8_market_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+    # q17: the correlated scalar subquery decorrelates into a join,
+    # never a per-row rescan
+    plan = _plan(entrymod.queries()["q17_small_quantity"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    for name in ("events_psi_drift", "events_survival",
+                 "ann_recall_at_k", "dedup_canonical_pick"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_zorder_key_is_codegen_expression(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions import layout
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"))
+    out = df.select(layout.zorder_key(df, ["x", "y"], bits=6).alias("z"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the leading "*(1)" marks the WholeStageCodegen'd projection
+    assert plan.lstrip().startswith("*("), plan[:120]
