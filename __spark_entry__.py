@@ -3812,6 +3812,25 @@ def q_events_theilsen_by_type(spark, sf_dir):
                                         "day", "total")
 
 
+def q_events_changepoint(spark, sf_dir):
+    """Two-sided mean-shift change-point scores on the hourly series
+    per event type: |mean(next 6 buckets) - mean(prev 6 buckets)| at
+    each bucket, NULL where either side is incomplete — windowed
+    CUSUM-style level-shift detection over the aggregated series
+    (operators/temporal.changepoint_scores)."""
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                     & F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.sum("value").alias("y")))
+    from recdb_postgresql_spark.operators import temporal
+
+    return temporal.changepoint_scores(hourly, ["event_type"],
+                                       "bucket", "y", window=6)
+
+
 def q_events_seasonal_decompose(spark, sf_dir):
     """Classical additive decomposition of the hourly series per event
     type: centered 25-point trend, phase-mean seasonal (centered),
@@ -3995,6 +4014,7 @@ _DRIVER_PRIORITY = [
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
+    "events_changepoint",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4037,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile_drift": q_events_profile_drift,
         "events_psi_drift": q_events_psi_drift,
         "events_survival": q_events_survival,
+        "events_changepoint": q_events_changepoint,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
@@ -7177,6 +7198,28 @@ SELECT s.event_type, CAST(hour_of_day AS INT) AS hour_of_day, n,
        ROUND(slot_avg / type_avg, 6) AS season_index
 FROM s JOIN t ON s.event_type = t.event_type
 """
+    o["events_changepoint"] = """
+WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+                  SUM(value) AS y
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY 1, 2)
+SELECT event_type, bucket, ROUND(y, 6) AS y,
+       ROUND(CASE WHEN COUNT(*) OVER wl = 6 AND COUNT(*) OVER wr = 6
+                  THEN AVG(y) OVER wl END, 6) AS left_mean,
+       ROUND(CASE WHEN COUNT(*) OVER wl = 6 AND COUNT(*) OVER wr = 6
+                  THEN AVG(y) OVER wr END, 6) AS right_mean,
+       ROUND(CASE WHEN COUNT(*) OVER wl = 6 AND COUNT(*) OVER wr = 6
+                  THEN ABS(AVG(y) OVER wr - AVG(y) OVER wl) END, 6)
+         AS shift_score
+FROM h
+WINDOW wl AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+       wr AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING)
+"""
+
     o["events_survival"] = """
 WITH ev AS (
   SELECT user_id AS u, epoch_ns(ts) AS tsn

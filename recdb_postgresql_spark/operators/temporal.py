@@ -559,3 +559,38 @@ def seasonal_decompose(series: DataFrame, key_cols, bucket_col: str,
         F.round("_seas", round_to).alias("seasonal"),
         F.round(F.col("y") - F.col("trend") - F.col("_seas"),
                 round_to).alias("residual"))
+
+
+def changepoint_scores(series: DataFrame, key_cols, bucket_col: str,
+                       y_col: str, window: int = 6,
+                       round_to: int = 6) -> DataFrame:
+    """(key..., bucket, y, left_mean, right_mean, shift_score):
+    two-sided mean-shift change-point score over an AGGREGATED series
+    — the windowed form of CUSUM-style level-shift detection: at each
+    bucket, |mean of the next ``window`` buckets - mean of the
+    previous ``window``| (current row excluded from both sides). A
+    genuine regime change scores ~the level jump; noise averages out.
+    Rows whose either side is incomplete score NULL (the honest edge,
+    like seasonal_decompose's trend).
+
+    Per-key cost is #buckets (the series is already aggregated), two
+    ROWS-frame window means — the sequential-accumulation window
+    shape with pinned cross-engine float parity, so the scores are
+    oracle-checkable end to end."""
+    keys = list(key_cols)
+    w_left = Window.partitionBy(*keys).orderBy(bucket_col) \
+        .rowsBetween(-int(window), -1)
+    w_right = Window.partitionBy(*keys).orderBy(bucket_col) \
+        .rowsBetween(1, int(window))
+    y = F.col(y_col).cast("double")
+    full = ((F.count(F.lit(1)).over(w_left) == int(window))
+            & (F.count(F.lit(1)).over(w_right) == int(window)))
+    lm = F.avg(y).over(w_left)
+    rm = F.avg(y).over(w_right)
+    return series.select(
+        *keys, F.col(bucket_col).alias("bucket"),
+        F.round(y, round_to).alias("y"),
+        F.round(F.when(full, lm), round_to).alias("left_mean"),
+        F.round(F.when(full, rm), round_to).alias("right_mean"),
+        F.round(F.when(full, F.abs(rm - lm)), round_to)
+        .alias("shift_score"))

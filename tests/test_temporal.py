@@ -322,3 +322,24 @@ def test_seasonal_decompose_recovers_planted_signal(spark):
     # seasonal components centered: one value per phase, sums ~0
     phases = {b % 4: out[b].seasonal for b in range(half, 38)}
     assert abs(sum(phases.values())) < 1e-6
+
+
+def test_changepoint_scores_planted_shift(spark):
+    """A level shift of +100 at bucket 10 scores ~100 exactly AT the
+    boundary and decays away from it; edges (incomplete windows) are
+    NULL; a flat series scores 0 everywhere interior."""
+    from recdb_postgresql_spark.operators import temporal
+
+    rows = [("a", b, 10.0 if b < 10 else 110.0) for b in range(20)]
+    s = spark.createDataFrame(rows, "k string, bucket long, y double")
+    got = {r["bucket"]: r for r in temporal.changepoint_scores(
+        s, ["k"], "bucket", "y", window=4).collect()}
+    assert got[0]["shift_score"] is None  # left side incomplete
+    assert got[19]["shift_score"] is None
+    # at bucket 9: left = buckets 5-8 (all 10), right = 10-13 (all 110)
+    assert got[9]["shift_score"] == 100.0
+    assert got[9]["left_mean"] == 10.0 and got[9]["right_mean"] == 110.0
+    # far from the boundary the score is 0
+    assert got[5]["shift_score"] == 0.0
+    # decays linearly approaching it: bucket 7 right = {10,10,110,110}
+    assert got[7]["shift_score"] == 50.0
