@@ -3812,6 +3812,26 @@ def q_events_theilsen_by_type(spark, sf_dir):
                                         "day", "total")
 
 
+def q_events_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing over the hourly series per event
+    type, fitted one-step-ahead (alpha=0.3, beta=0.1). Sequential
+    stateful recursion in ONE Arrow applyInPandas pass — and still
+    oracle-checked hash-exact against a recursive-CTE twin running
+    the identical IEEE expression tree
+    (operators/temporal.holt_forecast)."""
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                     & F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.sum("value").alias("y")))
+    from recdb_postgresql_spark.operators import temporal
+
+    return temporal.holt_forecast(hourly, ["event_type"], "bucket",
+                                  "y", alpha=0.3, beta=0.1)
+
+
 def q_events_changepoint(spark, sf_dir):
     """Two-sided mean-shift change-point scores on the hourly series
     per event type: |mean(next 6 buckets) - mean(prev 6 buckets)| at
@@ -4014,7 +4034,7 @@ _DRIVER_PRIORITY = [
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
-    "events_changepoint",
+    "events_changepoint", "events_holt_forecast",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4058,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift": q_events_psi_drift,
         "events_survival": q_events_survival,
         "events_changepoint": q_events_changepoint,
+        "events_holt_forecast": q_events_holt_forecast,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
@@ -7198,6 +7219,40 @@ SELECT s.event_type, CAST(hour_of_day AS INT) AS hour_of_day, n,
        ROUND(slot_avg / type_avg, 6) AS season_index
 FROM s JOIN t ON s.event_type = t.event_type
 """
+    # Holt recursion: the recursive CTE carries (l, b) per key and
+    # steps rn -> rn+1 with EXACTLY the pandas float64 expression tree
+    # (l' duplicated inside b' — identical ops, identical bits)
+    o["events_holt_forecast"] = """
+WITH RECURSIVE
+h AS (SELECT event_type AS k, epoch_ns(ts) // 3600000000000 AS bucket,
+             SUM(value) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+base AS (SELECT k, bucket, y,
+                ROW_NUMBER() OVER (PARTITION BY k ORDER BY bucket) AS rn
+         FROM h),
+init AS (SELECT b1.k, b1.y AS y1, b2.y AS y2
+         FROM base b1 JOIN base b2 ON b2.k = b1.k AND b2.rn = 2
+         WHERE b1.rn = 1),
+rec AS (
+  SELECT k, CAST(1 AS BIGINT) AS rn, y1 AS l, y2 - y1 AS b,
+         CAST(NULL AS DOUBLE) AS yhat,
+         CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS y
+  FROM init
+  UNION ALL
+  SELECT r.k, r.rn + 1,
+         0.3 * s.y + (CAST(1 AS DOUBLE) - 0.3) * (r.l + r.b),
+         0.1 * ((0.3 * s.y + (CAST(1 AS DOUBLE) - 0.3) * (r.l + r.b)) - r.l)
+           + (CAST(1 AS DOUBLE) - 0.1) * r.b,
+         r.l + r.b, s.bucket, s.y
+  FROM rec r JOIN base s ON s.k = r.k AND s.rn = r.rn + 1
+)
+SELECT k AS event_type, bucket, ROUND(y, 6) AS y, ROUND(yhat, 6) AS yhat
+FROM rec WHERE rn >= 2
+"""
+
     o["events_changepoint"] = """
 WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
                   SUM(value) AS y

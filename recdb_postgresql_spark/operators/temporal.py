@@ -594,3 +594,64 @@ def changepoint_scores(series: DataFrame, key_cols, bucket_col: str,
         F.round(F.when(full, rm), round_to).alias("right_mean"),
         F.round(F.when(full, F.abs(rm - lm)), round_to)
         .alias("shift_score"))
+
+
+def holt_forecast(series: DataFrame, key_cols, bucket_col: str,
+                  y_col: str, alpha: float = 0.3, beta: float = 0.1,
+                  round_to: int = 6) -> DataFrame:
+    """(key..., bucket, y, yhat): Holt's linear-trend exponential
+    smoothing, fitted one-step-ahead — yhat at bucket t is the
+    forecast made from data through t-1, the honest backtest column a
+    monitoring pipeline thresholds (Holt 1957 / Hyndman & Athanasopoulos
+    fpp3 ch. 8).
+
+    Recursion (classical init): l_1 = y_1, b_1 = y_2 - y_1; for t>=2
+    yhat_t = l_{t-1} + b_{t-1}, then l_t = alpha*y_t +
+    (1-alpha)*(l_{t-1}+b_{t-1}), b_t = beta*(l_t - l_{t-1}) +
+    (1-beta)*b_{t-1}. Keys with fewer than 2 buckets emit nothing.
+
+    Execution: the recursion is inherently sequential IN t, so it runs
+    as ONE Arrow ``applyInPandas`` pass — sequential per key, parallel
+    across keys, state = two floats. Per-key cost is #buckets of the
+    AGGREGATED series. Despite being a stateful non-SQL operator the
+    result is still oracle-checked hash-exact: the DuckDB twin runs
+    the identical float64 expression tree through a recursive CTE
+    (every op is IEEE-deterministic; rounding happens Spark-side with
+    half-up semantics matching SQL ROUND, never in pandas whose
+    round is banker's)."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    a = float(alpha)
+    be = float(beta)
+    base = series.select(*keys, F.col(bucket_col).alias("bucket"),
+                         F.col(y_col).cast("double").alias("y"))
+    # StructType.add MUTATES the receiver — never extend base.schema
+    # in place or the input frame grows a phantom column
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType(list(base.schema.fields)
+                        + [StructField("yhat", DoubleType())])
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0].assign(yhat=pd.Series(dtype="float64"))
+        ys = [float(v) for v in pdf["y"]]
+        lev = ys[0]
+        tr = ys[1] - ys[0]
+        yhat = []
+        for t in range(1, n):
+            pred = lev + tr
+            yhat.append(pred)
+            lev_new = a * ys[t] + (1.0 - a) * (lev + tr)
+            tr = be * (lev_new - lev) + (1.0 - be) * tr
+            lev = lev_new
+        out = pdf.iloc[1:].copy()
+        out["yhat"] = yhat
+        return out
+
+    return (base.groupBy(*keys).applyInPandas(fit, schema)
+            .select(*keys, "bucket",
+                    F.round("y", round_to).alias("y"),
+                    F.round("yhat", round_to).alias("yhat")))

@@ -343,3 +343,43 @@ def test_changepoint_scores_planted_shift(spark):
     assert got[5]["shift_score"] == 0.0
     # decays linearly approaching it: bucket 7 right = {10,10,110,110}
     assert got[7]["shift_score"] == 50.0
+
+
+def test_holt_forecast_linear_ramp_is_exact(spark):
+    """On a perfectly linear series the Holt recursion locks the trend
+    at init and never errs: yhat_t == y_t for every t >= 2 (a sharp
+    algebraic pin — any off-by-one in the state update breaks it)."""
+    from recdb_postgresql_spark.operators import temporal
+
+    rows = [("a", t, 5.0 + 3.0 * t) for t in range(30)]
+    s = spark.createDataFrame(rows, "k string, bucket long, y double")
+    out = temporal.holt_forecast(s, ["k"], "bucket", "y",
+                                 alpha=0.3, beta=0.1).collect()
+    assert len(out) == 29
+    for r in out:
+        assert r["yhat"] == r["y"], (r["bucket"], r["y"], r["yhat"])
+
+
+def test_holt_forecast_hand_recursion(spark):
+    """Three-point hand check, alpha=0.5, beta=0.5:
+    y = [10, 20, 14]; l1=10, b1=10 -> yhat2 = 20;
+    l2 = .5*20+.5*20 = 20, b2 = .5*10+.5*10 = 10 -> yhat3 = 30."""
+    from recdb_postgresql_spark.operators import temporal
+
+    s = spark.createDataFrame([("a", 1, 10.0), ("a", 2, 20.0),
+                               ("a", 3, 14.0)],
+                              "k string, bucket long, y double")
+    got = {r["bucket"]: r["yhat"]
+           for r in temporal.holt_forecast(s, ["k"], "bucket", "y",
+                                           alpha=0.5, beta=0.5).collect()}
+    assert got == {2: 20.0, 3: 30.0}
+
+
+def test_holt_forecast_short_keys_drop(spark):
+    from recdb_postgresql_spark.operators import temporal
+
+    s = spark.createDataFrame([("solo", 1, 10.0), ("b", 1, 1.0),
+                               ("b", 2, 2.0)],
+                              "k string, bucket long, y double")
+    out = temporal.holt_forecast(s, ["k"], "bucket", "y").collect()
+    assert [r["k"] for r in out] == ["b"]
