@@ -340,3 +340,77 @@ class StreamingSpanScrubber:
         self.scrubbed_docs += int(stats[1] or 0)
         self.words_removed += int(stats[2] or 0)
         return scrubbed
+
+
+class StreamingDriftMonitor:
+    """PSI drift monitoring per micro-batch against a FROZEN baseline
+    — the loop a scoring service runs beside its model: the baseline
+    distribution is fixed at deploy time, every incoming batch gets a
+    population-stability-index score, and a PSI above the alert
+    threshold (industry convention: 0.25 action / 0.1 watch) flags
+    the batch before it poisons downstream aggregates or retrains.
+
+    The baseline is summarized ONCE at construction into bins-sized
+    driver metadata (equal-width cells over the baseline min/max with
+    edge clamping + Laplace-smoothed shares — the exact
+    ``profile.psi_drift`` convention, so a batch score here equals
+    the batch's row in that operator). Per batch the cost is ONE
+    map-side bucket pass + one bins-sized aggregate over the batch
+    alone — the baseline is never rescanned, which is what makes the
+    monitor viable at stream rates. Same exactly-once caveat as the
+    sibling ingest classes (alerts are at-least-once under replay)."""
+
+    def __init__(self, spark: SparkSession, baseline: DataFrame,
+                 val_col: str = "value", bins: int = 10,
+                 alert_threshold: float = 0.25):
+        import math
+
+        if bins < 2:
+            raise ValueError("bins must be >= 2")
+        self.val_col, self.bins = val_col, int(bins)
+        self.alert_threshold = float(alert_threshold)
+        v = F.col(val_col).cast("double")
+        lo, hi = baseline.where(v.isNotNull()) \
+            .agg(F.min(v), F.max(v)).collect()[0]
+        if lo is None:
+            raise ValueError("baseline has no non-null values")
+        self.lo, self.hi = float(lo), float(hi)
+        counts = {r["bin"]: r["n"] for r in self._bucketed(baseline)}
+        total = sum(counts.values())
+        smooth = 0.5 * self.bins
+        self._base_share = [
+            (counts.get(b, 0) + 0.5) / (total + smooth)
+            for b in range(self.bins)]
+        self._log = math.log
+        self.history: list[dict] = []
+
+    def _bucketed(self, df: DataFrame):
+        v = F.col(self.val_col).cast("double")
+        if self.hi == self.lo:
+            b = F.lit(0)
+        else:
+            w = (self.hi - self.lo) / float(self.bins)
+            b = F.least(F.lit(self.bins - 1),
+                        F.greatest(F.lit(0),
+                                   F.floor((v - F.lit(self.lo))
+                                           / F.lit(w)).cast("int")))
+        return (df.where(v.isNotNull())
+                .select(b.alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: int | None = None) -> dict:
+        counts = {r["bin"]: r["n"] for r in self._bucketed(batch_df)}
+        total = sum(counts.values())
+        smooth = 0.5 * self.bins
+        psi = 0.0
+        for b in range(self.bins):
+            p_new = (counts.get(b, 0) + 0.5) / (total + smooth)
+            p_old = self._base_share[b]
+            psi += (p_new - p_old) * self._log(p_new / p_old)
+        row = {"batch_id": batch_id, "n_rows": int(total),
+               "psi": round(psi, 6),
+               "alert": psi >= self.alert_threshold}
+        self.history.append(row)
+        return row

@@ -279,3 +279,47 @@ def test_span_scrubber_intra_batch_pair(spark, tmp_path):
             for r in scr.on_batch(b2).collect()}
     assert out2[50] == ("later ending", 6)
     spark.sql("DROP TABLE span_ib_grams")
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Frozen-baseline PSI per batch: a same-distribution batch stays
+    under the watch level, a shifted batch crosses the action
+    threshold and alerts; a batch's score equals the batch's
+    psi_drift row-sum (shared convention); real readStream drive."""
+    from recdb_postgresql_spark.operators import profile
+    from recdb_postgresql_spark.streaming.ingest import (
+        StreamingDriftMonitor,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "value double")
+    mon = StreamingDriftMonitor(spark, base, bins=10,
+                                alert_threshold=0.25)
+
+    same = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(500)], "value double")
+    r1 = mon.on_batch(same, batch_id=0)
+    assert r1["n_rows"] == 500 and not r1["alert"] and r1["psi"] < 0.1
+
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 70.0,) for i in range(500)], "value double")
+    r2 = mon.on_batch(shifted, batch_id=1)
+    assert r2["alert"] and r2["psi"] > 0.25
+
+    # convention parity: the monitor's score == SUM(psi_term) of the
+    # batch operator over the same baseline/batch
+    op_total = sum(r["psi_term"] for r in
+                   profile.psi_drift(base, shifted, bins=10).collect())
+    # op rounds each of 10 psi_terms to 6dp before this sum
+    assert abs(r2["psi"] - op_total) <= 10 * 5e-7
+
+    # drive through a REAL stream: two parquet batches, foreachBatch
+    src = str(tmp_path / "src")
+    same.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("value double").parquet(src))
+    q = (stream.writeStream.trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .foreachBatch(lambda df, bid: mon.on_batch(df, bid))
+         .start())
+    q.awaitTermination(120)
+    assert len(mon.history) >= 3 and mon.history[-1]["n_rows"] == 500
