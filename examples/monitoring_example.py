@@ -12,6 +12,15 @@ on-call pipeline actually runs it.
                                      so the daily peak isn't "anomalous")
   5. distribution drift             (profile.profile_drift between
                                      the first and second half)
+  6. PSI score                      (profile.psi_drift — the one
+                                     scalar a pager thresholds)
+  7. change-point scan              (temporal.changepoint_scores on
+                                     the RESIDUALS — raw-series shifts
+                                     would flag the daily ramp itself)
+  8. one-step-ahead forecast        (temporal.holt_forecast — the
+                                     backtest column for alert rules)
+  9. streaming drift monitor        (StreamingDriftMonitor — the same
+                                     PSI, frozen baseline, per batch)
 
 The planted story: a steady upward trend + a strong hour-of-day
 cycle + three injected incident hours. Raw-value thresholds would
@@ -102,6 +111,49 @@ def run(spark) -> dict:
         ev.where(F.expr(f"ts div {HOUR_NS}") >= half).select("value"),
         ["value"])
     out["drift_metrics"] = drift.count()
+
+    # 6. PSI between the same halves: one scalar the on-call pager
+    # can threshold (0.1 watch / 0.25 action) — the trend makes the
+    # second half's distribution visibly shift
+    psi_rows = profile.psi_drift(
+        ev.where(F.expr(f"ts div {HOUR_NS}") < half).select("value"),
+        ev.where(F.expr(f"ts div {HOUR_NS}") >= half).select("value"),
+        bins=10).collect()
+    out["psi_total"] = round(sum(r["psi_term"] for r in psi_rows), 6)
+
+    # 7. change-point scan — on the RESIDUALS, not the raw series:
+    # the diurnal ramp is a legitimate level move every morning, so
+    # raw-series shift scores flag the cycle; after decomposition the
+    # residual series is flat except the incidents, and the top shift
+    # scores land adjacent to them
+    cp = temporal.changepoint_scores(dec, ["event_type"],
+                                     "bucket", "residual", window=6)
+    top_cp = (cp.where(F.col("shift_score").isNotNull())
+              .orderBy(F.col("shift_score").desc()).limit(6).collect())
+    incident_buckets = {5 * 24 + 3, 11 * 24 + 14, 17 * 24 + 22}
+    out["changepoints_near_incidents"] = all(
+        any(abs(r["bucket"] % (21 * 24) - ib) <= 6
+            for ib in incident_buckets)
+        for r in top_cp)
+
+    # 8. one-step-ahead forecast (Holt): the backtest column an
+    # alerting rule compares against tomorrow's actuals
+    hf = temporal.holt_forecast(hourly, ["event_type"], "bucket", "y")
+    resid = hf.select(F.abs(F.col("y") - F.col("yhat")).alias("e"))
+    out["holt_mae"] = round(resid.agg(F.avg("e")).collect()[0][0], 2)
+
+    # 9. the STREAMING face: freeze the first half as baseline, score
+    # the second half as a batch — alerts before the retrain ingests it
+    from recdb_postgresql_spark.streaming.ingest import (
+        StreamingDriftMonitor,
+    )
+    mon = StreamingDriftMonitor(
+        spark, ev.where(F.expr(f"ts div {HOUR_NS}") < half)
+        .select("value"))
+    verdict = mon.on_batch(
+        ev.where(F.expr(f"ts div {HOUR_NS}") >= half).select("value"),
+        batch_id=0)
+    out["stream_alert"] = bool(verdict["alert"])
     return out
 
 

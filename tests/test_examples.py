@@ -156,6 +156,13 @@ def test_monitoring_example_end_to_end(spark):
         ("api", 5, 3), ("api", 11, 14), ("api", 17, 22),
         ("batch", 5, 3), ("batch", 11, 14), ("batch", 17, 22)]
     assert out["drift_metrics"] > 0
+    # round-9 steps: PSI crosses the action threshold (the trend
+    # shifted the distribution), residual change-points localize the
+    # incidents, Holt backtest is finite, streaming monitor alerts
+    assert out["psi_total"] > 0.25
+    assert out["changepoints_near_incidents"] is True
+    assert out["holt_mae"] > 0
+    assert out["stream_alert"] is True
 
 
 def test_multimodal_example_end_to_end(spark):
