@@ -840,6 +840,31 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_lsh_recall(spark, sf_dir):
+    """LSH quality harness, the dedup twin of ann_recall_at_k: how
+    much of the EXACT Jaccard>=0.5 pair set do the verified LSH
+    candidates recover (8 hashes / 4 bands x 2 rows)? One metrics row
+    (n_exact, n_lsh, n_hit, recall) — both sides already
+    SQL-expressible, so the measured recall itself is hash-checked.
+    The number that justifies the banding config before 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).localCheckpoint()
+    exact = dedup.jaccard_pairs(sh, threshold=0.5) \
+        .select("id1", "id2").localCheckpoint()
+    lsh = dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
+                                   bands=4, rows_per_band=2) \
+        .select("id1", "id2").localCheckpoint()
+    ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    ls = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    ht = exact.join(lsh, ["id1", "id2"]) \
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    return (ex.crossJoin(ls).crossJoin(ht)
+            .select("n_exact", "n_lsh", "n_hit",
+                    F.round(F.col("n_hit")
+                            / F.nullif(F.col("n_exact").cast("double"),
+                                       F.lit(0.0)), 6).alias("recall")))
+
+
 def q_dedup_lsh_verified(spark, sf_dir):
     """The production near-dup flow: LSH candidates -> candidate-only
     true-Jaccard verify (one shared md5 pass, checkpointed), so the
@@ -4034,7 +4059,7 @@ _DRIVER_PRIORITY = [
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
-    "events_changepoint", "events_holt_forecast",
+    "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4237,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified_xxhash": q_dedup_lsh_verified_xxhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical_pick": q_dedup_canonical_pick,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -6031,6 +6057,27 @@ WHERE p.pid != q.qid
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms
     o["dedup_clusters_star"] = o["dedup_clusters"]
+
+    # LSH recall harness = exact pairs x verified LSH pairs, composed
+    # from the two already-checked texts (nested CTEs)
+    o["dedup_lsh_recall"] = f"""
+WITH exact AS (
+{o["dedup_ngram_jaccard"]}
+),
+lshv AS (
+{o["dedup_lsh_verified"]}
+),
+ex AS (SELECT COUNT(*) AS n_exact FROM exact),
+ls AS (SELECT COUNT(*) AS n_lsh FROM lshv),
+ht AS (SELECT COUNT(*) AS n_hit
+       FROM exact e JOIN lshv l ON l.id1 = e.id1 AND l.id2 = e.id2)
+SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(ls.n_lsh AS BIGINT) AS n_lsh,
+       CAST(ht.n_hit AS BIGINT) AS n_hit,
+       ROUND(CAST(ht.n_hit AS DOUBLE)
+             / NULLIF(CAST(ex.n_exact AS DOUBLE), 0.0), 6) AS recall
+FROM ex, ls, ht
+"""
 
     # canonical pick = clusters x quality, argmax per component —
     # composed from the two already-oracle-checked texts (nested CTEs)
