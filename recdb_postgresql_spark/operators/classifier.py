@@ -23,6 +23,28 @@ from pyspark.sql import functions as F
 TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+"
 
 
+def _spread_for_fit(df: DataFrame, num_features: int,
+                    n_classes: int = 2) -> DataFrame:
+    """Partitioning for an MLlib L-BFGS fit: a small labeled sample
+    arriving as ONE parquet partition runs every iteration's
+    treeAggregate single-threaded (the r9 lang-classifier trap,
+    14.3 s -> 3.6 s at sf0.1 once spread) — but each task ships a
+    DENSE gradient of num_features x n_classes doubles per iteration,
+    so over-spreading a WIDE model is the opposite trap (the 65k-dim
+    quality model measured 3.7 s -> 8.8 s at 32 partitions). Bound
+    the fan-out so the per-iteration gradient traffic stays ~4 MB."""
+    sc = df.sparkSession.sparkContext
+    budget = 1 << 19  # total gradient doubles per iteration
+    cap = max(2, min(sc.defaultParallelism,
+                     budget // max(1, num_features * n_classes)))
+    cur = df.rdd.getNumPartitions()
+    if cur < cap:
+        return df.repartition(cap)
+    if cur > cap:
+        return df.coalesce(cap)
+    return df
+
+
 def train_quality_classifier(docs: DataFrame, label_col: str,
                              text_col: str = "text",
                              num_features: int = 1 << 16,
@@ -37,8 +59,6 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, RegexTokenizer
 
-    from recdb_postgresql_spark.functions.layout import spread_small
-
     pipe = Pipeline(stages=[
         RegexTokenizer(inputCol=text_col, outputCol="_toks",
                        pattern=TOKEN_PATTERN, gaps=False,
@@ -48,12 +68,9 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         LogisticRegression(featuresCol="_feat", labelCol=label_col,
                            regParam=float(reg), maxIter=int(max_iter)),
     ])
-    # spread BEFORE fit: a small labeled sample arrives as 1 parquet
-    # partition and every L-BFGS iteration's treeAggregate then runs
-    # single-threaded (each iteration is a job — the overhead
-    # multiplies by max_iter; measured 17 s -> 4 s on the lang twin)
-    return pipe.fit(spread_small(
-        docs.withColumn(label_col, F.col(label_col).cast("double"))))
+    return pipe.fit(_spread_for_fit(
+        docs.withColumn(label_col, F.col(label_col).cast("double")),
+        int(num_features), n_classes=2))
 
 
 def score_quality(model, docs: DataFrame, id_col: str = "doc_id",
@@ -107,12 +124,11 @@ def train_lang_classifier(docs: DataFrame, label_col: str = "lang",
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, StringIndexer
 
-    from recdb_postgresql_spark.functions.layout import spread_small
-
-    # spread BEFORE fit — same single-partition L-BFGS trap as
-    # train_quality_classifier (see comment there); gram extraction
-    # is also per-row heavy so it benefits twice
-    prepped = spread_small(docs).withColumn(
+    # spread BEFORE fit (bounded by gradient width — see
+    # _spread_for_fit); gram extraction is also per-row heavy so the
+    # fan-out pays twice. ~6 language classes is the n_classes shape.
+    prepped = _spread_for_fit(docs, int(num_features),
+                              n_classes=8).withColumn(
         "_grams", char_ngrams(text_col, n_lo, n_hi))
     idx = StringIndexer(inputCol=label_col, outputCol="_lbl",
                         stringOrderType="alphabetAsc")
