@@ -1040,6 +1040,33 @@ def q_ann_recall_at_k(spark, sf_dir):
             .orderBy("qid"))
 
 
+def q_ann_dim_truncation_recall(spark, sf_dir):
+    """Matryoshka-style dimension-cut harness: recall@10 of cosine
+    top-k computed on the FIRST 16 of 64 dims against the full-dim
+    ground truth — the measurement behind 'can we serve on a 4x
+    cheaper index?'. Same oracle-checked-recall pattern as
+    ann_recall_at_k (slice is a built-in; both sides SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    truth = similarity.brute_force_topk(emb, qs, k=10) \
+        .select("qid", "vec_id")
+    emb16 = emb.select("vec_id",
+                       F.slice("embedding", 1, 16).alias("embedding"))
+    qs16 = qs.select("qid", F.slice("qvec", 1, 16).alias("qvec"))
+    cut = similarity.brute_force_topk(emb16, qs16, k=10) \
+        .select("qid", "vec_id")
+    hits = (truth.join(cut, ["qid", "vec_id"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (qs.select("qid").join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(10.0),
+                            6).alias("recall"))
+            .orderBy("qid"))
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     """The production IVF shape end-to-end: MLlib-KMeans-trained
     centroids (seeded, trained on the corpus itself) + the same
@@ -4060,6 +4087,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
+    "ann_dim_truncation_recall",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4271,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf,
         "ann_recall_at_k": q_ann_recall_at_k,
+        "ann_dim_truncation_recall": q_ann_dim_truncation_recall,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_lsh_topk": q_ann_lsh,
@@ -5331,6 +5360,45 @@ approx AS (
 hits AS (
   SELECT t.qid, COUNT(*) AS n_hits
   FROM truth t JOIN approx x ON x.qid = t.qid AND x.vec_id = t.vec_id
+  GROUP BY t.qid
+)
+SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6) AS recall
+FROM q LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid
+"""
+
+    o["ann_dim_truncation_recall"] = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20
+),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(q.qvec AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+  ) t WHERE rank <= 10
+),
+cut AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                                   CAST(q.qvec[1:16] AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+  ) t WHERE rank <= 10
+),
+hits AS (
+  SELECT t.qid, COUNT(*) AS n_hits
+  FROM truth t JOIN cut c ON c.qid = t.qid AND c.vec_id = t.vec_id
   GROUP BY t.qid
 )
 SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
