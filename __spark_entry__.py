@@ -3884,6 +3884,28 @@ def q_events_holt_forecast(spark, sf_dir):
                                   "y", alpha=0.3, beta=0.1)
 
 
+def q_events_hw_forecast(spark, sf_dir):
+    """Additive Holt-Winters (period=24) over the hourly series per
+    event type — the trend+cycle forecaster beside the plain Holt
+    twin. Rows-only for the driver (the m-vector seasonal state is
+    beyond the recursive-CTE trick that oracle-checks holt_forecast);
+    pinned instead by the exact-tracking law — on a pure
+    trend+seasonal series every one-step forecast equals the actual
+    bit-for-bit — plus a hand recursion
+    (operators/temporal.holt_winters_forecast)."""
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                     & F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.sum("value").alias("y")))
+    from recdb_postgresql_spark.operators import temporal
+
+    return temporal.holt_winters_forecast(hourly, ["event_type"],
+                                          "bucket", "y", period=24)
+
+
 def q_events_changepoint(spark, sf_dir):
     """Two-sided mean-shift change-point scores on the hourly series
     per event type: |mean(next 6 buckets) - mean(prev 6 buckets)| at
@@ -4087,7 +4109,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
-    "ann_dim_truncation_recall",
+    "ann_dim_truncation_recall", "events_hw_forecast",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4132,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "events_changepoint": q_events_changepoint,
         "events_holt_forecast": q_events_holt_forecast,
+        "events_hw_forecast": q_events_hw_forecast,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,

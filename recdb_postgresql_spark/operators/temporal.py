@@ -655,3 +655,73 @@ def holt_forecast(series: DataFrame, key_cols, bucket_col: str,
             .select(*keys, "bucket",
                     F.round("y", round_to).alias("y"),
                     F.round("yhat", round_to).alias("yhat")))
+
+
+def holt_winters_forecast(series: DataFrame, key_cols, bucket_col: str,
+                          y_col: str, period: int, alpha: float = 0.3,
+                          beta: float = 0.05, gamma: float = 0.2,
+                          round_to: int = 6) -> DataFrame:
+    """(key..., bucket, y, yhat): ADDITIVE Holt-Winters (triple
+    exponential smoothing) fitted one-step-ahead — ``holt_forecast``
+    plus a ``period``-length seasonal state, the estimator for series
+    with both trend and a cycle (fpp3 ch. 8.3).
+
+    Classical DETRENDED init over the first two seasons:
+    b = (mean(y[m:2m]) - mean(y[0:m])) / m; l = mean(y[0:m]) +
+    b*(m-1)/2 (the centered first-season level advanced to the season
+    end, so l is the state as of t = m-1); s_i = y_i - (mean(y[0:m]) +
+    (i - (m-1)/2)*b) (seasonal AFTER removing the in-season trend —
+    without this the exact-tracking law below fails). Fitting starts
+    at t = m; keys shorter than 2 periods emit nothing.
+    Recursion: yhat_t = l + b + s[t-m]; l' = alpha*(y_t - s[t-m]) +
+    (1-alpha)*(l + b); b' = beta*(l' - l) + (1-beta)*b;
+    s[t] = gamma*(y_t - l') + (1-gamma)*s[t-m].
+
+    Same execution contract as ``holt_forecast``: one Arrow
+    applyInPandas pass, sequential per key, state = 2 floats + an
+    m-vector. Rows-only for the driver's oracle gate (the seasonal
+    state is an ARRAY the recursive-CTE trick can't carry cleanly);
+    correctness is pinned instead by the exact-tracking law — on a
+    synthetic series that IS trend + seasonal, the classical init
+    recovers the true (l, b, s) exactly and every yhat equals y
+    bit-for-bit — plus a hand recursion (tests/test_temporal.py)."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    a, be, ga = float(alpha), float(beta), float(gamma)
+    base = series.select(*keys, F.col(bucket_col).alias("bucket"),
+                         F.col(y_col).cast("double").alias("y"))
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType(list(base.schema.fields)
+                        + [StructField("yhat", DoubleType())])
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bucket").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * m:
+            return pdf.iloc[0:0].assign(yhat=pd.Series(dtype="float64"))
+        ys = [float(v) for v in pdf["y"]]
+        mean0 = sum(ys[0:m]) / m
+        tr = (sum(ys[m:2 * m]) / m - mean0) / m
+        lev = mean0 + tr * (m - 1) / 2.0
+        season = [ys[i] - (mean0 + (i - (m - 1) / 2.0) * tr)
+                  for i in range(m)]
+        yhat = []
+        for t in range(m, n):
+            s_old = season[t % m]
+            yhat.append(lev + tr + s_old)
+            lev_new = a * (ys[t] - s_old) + (1.0 - a) * (lev + tr)
+            tr = be * (lev_new - lev) + (1.0 - be) * tr
+            season[t % m] = ga * (ys[t] - lev_new) + (1.0 - ga) * s_old
+            lev = lev_new
+        out = pdf.iloc[m:].copy()
+        out["yhat"] = yhat
+        return out
+
+    return (base.groupBy(*keys).applyInPandas(fit, schema)
+            .select(*keys, "bucket",
+                    F.round("y", round_to).alias("y"),
+                    F.round("yhat", round_to).alias("yhat")))

@@ -383,3 +383,51 @@ def test_holt_forecast_short_keys_drop(spark):
                               "k string, bucket long, y double")
     out = temporal.holt_forecast(s, ["k"], "bucket", "y").collect()
     assert [r["k"] for r in out] == ["b"]
+
+
+def test_holt_winters_exact_tracking_on_trend_plus_seasonal(spark):
+    """On a series that IS level + m*trend-steps + seasonal, the
+    classical init recovers (l, b, s) exactly and every one-step
+    forecast equals the actual bit-for-bit — the triple-smoothing
+    analog of the Holt linear-ramp pin."""
+    from recdb_postgresql_spark.operators import temporal
+
+    m, n = 4, 40
+    seas = [5.0, -2.0, -4.0, 1.0]  # sums to 0
+    rows = [("a", t, 100.0 + 2.0 * t + seas[t % m]) for t in range(n)]
+    s = spark.createDataFrame(rows, "k string, bucket long, y double")
+    out = temporal.holt_winters_forecast(s, ["k"], "bucket", "y",
+                                         period=m).collect()
+    assert len(out) == n - m
+    for r in out:
+        assert r["yhat"] == r["y"], (r["bucket"], r["y"], r["yhat"])
+
+
+def test_holt_winters_hand_recursion(spark):
+    """m=2, alpha=beta=gamma=0.5, y=[10,20,10,30]. Detrended init:
+    b=(20-15)/2=2.5; l=15+2.5/2=16.25; s=[-3.75, 3.75].
+    t=2: yhat=16.25+2.5-3.75=15; l'=.5*(10+3.75)+.5*18.75=16.25;
+    b'=.5*0+.5*2.5=1.25; s[0]=.5*(10-16.25)+.5*(-3.75)=-5.
+    t=3: yhat=16.25+1.25+3.75=21.25."""
+    from recdb_postgresql_spark.operators import temporal
+
+    s = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 20.0), ("a", 2, 10.0), ("a", 3, 30.0)],
+        "k string, bucket long, y double")
+    got = {r["bucket"]: r["yhat"]
+           for r in temporal.holt_winters_forecast(
+               s, ["k"], "bucket", "y", period=2, alpha=0.5,
+               beta=0.5, gamma=0.5).collect()}
+    assert got == {2: 15.0, 3: 21.25}
+
+
+def test_holt_winters_short_keys_drop(spark):
+    from recdb_postgresql_spark.operators import temporal
+
+    s = spark.createDataFrame(
+        [("short", t, float(t)) for t in range(3)]
+        + [("long", t, float(t)) for t in range(8)],
+        "k string, bucket long, y double")
+    out = temporal.holt_winters_forecast(s, ["k"], "bucket", "y",
+                                         period=2).collect()
+    assert {r["k"] for r in out} == {"long"}
