@@ -347,6 +347,11 @@ def main():
                         "STRESS.json")
     if os.path.exists(path):
         os.remove(path)
+    # the hot-key probes DELIBERATELY materialize one key's whole
+    # history in single tasks (that is the thing being measured); give
+    # the battery more heap than the library default so the probe
+    # measures the algorithm, not GC death (128 GiB machine)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("recdb_stress")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = "/root/testdata/sf0.1"
