@@ -3884,6 +3884,20 @@ def q_events_holt_forecast(spark, sf_dir):
                                   "y", alpha=0.3, beta=0.1)
 
 
+def q_events_attribution_decay(spark, sf_dir):
+    """Time-decay MULTI-touch attribution (1-day half-life, 7-day
+    lookback): each purchase splits one unit of credit across all
+    preceding touches by recency — the channel-budget view beside the
+    last-touch winner-takes-all twin
+    (operators/funnel.multi_touch_attribution)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.multi_touch_attribution(
+        ev, "purchase", half_life_ns=funnel.DAY_NS,
+        window_ns=7 * funnel.DAY_NS)
+
+
 def q_events_hw_forecast(spark, sf_dir):
     """Additive Holt-Winters (period=24) over the hourly series per
     event type — the trend+cycle forecaster beside the plain Holt
@@ -4110,6 +4124,7 @@ _DRIVER_PRIORITY = [
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
     "ann_dim_truncation_recall", "events_hw_forecast",
+    "events_attribution_decay",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4155,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "events_holt_forecast": q_events_holt_forecast,
         "events_hw_forecast": q_events_hw_forecast,
+        "events_attribution_decay": q_events_attribution_decay,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
@@ -7389,6 +7405,35 @@ rec AS (
 )
 SELECT k AS event_type, bucket, ROUND(y, 6) AS y, ROUND(yhat, 6) AS yhat
 FROM rec WHERE rn >= 2
+"""
+
+    o["events_attribution_decay"] = """
+WITH base AS (
+  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS tsn,
+         event_id AS oid
+  FROM events
+),
+conv AS (SELECT u, tsn AS conv_ts, oid AS conv_id
+         FROM base WHERE t = 'purchase'),
+touch AS (SELECT u, t AS channel, tsn AS touch_ts
+          FROM base WHERE t <> 'purchase'),
+pairs AS (
+  SELECT channel, conv_id,
+         POWER(2.0, CAST(touch_ts - conv_ts AS DOUBLE)
+                    / 86400000000000.0) AS w
+  FROM touch JOIN conv USING (u)
+  WHERE touch_ts < conv_ts
+    AND touch_ts >= conv_ts - 604800000000000
+),
+credited AS (
+  SELECT channel, conv_id,
+         w / SUM(w) OVER (PARTITION BY conv_id) AS credit
+  FROM pairs
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       ROUND(SUM(credit), 6) AS total_credit
+FROM credited GROUP BY channel
 """
 
     o["events_changepoint"] = """

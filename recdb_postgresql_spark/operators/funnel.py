@@ -248,3 +248,61 @@ def kaplan_meier(events: DataFrame, user_col: str = "user_id",
                     F.round(F.exp(F.sum(term).over(w_cum)), 6)
                     .alias("survival"))
             .orderBy("t_days"))
+
+
+def multi_touch_attribution(events: DataFrame,
+                            conversion_type: str = "purchase",
+                            half_life_ns: int = DAY_NS,
+                            window_ns: int = 7 * DAY_NS,
+                            user_col: str = "user_id",
+                            type_col: str = "event_type",
+                            ts_col: str = "ts",
+                            order_col: str = "event_id") -> DataFrame:
+    """(channel, n_touches, n_conversions, total_credit): TIME-DECAY
+    multi-touch attribution — where ``last_touch_attribution`` gives
+    the closing touchpoint 100% of the credit, this splits each
+    conversion's single unit of credit across ALL its preceding
+    touches inside ``window_ns``, weighted by recency:
+    w = 2^((t_touch - t_conv) / half_life) (a touch half a life older
+    gets sqrt(2)x less), normalized per conversion so every converted
+    user contributes exactly 1.0 regardless of how chatty their
+    journey was. Strictly-before semantics (t_touch < t_conv) — a
+    same-instant event can't cause the conversion.
+
+    Scale shape: ONE equi-join on the user key (touches x conversions
+    within a user), filtered to the window — per-user cost is
+    touch_u x conv_u, the same per-key quadratic class as
+    interval_join, bounded by journey length; a degenerate
+    all-events-one-user key wants the same time-bucket split as the
+    hot-key as-of. Then one per-conversion window sum (normalize) and
+    one channel aggregate. POWER(2, dt/hl) on exact int64-nanos
+    deltas is the decay expression with pinned cross-engine parity
+    (the half-life CF oracle uses it verbatim)."""
+    base = events.select(F.col(user_col).alias("u"),
+                         F.col(type_col).alias("t"),
+                         F.col(ts_col).cast("long").alias("tsn"),
+                         F.col(order_col).alias("oid"))
+    conv = base.where(F.col("t") == conversion_type) \
+        .select("u", F.col("tsn").alias("conv_ts"),
+                F.col("oid").alias("conv_id"))
+    touch = base.where(F.col("t") != conversion_type) \
+        .select("u", F.col("t").alias("channel"),
+                F.col("tsn").alias("touch_ts"))
+    pairs = (touch.join(conv, "u")
+             .where((F.col("touch_ts") < F.col("conv_ts"))
+                    & (F.col("touch_ts")
+                       >= F.col("conv_ts") - F.lit(int(window_ns))))
+             .select("channel", "conv_id",
+                     F.pow(F.lit(2.0),
+                           (F.col("touch_ts") - F.col("conv_ts"))
+                           .cast("double")
+                           / F.lit(float(half_life_ns))).alias("w")))
+    w_conv = Window.partitionBy("conv_id")
+    credited = pairs.select(
+        "channel", "conv_id",
+        (F.col("w") / F.sum("w").over(w_conv)).alias("credit"))
+    return (credited.groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+                 F.countDistinct("conv_id").cast("long")
+                 .alias("n_conversions"),
+                 F.round(F.sum("credit"), 6).alias("total_credit")))

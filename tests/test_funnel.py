@@ -183,3 +183,38 @@ def test_kaplan_meier_censoring_matters(spark):
                                         day_ns=1).collect()}
     assert out[2] == round(1 - 1 / 3, 6)
     assert out[99] == round(1 - 1 / 3, 6)  # censored tail holds
+
+
+def test_multi_touch_attribution_hand_computed(spark):
+    """One user, ts in seconds (half_life=2, window=10): touches
+    a@0, b@2, conversion@4 -> w_a = 2^(-2) = .25, w_b = 2^(-1) = .5;
+    credit a = 1/3, b = 2/3. A second conversion@5 sees a (w=2^-2.5)
+    and b (w=2^-1.5): same 1/3-2/3 split (ratio depends only on the
+    gap BETWEEN touches). Same-instant touch@5 excluded (strict)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    rows = [(1, "a", 0, 10), (1, "b", 2, 11), (1, "purchase", 4, 12),
+            (1, "purchase", 5, 13), (1, "c", 5, 14)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    got = {r["channel"]: r for r in funnel.multi_touch_attribution(
+        ev, "purchase", half_life_ns=2, window_ns=10).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n_touches"] == 2 and got["a"]["n_conversions"] == 2
+    assert abs(got["a"]["total_credit"] - 2 / 3) < 1e-6
+    assert abs(got["b"]["total_credit"] - 4 / 3) < 1e-6
+    # every conversion hands out exactly one unit in total
+    assert abs(got["a"]["total_credit"] + got["b"]["total_credit"]
+               - 2.0) < 1e-6
+
+
+def test_multi_touch_window_excludes_stale(spark):
+    from recdb_postgresql_spark.operators import funnel
+
+    rows = [(1, "a", 0, 1), (1, "purchase", 100, 2)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    out = funnel.multi_touch_attribution(ev, "purchase",
+                                         half_life_ns=2,
+                                         window_ns=10).collect()
+    assert out == []  # the only touch is outside the lookback
