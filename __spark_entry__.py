@@ -840,6 +840,28 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_docs_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: exact near-dup pairs
+    (Jaccard >= 0.5) rolled up by unordered source pair — the
+    curation view that answers 'which feeds are mirroring each
+    other' before deciding what to drop at ingest. Unordered pair
+    key via LEAST/GREATEST so (a,b) and (b,a) land on one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
+                                threshold=0.5)
+    src = docs.select("doc_id", "source")
+    tagged = (pairs
+              .join(src.select(F.col("doc_id").alias("id1"),
+                               F.col("source").alias("s1")), "id1")
+              .join(src.select(F.col("doc_id").alias("id2"),
+                               F.col("source").alias("s2")), "id2"))
+    return (tagged.select(
+        F.least("s1", "s2").alias("source_a"),
+        F.greatest("s1", "s2").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs")))
+
+
 def q_dedup_lsh_recall(spark, sf_dir):
     """LSH quality harness, the dedup twin of ann_recall_at_k: how
     much of the EXACT Jaccard>=0.5 pair set do the verified LSH
@@ -4124,7 +4146,7 @@ _DRIVER_PRIORITY = [
     "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
     "ann_dim_truncation_recall", "events_hw_forecast",
-    "events_attribution_decay",
+    "events_attribution_decay", "docs_source_overlap",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4330,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical_pick": q_dedup_canonical_pick,
         "dedup_lsh_recall": q_dedup_lsh_recall,
+        "docs_source_overlap": q_docs_source_overlap,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -6164,6 +6187,19 @@ WHERE p.pid != q.qid
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms
     o["dedup_clusters_star"] = o["dedup_clusters"]
+
+    o["docs_source_overlap"] = f"""
+WITH pairs AS (
+{o["dedup_ngram_jaccard"]}
+)
+SELECT LEAST(d1.source, d2.source) AS source_a,
+       GREATEST(d1.source, d2.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN documents d1 ON d1.doc_id = p.id1
+JOIN documents d2 ON d2.doc_id = p.id2
+GROUP BY 1, 2
+"""
 
     # LSH recall harness = exact pairs x verified LSH pairs, composed
     # from the two already-checked texts (nested CTEs)
