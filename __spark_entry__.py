@@ -3796,6 +3796,17 @@ def q_events_cohorts(spark, sf_dir):
     return funnel.cohort_retention(ev, period_ns=WEEK_NS)
 
 
+def q_events_cohort_ltv(spark, sf_dir):
+    """Weekly cohort LTV curve: cumulative revenue per cohort member
+    by cohort age, dense from age 0 (zero-revenue ages kept so the
+    curve has no chart-artifact gaps) — the monetization companion to
+    the retention triangle (operators/funnel.cohort_ltv)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.cohort_ltv(ev, period_ns=WEEK_NS)
+
+
 def q_split_leakage(spark, sf_dir):
     """Train/test leakage audit: near-dup pairs (the production LSH ->
     verify flow) whose members hash-split into DIFFERENT splits — the
@@ -4147,6 +4158,7 @@ _DRIVER_PRIORITY = [
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
     "ann_dim_truncation_recall", "events_hw_forecast",
     "events_attribution_decay", "docs_source_overlap",
+    "events_cohort_ltv",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
@@ -4193,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "events_hw_forecast": q_events_hw_forecast,
         "events_attribution_decay": q_events_attribution_decay,
+        "events_cohort_ltv": q_events_cohort_ltv,
         "events_seasonality": q_events_seasonality,
         "ann_knn_classify": q_ann_knn_classify,
         "docs_fts_match": q_docs_fts_match,
@@ -7441,6 +7454,36 @@ rec AS (
 )
 SELECT k AS event_type, bucket, ROUND(y, 6) AS y, ROUND(yhat, 6) AS yhat
 FROM rec WHERE rn >= 2
+"""
+
+    o["events_cohort_ltv"] = """
+WITH base AS (
+  SELECT user_id AS u, epoch_ns(ts) // 604800000000000 AS p,
+         COALESCE(CAST(value AS DOUBLE), CAST(0 AS DOUBLE)) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+aged AS (SELECT u, p, v, MIN(p) OVER (PARTITION BY u) AS cohort FROM base),
+rev AS (SELECT cohort, p - cohort AS age, SUM(v) AS rev
+        FROM aged GROUP BY 1, 2),
+csize AS (SELECT cohort, COUNT(DISTINCT u) AS cohort_size
+          FROM aged GROUP BY 1),
+mx AS (SELECT MAX(p) AS maxp FROM base),
+spine AS (
+  SELECT s.cohort, s.cohort_size, CAST(g.age AS BIGINT) AS age
+  FROM csize s, mx, UNNEST(generate_series(0, mx.maxp - s.cohort)) AS g(age)
+),
+j AS (
+  SELECT sp.cohort, sp.age, sp.cohort_size,
+         COALESCE(r.rev, CAST(0 AS DOUBLE)) AS rev
+  FROM spine sp
+  LEFT JOIN rev r ON r.cohort = sp.cohort AND r.age = sp.age
+)
+SELECT cohort, age, CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(rev, 6) AS period_revenue,
+       ROUND(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(cohort_size AS DOUBLE), 6) AS cum_revenue_per_user
+FROM j
 """
 
     o["events_attribution_decay"] = """

@@ -306,3 +306,56 @@ def multi_touch_attribution(events: DataFrame,
                  F.countDistinct("conv_id").cast("long")
                  .alias("n_conversions"),
                  F.round(F.sum("credit"), 6).alias("total_credit")))
+
+
+def cohort_ltv(events: DataFrame, period_ns: int,
+               user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """(cohort, age, cohort_size, period_revenue, cum_revenue_per_user):
+    cohort lifetime-value curve — the revenue companion to
+    ``cohort_retention``: users grouped by first-seen period, revenue
+    accumulated by cohort age, normalized per cohort member so curves
+    compare across cohort sizes (the 'has monetization improved for
+    newer cohorts' chart).
+
+    Ages with no revenue still appear (zero period_revenue, flat
+    cumulative) so every cohort's curve is dense from age 0 to the
+    observation edge — gaps would read as chart artifacts. Scale
+    shape: one per-user window min (first period), one
+    (cohort, age) aggregate, a cohort-sized dense spine
+    (sequence/explode over max observed age), one ordered cumulative
+    window over the TRIANGLE-sized frame (#cohorts x #ages, never
+    events)."""
+    # integer div, NOT floor(double division): nanos exceed 2^53 and
+    # the double path mis-buckets boundary timestamps (readers.py
+    # contract — ts is int64 nanos)
+    base = (events.select(F.col(user_col).alias("u"),
+                          F.expr(f"CAST({ts_col} AS BIGINT) "
+                                 f"div {int(period_ns)}").alias("p"),
+                          F.coalesce(F.col(value_col).cast("double"),
+                                     F.lit(0.0)).alias("v"))
+            .where(F.col("u").isNotNull()))
+    w_u = Window.partitionBy("u")
+    aged = base.withColumn("cohort", F.min("p").over(w_u)) \
+        .withColumn("age", (F.col("p") - F.col("cohort")).cast("long"))
+    rev = aged.groupBy("cohort", "age").agg(F.sum("v").alias("rev"))
+    size = (aged.select("cohort", "u").distinct()
+            .groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size")))
+    max_age = aged.agg(F.max(F.col("p")).alias("maxp"))
+    spine = (size.crossJoin(F.broadcast(max_age))
+             .select("cohort", "cohort_size",
+                     F.explode(F.sequence(
+                         F.lit(0).cast("long"),
+                         F.col("maxp") - F.col("cohort"))).alias("age")))
+    w_cum = (Window.partitionBy("cohort").orderBy("age")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = (spine.join(rev, ["cohort", "age"], "left")
+              .select("cohort", "age", "cohort_size",
+                      F.coalesce("rev", F.lit(0.0)).alias("rev")))
+    return (joined.select(
+        "cohort", "age",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round("rev", 6).alias("period_revenue"),
+        F.round(F.sum("rev").over(w_cum)
+                / F.col("cohort_size").cast("double"), 6)
+        .alias("cum_revenue_per_user")))

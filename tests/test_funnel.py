@@ -218,3 +218,24 @@ def test_multi_touch_window_excludes_stale(spark):
                                          half_life_ns=2,
                                          window_ns=10).collect()
     assert out == []  # the only touch is outside the lookback
+
+
+def test_cohort_ltv_planted(spark):
+    """Two cohorts (periods 0 and 1, day_ns=1 so ts ARE periods),
+    dense ages including a zero-revenue age, per-member
+    normalization. u1,u2 join at p0; u3 at p1. Revenue:
+    p0: u1=10; p1: u3=30; p2: u1=20.
+    Cohort0 (size 2): ages 0,1,2 -> rev 10,0,20 -> cum/user 5,5,15.
+    Cohort1 (size 1): ages 0,1 -> rev 30,0 -> cum/user 30,30."""
+    from recdb_postgresql_spark.operators import funnel
+
+    rows = [(1, 0, 10.0), (2, 0, 0.0), (3, 1, 30.0), (1, 2, 20.0)]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = {(r["cohort"], r["age"]):
+           (r["cohort_size"], r["period_revenue"],
+            r["cum_revenue_per_user"])
+           for r in funnel.cohort_ltv(ev, period_ns=1).collect()}
+    assert got == {
+        (0, 0): (2, 10.0, 5.0), (0, 1): (2, 0.0, 5.0),
+        (0, 2): (2, 20.0, 15.0),
+        (1, 0): (1, 30.0, 30.0), (1, 1): (1, 0.0, 30.0)}
