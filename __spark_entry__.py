@@ -765,6 +765,32 @@ FROM (
 ) lapsed
 GROUP BY cntrycode
 """,
+    # ABC / Pareto analysis: suppliers banded by cumulative revenue
+    # share (A < 80%, B < 95%, C tail) — the classic warehouse
+    # classification; ordered-window cumulative sums accumulate
+    # sequentially so the share is cross-engine bit-stable
+    "supplier_pareto": """
+WITH rev AS (
+  SELECT s.s_suppkey, s.s_name,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_suppkey, s.s_name
+),
+tot AS (SELECT SUM(revenue) AS total FROM rev),
+ranked AS (
+  SELECT r.s_suppkey, r.s_name, r.revenue,
+         SUM(r.revenue) OVER (ORDER BY r.revenue DESC, r.s_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / t.total AS cum_share
+  FROM rev r, tot t
+)
+SELECT s_suppkey, s_name, ROUND(revenue, 4) AS revenue,
+       ROUND(cum_share, 6) AS cum_share,
+       CASE WHEN cum_share < 0.8 THEN 'A'
+            WHEN cum_share < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
     # q2 adapted (no partsupp): cheapest observed unit price per part
     # from lineitem, groupwise-min via correlated subquery over a CTE.
     # Equality on best_price is safe cross-engine: the division is one
@@ -4158,7 +4184,7 @@ _DRIVER_PRIORITY = [
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
     "ann_dim_truncation_recall", "events_hw_forecast",
     "events_attribution_decay", "docs_source_overlap",
-    "events_cohort_ltv",
+    "events_cohort_ltv", "supplier_pareto",
     # round-9 TPC-H adapted battery (all oracle-checked)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",

@@ -152,7 +152,7 @@ HEADLINE = [
     "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
     "ann_dim_truncation_recall", "events_hw_forecast",
     "events_attribution_decay", "docs_source_overlap",
-    "events_cohort_ltv",
+    "events_cohort_ltv", "supplier_pareto",
     # round 9: TPC-H adapted battery (q1/q3/q5/q18 landed in r1)
     "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
