@@ -4168,6 +4168,15 @@ _DRIVER_PRIORITY = [
     #       driver row ages past ~3 rounds.
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
+    #
+    # r10 NOTE: this round's window (first ~50) carries the two
+    # re-proves, the five previously-never-sampled rows-only entries,
+    # and all 35 round-9 additions — after CORRECTNESS_r09 lands,
+    # every entry in it moves to the rotation pool. r10 should lead
+    # with its own new entries, then any r9 entry the r09 sample
+    # missed (positions 36-50 may be cut if the window is short),
+    # then resume the stalest-first rotation (next stalest after this
+    # round: the r5/r6-era events_* and dedup_* families).
 
     # (1) re-prove: oracle CAST fix (r8 hash-red, engine value-correct)
     "docs_pack_sequences",
