@@ -765,6 +765,82 @@ FROM (
 ) lapsed
 GROUP BY cntrycode
 """,
+    # q11 adapted (no partsupp): "important stock" = per-part shipped
+    # value from one region's suppliers, kept when above a fraction of
+    # the regional total (region instead of the original nation: the
+    # sf0.001 supplier table is 10 rows over 25 nations, so most
+    # nations are empty — regions are populated at every SF).  The lineitem-derived value table stands in
+    # for ps_supplycost*ps_availqty; the scalar threshold subquery is
+    # the same group-vs-global shape as the original.  The original's
+    # FRACTION scales as 0.0001/SF; the scale-free equivalent is a
+    # multiple of the MEAN per-part value (1.5x), non-degenerate at
+    # every SF.  Threshold compare runs on raw doubles — safe because
+    # a part landing within ulps of 1.5x the mean is measure-zero.
+    "q11_important_stock": """
+WITH natval AS (
+  SELECT l.l_partkey, SUM(l.l_extendedprice * l.l_quantity) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(value, 4) AS value
+FROM natval
+WHERE value > (SELECT 1.5 * SUM(value) / COUNT(*) FROM natval)
+ORDER BY value DESC, l_partkey
+""",
+    # q20 adapted (no partsupp/availqty): "excess availability" becomes
+    # supplier dominance — suppliers providing more than half of a
+    # part's 1996 shipped quantity (quantities are integral doubles, so
+    # the 2*qty > total compare is exact on both engines)
+    "q20_potential_promotion": """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_name, n.n_name AS supp_nation,
+       CAST(COUNT(*) AS BIGINT) AS dominant_parts
+FROM shipped sh
+JOIN tot t ON t.l_partkey = sh.l_partkey
+JOIN part p ON p.p_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE 2 * sh.qty > t.total_qty AND p.p_size >= 5
+GROUP BY s.s_name, n.n_name
+ORDER BY dominant_parts DESC, s_name
+""",
+    # q21 adapted (no commit/receipt dates): late = shipped >60 days
+    # after order date.  Suppliers from one region whose line was late
+    # on a finished multi-supplier order where NO other supplier was
+    # late — the double EXISTS/NOT EXISTS correlated pattern survives
+    # verbatim; Catalyst decorrelates both into semi/anti joins.
+    "q21_suppliers_waiting": """
+SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region rg ON rg.r_regionkey = n.n_regionkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND rg.r_name = 'EUROPE'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+""",
     # ABC / Pareto analysis: suppliers banded by cumulative revenue
     # share (A < 80%, B < 95%, C tail) — the classic warehouse
     # classification; ordered-window cumulative sums accumulate
@@ -4200,6 +4276,7 @@ _DRIVER_PRIORITY = [
     "q12_late_priority", "q13_customer_distribution", "q14_promo_effect",
     "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
     "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
+    "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
