@@ -4211,6 +4211,46 @@ def q_orders_skew_salted_join(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_lines")))
 
 
+def q_events_welch_ab(spark, sf_dir):
+    """A/B readout: Welch's unequal-variance t statistic of every
+    event_type's value against the 'view' baseline — one groupBy for
+    the moments, the baseline row broadcast back. The statistics are
+    algebraic, so everything collapses map-side; the fact scan is the
+    whole cost at any scale (operators/stats.welch_ttest)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.welch_ttest(ev, "event_type", "value", baseline="view")
+
+
+def q_events_chi_square(spark, sf_dir):
+    """Chi-square independence of event_type x day-of-week (+ Cramér's
+    V): observed table = one groupBy; expected counts come from the
+    FULL margin cross product (category-sized, broadcast) so
+    structurally-empty cells keep their expected mass. Weekday
+    derives from int64 nanos by pure integer arithmetic (epoch day
+    + 4 mod 7) — engine-portable, no timezone/locale dependence
+    (operators/stats.chi_square_independence)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("dow", ((F.expr(f"ts div {86400 * 10 ** 9}") + 4) % 7)
+                      .cast("int")))
+    return stats.chi_square_independence(ev, "event_type", "dow")
+
+
+def q_events_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of the value column:
+    digit extracts map-side (floor(a/10^floor(log10 a)) — both
+    engines return exact integers for log10 of exact powers of ten,
+    verified), one 9-group aggregate, long-format rows with each
+    digit's chi-square term (operators/stats.benford_first_digit)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.benford_first_digit(ev, "value")
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -4277,6 +4317,7 @@ _DRIVER_PRIORITY = [
     "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
     "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
     "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
+    "events_welch_ab", "events_chi_square", "events_benford",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4522,6 +4563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_frame_plan,
         "multimodal_resize_plan": q_resize_plan,
         "quantile_prices": q_quantile_prices,
+        # round-9 continuation: hypothesis-testing / audit family
+        "events_welch_ab": q_events_welch_ab,
+        "events_chi_square": q_events_chi_square,
+        "events_benford": q_events_benford,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8059,5 +8104,77 @@ SELECT a.c_custkey AS id1, b.c_custkey AS id2,
 FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
   AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+    # Welch t-test vs the 'view' baseline: VAR_SAMP is the same
+    # n-1-denominator statistic on both engines; t/df arithmetic runs
+    # over already-reduced scalars so 6/4-decimal rounding is stable.
+    o["events_welch_ab"] = """
+WITH m AS (
+  SELECT event_type, COUNT(value) AS n, AVG(value) AS mean,
+         VAR_SAMP(value) AS var
+  FROM events GROUP BY 1
+),
+b AS (SELECT n AS n_b, mean AS mean_b, var AS var_b
+      FROM m WHERE event_type = 'view')
+SELECT m.event_type, m.n, ROUND(m.mean, 6) AS mean,
+       ROUND(m.mean - b.mean_b, 6) AS mean_diff,
+       ROUND((m.mean - b.mean_b)
+             / SQRT(m.var / m.n + b.var_b / b.n_b), 6) AS t_stat,
+       ROUND(POWER(m.var / m.n + b.var_b / b.n_b, 2)
+             / (POWER(m.var / m.n, 2) / (m.n - 1)
+                + POWER(b.var_b / b.n_b, 2) / (b.n_b - 1)), 4)
+         AS welch_df
+FROM m CROSS JOIN b WHERE m.event_type <> 'view'
+"""
+    # chi-square independence event_type x weekday: weekday from int64
+    # nanos by integer arithmetic (epoch day + 4 mod 7) — identical on
+    # both engines; expected mass from the FULL margin cross product.
+    o["events_chi_square"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow
+  FROM events
+),
+obs AS (SELECT event_type, dow, CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM e GROUP BY 1, 2),
+rm AS (SELECT event_type, SUM(obs) AS row_tot FROM obs GROUP BY 1),
+cm AS (SELECT dow, SUM(obs) AS col_tot FROM obs GROUP BY 1),
+t AS (SELECT SUM(obs) AS n, COUNT(DISTINCT event_type) AS ra,
+             COUNT(DISTINCT dow) AS cb FROM obs),
+cells AS (
+  SELECT t.n, t.ra, t.cb,
+         COALESCE(o2.obs, 0) AS obs,
+         rm.row_tot * cm.col_tot / t.n AS exp
+  FROM rm CROSS JOIN cm CROSS JOIN t
+  LEFT JOIN obs o2 ON o2.event_type = rm.event_type AND o2.dow = cm.dow
+),
+agg AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST((ra - 1) * (cb - 1) AS BIGINT) AS dof,
+         SUM(POWER(obs - exp, 2) / exp) AS chi2,
+         n * LEAST(ra - 1, cb - 1) AS v_den
+  FROM cells GROUP BY n, ra, cb
+)
+SELECT n, dof, ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
+FROM agg
+"""
+    # Benford digit audit: both engines return exact integer log10 at
+    # exact powers of ten (verified), so the digit extraction agrees.
+    o["events_benford"] = """
+WITH d AS (
+  SELECT CAST(FLOOR(ABS(value) / POWER(10.0, FLOOR(LOG10(ABS(value)))))
+              AS INT) AS digit
+  FROM events WHERE ABS(value) > 0
+),
+counts AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n_obs
+           FROM d GROUP BY 1),
+t AS (SELECT SUM(n_obs) AS n FROM counts)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(n_obs / t.n, 6) AS obs_share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+       ROUND(t.n * POWER(n_obs / t.n - LOG10(1.0 + 1.0 / digit), 2)
+             / LOG10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM counts CROSS JOIN t ORDER BY digit
 """
     return o

@@ -1,0 +1,125 @@
+"""Hypothesis-testing / distribution-audit operators.
+
+The reference inherits PostgreSQL's aggregate surface (variance,
+stddev, corr — recathon adds nothing on top), and every experiment
+platform built on it immediately layers the same three primitives:
+a two-sample location test for A/B readouts, a contingency-table
+independence test for categorical association, and a digit-law audit
+for metric integrity. Each is ONE aggregation pass here — the
+statistics are algebraic (count / sum / sum-of-squares class), so
+they compute map-side-partial and meet in a handful of reduced rows;
+nothing in this module scales with anything but the number of
+groups/categories.
+
+Scale shape at 100 TB: the fact scan is the entire cost. Group
+moments (Welch), cell counts (chi-square), digit counts (Benford)
+all collapse map-side before the shuffle; the margin/baseline tables
+the finishers join against are category-sized and broadcast. No
+windows, no driver collection, no second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def welch_ttest(df: DataFrame, group_col: str, val_col: str,
+                baseline: str) -> DataFrame:
+    """Welch's unequal-variance t statistic of every group against
+    ``baseline`` (the A/B/n readout: control vs each treatment).
+
+    One groupBy computes (n, mean, var_samp) per group; the baseline's
+    single row broadcast-joins back onto the others. Returns one row
+    per non-baseline group: n, mean, mean_diff, t_stat and the
+    Welch–Satterthwaite degrees of freedom. ``var_samp`` is the
+    n-1-denominator sample variance on both engines, and the t/df
+    arithmetic is plain IEEE ops over already-reduced scalars, so the
+    result is oracle-stable under the suite's 6-decimal rounding.
+    """
+    moments = (df.groupBy(group_col)
+               .agg(F.count(val_col).alias("n"),
+                    F.avg(val_col).alias("mean"),
+                    F.var_samp(val_col).alias("var")))
+    base = (moments.filter(F.col(group_col) == baseline)
+            .select(F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+                    F.col("var").alias("var_b")))
+    se2 = F.col("var") / F.col("n") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean") - F.col("mean_b")) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        (F.col("var") / F.col("n")) ** 2 / (F.col("n") - 1)
+        + (F.col("var_b") / F.col("n_b")) ** 2 / (F.col("n_b") - 1))
+    return (moments.filter(F.col(group_col) != baseline)
+            .join(F.broadcast(base))
+            .select(group_col, "n",
+                    F.round("mean", 6).alias("mean"),
+                    F.round(F.col("mean") - F.col("mean_b"), 6)
+                     .alias("mean_diff"),
+                    F.round(t, 6).alias("t_stat"),
+                    F.round(wdf, 4).alias("welch_df")))
+
+
+def chi_square_independence(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size.
+
+    The observed table is one groupBy over the fact scan; margins
+    reduce from it (category-sized, broadcast). Expected counts come
+    from the FULL margin cross product left-joined to the observed
+    cells — structurally-empty cells still contribute their expected
+    mass, which the observed-cells-only shortcut silently drops.
+    Returns a single row: n, dof, chi2, cramers_v.
+    """
+    obs = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("double").alias("obs"))
+    row_m = obs.groupBy(col_a).agg(F.sum("obs").alias("row_tot"))
+    col_m = obs.groupBy(col_b).agg(F.sum("obs").alias("col_tot"))
+    total = obs.agg(F.sum("obs").alias("n"),
+                    F.count_distinct(col_a).cast("long").alias("ra"),
+                    F.count_distinct(col_b).cast("long").alias("cb"))
+    cells = (row_m.join(F.broadcast(col_m)).join(F.broadcast(total))
+             .join(F.broadcast(obs), [col_a, col_b], "left")
+             .withColumn("obs", F.coalesce("obs", F.lit(0.0)))
+             .withColumn("exp", F.col("row_tot") * F.col("col_tot")
+                         / F.col("n")))
+    term = (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")
+    return (cells.groupBy("n", "ra", "cb")
+            .agg(F.sum(term).alias("chi2"))
+            .select(F.col("n").cast("long").alias("n"),
+                    ((F.col("ra") - 1) * (F.col("cb") - 1)).alias("dof"),
+                    F.round("chi2", 6).alias("chi2"),
+                    F.round(F.sqrt(F.col("chi2") / (F.col("n") *
+                            F.least(F.col("ra") - 1, F.col("cb") - 1))), 6)
+                     .alias("cramers_v")))
+
+
+def benford_first_digit(df: DataFrame, val_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    standard metric-integrity audit (fabricated or clipped numeric
+    columns diverge from log10(1 + 1/d)).
+
+    The digit extracts map-side as floor(a / 10^floor(log10 a)) on
+    abs(value) > 0; one 9-group aggregate finishes. Returns one row
+    per digit 1..9: n_obs, obs_share, benford_share and the
+    chi-square term n·(obs−exp)²/exp — their sum is the test
+    statistic, left long-format so the oracle checks every digit.
+    floor(log10) is engine-stable away from exact powers of ten
+    (measure-zero for continuous metrics).
+    """
+    a = F.abs(F.col(val_col))
+    digit = F.floor(a / F.pow(F.lit(10.0), F.floor(F.log10(a))))
+    counts = (df.filter(a > 0)
+              .select(digit.cast("int").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("double").alias("n_obs")))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    benford = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    obs_share = F.col("n_obs") / F.col("n")
+    chi_term = (F.col("n") * (obs_share - benford) ** 2 / benford)
+    return (counts.join(F.broadcast(tot))
+            .select("digit", F.col("n_obs").cast("long").alias("n_obs"),
+                    F.round(obs_share, 6).alias("obs_share"),
+                    F.round(benford, 6).alias("benford_share"),
+                    F.round(chi_term, 6).alias("chi2_term"))
+            .orderBy("digit"))

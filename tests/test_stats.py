@@ -1,0 +1,102 @@
+"""Hypothesis-testing operators (operators/stats.py): hand-computed
+parity for Welch's t, chi-square independence (incl. the empty-cell
+expected mass), and the Benford digit audit."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import stats
+
+
+def _welch_manual(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, df
+
+
+def test_welch_matches_manual(spark):
+    treat = [12.1, 14.3, 11.8, 15.2, 13.9, 12.7]
+    ctrl = [10.2, 11.1, 9.8, 10.9]
+    rows = [("t", v) for v in treat] + [("c", v) for v in ctrl]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = stats.welch_ttest(df, "grp", "v", baseline="c").collect()
+    assert len(out) == 1
+    r = out[0]
+    t, wdf = _welch_manual(treat, ctrl)
+    assert r["n"] == 6
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(r["welch_df"] - round(wdf, 4)) < 1e-9
+    assert abs(r["mean_diff"] - round(sum(treat) / 6 - sum(ctrl) / 4, 6)) < 1e-9
+
+
+def test_welch_multiple_groups(spark):
+    rows = ([("a", float(i)) for i in range(1, 6)]
+            + [("b", float(2 * i)) for i in range(1, 6)]
+            + [("base", float(i + 1)) for i in range(1, 6)])
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {r["grp"]: r for r in
+           stats.welch_ttest(df, "grp", "v", baseline="base").collect()}
+    assert set(out) == {"a", "b"}
+    # identical spread, mean shifted by exactly -1 => negative t for a
+    assert out["a"]["t_stat"] < 0 < out["b"]["t_stat"]
+
+
+def test_chi_square_independent_uniform(spark):
+    # perfectly independent 2x2 with equal counts -> chi2 == 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = stats.chi_square_independence(df, "a", "b").collect()[0]
+    assert r["n"] == 40 and r["dof"] == 1
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_chi_square_empty_cell_mass(spark):
+    # ('y','v') never occurs: the expected mass of that cell MUST
+    # still contribute. Manual: obs = {xu:10, xv:10, yu:10, yv:0}
+    rows = ([("x", "u")] * 10 + [("x", "v")] * 10 + [("y", "u")] * 10)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = stats.chi_square_independence(df, "a", "b").collect()[0]
+    n = 30.0
+    exp = {("x", "u"): 20 * 20 / n, ("x", "v"): 20 * 10 / n,
+           ("y", "u"): 10 * 20 / n, ("y", "v"): 10 * 10 / n}
+    obs = {("x", "u"): 10, ("x", "v"): 10, ("y", "u"): 10, ("y", "v"): 0}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+    assert abs(r["chi2"] - round(chi2, 6)) < 1e-9
+    assert abs(r["cramers_v"] - round(math.sqrt(chi2 / (n * 1)), 6)) < 1e-9
+
+
+def test_benford_digits_and_terms(spark):
+    # constructed sample: digit of 23.5 is 2, of 0.071 is 7, of 1000
+    # (exact power of ten) is 1, of -450 is 4; zeros drop
+    vals = [23.5, 0.071, 1000.0, -450.0, 0.0, 1.0, 99.9]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r["digit"]: r for r in
+           stats.benford_first_digit(df, "v").collect()}
+    assert set(out) == {1, 2, 4, 7, 9}
+    assert out[1]["n_obs"] == 2           # 1000.0 and 1.0
+    n = 6.0
+    for d, r in out.items():
+        bs = math.log10(1 + 1 / d)
+        assert abs(r["benford_share"] - round(bs, 6)) < 1e-9
+        share = r["n_obs"] / n
+        assert abs(r["obs_share"] - round(share, 6)) < 1e-9
+        assert abs(r["chi2_term"]
+                   - round(n * (share - bs) ** 2 / bs, 6)) < 1e-6
+
+
+def test_stats_plans_broadcast_no_sortmerge(spark):
+    """The finishing joins are against category-sized relations: the
+    physical plans must broadcast them, never sort-merge."""
+    rows = [("g%d" % (i % 3), float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    for out in (stats.welch_ttest(df, "grp", "v", baseline="g0"),
+                stats.chi_square_independence(df, "grp", "grp"),
+                stats.benford_first_digit(df, "v")):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
