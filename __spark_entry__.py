@@ -4239,6 +4239,28 @@ def q_events_chi_square(spark, sf_dir):
     return stats.chi_square_independence(ev, "event_type", "dow")
 
 
+def q_events_hll_users(spark, sf_dir):
+    """Explicit HyperLogLog distinct-user sketch (64 registers,
+    portable md5): the register table is <= m rows of (idx, max rho)
+    — persistable per shard/day and MAX-mergeable, unlike the sketch
+    buried inside approx_count_distinct. Output joins the estimate
+    against the exact count so the oracle checks registers, estimate
+    AND the achieved relative error (functions/sketch.hll_build /
+    hll_estimate)."""
+    from recdb_postgresql_spark.functions import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = sketch.hll_build(ev, "user_id", b=6)
+    est = sketch.hll_estimate(sk, b=6)
+    exact = ev.where(F.col("user_id").isNotNull()) \
+        .select(F.count_distinct("user_id").alias("exact_distinct"))
+    return (est.join(F.broadcast(exact))
+            .select("m", "v_zero", "est_distinct", "exact_distinct",
+                    F.round(F.col("est_distinct")
+                            / F.col("exact_distinct") - 1, 6)
+                     .alias("rel_err")))
+
+
 def q_events_benford(spark, sf_dir):
     """Benford first-significant-digit audit of the value column:
     digit extracts map-side (floor(a/10^floor(log10 a)) — both
@@ -4318,6 +4340,7 @@ _DRIVER_PRIORITY = [
     "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
     "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
     "events_welch_ab", "events_chi_square", "events_benford",
+    "events_hll_users",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4567,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_welch_ab": q_events_welch_ab,
         "events_chi_square": q_events_chi_square,
         "events_benford": q_events_benford,
+        "events_hll_users": q_events_hll_users,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8158,6 +8182,43 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # Explicit HLL: the register computation (md5 top-6-bit index,
+    # bin()-length rho — identical string semantics both engines) and
+    # the estimate with linear-counting small-range branch reproduce
+    # bit-for-bit; 2^54 = 18014398509481984.
+    o["events_hll_users"] = """
+WITH h AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT h >> 54 AS idx,
+         MAX(CASE WHEN h % 18014398509481984 > 0
+                  THEN 55 - length(bin(h % 18014398509481984))
+                  ELSE 55 END) AS rho
+  FROM h GROUP BY 1
+),
+spine AS (SELECT range AS idx FROM range(64)),
+a AS (
+  SELECT SUM(POWER(2.0, -COALESCE(r.rho, 0))) AS z,
+         COUNT(*) FILTER (WHERE r.rho IS NULL) AS v_zero
+  FROM spine s LEFT JOIN reg r ON r.idx = s.idx
+),
+est AS (
+  SELECT CAST(a.v_zero AS BIGINT) AS v_zero,
+         ROUND(CASE WHEN 0.709 * 64 * 64 / a.z <= 2.5 * 64
+                         AND a.v_zero > 0
+                    THEN 64.0 * LN(64.0 / a.v_zero)
+                    ELSE 0.709 * 64 * 64 / a.z END, 4) AS est_distinct
+  FROM a
+),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct
+       FROM events WHERE user_id IS NOT NULL)
+SELECT 64 AS m, est.v_zero, est.est_distinct, ex.exact_distinct,
+       ROUND(est.est_distinct / ex.exact_distinct - 1, 6) AS rel_err
+FROM est CROSS JOIN ex
 """
     # Benford digit audit: both engines return exact integer log10 at
     # exact powers of ten (verified), so the digit extraction agrees.

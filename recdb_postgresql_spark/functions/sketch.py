@@ -66,3 +66,84 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str,
     joined = probes.join(F.broadcast(cms), ["j", "bucket"], "left")
     return (joined.groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog as plain DataFrame state
+# ----------------------------------------------------------------------
+# Spark's approx_count_distinct runs HLL++ internally but the sketch
+# itself never surfaces — it cannot be persisted per-shard, merged
+# across days, or diffed. This is the EXPLICIT register table
+# (Flajolet et al. 2007): <= m rows of (idx, rho_max), mergeable by
+# MAX, estimable from the registers alone. Same portable-md5 contract
+# as the CMS above, so a DuckDB oracle reproduces the registers AND
+# the estimate bit-for-bit. The 60-bit hash leaves no realistic
+# large-range correction regime (2^60 >> any corpus), so only the
+# small-range linear-counting correction applies.
+
+_HLL_HASH_BITS = 60
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_build(df: DataFrame, col: str, b: int = 6,
+              hash_fn=md5_long) -> DataFrame:
+    """(idx, rho): the 2^b-register HLL sketch of ``col``'s distinct
+    values. idx = top b bits of the 60-bit hash, rho = 1 + leading
+    zeros of the remaining bits (bit length via bin() — identical
+    string semantics on both engines, no float log2). ONE map-side
+    combined MAX aggregate; output is <= 2^b rows regardless of
+    input size."""
+    rest = _HLL_HASH_BITS - b
+    h = hash_fn(F.col(col).cast("string"))
+    # shiftright, not float division: h spans 60 bits, past double's
+    # 53-bit mantissa
+    idx = F.shiftright(h, rest)
+    w = h % F.lit(1 << rest)
+    rho = (F.when(w > 0, F.lit(rest + 1) - F.length(F.bin(w)))
+           .otherwise(F.lit(rest + 1)))
+    return (df.where(F.col(col).isNotNull())
+            .select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """The sketch of the union: registers merge by MAX. Same (b,
+    hash_fn) required — they are the sketch's identity."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, b: int = 6) -> DataFrame:
+    """One row (m, v_zero, est_distinct) from the register table:
+    E = alpha_m * m^2 / sum(2^-M_j) over ALL m registers (absent rows
+    are zero registers contributing 2^0), with the linear-counting
+    small-range correction m*ln(m/V) when E <= 2.5m and V > 0. The
+    register spine is a sequence literal — the sketch never leaves
+    the category-size class."""
+    m = 1 << b
+    spark = sketch.sparkSession
+    spine = spark.range(m).select(F.col("id").alias("idx"))
+    joined = spine.join(F.broadcast(sketch), "idx", "left")
+    agg = joined.agg(
+        F.sum(F.pow(F.lit(2.0), -F.coalesce(F.col("rho"), F.lit(0))))
+         .alias("z"),
+        F.count(F.when(F.col("rho").isNull(), 1)).alias("v_zero"))
+    e_raw = F.lit(_hll_alpha(m) * m * m) / F.col("z")
+    est = (F.when((e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m))
+                                          / F.col("v_zero")))
+           .otherwise(e_raw))
+    return agg.select(F.lit(m).alias("m"),
+                      F.col("v_zero").cast("long").alias("v_zero"),
+                      F.round(est, 4).alias("est_distinct"))

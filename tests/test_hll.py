@@ -1,0 +1,73 @@
+"""Explicit HyperLogLog sketch (functions/sketch.py): register parity
+with a Python md5 mirror, the MAX merge law, estimate accuracy, and
+the small-range linear-counting branch."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.functions import sketch
+
+
+def _py_registers(values, b=6):
+    regs = {}
+    rest = 60 - b
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx = h >> rest
+        w = h % (1 << rest)
+        rho = (rest + 1) - w.bit_length() if w > 0 else rest + 1
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_mirror(spark):
+    vals = list(range(200))
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    got = {r["idx"]: r["rho"]
+           for r in sketch.hll_build(df, "k", b=6).collect()}
+    assert got == _py_registers(vals)
+
+
+def test_hll_merge_law(spark):
+    a = spark.createDataFrame([(v,) for v in range(500)], ["k"])
+    b = spark.createDataFrame([(v,) for v in range(300, 900)], ["k"])
+    u = a.unionByName(b)
+    merged = sketch.hll_merge(sketch.hll_build(a, "k"),
+                              sketch.hll_build(b, "k"))
+    direct = sketch.hll_build(u, "k")
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, direct.collect()))
+    # and the merged ESTIMATE equals the union's estimate
+    em = sketch.hll_estimate(merged).collect()[0]
+    ed = sketch.hll_estimate(direct).collect()[0]
+    assert em["est_distinct"] == ed["est_distinct"]
+
+
+def test_hll_estimate_accuracy(spark):
+    # 64 registers -> relative std error ~1.04/sqrt(64) = 13%; 5000
+    # distinct keys must land within 4 sigma
+    n = 5000
+    df = spark.createDataFrame([(f"key_{v}",) for v in range(n)], ["k"])
+    est = sketch.hll_estimate(sketch.hll_build(df, "k")).collect()[0]
+    assert abs(est["est_distinct"] / n - 1) < 0.52
+    assert est["v_zero"] == 0
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 5 distinct over 64 registers -> the m*ln(m/V) branch, which is
+    # near-exact at tiny cardinalities (and deterministic given md5)
+    df = spark.createDataFrame([(v % 5,) for v in range(50)], ["k"])
+    est = sketch.hll_estimate(sketch.hll_build(df, "k")).collect()[0]
+    regs = _py_registers(list(range(5)))
+    v = 64 - len(regs)
+    assert est["v_zero"] == v
+    assert est["est_distinct"] == round(64.0 * math.log(64.0 / v), 4)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = spark.createDataFrame([(v,) for v in range(100)], ["k"])
+    thrice = once.unionByName(once).unionByName(once)
+    assert sorted(map(tuple, sketch.hll_build(once, "k").collect())) \
+        == sorted(map(tuple, sketch.hll_build(thrice, "k").collect()))
