@@ -4239,6 +4239,60 @@ def q_events_chi_square(spark, sf_dir):
     return stats.chi_square_independence(ev, "event_type", "dow")
 
 
+def _transition_edges(spark, sf_dir):
+    """Directed item->item transition graph from each user's
+    time-ordered event stream (the rec_markov_next derivation):
+    (prev, item, n) with self-transitions dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("int")
+    d = (ev.select("user_id", item.alias("item"), "ts", "event_id")
+         .where(F.col("item").isNotNull()))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (d.withColumn("prev", F.lag("item").over(w))
+            .where(F.col("prev").isNotNull()
+                   & (F.col("prev") != F.col("item")))
+            .groupBy("prev", "item").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_graph_hits(spark, sf_dir):
+    """Kleinberg HITS over the directed item-transition graph: hub
+    items lead into many authoritative items, authorities are common
+    destinations — the directed-centrality companion to PageRank.
+    6 fixed power-iteration rounds (a' = A^T h then h' = A a', L1
+    normalized each step), checkpointed static edges, (node, double)
+    shuffles only; fully oracle-checked via unrolled CTE rounds
+    (operators/graph.hits)."""
+    from recdb_postgresql_spark.operators import graph as graph_ops
+
+    tr = _transition_edges(spark, sf_dir)
+    edges = tr.select(F.col("prev").alias("id1"),
+                      F.col("item").alias("id2"))
+    return (graph_ops.hits(edges, iterations=6)
+            .withColumnRenamed("id", "item"))
+
+
+def q_graph_sssp(spark, sf_dir):
+    """Weighted shortest paths (<=6 edges) from the low-id seed items
+    over the transition graph, edge length 1/n_transitions (frequent
+    transitions are short) — 6 Bellman-Ford relaxation rounds, MIN
+    aggregate per round. MIN is order-independent and every candidate
+    distance is the same IEEE addition chain on both engines, so the
+    oracle match is bit-exact, not just round-stable
+    (operators/graph.sssp)."""
+    from recdb_postgresql_spark.operators import graph as graph_ops
+
+    tr = _transition_edges(spark, sf_dir)
+    edges = tr.select(F.col("prev").alias("id1"),
+                      F.col("item").alias("id2"),
+                      (F.lit(1.0) / F.col("n")).alias("w"))
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("int")
+    sources = (ev.select(item.alias("id"))
+               .where(item.isNotNull() & (item < 5)).distinct())
+    return (graph_ops.sssp(edges, sources, rounds=6)
+            .withColumnRenamed("id", "item"))
+
+
 def q_events_hll_users(spark, sf_dir):
     """Explicit HyperLogLog distinct-user sketch (64 registers,
     portable md5): the register table is <= m rows of (idx, max rho)
@@ -4340,7 +4394,7 @@ _DRIVER_PRIORITY = [
     "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
     "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
     "events_welch_ab", "events_chi_square", "events_benford",
-    "events_hll_users",
+    "events_hll_users", "graph_hits", "graph_sssp",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4591,6 +4645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi_square": q_events_chi_square,
         "events_benford": q_events_benford,
         "events_hll_users": q_events_hll_users,
+        "graph_hits": q_graph_hits,
+        "graph_sssp": q_graph_sssp,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7245,7 +7301,7 @@ WITH d AS (
   FROM events
   WHERE json_extract_string(props, 'k') IS NOT NULL
 ),
-tr AS (
+tr AS MATERIALIZED (
   SELECT LAG(item) OVER (PARTITION BY user_id
                          ORDER BY tsn, event_id) AS prev,
          item
@@ -8183,6 +8239,81 @@ SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
 """
+    # HITS: 6 unrolled power-iteration rounds over the transition
+    # graph, exact update-order mirror of graph.hits (a' from h, L1
+    # normalize, h' from NORMALIZED a', L1 normalize).
+    _hits_edges = """
+WITH d AS MATERIALIZED (
+  SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
+         epoch_ns(ts) AS tsn, event_id
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+),
+tr AS MATERIALIZED (
+  SELECT LAG(item) OVER (PARTITION BY user_id
+                         ORDER BY tsn, event_id) AS prev, item
+  FROM d
+),
+e AS MATERIALIZED (
+  SELECT prev AS u, item AS v FROM tr
+  WHERE prev IS NOT NULL AND prev <> item GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT u AS id FROM e UNION SELECT v FROM e),
+h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM nodes)"""
+    _hits_round = """,
+ain{k} AS MATERIALIZED (SELECT e.v AS id, SUM(h.h) AS a FROM e
+           JOIN h{p} h ON h.id = e.u GROUP BY e.v),
+a{k} AS MATERIALIZED (SELECT n.id, COALESCE(s.a, 0.0) AS a FROM nodes n
+         LEFT JOIN ain{k} s ON s.id = n.id),
+an{k} AS MATERIALIZED (SELECT id, a / (SELECT SUM(a) FROM a{k}) AS a FROM a{k}),
+hout{k} AS MATERIALIZED (SELECT e.u AS id, SUM(an.a) AS h FROM e
+            JOIN an{k} an ON an.id = e.v GROUP BY e.u),
+hh{k} AS MATERIALIZED (SELECT n.id, COALESCE(s.h, 0.0) AS h FROM nodes n
+          LEFT JOIN hout{k} s ON s.id = n.id),
+h{k} AS MATERIALIZED (SELECT id, h / (SELECT SUM(h) FROM hh{k}) AS h FROM hh{k})"""
+    o["graph_hits"] = (
+        _hits_edges
+        + "".join(_hits_round.format(k=k, p=k - 1) for k in range(1, 7))
+        + "\nSELECT n.id AS item, ROUND(a.a, 6) AS authority,"
+          " ROUND(h.h, 6) AS hub"
+          "\nFROM nodes n JOIN an6 a ON a.id = n.id"
+          " JOIN h6 h ON h.id = n.id"
+    )
+
+    # Bellman-Ford: 6 unrolled relaxation rounds; MIN is
+    # order-independent and the addition chains are identical IEEE
+    # ops, so this oracle matches bit-exact.
+    _sssp_head = """
+WITH d AS MATERIALIZED (
+  SELECT user_id, CAST(json_extract_string(props, 'k') AS INT) AS item,
+         epoch_ns(ts) AS tsn, event_id
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+),
+tr AS MATERIALIZED (
+  SELECT LAG(item) OVER (PARTITION BY user_id
+                         ORDER BY tsn, event_id) AS prev, item
+  FROM d
+),
+e AS MATERIALIZED (
+  SELECT prev AS u, item AS v, 1.0 / COUNT(*) AS w FROM tr
+  WHERE prev IS NOT NULL AND prev <> item GROUP BY 1, 2
+),
+d0 AS MATERIALIZED (SELECT DISTINCT item AS id, 0.0 AS dist FROM d WHERE item < 5)"""
+    _sssp_round = """,
+d{k} AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{p}
+    UNION ALL
+    SELECT e.v AS id, dd.dist + e.w AS dist
+    FROM d{p} dd JOIN e ON e.u = dd.id
+  ) GROUP BY id)"""
+    o["graph_sssp"] = (
+        _sssp_head
+        + "".join(_sssp_round.format(k=k, p=k - 1) for k in range(1, 7))
+        + "\nSELECT id AS item, ROUND(dist, 6) AS dist FROM d6"
+    )
+
     # Explicit HLL: the register computation (md5 top-6-bit index,
     # bin()-length rho — identical string semantics both engines) and
     # the estimate with linear-counting small-range branch reproduce

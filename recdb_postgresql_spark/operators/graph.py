@@ -260,3 +260,91 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
                               .alias("label")))
         labels = labels.localCheckpoint(eager=False)
     return labels.select("id", F.col("label").alias("community"))
+
+
+def hits(edges: DataFrame, iterations: int = 6,
+         src: str = "id1", dst: str = "id2") -> DataFrame:
+    """(id, authority, hub): Kleinberg HITS by fixed-iteration power
+    iteration over a DIRECTED edge list (u -> v endorses v).
+
+    Update order is the standard one and is part of the contract the
+    oracle mirrors: a' = A^T h (sum of hub scores over in-edges),
+    L1-normalize; h' = A a' over out-edges from the NORMALIZED
+    authorities, L1-normalize. Nodes with no in-edges hold authority
+    0 (resp. hub 0 without out-edges) — they stay in the output.
+
+    Scale shape: identical to ``pagerank`` — the deduped edge list is
+    checkpointed once and only (node, double) score rows shuffle per
+    round; the L1 total is a one-row aggregate broadcast back
+    (never a window over all nodes). Fixed iteration count keeps the
+    result deterministic and oracle-expressible as unrolled SQL;
+    float drift under 6-decimal rounding is ~1e-13.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    hub = nodes.select("id", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(int(iterations)):
+        a_in = (e.join(hub.withColumnRenamed("id", "u"), "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.sum("h").alias("a")))
+        auth = (nodes.join(a_in, "id", "left")
+                .select("id", F.coalesce("a", F.lit(0.0)).alias("a")))
+        tot_a = auth.agg(F.sum("a").alias("ta"))
+        auth = (auth.join(F.broadcast(tot_a))
+                .select("id", (F.col("a") / F.col("ta")).alias("a"))
+                .localCheckpoint(eager=False))
+        h_out = (e.join(auth.withColumnRenamed("id", "v"), "v")
+                 .groupBy(F.col("u").alias("id"))
+                 .agg(F.sum("a").alias("h")))
+        hub = (nodes.join(h_out, "id", "left")
+               .select("id", F.coalesce("h", F.lit(0.0)).alias("h")))
+        tot_h = hub.agg(F.sum("h").alias("th"))
+        hub = (hub.join(F.broadcast(tot_h))
+               .select("id", (F.col("h") / F.col("th")).alias("h"))
+               .localCheckpoint(eager=False))
+    return (nodes.join(auth, "id").join(hub, "id")
+            .select("id", F.round("a", 6).alias("authority"),
+                    F.round("h", 6).alias("hub")))
+
+
+def sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
+         src: str = "id1", dst: str = "id2", weight: str = "w",
+         source_col: str = "id", directed: bool = True) -> DataFrame:
+    """(id, dist): single-source (or multi-source) shortest WEIGHTED
+    path lengths by ``rounds`` Bellman-Ford relaxation rounds — the
+    weighted companion to ``bfs_distances`` (paths of at most
+    ``rounds`` edges; weights must be non-negative for the truncation
+    to be monotone).
+
+    Per round every settled node relaxes its out-edges and each node
+    keeps the MIN of its candidates — one join keyed on the source
+    node + one MIN aggregate; only (node, double) rows shuffle, the
+    checkpointed edge list never moves. MIN is order-independent and
+    each candidate distance is the same IEEE addition chain on both
+    engines, so results are BIT-exact against the unrolled-CTE
+    oracle, unlike sum-based scores."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("double").alias("w"))
+         .where(F.col("u") != F.col("v"))
+         .groupBy("u", "v").agg(F.min("w").alias("w")))
+    if not directed:
+        e = (e.unionByName(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v"), "w"))
+             .groupBy("u", "v").agg(F.min("w").alias("w")))
+    e = e.localCheckpoint(eager=True)
+    dist = (sources.select(F.col(source_col).alias("id")).distinct()
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint(eager=True))
+    for _ in range(int(rounds)):
+        relaxed = (e.join(dist.withColumnRenamed("id", "u"), "u")
+                   .select(F.col("v").alias("id"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("id").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist.select("id", F.round("dist", 6).alias("dist"))

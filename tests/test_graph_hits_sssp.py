@@ -1,0 +1,76 @@
+"""HITS and weighted Bellman-Ford SSSP (operators/graph.py):
+hand-built graphs with known fixed points / shortest paths."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import graph
+
+
+def _edges(spark, pairs, weights=None):
+    if weights is None:
+        return spark.createDataFrame(pairs, ["id1", "id2"])
+    rows = [(u, v, w) for (u, v), w in zip(pairs, weights)]
+    return spark.createDataFrame(rows, ["id1", "id2", "w"])
+
+
+def test_hits_star_authority(spark):
+    # 1..4 all point at 5: node 5 is the only authority, 1..4 are
+    # equal hubs, and the L1 norms are 1
+    e = _edges(spark, [(1, 5), (2, 5), (3, 5), (4, 5)])
+    out = {r["id"]: r for r in graph.hits(e, iterations=4).collect()}
+    assert out[5]["authority"] == pytest.approx(1.0)
+    assert out[5]["hub"] == 0.0
+    for n in (1, 2, 3, 4):
+        assert out[n]["authority"] == 0.0
+        assert out[n]["hub"] == pytest.approx(0.25)
+    assert sum(r["authority"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r["hub"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_hits_chain_vs_manual(spark):
+    # 1->2->3 plus 1->3: manual two-iteration fixed point check that
+    # node 3 (two in-edges, one from the strong hub 1) out-ranks 2
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    out = {r["id"]: r for r in graph.hits(e, iterations=6).collect()}
+    assert out[3]["authority"] > out[2]["authority"] > out[1]["authority"]
+    assert out[1]["hub"] > out[2]["hub"] > out[3]["hub"]
+
+
+def test_sssp_picks_cheaper_two_hop(spark):
+    # direct edge 1->3 costs 10; the 1->2->3 detour costs 3
+    e = _edges(spark, [(1, 3), (1, 2), (2, 3)], [10.0, 1.0, 2.0])
+    src = spark.createDataFrame([(1,)], ["id"])
+    out = {r["id"]: r["dist"] for r in graph.sssp(e, src, rounds=4).collect()}
+    assert out == {1: 0.0, 2: 1.0, 3: 3.0}
+
+
+def test_sssp_round_truncation(spark):
+    # a 4-edge chain: with rounds=2 only two hops are reachable
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)],
+               [1.0, 1.0, 1.0, 1.0])
+    src = spark.createDataFrame([(1,)], ["id"])
+    out = {r["id"]: r["dist"] for r in graph.sssp(e, src, rounds=2).collect()}
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_sssp_multi_source_and_undirected(spark):
+    e = _edges(spark, [(1, 2), (4, 3)], [5.0, 1.0])
+    src = spark.createDataFrame([(2,), (3,)], ["id"])
+    out = {r["id"]: r["dist"] for r in
+           graph.sssp(e, src, rounds=3, directed=False).collect()}
+    # undirected: 1 reachable from 2 (w=5), 4 from 3 (w=1)
+    assert out == {2: 0.0, 3: 0.0, 1: 5.0, 4: 1.0}
+    # directed: neither 1 nor 4 is reachable (edges point INTO the sources)
+    out_d = {r["id"]: r["dist"] for r in
+             graph.sssp(e, src, rounds=3, directed=True).collect()}
+    assert out_d == {2: 0.0, 3: 0.0}
+
+
+def test_sssp_parallel_edges_keep_min(spark):
+    # duplicate (1,2) edges with different weights: the lighter wins
+    e = _edges(spark, [(1, 2), (1, 2)], [7.0, 3.0])
+    src = spark.createDataFrame([(1,)], ["id"])
+    out = {r["id"]: r["dist"] for r in graph.sssp(e, src, rounds=1).collect()}
+    assert out == {1: 0.0, 2: 3.0}
