@@ -4239,6 +4239,25 @@ def q_events_chi_square(spark, sf_dir):
     return stats.chi_square_independence(ev, "event_type", "dow")
 
 
+def q_docs_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (vowel-group syllable heuristic, min 1/word): entirely map-side —
+    one regexp token pass + a higher-order aggregate over the token
+    array, no UDF, zero shuffle (operators/text.readability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.readability(docs)
+
+
+def q_docs_keyness(spark, sf_dir):
+    """Dunning G2 keyness: top-10 terms per source vs the rest of the
+    corpus (what vocabulary makes this subcorpus different) — the
+    between-subcorpora companion to BM25/tf-idf. Two-level token
+    aggregate, vocab-sized term-total join, broadcast group totals,
+    bounded top-k window (operators/text.keyness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.keyness(docs, group_col="source", k=10, min_count=5)
+
+
 def _transition_edges(spark, sf_dir):
     """Directed item->item transition graph from each user's
     time-ordered event stream (the rec_markov_next derivation):
@@ -4395,6 +4414,7 @@ _DRIVER_PRIORITY = [
     "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
     "events_welch_ab", "events_chi_square", "events_benford",
     "events_hll_users", "graph_hits", "graph_sssp",
+    "docs_readability", "docs_keyness",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4647,6 +4667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users": q_events_hll_users,
         "graph_hits": q_graph_hits,
         "graph_sssp": q_graph_sssp,
+        "docs_readability": q_docs_readability,
+        "docs_keyness": q_docs_keyness,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8238,6 +8260,71 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # readability: same regex passes; syllables via
+    # list_transform/list_sum (DuckDB's higher-order twin of Spark's
+    # aggregate lambda); list_sum widens, so counts cast back to INT.
+    o["docs_readability"] = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+', 0) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1)
+           AS n_sent
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(words) AS n_words, n_sent,
+         list_sum(list_transform(words,
+           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+', 0)), 1)))
+           AS syl
+  FROM t WHERE len(words) > 0
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_sent AS INT) AS n_sentences,
+       CAST(syl AS INT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (n_words / n_sent)
+             - 84.6 * (syl / n_words), 4) AS flesch,
+       ROUND(0.39 * (n_words / n_sent)
+             + 11.8 * (syl / n_words) - 15.59, 4) AS fk_grade
+FROM s
+"""
+    # Dunning G2 keyness: integer counts keep every division exact on
+    # both engines; g2 is rounded BEFORE the top-k ordering so ties
+    # resolve identically.
+    o["docs_keyness"] = """
+WITH toks AS (
+  SELECT source AS grp,
+         UNNEST(regexp_extract_all(lower(text),
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS term
+  FROM documents
+),
+gt AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
+       FROM toks GROUP BY 1, 2),
+tt AS (SELECT term, SUM(a) AS t_tot FROM gt GROUP BY 1),
+gtot AS (SELECT grp, SUM(a) AS g_tot FROM gt GROUP BY 1),
+n AS (SELECT SUM(a) AS n FROM gt),
+scored AS (
+  SELECT gt.grp AS source, gt.term, gt.a AS n_group,
+         CAST(tt.t_tot - gt.a AS BIGINT) AS n_rest,
+         ROUND(2.0 * (
+           CASE WHEN gt.a > 0
+                THEN gt.a * LN(gt.a / (tt.t_tot * gtot.g_tot / n.n))
+                ELSE 0.0 END
+           + CASE WHEN tt.t_tot - gt.a > 0
+                  THEN (tt.t_tot - gt.a)
+                       * LN((tt.t_tot - gt.a)
+                            / (tt.t_tot * (n.n - gtot.g_tot) / n.n))
+                  ELSE 0.0 END), 6) AS g2,
+         gt.a > tt.t_tot * gtot.g_tot / n.n AS overused
+  FROM gt
+  JOIN tt ON tt.term = gt.term
+  JOIN gtot ON gtot.grp = gt.grp
+  CROSS JOIN n
+  WHERE gt.a >= 5
+)
+SELECT source, term, n_group, n_rest, g2, overused FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY g2 DESC, term) <= 10
 """
     # HITS: 6 unrolled power-iteration rounds over the transition
     # graph, exact update-order mirror of graph.hits (a' from h, L1

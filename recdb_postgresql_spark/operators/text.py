@@ -1656,3 +1656,94 @@ def spans_against_index(docs: DataFrame, spark, table: str,
             .where(F.col("span_words") >= min_span)
             .select("new_id", "idx_id", "start_new", "start_idx",
                     "span_words"))
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch, fk_grade):
+    Flesch reading ease + Flesch-Kincaid grade with the standard
+    vowel-group syllable heuristic (each [aeiouy]+ run is a syllable,
+    minimum one per word) — the document-complexity feature a quality
+    stack ranks alongside the C4/Gopher flags.
+
+    Entirely map-side: letter tokens by one regexp_extract_all,
+    syllables by a higher-order ``aggregate`` over the token array
+    (JVM codegen, no UDF), sentences as terminal-punctuation runs
+    (minimum one). Zero shuffle, and every expression has an exact
+    DuckDB twin (list_transform/list_sum), so the scores are
+    oracle-checkable."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z]+"), 0)
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1))
+    syl = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1)))
+    wps = n_words / n_sent.cast("double")
+    spw = syl / n_words.cast("double")
+    return (docs.select(F.col(id_col), n_words.alias("n_words"),
+                        n_sent.alias("n_sentences"),
+                        syl.alias("n_syllables"),
+                        wps.alias("_wps"), spw.alias("_spw"))
+            .where(F.col("n_words") > 0)
+            .select(id_col, "n_words", "n_sentences", "n_syllables",
+                    F.round(206.835 - 1.015 * F.col("_wps")
+                            - 84.6 * F.col("_spw"), 4).alias("flesch"),
+                    F.round(0.39 * F.col("_wps")
+                            + 11.8 * F.col("_spw") - 15.59, 4)
+                     .alias("fk_grade")))
+
+
+def keyness(docs: DataFrame, group_col: str = "source",
+            id_col: str = "doc_id", text_col: str = "text",
+            k: int = 10, min_count: int = 5) -> DataFrame:
+    """(group, term, n_group, n_rest, g2, overused): top-``k`` key
+    terms per group by the Dunning log-likelihood ratio G2 — "what
+    vocabulary makes this source different from the rest of the
+    corpus", the corpus-linguistics standard that BM25/tf-idf do not
+    answer (they rank within documents, not between subcorpora).
+
+    G2 = 2*(a*ln(a/E1) + b*ln(b/E2)) over the term's group/rest
+    counts vs their expectations under homogeneity; 0*ln0 terms drop.
+    ``overused`` is the sign (group frequency above expectation).
+
+    Scale shape: per-(group, term) counts collapse in one two-level
+    aggregate (within-doc repeats combine map-side via the per-doc
+    pre-count); per-term corpus totals derive from those rows (vocab-
+    sized, term-keyed join — never corpus-sized); group token totals
+    are a one-row-per-group broadcast. ``min_count`` prunes the
+    hapax tail before any join; top-k per group is a bounded window
+    over vocab-sized rows."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.col(group_col).alias("grp"),
+                        F.explode(_tokens(F.col(text_col))).alias("term")))
+    gt = (toks.groupBy("grp", "term")
+          .agg(F.count(F.lit(1)).alias("a")))
+    term_tot = gt.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    grp_tot = gt.groupBy("grp").agg(F.sum("a").alias("g_tot"))
+    n_tot = gt.agg(F.sum("a").alias("n"))
+    base = (gt.where(F.col("a") >= min_count)
+            .join(term_tot, "term")
+            .join(F.broadcast(grp_tot), "grp")
+            .join(F.broadcast(n_tot)))
+    b = (F.col("t_tot") - F.col("a")).cast("double")
+    a = F.col("a").cast("double")
+    e1 = F.col("t_tot") * F.col("g_tot") / F.col("n")
+    e2 = F.col("t_tot") * (F.col("n") - F.col("g_tot")) / F.col("n")
+    term_a = F.when(a > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+    term_b = F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    g2 = 2.0 * (term_a + term_b)
+    scored = base.select(
+        F.col("grp").alias(group_col), "term",
+        F.col("a").alias("n_group"),
+        (F.col("t_tot") - F.col("a")).alias("n_rest"),
+        F.round(g2, 6).alias("g2"),
+        (a > e1).alias("overused"))
+    w = Window.partitionBy(group_col).orderBy(F.col("g2").desc(), "term")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
