@@ -4239,6 +4239,30 @@ def q_events_chi_square(spark, sf_dir):
     return stats.chi_square_independence(ev, "event_type", "dow")
 
 
+def q_embedding_outliers_maha(spark, sf_dir):
+    """Embedding outliers by diagonal Mahalanobis distance: per-dim
+    corpus moments (the dim_stats aggregate), broadcast back onto the
+    exploded points, one sum per vector, TakeOrdered top-20 on the
+    rounded score — catches corrupt encodes unit-norm cosine hides
+    (operators/similarity.mahalanobis_outliers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mahalanobis_outliers(emb, top_k=20)
+
+
+def q_events_conversion_z(spark, sf_dir):
+    """Two-proportion z-test: purchase conversion rate per weekday vs
+    the epoch-Thursday baseline (dow 0 = Monday here) — the binary
+    companion to events_welch_ab, same one-aggregate + broadcast-
+    baseline shape (operators/stats.two_proportion_ztest)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("dow", ((F.expr(f"ts div {86400 * 10 ** 9}") + 4) % 7)
+                      .cast("int")))
+    return stats.two_proportion_ztest(
+        ev, "dow", F.col("event_type") == "purchase", baseline=0)
+
+
 def q_docs_readability(spark, sf_dir):
     """Flesch reading ease + Flesch-Kincaid grade per document
     (vowel-group syllable heuristic, min 1/word): entirely map-side —
@@ -4414,7 +4438,8 @@ _DRIVER_PRIORITY = [
     "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
     "events_welch_ab", "events_chi_square", "events_benford",
     "events_hll_users", "graph_hits", "graph_sssp",
-    "docs_readability", "docs_keyness",
+    "docs_readability", "docs_keyness", "embedding_outliers_maha",
+    "events_conversion_z",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4669,6 +4694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "docs_readability": q_docs_readability,
         "docs_keyness": q_docs_keyness,
+        "embedding_outliers_maha": q_embedding_outliers_maha,
+        "events_conversion_z": q_events_conversion_z,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8260,6 +8287,45 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # diagonal Mahalanobis: per-dim moments then one sum per vector;
+    # ordering on the ROUNDED score keeps the LIMIT boundary
+    # deterministic on both engines.
+    o["embedding_outliers_maha"] = """
+WITH pts AS (
+  SELECT vec_id, CAST(i AS INT) AS dim,
+         CAST(embedding[i+1] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS s(i)
+),
+st AS (SELECT dim, AVG(x) AS mu, VAR_SAMP(x) AS var FROM pts GROUP BY 1),
+sc AS (
+  SELECT p.vec_id, SUM(POWER(p.x - st.mu, 2) / st.var) AS d2
+  FROM pts p JOIN st ON st.dim = p.dim
+  WHERE st.var > 0 GROUP BY 1
+)
+SELECT vec_id, ROUND(SQRT(d2), 6) AS maha FROM sc
+ORDER BY maha DESC, vec_id LIMIT 20
+"""
+    # two-proportion z: integer counts keep every division exact; the
+    # z arithmetic mirrors the Spark expression tree left-to-right.
+    o["events_conversion_z"] = """
+WITH e AS (
+  SELECT CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+         event_type = 'purchase' AS conv
+  FROM events
+),
+m AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM e GROUP BY 1),
+b AS (SELECT n AS n_b, x AS x_b FROM m WHERE dow = 0)
+SELECT m.dow, m.n, m.x,
+       ROUND(m.x / m.n, 6) AS rate,
+       ROUND(m.x / m.n - b.x_b / b.n_b, 6) AS rate_diff,
+       ROUND((m.x / m.n - b.x_b / b.n_b)
+             / SQRT((((m.x + b.x_b) / (m.n + b.n_b))
+                     * (1 - (m.x + b.x_b) / (m.n + b.n_b)))
+                    * (1.0 / m.n + 1.0 / b.n_b)), 6) AS z_stat
+FROM m CROSS JOIN b WHERE m.dow <> 0
 """
     # readability: same regex passes; syllables via
     # list_transform/list_sum (DuckDB's higher-order twin of Spark's

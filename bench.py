@@ -159,6 +159,11 @@ HEADLINE = [
     "q12_late_priority", "q13_customer_distribution", "q14_promo_effect",
     "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
     "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
+    # round 9 continuation: battery completion + stats/sketch/graph/text
+    "q11_important_stock", "q20_potential_promotion",
+    "q21_suppliers_waiting", "events_welch_ab", "events_chi_square",
+    "events_benford", "events_hll_users", "graph_hits", "graph_sssp",
+    "docs_readability", "docs_keyness",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -677,3 +677,33 @@ def unit_normalize(emb: DataFrame, id_col: str = "vec_id",
         .otherwise(F.transform(F.col(vec_col),
                                lambda x: x.cast("double")))
     return emb.select(F.col(id_col), unit.alias("unit"))
+
+
+def mahalanobis_outliers(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         top_k: int = 20) -> DataFrame:
+    """(id, maha): top-``top_k`` embedding outliers by DIAGONAL
+    Mahalanobis distance — each dimension standardized by its own
+    corpus mean/variance, distances summed across dims. The vector-QA
+    companion to ``dim_stats``: catches corrupt encodes / wrong-model
+    rows that unit-norm cosine hides (they still normalize to SOME
+    direction). Dead dimensions (variance 0) carry no information and
+    are excluded rather than dividing by zero.
+
+    Scale shape: per-dim moments are the ``dim_stats`` aggregate
+    (shuffle = dims x partitions); scoring joins the dim-count-sized
+    stats table BROADCAST onto the exploded points and collapses
+    map-side into one sum per vector; top-k is TakeOrdered on the
+    ROUNDED score (deterministic ties by id), never a full sort."""
+    pts = (emb.select(F.col(id_col),
+                      F.posexplode(F.col(vec_col)).alias("dim", "x"))
+           .select(id_col, "dim", F.col("x").cast("double").alias("x")))
+    st = (pts.groupBy("dim")
+          .agg(F.avg("x").alias("mu"), F.var_samp("x").alias("var"))
+          .where(F.col("var") > 0))
+    scored = (pts.join(F.broadcast(st), "dim")
+              .groupBy(id_col)
+              .agg(F.sum((F.col("x") - F.col("mu")) ** 2 / F.col("var"))
+                   .alias("d2")))
+    return (scored.select(id_col, F.round(F.sqrt("d2"), 6).alias("maha"))
+            .orderBy(F.desc("maha"), id_col).limit(top_k))

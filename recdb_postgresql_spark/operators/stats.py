@@ -123,3 +123,30 @@ def benford_first_digit(df: DataFrame, val_col: str) -> DataFrame:
                     F.round(benford, 6).alias("benford_share"),
                     F.round(chi_term, 6).alias("chi2_term"))
             .orderBy("digit"))
+
+
+def two_proportion_ztest(df: DataFrame, group_col: str, success,
+                         baseline: str) -> DataFrame:
+    """Two-proportion z statistic of every group's success rate
+    against ``baseline`` (the conversion-rate readout beside
+    ``welch_ttest``'s continuous one). ``success`` is a boolean
+    Column; the pooled-variance z uses the standard normal
+    approximation. Same shape as welch_ttest: one groupBy for
+    (n, successes), baseline row broadcast back — nothing but the
+    fact scan costs anything at scale."""
+    moments = (df.groupBy(F.col(group_col).alias("grp"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(success.cast("long")).alias("x")))
+    base = (moments.filter(F.col("grp") == baseline)
+            .select(F.col("n").alias("n_b"), F.col("x").alias("x_b")))
+    p = F.col("x") / F.col("n")
+    pb = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x") + F.col("x_b")) / (F.col("n") + F.col("n_b"))
+    z = (p - pb) / F.sqrt(pool * (1 - pool)
+                          * (1.0 / F.col("n") + 1.0 / F.col("n_b")))
+    return (moments.filter(F.col("grp") != baseline)
+            .join(F.broadcast(base))
+            .select(F.col("grp").alias(group_col), "n", "x",
+                    F.round(p, 6).alias("rate"),
+                    F.round(p - pb, 6).alias("rate_diff"),
+                    F.round(z, 6).alias("z_stat")))

@@ -100,3 +100,35 @@ def test_stats_plans_broadcast_no_sortmerge(spark):
                 stats.benford_first_digit(df, "v")):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
+
+
+def test_two_proportion_ztest_manual(spark):
+    import math
+    # group a: 30/100 convert; base: 20/100
+    rows = ([("a", True)] * 30 + [("a", False)] * 70
+            + [("b", True)] * 20 + [("b", False)] * 80)
+    df = spark.createDataFrame(rows, ["grp", "conv"])
+    from recdb_postgresql_spark.operators.stats import two_proportion_ztest
+    r = two_proportion_ztest(df, "grp", F.col("conv"), "b").collect()
+    assert len(r) == 1 and r[0]["grp"] == "a"
+    p, pb, pool = 0.3, 0.2, 0.25
+    z = (p - pb) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r[0]["n"] == 100 and r[0]["x"] == 30
+    assert r[0]["rate"] == 0.3 and r[0]["rate_diff"] == 0.1
+    assert abs(r[0]["z_stat"] - round(z, 6)) < 1e-9
+
+
+def test_mahalanobis_planted_outlier_and_dead_dim(spark):
+    from recdb_postgresql_spark.operators.similarity import (
+        mahalanobis_outliers)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1), rng.gauss(5, 2), 3.0])
+            for i in range(50)]
+    rows.append((99, [30.0, 5.0, 3.0]))  # dim-0 outlier; dim 2 is dead
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mahalanobis_outliers(df, top_k=3).collect()
+    assert out[0]["vec_id"] == 99          # planted outlier ranks first
+    assert out[0]["maha"] > 2 * out[1]["maha"]
+    # the dead dimension contributed nothing (no NaN/inf anywhere)
+    assert all(r["maha"] == r["maha"] and r["maha"] < 1e6 for r in out)
