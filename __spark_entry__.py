@@ -4263,6 +4263,29 @@ def q_events_conversion_z(spark, sf_dir):
         ev, "dow", F.col("event_type") == "purchase", baseline=0)
 
 
+def q_events_anova(spark, sf_dir):
+    """One-way ANOVA of value across all event types (k-sample
+    generalization of the Welch readout): F statistic + eta-squared
+    from purely algebraic per-group moments — one groupBy, one
+    category-sized finisher (operators/stats.anova_oneway)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.anova_oneway(ev, "event_type", "value")
+
+
+def q_lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns in ONE aggregation pass (algebraic sums -> all k(k+1)/2
+    entries, exploded long-format driver-free) — the multivariate
+    profile beside profile_table (operators/profile.corr_matrix)."""
+    from recdb_postgresql_spark.operators.profile import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+
+
 def q_docs_readability(spark, sf_dir):
     """Flesch reading ease + Flesch-Kincaid grade per document
     (vowel-group syllable heuristic, min 1/word): entirely map-side —
@@ -4439,7 +4462,7 @@ _DRIVER_PRIORITY = [
     "events_welch_ab", "events_chi_square", "events_benford",
     "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
-    "events_conversion_z",
+    "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4696,6 +4719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_keyness": q_docs_keyness,
         "embedding_outliers_maha": q_embedding_outliers_maha,
         "events_conversion_z": q_events_conversion_z,
+        "events_anova": q_events_anova,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8287,6 +8312,78 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # one-way ANOVA: same algebraic decomposition (SSB from group
+    # means vs grand mean, SSW from n-1-weighted variances).
+    o["events_anova"] = """
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n_g, SUM(value) AS s_g,
+         VAR_SAMP(value) AS var_g
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k FROM g),
+a AS (
+  SELECT t.n, t.k,
+         SUM(g.n_g * POWER(g.s_g / g.n_g - t.s / t.n, 2)) AS ssb,
+         SUM((g.n_g - 1) * g.var_g) AS ssw
+  FROM g CROSS JOIN t GROUP BY t.n, t.k
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS dof_between,
+       CAST(n - k AS BIGINT) AS dof_within,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+       ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+FROM a
+"""
+    # correlation matrix from the same algebraic sums (cov and var via
+    # the sum-of-products identities; diagonal pinned to 1.0).
+    o["lineitem_corr_matrix"] = """
+WITH w AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_quantity) AS s_q, SUM(l_quantity * l_quantity) AS ss_q,
+         SUM(l_extendedprice) AS s_p,
+         SUM(l_extendedprice * l_extendedprice) AS ss_p,
+         SUM(l_discount) AS s_d, SUM(l_discount * l_discount) AS ss_d,
+         SUM(l_tax) AS s_t, SUM(l_tax * l_tax) AS ss_t,
+         SUM(l_quantity * l_extendedprice) AS qp,
+         SUM(l_quantity * l_discount) AS qd,
+         SUM(l_quantity * l_tax) AS qt,
+         SUM(l_extendedprice * l_discount) AS pd,
+         SUM(l_extendedprice * l_tax) AS pt,
+         SUM(l_discount * l_tax) AS dt
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+)
+SELECT col_a, col_b,
+       ROUND(CASE WHEN col_a = col_b THEN 1.0
+             ELSE (sxy - sx * sy / n)
+                  / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+             END, 6) AS corr,
+       CAST(n AS BIGINT) AS n
+FROM w, (VALUES
+  ('l_quantity', 'l_quantity'), ('l_quantity', 'l_extendedprice'),
+  ('l_quantity', 'l_discount'), ('l_quantity', 'l_tax'),
+  ('l_extendedprice', 'l_extendedprice'),
+  ('l_extendedprice', 'l_discount'), ('l_extendedprice', 'l_tax'),
+  ('l_discount', 'l_discount'), ('l_discount', 'l_tax'),
+  ('l_tax', 'l_tax')) AS pairs(col_a, col_b),
+LATERAL (SELECT
+  CASE col_a WHEN 'l_quantity' THEN s_q WHEN 'l_extendedprice' THEN s_p
+             WHEN 'l_discount' THEN s_d ELSE s_t END AS sx,
+  CASE col_a WHEN 'l_quantity' THEN ss_q WHEN 'l_extendedprice' THEN ss_p
+             WHEN 'l_discount' THEN ss_d ELSE ss_t END AS sxx,
+  CASE col_b WHEN 'l_quantity' THEN s_q WHEN 'l_extendedprice' THEN s_p
+             WHEN 'l_discount' THEN s_d ELSE s_t END AS sy,
+  CASE col_b WHEN 'l_quantity' THEN ss_q WHEN 'l_extendedprice' THEN ss_p
+             WHEN 'l_discount' THEN ss_d ELSE ss_t END AS syy,
+  CASE WHEN col_a = 'l_quantity' AND col_b = 'l_extendedprice' THEN qp
+       WHEN col_a = 'l_quantity' AND col_b = 'l_discount' THEN qd
+       WHEN col_a = 'l_quantity' AND col_b = 'l_tax' THEN qt
+       WHEN col_a = 'l_extendedprice' AND col_b = 'l_discount' THEN pd
+       WHEN col_a = 'l_extendedprice' AND col_b = 'l_tax' THEN pt
+       WHEN col_a = 'l_discount' AND col_b = 'l_tax' THEN dt
+       ELSE 0.0 END AS sxy) q
 """
     # diagonal Mahalanobis: per-dim moments then one sum per vector;
     # ordering on the ROUNDED score keeps the LIMIT boundary

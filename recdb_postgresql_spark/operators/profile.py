@@ -191,3 +191,50 @@ def psi_drift(old: DataFrame, new: DataFrame, val_col: str = "value",
                     F.round(p_new, 6).alias("new_share"),
                     F.round((p_new - p_old) * F.log(p_new / p_old), 6)
                     .alias("psi_term")))
+
+
+def corr_matrix(df: DataFrame, columns) -> DataFrame:
+    """(col_a, col_b, corr, n): pairwise Pearson correlations over
+    ``columns`` in ONE aggregation pass (upper triangle incl.
+    diagonal) — the numeric-relationship profile beside
+    ``profile_table``'s univariate one.
+
+    All k(k+1)/2 correlations derive from the algebraic sums
+    (n, sum_x, sum_xx, sum_xy) of a single scan: map-side partial
+    aggregation, one reduced row, exploded to long format driver-free.
+    Rows with a NULL in any profiled column drop (pairwise-complete
+    would need per-pair counts; listwise is the deterministic
+    contract)."""
+    cols = list(columns)
+    d = df.na.drop(subset=cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x).alias(f"_s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a).cast("double")
+                              * F.col(b).cast("double"))
+                        .alias(f"_sxy_{a}__{b}"))
+    wide = d.agg(*aggs)
+    n = F.col("_n")
+
+    def corr_expr(a: str, b: str):
+        if a == b:
+            return F.lit(1.0)
+        sx, sy = F.col(f"_s_{a}"), F.col(f"_s_{b}")
+        sxx, syy = F.col(f"_ss_{a}"), F.col(f"_ss_{b}")
+        sxy = F.col(f"_sxy_{a}__{b}")
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        return cov / F.sqrt(vx * vy)
+
+    entries = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                        corr_expr(a, b).alias("corr"))
+               for i, a in enumerate(cols) for b in cols[i:]]
+    return (wide.select(n.cast("long").alias("n"),
+                        F.explode(F.array(*entries)).alias("e"))
+            .select("e.col_a", "e.col_b",
+                    F.round("e.corr", 6).alias("corr"), "n"))

@@ -150,3 +150,38 @@ def two_proportion_ztest(df: DataFrame, group_col: str, success,
                     F.round(p, 6).alias("rate"),
                     F.round(p - pb, 6).alias("rate_diff"),
                     F.round(z, 6).alias("z_stat")))
+
+
+def anova_oneway(df: DataFrame, group_col: str,
+                 val_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups (the k-sample
+    generalization of ``welch_ttest``): F = (SSB/(k-1)) / (SSW/(N-k))
+    from purely algebraic per-group moments — one groupBy, one
+    category-sized finisher, nothing else.
+
+    SSB computes from group means vs the grand mean (derived from the
+    same reduced rows, not a second scan); SSW from per-group
+    variances. Returns one row: n, k, dof_between, dof_within,
+    f_stat, eta_sq (SSB/SST effect size)."""
+    g = (df.groupBy(group_col)
+         .agg(F.count(val_col).alias("n_g"),
+              F.sum(val_col).alias("s_g"),
+              F.var_samp(val_col).alias("var_g")))
+    tot = g.agg(F.sum("n_g").alias("n"),
+                F.sum("s_g").alias("s"),
+                F.count(F.lit(1)).alias("k"))
+    j = g.join(F.broadcast(tot))
+    mean_g = F.col("s_g") / F.col("n_g")
+    grand = F.col("s") / F.col("n")
+    ssb = F.sum(F.col("n_g") * (mean_g - grand) ** 2)
+    ssw = F.sum((F.col("n_g") - 1) * F.col("var_g"))
+    agg = j.groupBy("n", "k").agg(ssb.alias("ssb"), ssw.alias("ssw"))
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    return agg.select(
+        F.col("n"), F.col("k"),
+        (F.col("k") - 1).alias("dof_between"),
+        (F.col("n") - F.col("k")).alias("dof_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6)
+         .alias("eta_sq"))

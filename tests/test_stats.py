@@ -132,3 +132,49 @@ def test_mahalanobis_planted_outlier_and_dead_dim(spark):
     assert out[0]["maha"] > 2 * out[1]["maha"]
     # the dead dimension contributed nothing (no NaN/inf anywhere)
     assert all(r["maha"] == r["maha"] and r["maha"] < 1e6 for r in out)
+
+
+def test_anova_manual_and_two_group_t_equivalence(spark):
+    # with 2 equal-variance groups, F == t^2 of the pooled t-test;
+    # verify against a direct numpy computation
+    import numpy as np
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = stats.anova_oneway(df, "grp", "v").collect()[0]
+    allv = np.array(a + b)
+    grand = allv.mean()
+    ssb = 4 * (np.mean(a) - grand) ** 2 + 4 * (np.mean(b) - grand) ** 2
+    ssw = np.var(a, ddof=1) * 3 + np.var(b, ddof=1) * 3
+    f = (ssb / 1) / (ssw / 6)
+    assert (r["n"], r["k"], r["dof_between"], r["dof_within"]) == (8, 2, 1, 6)
+    assert abs(r["f_stat"] - round(f, 6)) < 1e-9
+    assert abs(r["eta_sq"] - round(ssb / (ssb + ssw), 6)) < 1e-9
+
+
+def test_corr_matrix_vs_numpy(spark):
+    import numpy as np
+    from recdb_postgresql_spark.operators.profile import corr_matrix
+    rng = np.random.RandomState(3)
+    x = rng.rand(200)
+    y = 2 * x + rng.rand(200) * 0.1     # strongly correlated
+    z = rng.rand(200)                    # independent
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "x")] == 1.0 and out[("z", "z")] == 1.0
+    assert abs(out[("x", "y")] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-5
+    assert abs(out[("x", "z")] - round(float(np.corrcoef(x, z)[0, 1]), 6)) < 1e-5
+    assert len(out) == 6
+
+
+def test_corr_matrix_listwise_null_drop(spark):
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, None), (4.0, 8.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    from recdb_postgresql_spark.operators.profile import corr_matrix
+    out = corr_matrix(df, ["x", "y"]).collect()
+    assert all(r["n"] == 3 for r in out)
+    xy = [r for r in out if (r["col_a"], r["col_b"]) == ("x", "y")][0]
+    assert xy["corr"] == 1.0   # perfectly linear on the complete rows
