@@ -366,6 +366,8 @@ def main():
     merge_probe(spark, sf_dir, mult=10)
     label_prop_probe(spark)
     unigram_probe(spark, sf_dir)
+    hits_sssp_probe(spark)
+    keyness_probe(spark, sf_dir)
     pq_probe(spark, sf_dir, mult=10)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
@@ -716,6 +718,84 @@ def graph_probe(spark, n_leaves: int = 50_000, n_planted: int = 200) -> None:
            planted_triangles=n_planted, node_triangle_rows=total,
            oriented_s=t)
 
+
+
+def hits_sssp_probe(spark, n_hubs: int = 20, n_auth: int = 2000,
+                    n_noise: int = 500_000) -> None:
+    """HITS + weighted SSSP at amplified edge scale: a planted
+    hub/authority core (every hub endorses every authority plus one
+    super-authority) buried under 500k arithmetic noise edges over a
+    disjoint id range. Per-round cost is ONE edge join + aggregates —
+    the probe measures that the 6-round fixed iteration stays
+    edge-linear and that the planted structure survives the noise
+    (super-authority at rank 1). SSSP relaxes the same noise graph
+    plus a planted shortcut; correctness = the cheap 3-hop detour
+    beats the expensive direct edge."""
+    from recdb_postgresql_spark.operators import graph
+
+    hubs = spark.range(n_hubs).select(F.col("id").alias("id1"))
+    auth = spark.range(1000, 1000 + n_auth).select(
+        F.col("id").alias("id2"))
+    core = hubs.crossJoin(auth)
+    # the super-authority is endorsed by every hub AND by the first
+    # 1000 authorities — strictly more (and better-sourced) in-edges
+    # than any planted peer, so it must surface at rank 1
+    supers = hubs.select("id1", F.lit(999_999).alias("id2")).unionByName(
+        spark.range(1000, 2000).select(F.col("id").alias("id1"),
+                                       F.lit(999_999).alias("id2")))
+    # endpoints from two INDEPENDENT hash mixes (linear congruential
+    # pairs collapse into a functional path — every node gets exactly
+    # one successor); xxhash64 keeps branching ~Poisson(n_noise/1e5)
+    noise = spark.range(n_noise).select(
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(100_000)) + 10_000)
+        .alias("id1"),
+        (F.pmod(F.xxhash64(F.col("id") + n_noise), F.lit(100_000))
+         + 10_000).alias("id2"))
+    edges = core.unionByName(supers).unionByName(noise).localCheckpoint()
+    n_edges = edges.count()
+    t0 = time.perf_counter()
+    out = graph.hits(edges, iterations=6)
+    top_auth = out.orderBy(F.desc("authority"), "id").first()
+    t_hits = time.perf_counter() - t0
+    assert top_auth["id"] == 999_999, top_auth
+    # SSSP over the noise graph + a planted shortcut pair
+    w_edges = (noise.withColumn("w", F.lit(1.0))
+               .unionByName(spark.createDataFrame(
+                   [(1, 5, 100.0), (1, 2, 1.0), (2, 3, 1.0),
+                    (3, 5, 1.0)], ["id1", "id2", "w"])))
+    # two sources: node 1 pins the shortcut assertion; node 10_000
+    # sits INSIDE the noise graph so the frontier actually grows
+    # round over round (the edge-join cost being measured)
+    src = spark.createDataFrame([(1,), (10_000,)], ["id"])
+    t0 = time.perf_counter()
+    dist = graph.sssp(w_edges, src, rounds=6)
+    d5 = dist.where(F.col("id") == 5).first()["dist"]
+    n_reached = dist.count()
+    t_sssp = time.perf_counter() - t0
+    assert d5 == 3.0, d5
+    record("hits_sssp_noise", edges=n_edges, hits6_s=t_hits,
+           sssp6_s=t_sssp, sssp_reached=n_reached)
+
+
+def keyness_probe(spark, sf_dir: str, mult: int = 8) -> None:
+    """Keyness at amplified corpus scale (x1 vs x{mult}): the token
+    aggregate is the scan; the term-total join is VOCAB-sized, so the
+    amplified run must scale with the corpus, not the pair count —
+    amplified copies multiply counts, not vocabulary."""
+    from recdb_postgresql_spark.operators import text as text_ops
+
+    base = amplified_docs(spark, sf_dir, 1).withColumn(
+        "source", (F.col("doc_id") % 20).cast("string"))
+    amp = amplified_docs(spark, sf_dir, mult).withColumn(
+        "source", (F.col("doc_id") % 20).cast("string"))
+    t0 = time.perf_counter()
+    n1 = text_ops.keyness(base, group_col="source").count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = text_ops.keyness(amp, group_col="source").count()
+    t2 = time.perf_counter() - t0
+    record(f"keyness_x{mult}", rows_x1=n1, rows_amp=n2,
+           x1_s=t1, amp_s=t2, slope=t2 / max(t1, 1e-9))
 
 
 if __name__ == "__main__":

@@ -327,3 +327,43 @@ def test_zorder_key_is_codegen_expression(spark):
     assert "ArrowEvalPython" not in plan
     # the leading "*(1)" marks the WholeStageCodegen'd projection
     assert plan.lstrip().startswith("*("), plan[:120]
+
+
+def test_round9b_new_queries_plan_shapes(spark):
+    """Round-9 continuation pins: the stats/audit family stays fully
+    JVM-side with broadcast-only finishing joins; q21's double
+    EXISTS/NOT EXISTS decorrelates into semi/anti joins (never a
+    per-row rescan); keyness's only non-broadcast join is the
+    vocab-sized term join; readability has NO shuffle at all."""
+    for name in ("events_welch_ab", "events_chi_square", "events_benford",
+                 "events_hll_users", "events_conversion_z", "events_anova",
+                 "lineitem_corr_matrix", "docs_readability", "docs_keyness",
+                 "embedding_outliers_maha"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+    # the one-aggregate stats family finishes on broadcasts only
+    for name in ("events_welch_ab", "events_chi_square",
+                 "events_conversion_z", "events_anova",
+                 "embedding_outliers_maha"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "SortMergeJoin" not in plan, name
+
+    # q21: correlated EXISTS + NOT EXISTS become join strategies
+    plan = _plan(entrymod.queries()["q21_suppliers_waiting"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    # corr_matrix is ONE aggregation pass: a single pair of
+    # HashAggregates (partial + final), no join anywhere
+    plan = _plan(entrymod.queries()["lineitem_corr_matrix"](spark, SF))
+    assert "Join" not in plan
+
+    # readability never shuffles (pure map-side)
+    plan = _plan(entrymod.queries()["docs_readability"](spark, SF))
+    assert "Exchange" not in plan
+
+    # top-k outliers ride TakeOrderedAndProject, not a full sort
+    plan = _plan(entrymod.queries()["embedding_outliers_maha"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
