@@ -4286,6 +4286,19 @@ def q_lineitem_corr_matrix(spark, sf_dir):
                             "l_discount", "l_tax"])
 
 
+def q_events_acf(spark, sf_dir):
+    """Autocorrelation of the hourly event-count series at lags 1-12:
+    the periodicity diagnostic that picks the forecaster's period.
+    Dense bucket spine (missing hours are true zeros), one ordered
+    window pass over the AGGREGATED series — single-task sort bounded
+    by the time span, never the event count
+    (operators/temporal.acf)."""
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.acf(ev, lags=12)
+
+
 def q_docs_readability(spark, sf_dir):
     """Flesch reading ease + Flesch-Kincaid grade per document
     (vowel-group syllable heuristic, min 1/word): entirely map-side —
@@ -4463,6 +4476,7 @@ _DRIVER_PRIORITY = [
     "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
+    "events_acf",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4721,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_z": q_events_conversion_z,
         "events_anova": q_events_anova,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "events_acf": q_events_acf,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8312,6 +8327,47 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # ACF: dense spine + one ordered-window lag pass, mirrored; the
+    # long format comes from a 12-branch UNION over the one reduced row.
+    _acf_k = 12
+    _acf_lagcols = ",\n       ".join(
+        f"LAG(d, {k}) OVER (ORDER BY b) AS l{k}"
+        for k in range(1, _acf_k + 1))
+    _acf_aggs = ",\n       ".join(
+        f"SUM(d * l{k}) AS n{k}, COUNT(l{k}) AS c{k}"
+        for k in range(1, _acf_k + 1))
+    _acf_union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag, ROUND(n{k} / den, 6) AS acf,"
+        f" CAST(c{k} AS BIGINT) AS n_pairs FROM red"
+        for k in range(1, _acf_k + 1))
+    o["events_acf"] = f"""
+WITH c AS MATERIALIZED (
+  SELECT epoch_ns(ts) // 3600000000000 AS b,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+r AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+spine AS (SELECT UNNEST(generate_series(r.lo, r.hi)) AS b FROM r),
+series AS MATERIALIZED (
+  SELECT s.b, COALESCE(c.x, 0.0) AS x
+  FROM spine s LEFT JOIN c ON c.b = s.b
+),
+m AS (SELECT AVG(x) AS mu FROM series),
+d AS MATERIALIZED (
+  SELECT b, x - m.mu AS d FROM series CROSS JOIN m
+),
+wide AS (
+  SELECT d,
+       {_acf_lagcols}
+  FROM d
+),
+red AS MATERIALIZED (
+  SELECT SUM(d * d) AS den,
+       {_acf_aggs}
+  FROM wide
+)
+{_acf_union}
 """
     # one-way ANOVA: same algebraic decomposition (SSB from group
     # means vs grand mean, SSW from n-1-weighted variances).

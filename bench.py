@@ -163,7 +163,9 @@ HEADLINE = [
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting", "events_welch_ab", "events_chi_square",
     "events_benford", "events_hll_users", "graph_hits", "graph_sssp",
-    "docs_readability", "docs_keyness",
+    "docs_readability", "docs_keyness", "embedding_outliers_maha",
+    "events_conversion_z", "events_anova", "lineitem_corr_matrix",
+    "events_acf",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -725,3 +725,53 @@ def holt_winters_forecast(series: DataFrame, key_cols, bucket_col: str,
             .select(*keys, "bucket",
                     F.round("y", round_to).alias("y"),
                     F.round("yhat", round_to).alias("yhat")))
+
+
+def acf(events: DataFrame, lags: int = 12,
+        bucket_ns: int = 3600 * 10 ** 9,
+        ts_col: str = "ts") -> DataFrame:
+    """(lag, acf, n_pairs): sample autocorrelation of the regularly
+    bucketed event-count series at lags 1..``lags`` — the
+    periodicity diagnostic that tells a forecaster (Holt, seasonal
+    decompose) WHICH period to model.
+
+    The series densifies onto a bucket spine (missing buckets are
+    true zeros, not gaps — skipping them would splice non-adjacent
+    hours together); the standard estimator divides every lag's
+    cross-product sum by the lag-0 sum of squares around the FULL
+    series mean. All ``lags`` lag columns come from ONE ordered
+    window pass over the AGGREGATED series (thousands of rows — the
+    single-task sort is bounded by the time span, never the event
+    count; same contract as the WoW/EWMA family)."""
+    from pyspark.sql import Window
+
+    b = F.expr(f"{ts_col} div {bucket_ns}")
+    counts = (events.where(F.col(ts_col).isNotNull())
+              .groupBy(b.alias("b"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    rng = counts.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    spine = (rng.select(F.explode(F.sequence("lo", "hi")).alias("b")))
+    series = (spine.join(counts, "b", "left")
+              .select("b", F.coalesce("x", F.lit(0.0)).alias("x")))
+    mean = series.agg(F.avg("x").alias("mu"))
+    d = (series.join(F.broadcast(mean))
+         .select("b", (F.col("x") - F.col("mu")).alias("d")))
+    w = Window.orderBy("b")
+    lag_cols = [F.lag("d", k).over(w).alias(f"_l{k}")
+                for k in range(1, lags + 1)]
+    wide = d.select("d", *lag_cols)
+    aggs = [F.sum(F.col("d") * F.col("d")).alias("_den")]
+    for k in range(1, lags + 1):
+        aggs.append(F.sum(F.col("d") * F.col(f"_l{k}")).alias(f"_n{k}"))
+        aggs.append(F.count(F.col(f"_l{k}")).alias(f"_c{k}"))
+    red = wide.agg(*aggs)
+    # try_divide: a constant (zero-variance) series yields NULL acf
+    # rather than an ANSI divide-by-zero error
+    entries = [F.struct(F.lit(k).alias("lag"),
+                        F.try_divide(F.col(f"_n{k}"), F.col("_den"))
+                         .alias("acf"),
+                        F.col(f"_c{k}").alias("n_pairs"))
+               for k in range(1, lags + 1)]
+    return (red.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.lag", F.round("e.acf", 6).alias("acf"),
+                    "e.n_pairs"))

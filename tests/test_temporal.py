@@ -431,3 +431,33 @@ def test_holt_winters_short_keys_drop(spark):
     out = temporal.holt_winters_forecast(s, ["k"], "bucket", "y",
                                          period=2).collect()
     assert {r["k"] for r in out} == {"long"}
+
+
+def test_acf_planted_period(spark):
+    """A strict period-4 impulse series: acf peaks at lag 4 (and 8,
+    12), and the dense spine keeps missing buckets as zeros."""
+    from recdb_postgresql_spark.operators.temporal import acf
+    import pyspark.sql.functions as F
+    HOUR = 3600 * 10 ** 9
+    # events only in hours 0, 4, 8, ..., 96 (3 per impulse hour)
+    rows = [(h * HOUR + i,) for h in range(0, 97, 4) for i in range(3)]
+    ev = spark.createDataFrame(rows, ["ts"])
+    out = {r["lag"]: r for r in acf(ev, lags=8).collect()}
+    assert out[4]["acf"] > 0.9
+    assert out[8]["acf"] > 0.8
+    assert out[1]["acf"] < 0          # off-phase lags anti-correlate
+    assert out[3]["acf"] < 0
+    # n_pairs shrink by one per extra lag over the dense 97-hour spine
+    assert out[1]["n_pairs"] == 96 and out[8]["n_pairs"] == 89
+
+
+def test_acf_constant_series_nan_guard(spark):
+    """A constant series has zero variance: acf is NULL (try_divide),
+    not an ANSI divide-by-zero error, and the row count is still the
+    requested lags."""
+    from recdb_postgresql_spark.operators.temporal import acf
+    HOUR = 3600 * 10 ** 9
+    ev = spark.createDataFrame([(h * HOUR,) for h in range(20)], ["ts"])
+    out = acf(ev, lags=3).collect()
+    assert len(out) == 3
+    assert all(r["acf"] is None for r in out)
