@@ -4286,6 +4286,19 @@ def q_lineitem_corr_matrix(spark, sf_dir):
                             "l_discount", "l_tax"])
 
 
+def q_events_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov: does the purchase value
+    DISTRIBUTION differ from views (not just its mean — the Welch
+    blind spot)? Per-value counts collapse map-side, one cumulative
+    window over the distinct-value table (state bounded by value
+    cardinality); CDF steps are exact integer ratios, so the oracle
+    match is bit-exact (operators/stats.ks_test)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.ks_test(ev, "event_type", "value", "purchase", "view")
+
+
 def q_events_acf(spark, sf_dir):
     """Autocorrelation of the hourly event-count series at lags 1-12:
     the periodicity diagnostic that picks the forecaster's period.
@@ -4476,7 +4489,7 @@ _DRIVER_PRIORITY = [
     "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
-    "events_acf",
+    "events_acf", "events_ks",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4736,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anova": q_events_anova,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "events_acf": q_events_acf,
+        "events_ks": q_events_ks,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8327,6 +8341,36 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # KS: per-value counts then one cumulative window; CDF steps are
+    # exact integer ratios — bit-exact cross-engine.
+    o["events_ks"] = """
+WITH d AS (
+  SELECT event_type, value AS v FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+),
+counts AS (
+  SELECT v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM d GROUP BY 1
+),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b FROM counts),
+cum AS (
+  SELECT t.n_a, t.n_b,
+         SUM(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / t.n_a AS fa,
+         SUM(cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / t.n_b AS fb
+  FROM counts CROSS JOIN t
+)
+SELECT n_a, n_b, ROUND(MAX(ABS(fa - fb)), 6) AS d_stat,
+       ROUND(MAX(ABS(fa - fb))
+             * SQRT(n_a * n_b / (n_a + n_b)), 6) AS ks_stat
+FROM cum GROUP BY n_a, n_b
 """
     # ACF: dense spine + one ordered-window lag pass, mirrored; the
     # long format comes from a 12-branch UNION over the one reduced row.

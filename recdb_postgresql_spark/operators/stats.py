@@ -185,3 +185,46 @@ def anova_oneway(df: DataFrame, group_col: str,
         F.round(msb / msw, 6).alias("f_stat"),
         F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6)
          .alias("eta_sq"))
+
+
+def ks_test(df: DataFrame, group_col: str, val_col: str,
+            group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between ``group_a``
+    and ``group_b``: D = sup |F_a(x) - F_b(x)| over the empirical
+    CDFs — the distribution-shape test where Welch only compares
+    locations. Returns one row: n_a, n_b, d_stat and the scaled
+    ks_stat = D * sqrt(n_a*n_b/(n_a+n_b)) (asymptotically
+    Kolmogorov-distributed).
+
+    Shape: per-VALUE counts collapse first (one map-side-combined
+    aggregate), then one cumulative window over the DISTINCT-value
+    table — per-task state is bounded by value cardinality, not row
+    count (2-decimal metrics: thousands of rows). For genuinely
+    continuous 100 TB columns, quantize upstream (binned KS, the
+    standard concession). CDF steps are exact integer-count ratios,
+    so the oracle match is bit-exact."""
+    from pyspark.sql import Window
+
+    d = df.where(F.col(group_col).isin([group_a, group_b])
+                 & F.col(val_col).isNotNull())
+    counts = (d.groupBy(F.col(val_col).alias("v"))
+              .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
+                         .otherwise(0)).alias("ca"),
+                   F.sum(F.when(F.col(group_col) == group_b, 1)
+                         .otherwise(0)).alias("cb")))
+    tot = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = (counts.join(F.broadcast(tot))
+           .select("n_a", "n_b",
+                   (F.sum("ca").over(w) / F.col("n_a")).alias("fa"),
+                   (F.sum("cb").over(w) / F.col("n_b")).alias("fb")))
+    return (cum.groupBy("n_a", "n_b")
+            .agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d"))
+            .select(F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.round("d", 6).alias("d_stat"),
+                    F.round(F.col("d") * F.sqrt(
+                        F.col("n_a") * F.col("n_b")
+                        / (F.col("n_a") + F.col("n_b"))), 6)
+                     .alias("ks_stat")))

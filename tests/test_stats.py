@@ -178,3 +178,29 @@ def test_corr_matrix_listwise_null_drop(spark):
     assert all(r["n"] == 3 for r in out)
     xy = [r for r in out if (r["col_a"], r["col_b"]) == ("x", "y")][0]
     assert xy["corr"] == 1.0   # perfectly linear on the complete rows
+
+
+def test_ks_manual_and_identical_distributions(spark):
+    # a: {1,2,3}, b: {2,3,4} each once -> D = 1/3 at x in [1,2)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = stats.ks_test(df, "grp", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert abs(r["d_stat"] - round(1 / 3, 6)) < 1e-9
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(5)]
+        + [("b", float(v)) for v in range(5)], ["grp", "v"])
+    r2 = stats.ks_test(same, "grp", "v", "a", "b").collect()[0]
+    assert r2["d_stat"] == 0.0 and r2["ks_stat"] == 0.0
+
+
+def test_ks_disjoint_supports_gives_one(spark):
+    rows = ([("a", float(v)) for v in range(5)]
+            + [("b", float(v + 100)) for v in range(7)])
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = stats.ks_test(df, "grp", "v", "a", "b").collect()[0]
+    assert r["d_stat"] == 1.0
+    import math
+    assert abs(r["ks_stat"] - round(math.sqrt(5 * 7 / 12), 6)) < 1e-9
