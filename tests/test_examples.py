@@ -180,3 +180,17 @@ def test_multimodal_example_end_to_end(spark):
     assert out["parity_mismatch"] == 0
     assert out["served_queries"] == 3
     assert out["dim_check_raises"]
+
+
+def test_experiment_example_end_to_end(spark):
+    from examples.experiment_example import run
+
+    out = run(spark, verbose=False)
+    assert set(out["welch"]) == {"click", "error", "purchase", "signup"}
+    assert out["anova_f"] >= 0
+    assert len(out["conversion_z"]) == 6         # all non-baseline dows
+    assert 0 <= out["ks_d"] <= 1
+    assert out["chi2"] >= 0 and 0 <= out["cramers_v"] <= 1
+    assert out["benford_chi2"] > 0
+    assert out["corr_value_double"] == 1.0       # perfectly linear pair
+    assert out["acf_lag1"] is not None
