@@ -4299,6 +4299,35 @@ def q_events_ks(spark, sf_dir):
     return stats.ks_test(ev, "event_type", "value", "purchase", "view")
 
 
+def q_events_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) purchase vs view: the outlier-robust
+    location test beside Welch. Needs only per-distinct-value counts
+    + one cumulative window — never a global per-row ranking — so it
+    shares ks_test's value-cardinality-bounded shape; integer counts
+    make U bit-exact (operators/stats.mann_whitney_u)."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.mann_whitney_u(ev, "event_type", "value",
+                                "purchase", "view")
+
+
+def q_customer_gini(spark, sf_dir):
+    """Gini coefficient of revenue concentration across customers —
+    the one-number inequality summary behind supplier_pareto's ABC
+    bands. Per-customer totals reduce first; the rank window runs
+    over entity-count rows (operators/stats.gini)."""
+    from recdb_postgresql_spark.operators import stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .select(F.col("o_custkey").alias("cust"),
+                   (F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))).alias("rev")))
+    return stats.gini(rev, "cust", "rev")
+
+
 def q_events_acf(spark, sf_dir):
     """Autocorrelation of the hourly event-count series at lags 1-12:
     the periodicity diagnostic that picks the forecaster's period.
@@ -4489,7 +4518,7 @@ _DRIVER_PRIORITY = [
     "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
-    "events_acf", "events_ks",
+    "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4750,6 +4779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "events_acf": q_events_acf,
         "events_ks": q_events_ks,
+        "events_mannwhitney": q_events_mannwhitney,
+        "customer_gini": q_customer_gini,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8341,6 +8372,61 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # Mann-Whitney: same value-level shape as KS; U from integer
+    # counts is bit-exact, the z uses the tie-corrected sigma.
+    o["events_mannwhitney"] = """
+WITH d AS (
+  SELECT event_type, value AS v FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+),
+counts AS (
+  SELECT v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM d GROUP BY 1
+),
+per_v AS (
+  SELECT ca, cb,
+         COALESCE(SUM(cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS b_below,
+         POWER(ca + cb, 3) - (ca + cb) AS tie3
+  FROM counts
+),
+a AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         SUM(ca * (b_below + CAST(0.5 AS DOUBLE) * cb)) AS u,
+         SUM(tie3) AS t3
+  FROM per_v
+)
+SELECT n_a, n_b, ROUND(u, 4) AS u_stat,
+       ROUND((u - n_a * n_b / 2.0)
+             / SQRT(n_a * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - t3 / ((n_a + n_b) * (n_a + n_b - 1)))), 6)
+         AS z_stat
+FROM a
+"""
+    # Gini: per-entity totals then the closed-form rank formula; tied
+    # totals are order-invariant inside the formula.
+    o["customer_gini"] = """
+WITH per AS (
+  SELECT o.o_custkey AS e,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS x
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, e ASC) AS i FROM per
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(i * x) AS ix
+  FROM ranked
+)
+SELECT n, ROUND(s, 4) AS total,
+       ROUND((2.0 * ix - (n + 1) * s) / (n * s), 6) AS gini
+FROM a
 """
     # KS: per-value counts then one cumulative window; CDF steps are
     # exact integer ratios — bit-exact cross-engine.

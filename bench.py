@@ -165,7 +165,7 @@ HEADLINE = [
     "events_benford", "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
-    "events_acf", "events_ks",
+    "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

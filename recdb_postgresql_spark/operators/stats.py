@@ -228,3 +228,78 @@ def ks_test(df: DataFrame, group_col: str, val_col: str,
                         F.col("n_a") * F.col("n_b")
                         / (F.col("n_a") + F.col("n_b"))), 6)
                      .alias("ks_stat")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, val_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) of ``group_a`` vs
+    ``group_b``: the rank-based location test that survives heavy
+    tails and outliers where Welch's mean-based t does not. Returns
+    one row: n_a, n_b, u_stat and the tie-corrected normal
+    approximation z_stat.
+
+    Same value-level shape as ``ks_test`` — and the reason it scales:
+    U needs only HOW MANY b-values precede each distinct value, never
+    a global per-row ranking. Per-value counts collapse map-side; one
+    cumulative window over the distinct-value table computes
+    U = sum_v ca(v) * (#b below v + 0.5*cb(v)); the tie-correction
+    term sums per-value tie counts. Counts are integers, so U is
+    bit-exact cross-engine."""
+    from pyspark.sql import Window
+
+    d = df.where(F.col(group_col).isin([group_a, group_b])
+                 & F.col(val_col).isNotNull())
+    counts = (d.groupBy(F.col(val_col).alias("v"))
+              .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
+                         .otherwise(0)).alias("ca"),
+                   F.sum(F.when(F.col(group_col) == group_b, 1)
+                         .otherwise(0)).alias("cb")))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    per_v = counts.select(
+        "ca", "cb",
+        F.coalesce(F.sum("cb").over(w_prev), F.lit(0)).alias("b_below"),
+        ((F.col("ca") + F.col("cb")) ** 3
+         - (F.col("ca") + F.col("cb"))).alias("tie3"))
+    agg = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * (F.col("b_below") + 0.5 * F.col("cb")))
+         .alias("u"),
+        F.sum("tie3").alias("t3"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    mu = na * nb / 2.0
+    sigma = F.sqrt(na * nb / 12.0
+                   * ((n + 1) - F.col("t3") / (n * (n - 1))))
+    return agg.select(na.cast("long").alias("n_a"),
+                      nb.cast("long").alias("n_b"),
+                      F.round("u", 4).alias("u_stat"),
+                      F.round((F.col("u") - mu) / sigma, 6)
+                       .alias("z_stat"))
+
+
+def gini(df: DataFrame, entity_col: str, val_col: str) -> DataFrame:
+    """(n, total, gini): Gini concentration coefficient of
+    ``val_col`` mass across entities — the inequality scalar behind
+    the Pareto/ABC banding (supplier_pareto shows WHERE the curve
+    bends; Gini is the one-number summary dashboards track).
+
+    Per-entity totals reduce first (one groupBy over the fact scan);
+    the rank window then runs over ENTITY-count rows, bounded like
+    every aggregated-series window here. G = (2*sum(i*x_i) - (n+1)*
+    sum(x)) / (n*sum(x)) over ascending totals; tied totals give the
+    same answer under any tie order, so the id tiebreak is for
+    determinism of the plan, not the value."""
+    from pyspark.sql import Window
+
+    per = (df.groupBy(F.col(entity_col).alias("e"))
+           .agg(F.sum(val_col).alias("x")))
+    w = Window.orderBy(F.col("x").asc(), F.col("e").asc())
+    ranked = per.select("x", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("x").alias("s"),
+                     F.sum(F.col("i") * F.col("x")).alias("ix"))
+    g = ((2.0 * F.col("ix") - (F.col("n") + 1) * F.col("s"))
+         / (F.col("n") * F.col("s")))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.round("s", 4).alias("total"),
+                      F.round(g, 6).alias("gini"))

@@ -204,3 +204,46 @@ def test_ks_disjoint_supports_gives_one(spark):
     assert r["d_stat"] == 1.0
     import math
     assert abs(r["ks_stat"] - round(math.sqrt(5 * 7 / 12), 6)) < 1e-9
+
+
+def test_mann_whitney_manual_with_ties(spark):
+    # a = {1, 2, 2, 5}, b = {2, 3, 4}
+    # U_a = sum over a of (#b < x) + 0.5*(#b == x)
+    #     = 0 + 0.5 + 0.5 + 3 = 4.0
+    rows = ([("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0)]
+            + [("b", 2.0), ("b", 3.0), ("b", 4.0)])
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = stats.mann_whitney_u(df, "grp", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["u_stat"] == 4.0
+    # tie-corrected sigma: ties at v=2 (t=3)
+    n = 7
+    t3 = (3 ** 3 - 3)
+    mu = 4 * 3 / 2
+    sigma = math.sqrt(4 * 3 / 12 * ((n + 1) - t3 / (n * (n - 1))))
+    assert abs(r["z_stat"] - round((4.0 - mu) / sigma, 6)) < 1e-9
+
+
+def test_mann_whitney_shifted_distribution(spark):
+    rows = ([("a", float(v)) for v in range(100, 150)]
+            + [("b", float(v)) for v in range(50)])
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = stats.mann_whitney_u(df, "grp", "v", "a", "b").collect()[0]
+    assert r["u_stat"] == 2500.0     # every a beats every b
+    assert r["z_stat"] > 8           # decisively shifted
+
+
+def test_gini_extremes_and_uniform(spark):
+    from recdb_postgresql_spark.operators.stats import gini
+    # perfectly equal mass -> gini 0
+    eq = spark.createDataFrame([(i, 10.0) for i in range(10)], ["e", "x"])
+    assert gini(eq, "e", "x").collect()[0]["gini"] == 0.0
+    # all mass on one entity of n -> gini -> (n-1)/n
+    conc = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 10)], ["e", "x"])
+    r = gini(conc, "e", "x").collect()[0]
+    assert r["gini"] == 0.9 and r["n"] == 10 and r["total"] == 100.0
+    # fact rows aggregate per entity first: duplicates must combine
+    dup = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)] * 2, ["e", "x"])
+    assert gini(dup, "e", "x").collect()[0]["gini"] == 0.0
