@@ -4328,6 +4328,19 @@ def q_customer_gini(spark, sf_dir):
     return stats.gini(rev, "cust", "rev")
 
 
+def q_events_top_paths(spark, sf_dir):
+    """Top-10 session journeys: each gap-based session's time-ordered
+    event-type sequence (first 8 steps), counted corpus-wide — the
+    open-ended companion to the fixed-step funnel. Session ids via
+    the sessionize lag+cumsum window; one sorted in-group array per
+    session (state = session length); TakeOrdered top-k
+    (operators/funnel.top_session_paths)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.top_session_paths(ev, k=10)
+
+
 def q_events_acf(spark, sf_dir):
     """Autocorrelation of the hourly event-count series at lags 1-12:
     the periodicity diagnostic that picks the forecaster's period.
@@ -4519,6 +4532,7 @@ _DRIVER_PRIORITY = [
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
+    "events_top_paths",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4781,6 +4795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks": q_events_ks,
         "events_mannwhitney": q_events_mannwhitney,
         "customer_gini": q_customer_gini,
+        "events_top_paths": q_events_top_paths,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8372,6 +8387,37 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # top session paths: same session rule as events_sessionize, the
+    # path via an ORDER BY list aggregate, ties by path.
+    o["events_top_paths"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+              ) > 1800000000000 OR LAG(epoch_ns(ts)) OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_ns(ts), event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, event_type, tsn,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY tsn, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, s,
+         array_to_string(list_slice(
+           list(event_type ORDER BY tsn, event_id), 1, 8), '>') AS path
+  FROM sess GROUP BY user_id, s
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 10
 """
     # Mann-Whitney: same value-level shape as KS; U from integer
     # counts is bit-exact, the z uses the tie-corrected sigma.

@@ -359,3 +359,41 @@ def cohort_ltv(events: DataFrame, period_ns: int,
         F.round(F.sum("rev").over(w_cum)
                 / F.col("cohort_size").cast("double"), 6)
         .alias("cum_revenue_per_user")))
+
+
+def top_session_paths(events: DataFrame, gap_ns: int = 1800 * 10 ** 9,
+                      k: int = 10, max_len: int = 8,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """(path, n_sessions): the ``k`` most common session journeys —
+    each session's time-ordered event-type sequence (gap-based
+    sessions, first ``max_len`` steps), counted across all sessions.
+    The "what do users actually do" view the funnel's fixed step list
+    can't give.
+
+    Shape: the session id is the standard lag + running-sum window
+    (per-user sort, the sessionize contract); each session collapses
+    to ONE path string via a sorted in-group array (state = session
+    length, truncated at ``max_len``); path counting is a plain
+    aggregate on strings and top-k is TakeOrdered. Ties break by
+    path for determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(prev.isNull()
+                      | (F.col(ts_col) - prev > gap_ns), 1).otherwise(0)
+    sess = (events.withColumn("_new", new_sess)
+            .withColumn("_sess", F.sum("_new").over(w)))
+    paths = (sess.groupBy(user_col, "_sess")
+             .agg(F.array_join(
+                 F.slice(F.transform(
+                     F.sort_array(F.collect_list(F.struct(
+                         F.col(ts_col).alias("t"),
+                         F.col(id_col).alias("i"),
+                         F.col(type_col).alias("e")))),
+                     lambda s: s["e"]), 1, max_len), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path").limit(k))

@@ -239,3 +239,36 @@ def test_cohort_ltv_planted(spark):
         (0, 0): (2, 10.0, 5.0), (0, 1): (2, 0.0, 5.0),
         (0, 2): (2, 20.0, 15.0),
         (1, 0): (1, 30.0, 30.0), (1, 1): (1, 0.0, 30.0)}
+
+
+def test_top_session_paths_hand_case(spark):
+    from recdb_postgresql_spark.operators.funnel import top_session_paths
+    M = 60 * 10 ** 9
+    rows = [
+        # user 1, session 1: view > click   (1 min apart)
+        (1, 1, 0 * M, "view"), (1, 2, 1 * M, "click"),
+        # user 1, session 2 after a 2h gap: view > click
+        (1, 3, 180 * M, "view"), (1, 4, 181 * M, "click"),
+        # user 2, one session: view > click
+        (2, 5, 0 * M, "view"), (2, 6, 5 * M, "click"),
+        # user 3, lone purchase
+        (3, 7, 0 * M, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts",
+                                      "event_type"])
+    out = top_session_paths(ev, k=5).collect()
+    assert (out[0]["path"], out[0]["n_sessions"]) == ("view>click", 3)
+    assert (out[1]["path"], out[1]["n_sessions"]) == ("purchase", 1)
+
+
+def test_top_session_paths_truncates_and_orders(spark):
+    from recdb_postgresql_spark.operators.funnel import top_session_paths
+    S = 10 ** 9
+    # 10 events in one session, max_len 3: only the first 3 survive;
+    # out-of-order insertion must not change the path
+    rows = [(1, i, (10 - i) * S, f"e{10 - i}") for i in range(1, 11)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts",
+                                      "event_type"])
+    out = top_session_paths(ev, k=5, max_len=3).collect()
+    assert len(out) == 1
+    assert out[0]["path"] == "e0>e1>e2"
