@@ -4328,6 +4328,21 @@ def q_customer_gini(spark, sf_dir):
     return stats.gini(rev, "cust", "rev")
 
 
+def q_er_trgm_similar(spark, sf_dir):
+    """pg_trgm similarity join over distinct part names (the PG `%`
+    operator this ecosystem reaches for before levenshtein): trigram
+    inverted index IS the blocking key — explode + self equi-join on
+    the gram, shared counts, |T1∩T2|/|T1∪T2| >= 0.45; the cross
+    product never exists (operators/linkage.trgm_similarity_pairs)."""
+    from recdb_postgresql_spark.operators import linkage
+
+    names = (load_table(spark, sf_dir, "part")
+             .select(F.col("p_name").alias("name")).distinct())
+    return linkage.trgm_similarity_pairs(
+        names.select(F.col("name").alias("id"), "name"),
+        threshold=0.45)
+
+
 def q_events_top_paths(spark, sf_dir):
     """Top-10 session journeys: each gap-based session's time-ordered
     event-type sequence (first 8 steps), counted corpus-wide — the
@@ -4532,7 +4547,7 @@ _DRIVER_PRIORITY = [
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
-    "events_top_paths",
+    "events_top_paths", "er_trgm_similar",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4796,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney": q_events_mannwhitney,
         "customer_gini": q_customer_gini,
         "events_top_paths": q_events_top_paths,
+        "er_trgm_similar": q_er_trgm_similar,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8387,6 +8403,35 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # pg_trgm similarity: identical trigram convention (two leading /
+    # one trailing pad per word, distinct), inverted-index self-join.
+    o["er_trgm_similar"] = """
+WITH names AS (SELECT DISTINCT p_name AS id FROM part),
+words AS (
+  SELECT id, UNNEST(string_split_regex(
+           regexp_replace(lower(id), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w
+  FROM names
+),
+grams AS (
+  SELECT DISTINCT id, substr('  ' || w || ' ', i, 3) AS g
+  FROM words, UNNEST(generate_series(1, length(w) + 1)) AS s(i)
+  WHERE w <> ''
+),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY 1),
+shared AS (
+  SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT id1, id2,
+         shared * 1.0 / (s1.sz + s2.sz - shared) AS sim
+  FROM shared
+  JOIN sizes s1 ON s1.id = id1
+  JOIN sizes s2 ON s2.id = id2
+)
+SELECT id1, id2, ROUND(sim, 6) AS sim FROM sim WHERE sim >= 0.45
 """
     # top session paths: same session rule as events_sessionize, the
     # path via an ORDER BY list aggregate, ties by path.

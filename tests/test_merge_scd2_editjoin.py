@@ -456,3 +456,36 @@ def test_composite_matches_levenshtein_ratio(spark):
     # lev(kitten, sitten) = 1 over len 6 -> 1 - 1/6
     assert got[(1, 2)] == round(1 - 1 / 6, 6)
     assert (1, 3) not in got
+
+
+def test_trgm_trigrams_pg_convention(spark):
+    from recdb_postgresql_spark.operators.linkage import trgm_trigrams
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("Cat!",), ("a b",), ("",)], ["s"])
+    out = [sorted(r[0]) for r in
+           df.select(trgm_trigrams(F.col("s"))).collect()]
+    # 'cat' padded '  cat ' -> '  c', ' ca', 'cat', 'at '
+    assert out[0] == sorted(["  c", " ca", "cat", "at "])
+    # two one-letter words, each padded '  a ' -> 3 windows apiece
+    assert out[1] == sorted(["  a", " a ", "  b", " b "])
+    assert out[2] == []
+
+
+def test_trgm_similarity_pairs_behavior(spark):
+    from recdb_postgresql_spark.operators.linkage import (
+        trgm_trigrams, trgm_similarity_pairs)
+    from pyspark.sql import functions as F
+    rows = [("word", "word"), ("words", "words"), ("zzz", "zzz")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {(r["id1"], r["id2"]): r["sim"]
+           for r in trgm_similarity_pairs(df, threshold=0.1).collect()}
+    # word vs words share 4 of 10 distinct trigrams -> 4/(5+6-4)
+    assert ("word", "words") in out
+    g1 = set(df.where(F.col("id") == "word")
+             .select(trgm_trigrams(F.col("name"))).collect()[0][0])
+    g2 = set(df.where(F.col("id") == "words")
+             .select(trgm_trigrams(F.col("name"))).collect()[0][0])
+    expect = len(g1 & g2) / len(g1 | g2)
+    assert abs(out[("word", "words")] - round(expect, 6)) < 1e-9
+    # zzz shares nothing with either word
+    assert all("zzz" not in k for k in out)
