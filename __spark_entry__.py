@@ -4328,6 +4328,21 @@ def q_customer_gini(spark, sf_dir):
     return stats.gini(rev, "cust", "rev")
 
 
+def q_docs_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, selection probability ∝ n_chars):
+    priorities u^(1/w) from the md5 key hash, global top-50 =
+    TakeOrderedAndProject — no RNG state, no shuffle of the data,
+    same winners under any partitioning
+    (functions/sampling.weighted_sample)."""
+    from recdb_postgresql_spark.functions.sampling import weighted_sample
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars"))
+    return weighted_sample(docs, F.col("n_chars").cast("double"),
+                           F.col("doc_id"), k=50)
+
+
 def q_er_trgm_similar(spark, sf_dir):
     """pg_trgm similarity join over distinct part names (the PG `%`
     operator this ecosystem reaches for before levenshtein): trigram
@@ -4547,7 +4562,7 @@ _DRIVER_PRIORITY = [
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
-    "events_top_paths", "er_trgm_similar",
+    "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
@@ -4812,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_gini": q_customer_gini,
         "events_top_paths": q_events_top_paths,
         "er_trgm_similar": q_er_trgm_similar,
+        "docs_weighted_sample": q_docs_weighted_sample,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6297,6 +6313,17 @@ WHERE ({doc_h}) % 1000000 < CAST(round(fr.fraction * 1000000) AS BIGINT)
     o["docs_hash_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({doc_h}) % 1000000 < 250000
+"""
+    # A-ES weighted sample: same md5 (+0.5)/1e6 uniform and u^(1/w)
+    # priority; both engines correctly-round the same exact quotient,
+    # so the top-50 boundary agrees bit-for-bit.
+    o["docs_weighted_sample"] = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         POWER((CAST(({doc_h}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
+               1.0 / CAST(n_chars AS DOUBLE)) AS pri
+  FROM documents WHERE n_chars > 0
+) t ORDER BY pri DESC, doc_id LIMIT 50
 """
     o["docs_lang_cap"] = f"""
 SELECT doc_id, lang FROM (

@@ -166,7 +166,7 @@ HEADLINE = [
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
-    "events_top_paths", "er_trgm_similar",
+    "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
