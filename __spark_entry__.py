@@ -4550,19 +4550,23 @@ _DRIVER_PRIORITY = [
     "ann_dim_truncation_recall", "events_hw_forecast",
     "events_attribution_decay", "docs_source_overlap",
     "events_cohort_ltv", "supplier_pareto",
-    # round-9 TPC-H adapted battery (all oracle-checked)
-    "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q12_late_priority", "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
-    "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
-    "q11_important_stock", "q20_potential_promotion", "q21_suppliers_waiting",
+    # round-9 continuation (this session): new operator families first —
+    # they carry more verification information per slot than another
+    # battery query; battery + overflow rotate into r10 per the NOTE
     "events_welch_ab", "events_chi_square", "events_benford",
     "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
+    "q11_important_stock", "q20_potential_promotion",
+    "q21_suppliers_waiting",
+    # round-9 TPC-H adapted battery (all oracle-checked)
+    "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q12_late_priority", "q13_customer_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
+    "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
     # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
