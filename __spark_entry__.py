@@ -4328,6 +4328,57 @@ def q_customer_gini(spark, sf_dir):
     return stats.gini(rev, "cust", "rev")
 
 
+def _events_quasi(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    from recdb_postgresql_spark.operators.privacy import generalize
+    return (ev.withColumn("dow", ((F.expr(f"ts div {86400 * 10 ** 9}")
+                                   + 4) % 7).cast("int"))
+            .withColumn("vbucket", generalize(F.col("value"), 25.0)))
+
+
+def q_events_kanon_audit(spark, sf_dir):
+    """k-anonymity audit before a user-derived table ships: one row
+    per (event_type, dow, value-bucket) equivalence class with its
+    size, flagged under k=5 — the classes that fingerprint
+    individuals. One map-side-combined groupBy; report is
+    class-sized (operators/privacy.k_anonymity_audit +
+    generalize)."""
+    from recdb_postgresql_spark.operators import privacy
+
+    return privacy.k_anonymity_audit(
+        _events_quasi(spark, sf_dir),
+        ["event_type", "dow", "vbucket"], k=5)
+
+
+def q_events_l_diversity(spark, sf_dir):
+    """Distinct l-diversity over the same quasi-identifiers with
+    user_id as the sensitive attribute: classes where fewer than 3
+    distinct users appear let membership be inferred even where
+    k-anonymity holds (operators/privacy.l_diversity_audit)."""
+    from recdb_postgresql_spark.operators import privacy
+
+    return privacy.l_diversity_audit(
+        _events_quasi(spark, sf_dir),
+        ["event_type", "dow"], "user_id", l=3)
+
+
+def q_lineitem_quality_checks(spark, sf_dir):
+    """Data-contract validation (the dbt-test pass): five per-row
+    rules evaluated in ONE aggregation pass over lineitem —
+    violation counts + pass flags, long format
+    (operators/profile.validate)."""
+    from recdb_postgresql_spark.operators.profile import validate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate(li, [
+        ("null_orderkey", F.col("l_orderkey").isNull()),
+        ("nonpositive_quantity", F.col("l_quantity") <= 0),
+        ("discount_out_of_range", ~F.col("l_discount").between(0, 1)),
+        ("nonpositive_price", F.col("l_extendedprice") <= 0),
+        ("oversize_quantity", F.col("l_quantity") > 45),
+    ])
+
+
 def q_docs_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (Efraimidis-Spirakis A-ES, selection probability ∝ n_chars):
@@ -4559,6 +4610,7 @@ _DRIVER_PRIORITY = [
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
+    "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4832,6 +4884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": q_events_top_paths,
         "er_trgm_similar": q_er_trgm_similar,
         "docs_weighted_sample": q_docs_weighted_sample,
+        "events_kanon_audit": q_events_kanon_audit,
+        "events_l_diversity": q_events_l_diversity,
+        "lineitem_quality_checks": q_lineitem_quality_checks,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8434,6 +8489,44 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # privacy audits: plain class aggregates; vbucket arithmetic is
+    # floor(v/25)*25 on both engines.
+    o["events_kanon_audit"] = """
+SELECT event_type,
+       CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+       FLOOR(value / 25.0) * 25.0 AS vbucket,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < 5 AS violates
+FROM events GROUP BY 1, 2, 3
+"""
+    o["events_l_diversity"] = """
+SELECT event_type,
+       CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT user_id) < 3 AS violates
+FROM events GROUP BY 1, 2
+"""
+    # data-contract validation: conditional sums in one pass, long
+    # format via UNION over the single reduced row.
+    o["lineitem_quality_checks"] = """
+WITH w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+  FROM lineitem
+)
+SELECT 'null_orderkey' AS rule, v1 AS violations, n AS n_rows,
+       v1 = 0 AS pass FROM w
+UNION ALL SELECT 'nonpositive_quantity', v2, n, v2 = 0 FROM w
+UNION ALL SELECT 'discount_out_of_range', v3, n, v3 = 0 FROM w
+UNION ALL SELECT 'nonpositive_price', v4, n, v4 = 0 FROM w
+UNION ALL SELECT 'oversize_quantity', v5, n, v5 = 0 FROM w
 """
     # pg_trgm similarity: identical trigram convention (two leading /
     # one trailing pad per word, distinct), inverted-index self-join.

@@ -238,3 +238,31 @@ def corr_matrix(df: DataFrame, columns) -> DataFrame:
                         F.explode(F.array(*entries)).alias("e"))
             .select("e.col_a", "e.col_b",
                     F.round("e.corr", 6).alias("corr"), "n"))
+
+
+def validate(df: DataFrame, rules) -> DataFrame:
+    """(rule, violations, n_rows, pass): data-contract validation —
+    the dbt-test / expectations pass a pipeline runs before
+    publishing a table. ``rules`` is a list of (name, condition)
+    where condition is a boolean Column that is TRUE when the ROW
+    VIOLATES the rule; all rules evaluate in ONE aggregation pass
+    (conditional sums — map-side collapsed, one reduced row exploded
+    to long format driver-free).
+
+    Uniqueness/freshness-style rules that need aggregation context
+    cannot be a per-row predicate; express them upstream (e.g. join
+    a count>1 flag) or check them with their own aggregate."""
+    conds = list(rules)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in conds:
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .alias(f"_v_{name}"))
+    wide = df.agg(*aggs)
+    entries = [F.struct(F.lit(name).alias("rule"),
+                        F.col(f"_v_{name}").alias("violations"))
+               for name, _ in conds]
+    return (wide.select(F.col("_n").alias("n_rows"),
+                        F.explode(F.array(*entries)).alias("e"))
+            .select("e.rule", F.col("e.violations").cast("long")
+                    .alias("violations"), "n_rows",
+                    (F.col("e.violations") == 0).alias("pass")))
