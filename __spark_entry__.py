@@ -4379,6 +4379,21 @@ def q_lineitem_quality_checks(spark, sf_dir):
     ])
 
 
+def q_rec_fpgrowth_rules(spark, sf_dir):
+    """FP-Growth association rules over user item-baskets — the
+    k-itemset generalization of rec_item_cooccur's pairs ("users
+    with {A,B} also take C"). MLlib PFP partitions the pattern tree
+    by item suffix. Rows-only (the lattice walk isn't
+    SQL-expressible at depth); planted-basket values pinned in
+    tests/test_cooccurrence.py (operators/cf.fpgrowth_rules)."""
+    from recdb_postgresql_spark.operators import cf
+
+    r = cf.normalize_events(_ratings(spark, sf_dir),
+                            "userid", "itemid", "ratingval")
+    return cf.fpgrowth_rules(r, min_confidence=0.4, max_basket=12,
+                             min_count=3)
+
+
 def q_docs_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (Efraimidis-Spirakis A-ES, selection probability ∝ n_chars):
@@ -4611,6 +4626,7 @@ _DRIVER_PRIORITY = [
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
+    "rec_fpgrowth_rules",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4887,6 +4903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kanon_audit": q_events_kanon_audit,
         "events_l_diversity": q_events_l_diversity,
         "lineitem_quality_checks": q_lineitem_quality_checks,
+        "rec_fpgrowth_rules": q_rec_fpgrowth_rules,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)

@@ -490,3 +490,58 @@ def popularity_topk(ratings: DataFrame, users: DataFrame,
                                            F.col("item"))
     return (unrated.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def fpgrowth_rules(ratings: DataFrame, min_support: float = 0.05,
+                   min_confidence: float = 0.3,
+                   max_basket: int = 12,
+                   min_count: int | None = None) -> DataFrame:
+    """(antecedent, consequent, confidence, lift, support):
+    association rules from MLlib's distributed FP-Growth over each
+    user's item basket — the k-itemset generalization of
+    ``item_cooccurrence``'s pairs ("users with {A, B} also take C").
+
+    Baskets are distinct per-user item sets (one collect_set
+    aggregate); PFP partitions the frequent-pattern tree by item
+    suffix, so no executor materializes the global tree. The frequent
+    itemsets above ``min_support`` are a deterministic SET for fixed
+    data — only row order varies — and counts are exact, so the
+    planted-basket pytest pins values while the driver records
+    rows+schema (rows-only entry: the lattice walk is not
+    SQL-expressible at arbitrary depth). Antecedents are sorted for
+    deterministic array values.
+
+    ``max_basket`` is the scale knob FP-Growth itself lacks a handle
+    for: a user holding half the catalog contributes up to
+    2^|basket| itemsets (measured: 2.9M rules on the dense synthetic
+    baskets before the cap). Each basket keeps its ``max_basket``
+    strongest items (by rating desc, item asc — deterministic), which
+    bounds the per-user lattice at 2^max_basket and mirrors what a
+    real market-basket pipeline does with power shoppers."""
+    from pyspark.sql import Window
+
+    from pyspark.ml.fpm import FPGrowth
+
+    ranked = (ratings.groupBy("user", "item")
+              .agg(F.max("rating").alias("r")))
+    w = Window.partitionBy("user").orderBy(F.desc("r"), F.col("item"))
+    capped = (ranked.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= max_basket))
+    baskets = (capped.groupBy("user")
+               .agg(F.collect_set("item").alias("items")))
+    if min_count is not None:
+        # absolute-user support floor: a FRACTION threshold means
+        # opposite things at different corpus sizes (0.05 of 15 users
+        # is 1 — everything frequent; 0.05 of 1500 is 75 — nothing
+        # is). min_count pins the statistical meaning across scales.
+        n_users = baskets.count()
+        min_support = max(float(min_count) / max(n_users, 1), 1e-9)
+    model = FPGrowth(itemsCol="items", minSupport=min_support,
+                     minConfidence=min_confidence).fit(baskets)
+    rules = model.associationRules.select(
+        F.sort_array("antecedent").alias("antecedent"),
+        F.col("consequent")[0].alias("consequent"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.round("support", 6).alias("support"))
+    return rules

@@ -67,3 +67,37 @@ def test_negative_samples_disjoint_and_deterministic(spark):
     again = {(x.user, x.item) for x in
              negative_samples(r.repartition(7), k=3, oversample=4).collect()}
     assert again == got
+
+
+def test_fpgrowth_planted_rule(spark):
+    """Planted 3-itemset: most users holding {1,2} also hold 3 —
+    exact confidence / lift / support values pinned."""
+    from recdb_postgresql_spark.operators.cf import fpgrowth_rules
+    rows = []
+    # 8 users with {1,2,3}; 2 with {1,2}; 10 with {9} only
+    for u in range(8):
+        rows += [(u, i, 1.0) for i in (1, 2, 3)]
+    for u in (8, 9):
+        rows += [(u, i, 1.0) for i in (1, 2)]
+    for u in range(10, 20):
+        rows.append((u, 9, 1.0))
+    df = spark.createDataFrame(rows, ["user", "item", "rating"])
+    out = fpgrowth_rules(df, min_support=0.1, min_confidence=0.5)
+    rules = {(tuple(r["antecedent"]), r["consequent"]): r
+             for r in out.collect()}
+    r12_3 = rules[((1, 2), 3)]
+    assert abs(r12_3["confidence"] - 0.8) < 1e-6      # 8 of 10
+    # lift = conf / P(3) = 0.8 / (8/20)
+    assert abs(r12_3["lift"] - 2.0) < 1e-6
+    assert abs(r12_3["support"] - 8 / 20) < 1e-6
+    # a lone-item basket never generates rules about it
+    assert all(9 not in (list(a) + [c]) for a, c in rules)
+
+
+def test_fpgrowth_antecedents_sorted(spark):
+    from recdb_postgresql_spark.operators.cf import fpgrowth_rules
+    rows = [(u, i, 1.0) for u in range(6) for i in (5, 2, 7)]
+    df = spark.createDataFrame(rows, ["user", "item", "rating"])
+    out = fpgrowth_rules(df, min_support=0.5, min_confidence=0.5).collect()
+    assert out and all(list(r["antecedent"]) == sorted(r["antecedent"])
+                       for r in out)
