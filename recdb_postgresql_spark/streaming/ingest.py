@@ -414,3 +414,62 @@ class StreamingDriftMonitor:
                "alert": psi >= self.alert_threshold}
         self.history.append(row)
         return row
+
+
+class StreamingDistinctMonitor:
+    """Running distinct-count monitoring per micro-batch via the
+    explicit HLL register table (``functions/sketch.hll_build`` /
+    ``hll_merge``) — "how many unique users have we EVER seen, and
+    how many were new in this batch", answered without storing or
+    rescanning identity sets.
+
+    State is the <=2^b-row register table (kept as a driver-side dict
+    — it IS that small by construction); each batch builds its own
+    register table in one map-side MAX aggregate, merges by MAX, and
+    the estimate delta vs the pre-batch state approximates the
+    batch's NEW distinct keys. Merge-by-MAX makes replayed batches
+    IDEMPOTENT — re-merging the same registers changes nothing, so
+    unlike the counting monitors the totals here are exactly-once
+    under replay by construction."""
+
+    def __init__(self, spark: SparkSession, key_col: str = "user_id",
+                 b: int = 10):
+        self.spark, self.key_col, self.b = spark, key_col, int(b)
+        self._regs: dict[int, int] = {}
+        self.history: list[dict] = []
+
+    def _estimate(self) -> float:
+        from recdb_postgresql_spark.functions.sketch import (
+            _hll_alpha)
+        import math
+
+        m = 1 << self.b
+        z = sum(2.0 ** -self._regs.get(i, 0) for i in range(m))
+        v_zero = sum(1 for i in range(m) if i not in self._regs)
+        e = _hll_alpha(m) * m * m / z
+        if e <= 2.5 * m and v_zero > 0:
+            return m * math.log(m / v_zero)
+        return e
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: int | None = None) -> dict:
+        from recdb_postgresql_spark.functions.sketch import hll_build
+
+        before = self._estimate() if self._regs else 0.0
+        rows = hll_build(batch_df, self.key_col, b=self.b).collect()
+        for r in rows:
+            i = int(r["idx"])
+            self._regs[i] = max(self._regs.get(i, 0), int(r["rho"]))
+        after = self._estimate()
+        report = {"batch_id": batch_id,
+                  "est_total_distinct": round(after, 2),
+                  "est_new_distinct": round(max(after - before, 0.0), 2)}
+        self.history.append(report)
+        return report
+
+    def attach(self, stream_df: DataFrame, **options):
+        """foreachBatch wiring, same contract as the sibling
+        monitors: returns the DataStreamWriter."""
+        return (stream_df.writeStream
+                .foreachBatch(lambda df, bid: self.on_batch(df, bid))
+                .options(**options))

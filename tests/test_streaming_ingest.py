@@ -323,3 +323,52 @@ def test_streaming_drift_monitor(spark, tmp_path):
          .start())
     q.awaitTermination(120)
     assert len(mon.history) >= 3 and mon.history[-1]["n_rows"] == 500
+
+
+def test_streaming_distinct_monitor(spark, tmp_path):
+    """HLL-state distinct monitor: totals grow with genuinely new
+    keys, replayed batches change NOTHING (merge-by-MAX idempotence),
+    and the running estimate matches the batch operator's estimate
+    over the union; then the same contract through a real
+    availableNow stream."""
+    from recdb_postgresql_spark.functions import sketch
+    from recdb_postgresql_spark.streaming.ingest import (
+        StreamingDistinctMonitor,
+    )
+
+    mon = StreamingDistinctMonitor(spark, key_col="user_id", b=10)
+    b1 = spark.createDataFrame(
+        [(i,) for i in range(500)], "user_id long")
+    b2 = spark.createDataFrame(
+        [(i,) for i in range(400, 900)], "user_id long")
+    r1 = mon.on_batch(b1, 0)
+    r2 = mon.on_batch(b2, 1)
+    assert r2["est_total_distinct"] > r1["est_total_distinct"]
+    # ~400 new keys in batch 2 (100 overlap); HLL b=10 -> ~3% error
+    assert 250 < r2["est_new_distinct"] < 550
+    # replaying batch 2 is a no-op on the registers
+    r3 = mon.on_batch(b2, 1)
+    assert r3["est_total_distinct"] == r2["est_total_distinct"]
+    assert r3["est_new_distinct"] == 0.0
+    # running estimate == batch-operator estimate over the union
+    union_est = sketch.hll_estimate(
+        sketch.hll_build(b1.unionByName(b2), "user_id", b=10),
+        b=10).collect()[0]["est_distinct"]
+    assert abs(r2["est_total_distinct"] - union_est) < 0.01
+
+    # real stream drive
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    b1.write.parquet(str(incoming / "batch1"))
+    mon2 = StreamingDistinctMonitor(spark, key_col="user_id", b=10)
+    q = (spark.readStream.schema("user_id long")
+         .parquet(str(incoming / "*"))
+         .writeStream
+         .foreachBatch(lambda df, bid: mon2.on_batch(df, bid))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    assert mon2.history and \
+        abs(mon2.history[-1]["est_total_distinct"]
+            - r1["est_total_distinct"]) < 0.01
