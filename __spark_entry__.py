@@ -4379,6 +4379,17 @@ def q_lineitem_quality_checks(spark, sf_dir):
     ])
 
 
+def q_docs_textrank(spark, sf_dir):
+    """TextRank corpus keywords: PageRank over the within-2-positions
+    word co-occurrence graph (min word length 4), 6 fixed rounds,
+    top-20 — centrality vs tf-idf's frequency. Window offsets are
+    equi-joins on (doc, pos+delta); fully oracle-checked via the
+    unrolled pagerank rounds over the same word graph
+    (operators/text.textrank_keywords)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.textrank_keywords(docs, window=2, iterations=6, k=20)
+
+
 def q_rec_fpgrowth_rules(spark, sf_dir):
     """FP-Growth association rules over user item-baskets — the
     k-itemset generalization of rec_item_cooccur's pairs ("users
@@ -4626,7 +4637,7 @@ _DRIVER_PRIORITY = [
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
-    "rec_fpgrowth_rules",
+    "rec_fpgrowth_rules", "docs_textrank",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4904,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_l_diversity": q_events_l_diversity,
         "lineitem_quality_checks": q_lineitem_quality_checks,
         "rec_fpgrowth_rules": q_rec_fpgrowth_rules,
+        "docs_textrank": q_docs_textrank,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8506,6 +8518,44 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # TextRank: the pagerank round template over the word
+    # co-occurrence graph (6 rounds, same damping arithmetic).
+    _tr_iters = "".join(f""",
+r{j} AS (SELECT nodes.id AS id,
+               (1.0 - 0.85)/(SELECT n FROM nn)
+                 + 0.85 * COALESCE(c.c, 0) AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.v AS id, SUM(r{j-1}.rank / deg.deg) AS c
+          FROM e JOIN deg USING (u) JOIN r{j-1} ON r{j-1}.id = e.u
+          GROUP BY e.v) c USING (id))""" for j in range(1, 7))
+    o["docs_textrank"] = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
+           FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id AS d, i AS pos, ws[i+1] AS w
+  FROM t, UNNEST(generate_series(0, len(ws) - 1)) AS s(i)
+  WHERE length(ws[i+1]) >= 4
+),
+pairs AS MATERIALIZED (
+  SELECT LEAST(a.w, b.w) AS id1, GREATEST(a.w, b.w) AS id2
+  FROM tok a JOIN tok b ON b.d = a.d AND b.pos = a.pos + 1
+  WHERE a.w <> b.w
+  UNION
+  SELECT LEAST(a.w, b.w), GREATEST(a.w, b.w)
+  FROM tok a JOIN tok b ON b.d = a.d AND b.pos = a.pos + 2
+  WHERE a.w <> b.w
+),
+e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
+     UNION ALL SELECT id2 AS u, id1 AS v FROM pairs),
+deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)""" \
+        + _tr_iters + """
+SELECT id AS word, ROUND(rank, 6) AS rank FROM r6
+ORDER BY rank DESC, word LIMIT 20
 """
     # privacy audits: plain class aggregates; vbucket arithmetic is
     # floor(v/25)*25 on both engines.

@@ -1747,3 +1747,48 @@ def keyness(docs: DataFrame, group_col: str = "source",
     w = Window.partitionBy(group_col).orderBy(F.col("g2").desc(), "term")
     return (scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def textrank_keywords(docs: DataFrame, window: int = 2,
+                      iterations: int = 6, k: int = 20,
+                      min_len: int = 4, damping: float = 0.85,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(word, rank): corpus keywords by TextRank (Mihalcea & Tarau
+    2004) — PageRank over the word co-occurrence graph, where an
+    edge joins words appearing within ``window`` positions of each
+    other. Centrality separates structural vocabulary from the
+    frequency signal tf-idf ranks by: a word that CONNECTS many
+    contexts outranks one that merely repeats. ``min_len`` drops
+    short function words before graph construction (positions keep
+    the original sequence, so windows never splice across removed
+    words' distances).
+
+    Scale shape: token positions from one posexplode; each window
+    offset is ONE equi-join on (doc, pos+delta) — a range join never
+    exists; the distinct word-pair graph is vocabulary-sized, and the
+    fixed-round power iteration is ``graph.pagerank`` (checkpointed
+    edges, (word, double) shuffles). Top-k orders on the ROUNDED rank
+    with a word tiebreak."""
+    from recdb_postgresql_spark.operators import graph
+
+    toks = (docs.select(F.col(id_col).alias("d"),
+                        F.posexplode(F.regexp_extract_all(
+                            F.lower(F.col(text_col)),
+                            F.lit("[a-z]+"), 0)).alias("pos", "w"))
+            .where(F.length("w") >= min_len))
+    parts = []
+    for delta in range(1, int(window) + 1):
+        a = toks.select("d", "pos", F.col("w").alias("w1"))
+        b = toks.select("d", (F.col("pos") - delta).alias("pos"),
+                        F.col("w").alias("w2"))
+        parts.append(a.join(b, ["d", "pos"])
+                     .where(F.col("w1") != F.col("w2"))
+                     .select(F.least("w1", "w2").alias("id1"),
+                             F.greatest("w1", "w2").alias("id2")))
+    from functools import reduce
+    edges = reduce(lambda x, y: x.unionByName(y), parts).distinct()
+    pr = graph.pagerank(edges, damping=damping, iterations=iterations)
+    return (pr.select(F.col("id").alias("word"),
+                      F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "word").limit(k))

@@ -63,3 +63,33 @@ def test_keyness_g2_manual(spark):
     g2 = 2 * (a * math.log(a / e1))  # b = 0 -> its term drops
     assert out[("A", "x")]["g2"] == pytest.approx(round(g2, 6))
     assert out[("A", "x")]["overused"]
+
+
+def test_textrank_central_word_wins(spark):
+    """A hub word co-occurring with many distinct contexts outranks a
+    word that merely repeats inside one context."""
+    from recdb_postgresql_spark.operators.text import textrank_keywords
+    docs = [
+        (1, "alpha bridge beta"), (2, "gamma bridge delta"),
+        (3, "epsilon bridge zeta"), (4, "theta bridge iota"),
+        # 'noise' repeats a lot but only ever next to 'kappa'
+        (5, "noise kappa noise kappa noise kappa noise kappa"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = textrank_keywords(df, window=1, iterations=6, k=20, min_len=4)
+    ranks = {r["word"]: r["rank"] for r in out.collect()}
+    assert ranks["bridge"] == max(ranks.values())
+    assert ranks["bridge"] > ranks["noise"]
+
+
+def test_textrank_min_len_and_window(spark):
+    from recdb_postgresql_spark.operators.text import textrank_keywords
+    df = spark.createDataFrame(
+        [(1, "the cat and dog ran the race")], ["doc_id", "text"])
+    out = [r["word"] for r in
+           textrank_keywords(df, window=1, k=20, min_len=4).collect()]
+    # 3-letter words never enter the graph
+    assert all(len(w) >= 4 for w in out)
+    # positions keep the ORIGINAL sequence: 'race' (pos 7) is not
+    # within window 1 of 'ran' (pos 5) despite 'the' being filtered
+    assert "race" not in out and "ran" not in out
