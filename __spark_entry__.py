@@ -4379,6 +4379,27 @@ def q_lineitem_quality_checks(spark, sf_dir):
     ])
 
 
+def q_events_cumulative_users(spark, sf_dir):
+    """Running distinct-user count per hour WITHOUT a cumulative
+    count-distinct window (which would re-expand every prefix): each
+    user collapses to a first-seen hour (one min aggregate), hourly
+    new-user counts follow, and ONE ordered window over the
+    hour-count-sized series finishes — the exact form of the running
+    total the HLL monitor approximates in streams."""
+    HOUR_NS = 3600 * 10 ** 9
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.where(F.col("user_id").isNotNull())
+             .groupBy("user_id")
+             .agg(F.min(F.expr(f"ts div {HOUR_NS}")).alias("hour")))
+    hourly = first.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (Window.orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hourly.select("hour", "new_users",
+                          F.sum("new_users").over(w)
+                           .alias("cumulative_users"))
+            .orderBy("hour"))
+
+
 def q_docs_textrank(spark, sf_dir):
     """TextRank corpus keywords: PageRank over the within-2-positions
     word co-occurrence graph (min word length 4), 6 fixed rounds,
@@ -4637,7 +4658,7 @@ _DRIVER_PRIORITY = [
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
-    "rec_fpgrowth_rules", "docs_textrank",
+    "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4916,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_quality_checks": q_lineitem_quality_checks,
         "rec_fpgrowth_rules": q_rec_fpgrowth_rules,
         "docs_textrank": q_docs_textrank,
+        "events_cumulative_users": q_events_cumulative_users,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8518,6 +8540,21 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # cumulative users: first-seen day per user, then a running sum
+    # over the day-sized series (exact integer arithmetic).
+    o["events_cumulative_users"] = """
+WITH first AS (
+  SELECT user_id, MIN(epoch_ns(ts) // 3600000000000) AS hour
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+hourly AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS new_users
+           FROM first GROUP BY 1)
+SELECT hour, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_users
+FROM hourly ORDER BY hour
 """
     # TextRank: the pagerank round template over the word
     # co-occurrence graph (6 rounds, same damping arithmetic).

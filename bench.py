@@ -168,7 +168,7 @@ HEADLINE = [
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
-    "rec_fpgrowth_rules", "docs_textrank",
+    "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
