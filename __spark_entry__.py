@@ -4379,6 +4379,37 @@ def q_lineitem_quality_checks(spark, sf_dir):
     ])
 
 
+def q_embedding_procrustes_check(spark, sf_dir):
+    """Embedding-version migration self-check (rows-only — SVD isn't
+    SQL-expressible): re-embed the corpus through a planted
+    deterministic rotation (the 'model upgrade'), fit orthogonal
+    Procrustes on the paired ids, apply the recovered rotation, and
+    report the per-dimension max |residual| vs the original space —
+    ~1e-12 when the fit recovers the rotation, which
+    tests/test_reduction.py pins exactly
+    (operators/reduction.procrustes_fit / apply_rotation)."""
+    import numpy as np
+
+    from recdb_postgresql_spark.operators.reduction import (
+        apply_rotation, procrustes_fit)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding"))
+    d = len(emb.select("embedding").first()[0])
+    q, _ = np.linalg.qr(np.random.RandomState(7).randn(d, d))
+    new = (apply_rotation(emb, q.T, out_col="embedding")
+           .select("vec_id", "embedding"))
+    r = procrustes_fit(emb, new)
+    aligned = apply_rotation(new, r, out_col="aligned")
+    joined = (emb.join(aligned, "vec_id")
+              .select(F.posexplode(F.zip_with(
+                  "embedding", "aligned",
+                  lambda a, b: F.abs(a - b))).alias("dim", "resid")))
+    return (joined.groupBy("dim")
+            .agg(F.round(F.max("resid"), 6).alias("max_abs_residual"))
+            .orderBy("dim"))
+
+
 def q_events_cumulative_users(spark, sf_dir):
     """Running distinct-user count per hour WITHOUT a cumulative
     count-distinct window (which would re-expand every prefix): each
@@ -4659,6 +4690,7 @@ _DRIVER_PRIORITY = [
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
+    "embedding_procrustes_check",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4938,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_fpgrowth_rules": q_rec_fpgrowth_rules,
         "docs_textrank": q_docs_textrank,
         "events_cumulative_users": q_events_cumulative_users,
+        "embedding_procrustes_check": q_embedding_procrustes_check,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)

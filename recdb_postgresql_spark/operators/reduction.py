@@ -97,3 +97,75 @@ def pca_project(emb: DataFrame, mean: np.ndarray, components: np.ndarray,
             .mapInPandas(project, schema="id long, p array<double>")
             .select(F.col("id").alias(id_col),
                     F.col("p").alias(out_col)))
+
+
+def procrustes_fit(old: DataFrame, new: DataFrame,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> np.ndarray:
+    """Orthogonal Procrustes alignment between two embedding VERSIONS
+    of the same ids: the rotation R (d_new x d_old) minimizing
+    ||X_new @ R - X_old||_F over orthogonal matrices — the standard
+    migration move when an embedding model is upgraded and the old
+    ANN index / stored neighbors must stay comparable during the
+    transition (Schönemann 1966: R = U V^T from the SVD of
+    X_new^T X_old).
+
+    Scale shape: exactly the ``pca_fit`` pattern — the paired join
+    feeds ONE Arrow mapInPandas pass emitting per-batch d_new x d_old
+    cross-moment partials; only those matrices reach the driver for
+    the SVD (microseconds at any realistic d). Vectors never leave
+    executors. Not SQL-expressible (SVD), so pinned by pytest
+    invariants: orthogonality, planted-rotation recovery, and
+    residual reduction on overlapping ids."""
+    paired = (old.select(F.col(id_col).alias("i"),
+                         F.col(vec_col).alias("xo"))
+              .join(new.select(F.col(id_col).alias("i"),
+                               F.col(vec_col).alias("xn")), "i"))
+
+    def partials(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xo = np.array(list(pdf["xo"]), dtype=np.float64)
+            xn = np.array(list(pdf["xn"]), dtype=np.float64)
+            yield pd.DataFrame({"m": [(xn.T @ xo).ravel().tolist()],
+                                "dn": [float(xn.shape[1])]})
+
+    rows = (paired.select("xo", "xn")
+            .mapInPandas(partials, schema="m array<double>, dn double")
+            .collect())
+    if not rows:
+        raise ValueError("procrustes_fit: no overlapping ids")
+    d_new = int(rows[0]["dn"])
+    m = np.sum([np.asarray(r["m"]) for r in rows], axis=0)
+    m = m.reshape(d_new, -1)
+    u, _, vt = np.linalg.svd(m)
+    return u @ vt                                # (d_new, d_old)
+
+
+def apply_rotation(emb: DataFrame, rotation: np.ndarray,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   out_col: str = "aligned") -> DataFrame:
+    """Map-side Arrow matmul with the broadcast rotation — the
+    ``pca_project`` shape; no shuffle at all."""
+    r = np.asarray(rotation, dtype=np.float64)
+
+    def project(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["v"]), dtype=np.float64)
+            y = x @ r
+            yield pd.DataFrame({"id": pdf["id"],
+                                "out": [row.tolist() for row in y]})
+
+    return (emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v"))
+            .mapInPandas(project, schema="id long, out array<double>")
+            .withColumnRenamed("id", id_col)
+            .withColumnRenamed("out", out_col))

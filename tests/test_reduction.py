@@ -90,3 +90,48 @@ def test_pca_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         reduction.pca_fit(df, k=2)
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    """new = old @ Q^T for a planted orthogonal Q: the fit must
+    recover R with new @ R == old (residual ~ float eps), and R must
+    be orthogonal."""
+    import numpy as np
+    from recdb_postgresql_spark.operators.reduction import (
+        apply_rotation, procrustes_fit)
+
+    rng = np.random.RandomState(11)
+    d, n = 8, 300
+    q, _ = np.linalg.qr(rng.randn(d, d))       # planted rotation
+    xo = rng.randn(n, d)
+    xn = xo @ q.T
+    old = spark.createDataFrame(
+        [(i, xo[i].tolist()) for i in range(n)], ["vec_id", "embedding"])
+    new = spark.createDataFrame(
+        [(i, xn[i].tolist()) for i in range(n)], ["vec_id", "embedding"])
+    r = procrustes_fit(old, new)
+    assert np.allclose(r @ r.T, np.eye(d), atol=1e-9)      # orthogonal
+    assert np.allclose(xn @ r, xo, atol=1e-8)              # aligned
+    # distributed application matches
+    aligned = {row["vec_id"]: np.array(row["aligned"]) for row in
+               apply_rotation(new, r).collect()}
+    assert np.allclose(aligned[0], xo[0], atol=1e-8)
+
+
+def test_procrustes_reduces_residual_under_noise(spark):
+    import numpy as np
+    from recdb_postgresql_spark.operators.reduction import procrustes_fit
+
+    rng = np.random.RandomState(3)
+    d, n = 6, 200
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    xo = rng.randn(n, d)
+    xn = xo @ q.T + rng.randn(n, d) * 0.05      # noisy re-embed
+    old = spark.createDataFrame(
+        [(i, xo[i].tolist()) for i in range(n)], ["vec_id", "embedding"])
+    new = spark.createDataFrame(
+        [(i, xn[i].tolist()) for i in range(n)], ["vec_id", "embedding"])
+    r = procrustes_fit(old, new)
+    before = np.linalg.norm(xn - xo)
+    after = np.linalg.norm(xn @ r - xo)
+    assert after < 0.2 * before                 # alignment dominates
