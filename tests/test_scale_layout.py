@@ -450,3 +450,56 @@ def test_zorder_layout_narrows_both_dims(spark, tmp_path):
     got = spark.read.parquet(zpath)
     assert got.columns == ["x", "y", "payload"]
     assert got.count() == n
+
+
+def test_bucketed_edges_remove_pagerank_round_exchange(spark):
+    """The '100x knob' SCALING.md promises for iterative graph
+    algorithms, demonstrated: with the edge list BUCKETED on the
+    source node, the per-round frontier join reads the edge side with
+    ZERO Exchange — only the (node, double) rank rows move. This is
+    one round's join shape (the thing that repeats 6-10x per run)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(20000).select(
+        (F.col("id") % 500).alias("u"),
+        ((F.col("id") * 7 + 3) % 500).alias("v"))
+    write_bucketed(edges, "pr_edges", "u", buckets=8)
+    e = spark.table("pr_edges")
+    ranks = spark.range(500).select(F.col("id").alias("u"),
+                                    F.lit(1.0 / 500).alias("rank"))
+    contrib = (e.join(ranks.repartition(8, "u"), "u")
+               .groupBy("v").agg(F.sum("rank").alias("c")))
+    plan = contrib._jdf.queryExecution().executedPlan().toString()
+    scan_side = plan[plan.find("FileScan parquet"):]
+    before_scan = plan[:plan.find("FileScan parquet")]
+    # the bucketed scan itself is never re-exchanged: SMJ/SHJ reads it
+    # straight from the bucket layout
+    assert "Exchange hashpartitioning(u" not in scan_side.split(
+        "FileScan")[0]
+    assert "Bucketed: true" in plan
+    # and the result is right
+    assert contrib.count() == 500
+
+
+def test_dynamic_partition_pruning_on_day_partitions(spark, tmp_path):
+    """Dynamic partition pruning: a fact table PARTITIONED by day,
+    joined to a dimension filtered at runtime — Catalyst injects a
+    dynamicpruning predicate so only the dimension's surviving days
+    are ever listed/scanned (the date-dim join every 100 TB warehouse
+    layout leans on)."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(50000).select(
+        (F.col("id") % 30).alias("day"), F.col("id").alias("x"))
+    path = str(tmp_path / "fact_by_day")
+    fact.write.mode("overwrite").partitionBy("day").parquet(path)
+    f = spark.read.parquet(path)
+    dim = (spark.range(30).select(F.col("id").alias("day"),
+                                  (F.col("id") % 10).alias("cat")))
+    joined = (f.join(dim.where(F.col("cat") == 3), "day")
+              .agg(F.sum("x").alias("s")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # correctness: only days 3, 13, 23 survive
+    expect = sum(x for x in range(50000) if x % 30 in (3, 13, 23))
+    assert joined.collect()[0]["s"] == expect
