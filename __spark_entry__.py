@@ -4442,6 +4442,19 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_rec_wilson_topk(spark, sf_dir):
+    """Wilson-lower-bound item ranking (the 'how not to sort by
+    average rating' fix): top-20 items by the 95% lower confidence
+    bound on their positive-rating proportion — small samples pulled
+    down by their own uncertainty, unlike rec_popular/baseline's
+    count and damped-mean ranks (operators/cf.wilson_topk)."""
+    from recdb_postgresql_spark.operators import cf
+
+    r = cf.normalize_events(_ratings(spark, sf_dir),
+                            "userid", "itemid", "ratingval")
+    return cf.wilson_topk(r, positive_threshold=50.0, k=20)
+
+
 def q_rec_fpgrowth_rules(spark, sf_dir):
     """FP-Growth association rules over user item-baskets — the
     k-itemset generalization of rec_item_cooccur's pairs ("users
@@ -4690,7 +4703,7 @@ _DRIVER_PRIORITY = [
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
-    "embedding_procrustes_check",
+    "embedding_procrustes_check", "rec_wilson_topk",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4971,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_textrank": q_docs_textrank,
         "events_cumulative_users": q_events_cumulative_users,
         "embedding_procrustes_check": q_embedding_procrustes_check,
+        "rec_wilson_topk": q_rec_wilson_topk,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -8573,6 +8587,28 @@ agg AS (
 SELECT n, dof, ROUND(chi2, 6) AS chi2,
        ROUND(SQRT(chi2 / v_den), 6) AS cramers_v
 FROM agg
+"""
+    # Wilson lower bound: identical expression tree over exact
+    # integer (n, n_pos); z2 = 1.96*1.96 is the same IEEE product.
+    o["rec_wilson_topk"] = "WITH " + _ratings_cte + """,
+agg AS (
+  SELECT itemid AS item, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rating >= 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos
+  FROM ratings GROUP BY 1
+),
+s AS (
+  SELECT item, n, n_pos,
+         n_pos / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM agg
+)
+SELECT item, n, n_pos, ROUND(p, 6) AS pos_rate,
+       ROUND((p + (1.96 * 1.96) / (2 * nd)
+              - 1.96 * SQRT((p * (1 - p)
+                             + (1.96 * 1.96) / (4 * nd)) / nd))
+             / (1 + (1.96 * 1.96) / nd), 6) AS wilson_lb
+FROM s ORDER BY wilson_lb DESC, item LIMIT 20
 """
     # cumulative users: first-seen day per user, then a running sum
     # over the day-sized series (exact integer arithmetic).

@@ -169,7 +169,7 @@ HEADLINE = [
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
-    "embedding_procrustes_check",
+    "embedding_procrustes_check", "rec_wilson_topk",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -545,3 +545,31 @@ def fpgrowth_rules(ratings: DataFrame, min_support: float = 0.05,
         F.round("lift", 6).alias("lift"),
         F.round("support", 6).alias("support"))
     return rules
+
+
+def wilson_topk(ratings: DataFrame, positive_threshold: float = 50.0,
+                k: int = 20, z: float = 1.96) -> DataFrame:
+    """(item, n, n_pos, pos_rate, wilson_lb): items ranked by the
+    Wilson score interval's LOWER bound on the positive-rating
+    proportion — the classic fix for "sort by average rating"
+    (a 1-of-1 five-star item must not outrank 95-of-100): small
+    samples get pulled toward zero by their own uncertainty.
+
+    One groupBy for (n, positives); the Wilson arithmetic is map-side
+    over the reduced item rows. Ranking uses the ROUNDED bound with
+    an item tiebreak, so the top-k boundary is deterministic and
+    engine-portable; TakeOrderedAndProject, never a full sort."""
+    agg = (ratings.groupBy("item")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("rating") >= positive_threshold, 1)
+                      .otherwise(0)).alias("n_pos")))
+    n = F.col("n").cast("double")
+    p = F.col("n_pos") / n
+    z2 = z * z
+    lb = ((p + z2 / (2 * n)
+           - z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+          / (1 + z2 / n))
+    return (agg.select("item", "n", "n_pos",
+                       F.round(p, 6).alias("pos_rate"),
+                       F.round(lb, 6).alias("wilson_lb"))
+            .orderBy(F.desc("wilson_lb"), "item").limit(k))

@@ -101,3 +101,24 @@ def test_fpgrowth_antecedents_sorted(spark):
     out = fpgrowth_rules(df, min_support=0.5, min_confidence=0.5).collect()
     assert out and all(list(r["antecedent"]) == sorted(r["antecedent"])
                        for r in out)
+
+
+def test_wilson_small_sample_pulled_down(spark):
+    """1-of-1 positive must NOT outrank 95-of-100 — the exact failure
+    mode of sort-by-average; and the bound matches the closed form."""
+    import math
+    from recdb_postgresql_spark.operators.cf import wilson_topk
+    rows = ([(u, 1, 80.0) for u in range(95)]
+            + [(u, 1, 10.0) for u in range(95, 100)]
+            + [(0, 2, 90.0)])                     # item 2: one rave
+    df = spark.createDataFrame(rows, ["user", "item", "rating"])
+    out = {r["item"]: r for r in
+           wilson_topk(df, positive_threshold=50.0, k=10).collect()}
+    assert out[1]["wilson_lb"] > out[2]["wilson_lb"]
+    assert out[2]["pos_rate"] == 1.0              # raw mean says 100%
+    n, p, z = 100.0, 0.95, 1.96
+    z2 = z * z
+    lb = ((p + z2 / (2 * n)
+           - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+          / (1 + z2 / n))
+    assert abs(out[1]["wilson_lb"] - round(lb, 6)) < 1e-9
