@@ -4599,6 +4599,32 @@ def q_graph_sssp(spark, sf_dir):
             .withColumnRenamed("id", "item"))
 
 
+def q_events_hll_error_curve(spark, sf_dir):
+    """Measured-approximation harness for the HLL sketch: the
+    distinct-user estimate at b = 4/6/8/10 registers against the
+    exact count in ONE result — the error-vs-size curve that picks
+    the production register count (expected rel. std err
+    1.04/sqrt(2^b): 26% / 13% / 6.5% / 3.2%). Each b is an
+    independent register build over the same scan; all four are
+    category-sized aggregates (functions/sketch.hll_build /
+    hll_estimate)."""
+    from recdb_postgresql_spark.functions import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.where(F.col("user_id").isNotNull()) \
+        .select(F.count_distinct("user_id").alias("exact_distinct"))
+    parts = []
+    for b in (4, 6, 8, 10):
+        est = sketch.hll_estimate(sketch.hll_build(ev, "user_id", b=b),
+                                  b=b)
+        parts.append(est.join(F.broadcast(exact)).select(
+            F.lit(b).alias("b"), "m", "est_distinct", "exact_distinct",
+            F.round(F.col("est_distinct") / F.col("exact_distinct") - 1,
+                    6).alias("rel_err")))
+    from functools import reduce
+    return reduce(lambda a, c: a.unionByName(c), parts).orderBy("b")
+
+
 def q_events_hll_users(spark, sf_dir):
     """Explicit HyperLogLog distinct-user sketch (64 registers,
     portable md5): the register table is <= m rows of (idx, max rho)
@@ -4704,6 +4730,7 @@ _DRIVER_PRIORITY = [
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
+    "events_hll_error_curve",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -4985,6 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative_users": q_events_cumulative_users,
         "embedding_procrustes_check": q_embedding_procrustes_check,
         "rec_wilson_topk": q_rec_wilson_topk,
+        "events_hll_error_curve": q_events_hll_error_curve,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -9138,6 +9166,54 @@ d{k} AS MATERIALIZED (
         + "\nSELECT id AS item, ROUND(dist, 6) AS dist FROM d6"
     )
 
+    # HLL error curve: the register computation repeated per b; alpha
+    # literals CAST to DOUBLE so the arithmetic is the identical IEEE
+    # chain Spark folds from Python floats.
+    _hll_alpha_sql = {4: "CAST(0.673 AS DOUBLE)",
+                      6: "CAST(0.709 AS DOUBLE)",
+                      8: "(CAST(0.7213 AS DOUBLE)"
+                         " / (1 + CAST(1.079 AS DOUBLE) / 256))",
+                      10: "(CAST(0.7213 AS DOUBLE)"
+                          " / (1 + CAST(1.079 AS DOUBLE) / 1024))"}
+
+    def _hll_b_ctes(b: int) -> str:
+        rest, mod, m = 60 - b, 1 << (60 - b), 1 << b
+        al = _hll_alpha_sql[b]
+        return f""",
+reg{b} AS (
+  SELECT h >> {rest} AS idx,
+         MAX(CASE WHEN h % {mod} > 0
+                  THEN {rest + 1} - length(bin(h % {mod}))
+                  ELSE {rest + 1} END) AS rho
+  FROM h GROUP BY 1),
+a{b} AS (
+  SELECT SUM(POWER(2.0, -COALESCE(r.rho, 0))) AS z,
+         COUNT(*) FILTER (WHERE r.rho IS NULL) AS v_zero
+  FROM (SELECT range AS idx FROM range({m})) s
+  LEFT JOIN reg{b} r ON r.idx = s.idx),
+est{b} AS (
+  SELECT ROUND(CASE WHEN {al} * {m} * {m} / a.z <= 2.5 * {m}
+                         AND a.v_zero > 0
+               THEN {m}.0 * LN({m}.0 / a.v_zero)
+               ELSE {al} * {m} * {m} / a.z END, 4) AS est_distinct
+  FROM a{b} a)"""
+
+    _hll_union = "\nUNION ALL\n".join(
+        f"SELECT {b} AS b, {1 << b} AS m, est{b}.est_distinct,"
+        f" ex.exact_distinct,"
+        f" ROUND(est{b}.est_distinct / ex.exact_distinct - 1, 6)"
+        f" AS rel_err FROM est{b} CROSS JOIN ex"
+        for b in (4, 6, 8, 10))
+    o["events_hll_error_curve"] = ("""
+WITH h AS MATERIALIZED (
+  SELECT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct
+       FROM events WHERE user_id IS NOT NULL)"""
+        + "".join(_hll_b_ctes(b) for b in (4, 6, 8, 10))
+        + "\n" + _hll_union + "\nORDER BY b")
     # Explicit HLL: the register computation (md5 top-6-bit index,
     # bin()-length rho — identical string semantics both engines) and
     # the estimate with linear-counting small-range branch reproduce
