@@ -4442,6 +4442,34 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_rec_eval_ips(spark, sf_dir):
+    """Popularity-debiased ranking evaluation: inverse-propensity-
+    scored precision@10 beside the plain one, on the same 80/20 hash
+    split — hits on rare items count 1/p(i) (clipped at 100 to bound
+    variance), so a recommender that only resurfaces blockbusters
+    stops looking artificially good. Propensity = train popularity
+    share; weights are an item-count-sized broadcast."""
+    test, users, topk = _eval_topk10(spark, sf_dir)
+    train, _, _, _ = _eval_split(spark, sf_dir)
+    pop = train.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    tot = pop.agg(F.sum("n").alias("nt"))
+    wts = (pop.join(F.broadcast(tot))
+           .select("item", F.least(F.col("nt") / F.col("n"),
+                                   F.lit(100.0)).alias("w")))
+    hits = (topk.join(test.select("user", "item"), ["user", "item"])
+            .join(wts, "item")
+            .groupBy("user").agg(F.sum("w").alias("sw"),
+                                 F.count(F.lit(1)).alias("h")))
+    per = (users.join(hits, "user", "left")
+           .select(F.coalesce("sw", F.lit(0.0)).alias("sw"),
+                   F.coalesce("h", F.lit(0)).alias("h")))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg(F.col("h") / 10.0), 6).alias("precision_at_10"),
+        F.round(F.avg(F.col("sw") / 10.0), 6)
+         .alias("ips_precision_at_10"))
+
+
 def q_rec_wilson_topk(spark, sf_dir):
     """Wilson-lower-bound item ranking (the 'how not to sort by
     average rating' fix): top-20 items by the 95% lower confidence
@@ -4730,7 +4758,7 @@ _DRIVER_PRIORITY = [
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
-    "events_hll_error_curve",
+    "events_hll_error_curve", "rec_eval_ips",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5013,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_procrustes_check": q_embedding_procrustes_check,
         "rec_wilson_topk": q_rec_wilson_topk,
         "events_hll_error_curve": q_events_hll_error_curve,
+        "rec_eval_ips": q_rec_eval_ips,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7882,6 +7911,27 @@ per AS (SELECT COALESCE(h.h, 0) AS h, np.npos
 SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(h / 10.0), 6) AS precision_at_10,
        ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
+FROM per
+""")
+    # IPS precision: same split/topk CTEs + a popularity-weight table
+    # (exact integer counts, clipped at 100 — same IEEE chain).
+    o["rec_eval_ips"] = ("WITH " + _ratings_cte + ","
+                         + _eval_split_sql + _eval_topk_sql + """
+pop AS (SELECT itemid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM train GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM pop),
+wts AS (SELECT itemid, LEAST(tot.nt / pop.n, 100.0) AS w
+        FROM pop CROSS JOIN tot),
+hits AS (SELECT t.userid, SUM(w.w) AS sw, COUNT(*) AS h
+         FROM topk t JOIN test te
+           ON te.userid = t.userid AND te.itemid = t.itemid
+         JOIN wts w ON w.itemid = t.itemid
+         GROUP BY 1),
+per AS (SELECT COALESCE(h.sw, 0.0) AS sw, COALESCE(h.h, 0) AS h
+        FROM users u LEFT JOIN hits h ON h.userid = u.userid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(h / 10.0), 6) AS precision_at_10,
+       ROUND(AVG(sw / 10.0), 6) AS ips_precision_at_10
 FROM per
 """)
     o["rec_eval_ndcg"] = ("WITH " + _ratings_cte + ","
