@@ -4442,6 +4442,25 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_part_price_elasticity(spark, sf_dir):
+    """Per-type price elasticity: grouped closed-form OLS of
+    ln(quantity) on ln(unit price) over lineitems — slope, intercept
+    and R² per p_type from ONE aggregation pass of algebraic sums
+    (operators/regression.ols_by_group), the grouped companion to
+    events_ols_value's single multi-feature fit."""
+    from recdb_postgresql_spark.operators.regression import ols_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = (li.join(part, li["l_partkey"] == part["p_partkey"])
+         .select("p_type",
+                 F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("ln_price"),
+                 F.log(F.col("l_quantity")).alias("ln_qty")))
+    return ols_by_group(d, ["p_type"], F.col("ln_price"),
+                        F.col("ln_qty")).orderBy("p_type")
+
+
 def q_rec_eval_ips(spark, sf_dir):
     """Popularity-debiased ranking evaluation: inverse-propensity-
     scored precision@10 beside the plain one, on the same 80/20 hash
@@ -4758,7 +4777,7 @@ _DRIVER_PRIORITY = [
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
-    "events_hll_error_curve", "rec_eval_ips",
+    "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5042,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_wilson_topk": q_rec_wilson_topk,
         "events_hll_error_curve": q_events_hll_error_curve,
         "rec_eval_ips": q_rec_eval_ips,
+        "part_price_elasticity": q_part_price_elasticity,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7913,6 +7933,36 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
 FROM per
 """)
+    # grouped OLS: identical closed-form arithmetic over algebraic
+    # sums; LN of the same IEEE division on both engines.
+    o["part_price_elasticity"] = """
+WITH d AS (
+  SELECT p.p_type,
+         LN(l.l_extendedprice / l.l_quantity) AS x,
+         LN(l.l_quantity) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_extendedprice IS NOT NULL AND l.l_quantity IS NOT NULL
+),
+agg AS (
+  SELECT p_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM d GROUP BY 1
+),
+fit AS (
+  SELECT p_type, n, sx, sy, sxx, sxy, syy,
+         n * sxx - sx * sx AS den,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM agg
+)
+SELECT p_type, CAST(n AS BIGINT) AS n,
+       ROUND(slope, 6) AS slope,
+       ROUND((sy - slope * sx) / n, 6) AS intercept,
+       ROUND(slope * (sxy - sx * sy / n)
+             / (syy - sy * sy / n), 6) AS r2
+FROM fit WHERE n >= 3 AND den > 0
+ORDER BY p_type
+"""
     # IPS precision: same split/topk CTEs + a popularity-weight table
     # (exact integer counts, clipped at 100 — same IEEE chain).
     o["rec_eval_ips"] = ("WITH " + _ratings_cte + ","

@@ -170,7 +170,7 @@ HEADLINE = [
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
-    "events_hll_error_curve", "rec_eval_ips",
+    "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

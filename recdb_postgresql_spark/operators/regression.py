@@ -225,3 +225,34 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
             .agg(F.expr("percentile(r, 0.5)").alias("intercept"))
             .select(F.round("slope", round_to).alias("slope"),
                     F.round("intercept", round_to).alias("intercept")))
+
+
+def ols_by_group(df: DataFrame, group_cols, x, y,
+                 min_n: int = 3) -> DataFrame:
+    """(…group_cols, n, slope, intercept, r2): per-group SIMPLE
+    linear regression in ONE aggregation pass — the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over algebraic sums,
+    the grouped companion to ``ols_fit_sql`` (multi-feature, single
+    fit) and ``theil_sen_grouped`` (robust). Groups with fewer than
+    ``min_n`` points or zero x-variance drop (their fit is
+    undefined). Everything collapses map-side; output is group-count
+    rows."""
+    cols = list(group_cols)
+    xs, ys = x.cast("double"), y.cast("double")
+    agg = (df.where(xs.isNotNull() & ys.isNotNull())
+           .groupBy(*cols)
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum(xs).alias("sx"), F.sum(ys).alias("sy"),
+                F.sum(xs * xs).alias("sxx"),
+                F.sum(xs * ys).alias("sxy"),
+                F.sum(ys * ys).alias("syy")))
+    den = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / agg["n"]
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / agg["n"]
+    ssr = slope * (F.col("sxy") - F.col("sx") * F.col("sy") / agg["n"])
+    return (agg.where((F.col("n") >= min_n) & (den > 0))
+            .select(*cols, F.col("n").cast("long").alias("n"),
+                    F.round(slope, 6).alias("slope"),
+                    F.round(intercept, 6).alias("intercept"),
+                    F.round(ssr / sst, 6).alias("r2")))

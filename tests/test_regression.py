@@ -177,3 +177,19 @@ def test_psi_drift_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         profile.psi_drift(base, base, bins=1)
+
+
+def test_ols_by_group_exact_line_and_guards(spark):
+    import pyspark.sql.functions as F
+    from recdb_postgresql_spark.operators.regression import ols_by_group
+    rows = ([("a", float(x), 2.0 * x + 1.0) for x in range(10)]   # exact line
+            + [("b", float(x), 5.0 - x) for x in range(5)]        # slope -1
+            + [("c", 1.0, 3.0), ("c", 1.0, 4.0), ("c", 1.0, 5.0)]  # zero var x
+            + [("d", 1.0, 1.0), ("d", 2.0, 2.0)])                  # n < 3
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in
+           ols_by_group(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert set(out) == {"a", "b"}          # c (no x-variance) and d drop
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 1.0
+    assert out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] == -1.0 and out["b"]["r2"] == 1.0
