@@ -197,3 +197,36 @@ def test_recommend_rejects_clauses_like_reference(rs, stmt, clause):
     with pytest.raises(ValueError,
                        match=f"RECOMMEND clause is not allowed with {clause}"):
         rs.sql(stmt)
+
+
+def test_udtf_surface_maps_to_spark(spark):
+    """SURVEY §2.2's UDF-surface row: PG's set-returning CREATE
+    FUNCTION maps to Spark's Python UDTF (4.x) — demonstrated with a
+    sentence splitter registered and called FROM SQL, and the same
+    result expressed with the preferred built-in explode path (the
+    UDTF is the escape hatch; the built-in stays the hot path)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(x.strip() for x in text.split(".")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    out = spark.sql(
+        "SELECT * FROM split_sentences('The cat sat. It ran. ')"
+    ).collect()
+    assert [(r["idx"], r["sentence"]) for r in out] \
+        == [(0, "The cat sat"), (1, "It ran")]
+
+    # built-in twin: explode(split()) gives the same rows JVM-side
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("The cat sat. It ran. ",)], ["text"])
+    builtin = (df.select(F.posexplode(F.split("text", r"\.")))
+               .select(F.col("pos").alias("idx"),
+                       F.trim("col").alias("sentence"))
+               .where(F.col("sentence") != ""))
+    assert [(r["idx"], r["sentence"]) for r in builtin.collect()] \
+        == [(0, "The cat sat"), (1, "It ran")]
