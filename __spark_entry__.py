@@ -4442,6 +4442,20 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_events_cusum(spark, sf_dir):
+    """CUSUM control chart over the hourly value series — the
+    forward-looking sequential drift alarm beside the backward-looking
+    change-point scorer. The textbook recursion has a closed window
+    form (S_t = cumsum(y) - running_min(cumsum(y))), so both
+    one-sided charts are cumulative windows over the AGGREGATED
+    series; cumulative frames accumulate in order, making the match
+    engine-exact (operators/temporal.cusum_alarm)."""
+    from recdb_postgresql_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.cusum_alarm(ev, slack=0.5, threshold=5.0)
+
+
 def q_part_price_elasticity(spark, sf_dir):
     """Per-type price elasticity: grouped closed-form OLS of
     ln(quantity) on ln(unit price) over lineitems — slope, intercept
@@ -4778,6 +4792,7 @@ _DRIVER_PRIORITY = [
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
+    "events_cusum",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5062,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_error_curve": q_events_hll_error_curve,
         "rec_eval_ips": q_rec_eval_ips,
         "part_price_elasticity": q_part_price_elasticity,
+        "events_cusum": q_events_cusum,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7933,6 +7949,37 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
 FROM per
 """)
+    # CUSUM: the closed window form; cumulative ROWS frames accumulate
+    # in order, so the sums are the same sequential IEEE chains.
+    o["events_cusum"] = """
+WITH series AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS b, AVG(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+mom AS (SELECT AVG(x) AS mu, STDDEV_SAMP(x) AS sd FROM series),
+z AS (SELECT b, x, (x - m.mu) / m.sd AS z FROM series CROSS JOIN mom m),
+c AS (
+  SELECT b, x,
+         SUM(z - 0.5) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_hi,
+         SUM(z + 0.5) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_lo
+  FROM z
+),
+o AS (
+  SELECT b, ROUND(x, 6) AS x,
+         ROUND(c_hi - MIN(c_hi) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cusum_hi,
+         ROUND(MAX(c_lo) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c_lo, 6)
+           AS cusum_lo
+  FROM c
+)
+SELECT b, x, cusum_hi, cusum_lo,
+       (cusum_hi > 5.0 OR cusum_lo > 5.0) AS alarm
+FROM o ORDER BY b
+"""
     # grouped OLS: identical closed-form arithmetic over algebraic
     # sums; LN of the same IEEE division on both engines.
     o["part_price_elasticity"] = """

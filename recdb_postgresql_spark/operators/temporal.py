@@ -775,3 +775,51 @@ def acf(events: DataFrame, lags: int = 12,
     return (red.select(F.explode(F.array(*entries)).alias("e"))
             .select("e.lag", F.round("e.acf", 6).alias("acf"),
                     "e.n_pairs"))
+
+
+def cusum_alarm(events: DataFrame, slack: float = 0.5,
+                threshold: float = 5.0,
+                bucket_ns: int = 3600 * 10 ** 9,
+                ts_col: str = "ts",
+                val_col: str = "value") -> DataFrame:
+    """(b, x, cusum_hi, cusum_lo, alarm): one/two-sided CUSUM control
+    chart over the bucketed series — the SEQUENTIAL drift alarm that
+    fires on small persistent shifts long before a fixed threshold
+    on x does (the complement to change-point scoring, which looks
+    backward; CUSUM is what a monitor runs forward).
+
+    The textbook recursion S_t = max(0, S_{t-1} + y_t) is sequential,
+    but it has a closed WINDOW form: with C_t = cumsum(y), S_t =
+    C_t - min_{s<=t} C_s — so both one-sided charts are two cumulative
+    windows over the AGGREGATED series (bounded by the time span,
+    the WoW/EWMA window class), no stateful pass, and every term is
+    the same IEEE chain on both engines. y_t standardizes against the
+    series' own mean/std with ``slack`` absorbing normal drift;
+    ``threshold`` is in sigma units (textbook h=5)."""
+    from pyspark.sql import Window
+
+    b = F.expr(f"{ts_col} div {bucket_ns}")
+    series = (events.where(F.col(ts_col).isNotNull()
+                           & F.col(val_col).isNotNull())
+              .groupBy(b.alias("b"))
+              .agg(F.avg(val_col).alias("x")))
+    mom = series.agg(F.avg("x").alias("mu"),
+                     F.stddev_samp("x").alias("sd"))
+    z = (series.join(F.broadcast(mom))
+         .select("b", "x",
+                 ((F.col("x") - F.col("mu")) / F.col("sd")).alias("z")))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    c = z.select("b", "x",
+                 F.sum(F.col("z") - slack).over(w).alias("c_hi"),
+                 F.sum(F.col("z") + slack).over(w).alias("c_lo"))
+    out = c.select(
+        "b", F.round("x", 6).alias("x"),
+        F.round(F.col("c_hi") - F.min("c_hi").over(w), 6)
+         .alias("cusum_hi"),
+        F.round(F.max("c_lo").over(w) - F.col("c_lo"), 6)
+         .alias("cusum_lo"))
+    return (out.withColumn("alarm",
+                           (F.col("cusum_hi") > threshold)
+                           | (F.col("cusum_lo") > threshold))
+            .orderBy("b"))

@@ -461,3 +461,34 @@ def test_acf_constant_series_nan_guard(spark):
     out = acf(ev, lags=3).collect()
     assert len(out) == 3
     assert all(r["acf"] is None for r in out)
+
+
+def test_cusum_identity_matches_textbook_recursion(spark):
+    """The closed window form equals the textbook recursion
+    S_t = max(0, S_{t-1} + y_t) on a planted step-shift series, and
+    the alarm fires after (and only after) the shift."""
+    from recdb_postgresql_spark.operators.temporal import cusum_alarm
+    HOUR = 3600 * 10 ** 9
+    # 40 hours at ~0, then 20 hours shifted up by +3
+    vals = [float((-1) ** h) * 0.5 for h in range(40)] \
+        + [3.0 + float((-1) ** h) * 0.5 for h in range(20)]
+    rows = [(h * HOUR, v) for h, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, ["ts", "value"])
+    out = cusum_alarm(ev, slack=0.5, threshold=5.0).collect()
+    # python textbook recursion over the same standardized series
+    import statistics
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    s_hi = s_lo = 0.0
+    for r, v in zip(out, vals):
+        z = (v - mu) / sd
+        s_hi = max(0.0, s_hi + z - 0.5)
+        s_lo = max(0.0, s_lo - z - 0.5)
+        assert abs(r["cusum_hi"] - s_hi) < 1e-6, r["b"]
+        assert abs(r["cusum_lo"] - s_lo) < 1e-6, r["b"]
+    # target = the GLOBAL mean, so the below-target first segment
+    # legitimately trips the LOW side; the HIGH side must fire only
+    # after the upward shift
+    assert not any(r["cusum_hi"] > 5.0 for r in out[:40])
+    assert any(r["cusum_hi"] > 5.0 for r in out[40:])
+    assert any(r["alarm"] for r in out[40:])
