@@ -4442,6 +4442,55 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_order_basket_rules(spark, sf_dir):
+    """FP-Growth on its NATURAL data shape: order-level baskets of
+    part CATEGORIES (brand x size — the item space stays fixed as the
+    catalog scales, so category co-occurrence is meaningful at every
+    SF, unlike raw part keys whose pair space outgrows the order
+    count). Real baskets are small (1-7 lines): the lattice stays
+    tiny without leaning on the cap. Rows-only like
+    rec_fpgrowth_rules (same planted pin covers the operator)."""
+    from recdb_postgresql_spark.operators import cf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (li.join(part, li["l_partkey"] == part["p_partkey"])
+               .select(F.col("l_orderkey").alias("user"),
+                       F.concat_ws("#", "p_brand",
+                                   F.col("p_size").cast("string"))
+                       .alias("item"),
+                       F.lit(1.0).alias("rating")))
+    rules = cf.fpgrowth_rules(baskets, min_confidence=0.01,
+                              max_basket=12, min_count=3)
+    # confidence scales with catalog mixing; LIFT is the scale-free
+    # interestingness cut (co-occurrence beyond independence)
+    return rules.where(F.col("lift") >= 1.5)
+
+
+def q_events_dispersion(spark, sf_dir):
+    """Index-of-dispersion test per event type: variance/mean of the
+    hourly count series (Poisson arrivals have index 1; bursty
+    traffic is over-dispersed) with the chi-square statistic
+    (n-1)·var/mean — one bucket aggregate + one per-type aggregate,
+    the arrival-process companion to events_seasonality."""
+    HOUR_NS = 3600 * 10 ** 9
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.expr(f"ts div {HOUR_NS}").alias("h"))
+              .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    return (hourly.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.avg("c").alias("mean_c"),
+                 F.var_samp("c").alias("var_c"))
+            .select("event_type", "n_hours",
+                    F.round("mean_c", 6).alias("mean_c"),
+                    F.round(F.col("var_c") / F.col("mean_c"), 6)
+                     .alias("dispersion"),
+                    F.round((F.col("n_hours") - 1) * F.col("var_c")
+                            / F.col("mean_c"), 4).alias("chi2"))
+            .orderBy("event_type"))
+
+
 def q_events_cusum(spark, sf_dir):
     """CUSUM control chart over the hourly value series — the
     forward-looking sequential drift alarm beside the backward-looking
@@ -4792,7 +4841,7 @@ _DRIVER_PRIORITY = [
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
-    "events_cusum",
+    "events_cusum", "order_basket_rules", "events_dispersion",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5078,6 +5127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_ips": q_rec_eval_ips,
         "part_price_elasticity": q_part_price_elasticity,
         "events_cusum": q_events_cusum,
+        "order_basket_rules": q_order_basket_rules,
+        "events_dispersion": q_events_dispersion,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7949,6 +8000,19 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
 FROM per
 """)
+    # dispersion: exact integer counts; var/mean mirrors per-type.
+    o["events_dispersion"] = """
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(AVG(c), 6) AS mean_c,
+       ROUND(VAR_SAMP(c) / AVG(c), 6) AS dispersion,
+       ROUND((COUNT(*) - 1) * VAR_SAMP(c) / AVG(c), 4) AS chi2
+FROM hourly GROUP BY 1 ORDER BY 1
+"""
     # CUSUM: the closed window form; cumulative ROWS frames accumulate
     # in order, so the sums are the same sequential IEEE chains.
     o["events_cusum"] = """
