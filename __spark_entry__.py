@@ -4442,31 +4442,6 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
-def q_order_basket_rules(spark, sf_dir):
-    """FP-Growth on its NATURAL data shape: order-level baskets of
-    part CATEGORIES (brand x size — the item space stays fixed as the
-    catalog scales, so category co-occurrence is meaningful at every
-    SF, unlike raw part keys whose pair space outgrows the order
-    count). Real baskets are small (1-7 lines): the lattice stays
-    tiny without leaning on the cap. Rows-only like
-    rec_fpgrowth_rules (same planted pin covers the operator)."""
-    from recdb_postgresql_spark.operators import cf
-
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    baskets = (li.join(part, li["l_partkey"] == part["p_partkey"])
-               .select(F.col("l_orderkey").alias("user"),
-                       F.concat_ws("#", "p_brand",
-                                   F.col("p_size").cast("string"))
-                       .alias("item"),
-                       F.lit(1.0).alias("rating")))
-    rules = cf.fpgrowth_rules(baskets, min_confidence=0.01,
-                              max_basket=12, min_count=3)
-    # confidence scales with catalog mixing; LIFT is the scale-free
-    # interestingness cut (co-occurrence beyond independence)
-    return rules.where(F.col("lift") >= 1.5)
-
-
 def q_events_dispersion(spark, sf_dir):
     """Index-of-dispersion test per event type: variance/mean of the
     hourly count series (Poisson arrivals have index 1; bursty
@@ -4576,7 +4551,8 @@ def q_rec_fpgrowth_rules(spark, sf_dir):
 
     r = cf.normalize_events(_ratings(spark, sf_dir),
                             "userid", "itemid", "ratingval")
-    return cf.fpgrowth_rules(r, min_confidence=0.4, max_basket=12,
+    return cf.fpgrowth_rules(r, min_support=0.002,
+                             min_confidence=0.4, max_basket=12,
                              min_count=3)
 
 
@@ -4841,7 +4817,7 @@ _DRIVER_PRIORITY = [
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
-    "events_cusum", "order_basket_rules", "events_dispersion",
+    "events_cusum", "events_dispersion",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5127,7 +5103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_eval_ips": q_rec_eval_ips,
         "part_price_elasticity": q_part_price_elasticity,
         "events_cusum": q_events_cusum,
-        "order_basket_rules": q_order_basket_rules,
         "events_dispersion": q_events_dispersion,
     }
     for name in REL_SQL:

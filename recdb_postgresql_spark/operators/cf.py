@@ -530,12 +530,16 @@ def fpgrowth_rules(ratings: DataFrame, min_support: float = 0.05,
     baskets = (capped.groupBy("user")
                .agg(F.collect_set("item").alias("items")))
     if min_count is not None:
-        # absolute-user support floor: a FRACTION threshold means
-        # opposite things at different corpus sizes (0.05 of 15 users
-        # is 1 — everything frequent; 0.05 of 1500 is 75 — nothing
-        # is). min_count pins the statistical meaning across scales.
+        # two-sided support bound: the ABSOLUTE floor (min_count)
+        # protects small corpora — a fraction threshold alone melts
+        # to count 1 there and the lattice explodes — while the
+        # FRACTION (min_support) bounds big ones, where "seen 3
+        # times among 150k baskets" is noise and the unpruned FP-tree
+        # is the measured 14 s outlier. Effective support =
+        # max(min_support, min_count/n).
         n_users = baskets.count()
-        min_support = max(float(min_count) / max(n_users, 1), 1e-9)
+        min_support = max(float(min_support),
+                          float(min_count) / max(n_users, 1), 1e-9)
     model = FPGrowth(itemsCol="items", minSupport=min_support,
                      minConfidence=min_confidence).fit(baskets)
     rules = model.associationRules.select(
