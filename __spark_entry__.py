@@ -4779,12 +4779,17 @@ _DRIVER_PRIORITY = [
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
     #
-    # r10 NOTE: this round's window (first ~50) carries the two
-    # re-proves, the five previously-never-sampled rows-only entries,
-    # and all 35 round-9 additions — after CORRECTNESS_r09 lands,
-    # every entry in it moves to the rotation pool. r10 should lead
-    # with its own new entries, then any r9 entry the r09 sample
-    # missed (positions 36-50 may be cut if the window is short),
+    # r10 NOTE: round 9 ultimately added ~60 entries (two sessions),
+    # far more than one ~50-slot window. This ordering samples: the
+    # two re-proves, the five previously-never-sampled rows-only
+    # entries, the first-session r9 additions, then the continuation
+    # session's new operator FAMILIES (stats/sketch/graph/text/
+    # privacy — placed ahead of the TPC-H battery completion, which
+    # carries less verification information per slot). After
+    # CORRECTNESS_r09 lands, everything in it moves to the rotation
+    # pool. r10 should lead with its own new entries, then the r9
+    # entries the r09 window CUT (expected: the battery q11/q20/q21
+    # and everything after position ~50 — consult the r09 file),
     # then resume the stalest-first rotation (next stalest after this
     # round: the r5/r6-era events_* and dedup_* families).
 
