@@ -4442,6 +4442,25 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_graph_kcore(spark, sf_dir):
+    """2-core of the exact near-dup pair graph (the label_prop edge
+    derivation): cyclically-linked template families survive;
+    isolated duplicate pairs and pendant chains — the structures
+    whose transitive merge pollutes cluster stats — peel away
+    recursively. The homogeneous transition graph
+    is the WRONG input for cores (its k-core is all-or-nothing at
+    any k; measured); cohesive-subgraph extraction needs clustered
+    structure. One degree aggregate + two semi-joins per round;
+    fully oracle-checked via unrolled MATERIALIZED peels
+    (operators/graph.kcore)."""
+    from recdb_postgresql_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    return (graph_ops.kcore(pairs, k=2, rounds=6)
+            .withColumnRenamed("id", "doc_id"))
+
+
 def q_events_dispersion(spark, sf_dir):
     """Index-of-dispersion test per event type: variance/mean of the
     hourly count series (Poisson arrivals have index 1; bursty
@@ -4822,7 +4841,7 @@ _DRIVER_PRIORITY = [
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
-    "events_cusum", "events_dispersion",
+    "events_cusum", "events_dispersion", "graph_kcore",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5109,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_elasticity": q_part_price_elasticity,
         "events_cusum": q_events_cusum,
         "events_dispersion": q_events_dispersion,
+        "graph_kcore": q_graph_kcore,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7979,6 +7999,24 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(AVG(h / 10.0), 6) AS precision_at_10,
        ROUND(AVG(h * 1.0 / npos), 6) AS recall_at_10
 FROM per
+""")
+    # k-core: 6 unrolled synchronous peels over the transition graph
+    # (all-integer; semi-joins become IN-subqueries).
+    _kc_round = """,
+d{j} AS MATERIALIZED (
+  SELECT ue.u AS id, COUNT(*) AS deg FROM ue
+  WHERE ue.u IN (SELECT id FROM s{p}) AND ue.v IN (SELECT id FROM s{p})
+  GROUP BY 1),
+s{j} AS MATERIALIZED (SELECT id FROM d{j} WHERE deg >= 2)"""
+    o["graph_kcore"] = (
+        _lp_edges.replace(
+            ",\nl0 AS (SELECT DISTINCT u AS id, u AS label FROM ue)",
+            ",\ns0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue)")
+        + "".join(_kc_round.format(j=j, p=j - 1) for j in range(1, 7))
+        + """
+SELECT ue.u AS doc_id, CAST(COUNT(*) AS INT) AS deg FROM ue
+WHERE ue.u IN (SELECT id FROM s6) AND ue.v IN (SELECT id FROM s6)
+GROUP BY 1 ORDER BY 1
 """)
     # dispersion: exact integer counts; var/mean mirrors per-type.
     o["events_dispersion"] = """

@@ -171,7 +171,7 @@ HEADLINE = [
     "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
-    "events_cusum", "events_dispersion",
+    "events_cusum", "events_dispersion", "graph_kcore",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -348,3 +348,44 @@ def sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
                 .groupBy("id").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=False))
     return dist.select("id", F.round("dist", 6).alias("dist"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 6,
+          src: str = "id1", dst: str = "id2") -> DataFrame:
+    """(id, deg): the k-core after ``rounds`` synchronous peeling
+    rounds — every round removes ALL nodes of degree < k at once,
+    then recounts (the cohesive-subgraph extractor: near-dup cluster
+    cores, spam rings, engaged-user cores; a hub with many degree-1
+    leaves is NOT cohesive and peels away).
+
+    Synchronous peeling is a pure function of the edge set (unlike
+    arbitrary-order sequential peeling narratives, the fixpoint is
+    unique anyway — fixed synchronous rounds make the TRAJECTORY
+    deterministic too, so a fixed-round run is oracle-expressible as
+    unrolled SQL). Peeling converges in few rounds on real graphs;
+    an unconverged run is still exact for "nodes surviving r peels".
+    Per round: one degree aggregate over edges filtered to surviving
+    endpoints — two semi-joins keyed on the node, (node, int) rows
+    only, lineage truncated per round."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    e = e.unionByName(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    alive = e.select(F.col("u").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    deg = None
+    for _ in range(int(rounds)):
+        live = (e.join(alive.withColumnRenamed("id", "u"), "u",
+                       "left_semi")
+                .join(alive.withColumnRenamed("id", "v"), "v",
+                      "left_semi"))
+        deg = live.groupBy(F.col("u").alias("id")) \
+            .agg(F.count(F.lit(1)).alias("deg"))
+        alive = (deg.where(F.col("deg") >= k).select("id")
+                 .localCheckpoint(eager=False))
+    live = (e.join(alive.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("id", "v"), "v", "left_semi"))
+    return (live.groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).cast("int").alias("deg"))
+            .orderBy("id"))

@@ -74,3 +74,23 @@ def test_sssp_parallel_edges_keep_min(spark):
     src = spark.createDataFrame([(1,)], ["id"])
     out = {r["id"]: r["dist"] for r in graph.sssp(e, src, rounds=1).collect()}
     assert out == {1: 0.0, 2: 3.0}
+
+
+def test_kcore_clique_survives_pendants_peel(spark):
+    from recdb_postgresql_spark.operators.graph import kcore
+    # K4 clique (1-4) + pendant chain 4-5-6 + isolated pair (7,8)
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (4, 5), (5, 6), (7, 8)])
+    out = {r["id"]: r["deg"] for r in kcore(e, k=3, rounds=6).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}    # chain + pair peel fully
+    out2 = {r["id"]: r["deg"] for r in kcore(e, k=2, rounds=6).collect()}
+    assert set(out2) == {1, 2, 3, 4}          # 2-core: the cycle only
+    # the pendant CASCADE: 6 peels first, then 5 — two rounds needed
+    out_short = {r["id"] for r in kcore(e, k=2, rounds=1).collect()}
+    assert 5 in out_short and 6 not in out_short
+
+
+def test_kcore_empty_when_overdemanding(spark):
+    from recdb_postgresql_spark.operators.graph import kcore
+    e = _edges(spark, [(1, 2), (2, 3)])
+    assert kcore(e, k=5, rounds=3).count() == 0
