@@ -4442,6 +4442,36 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """MinHash estimator calibration: per LSH candidate pair, the
+    signature-match fraction (the MinHash Jaccard ESTIMATE,
+    E[matches/k] = J) beside the exact Jaccard and the absolute
+    error — the per-pair companion to dedup_lsh_recall's set-level
+    harness; with k=8 the estimator is coarse (granularity 1/8),
+    which is exactly what this table makes visible before someone
+    trusts raw signature agreement as a similarity score."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    s1 = sig.select(F.col("id").alias("id1"), "j",
+                    F.col("minhash").alias("m1"))
+    s2 = sig.select(F.col("id").alias("id2"), "j",
+                    F.col("minhash").alias("m2"))
+    matches = (cand.join(s1, "id1").join(s2, ["id2", "j"])
+               .groupBy("id1", "id2")
+               .agg(F.sum((F.col("m1") == F.col("m2")).cast("int"))
+                    .alias("m")))
+    exact = dedup.lsh_verified_pairs(sh, threshold=0.0, num_hashes=8,
+                                     bands=4, rows_per_band=2)
+    return (matches.join(exact, ["id1", "id2"])
+            .select("id1", "id2",
+                    F.round(F.col("m") / 8.0, 6).alias("est_jaccard"),
+                    F.round("jaccard", 6).alias("jaccard"),
+                    F.round(F.abs(F.col("m") / 8.0 - F.col("jaccard")),
+                            6).alias("abs_err")))
+
+
 def q_graph_kcore(spark, sf_dir):
     """2-core of the exact near-dup pair graph (the label_prop edge
     derivation): cyclically-linked template families survive;
@@ -4842,6 +4872,7 @@ _DRIVER_PRIORITY = [
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
+    "dedup_minhash_estimate",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5129,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "events_dispersion": q_events_dispersion,
         "graph_kcore": q_graph_kcore,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5205,6 +5237,57 @@ pairs AS (
 )
 SELECT id1, id2 FROM pairs
 """
+    # MinHash calibration: candidate pairs + per-j signature matches
+    # (same affine rehash) joined to the exact-Jaccard verify.
+    o["dedup_minhash_estimate"] = f"""
+WITH {{shingles}},
+base AS (SELECT id, ({{bh}}) % 2147483647 AS h FROM shingled),
+sigs AS (
+  SELECT id, j,
+         MIN(((1103515245 + j) * h + 12345 * j + 1) % 2147483647)
+           AS minhash
+  FROM base, UNNEST(generate_series(0, 7)) AS gj(j)
+  GROUP BY id, j
+),
+banded AS (
+  SELECT id, CAST(j // 2 AS INT) AS band,
+         string_agg(concat(CAST(j AS VARCHAR), ':',
+                           CAST(minhash AS VARCHAR)), ','
+                    ORDER BY concat(CAST(j AS VARCHAR), ':',
+                                    CAST(minhash AS VARCHAR))) AS sig
+  FROM sigs GROUP BY id, CAST(j // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+m AS (
+  SELECT c.id1, c.id2,
+         CAST(SUM(CASE WHEN s1.minhash = s2.minhash
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM cand c
+  JOIN sigs s1 ON s1.id = c.id1
+  JOIN sigs s2 ON s2.id = c.id2 AND s2.j = s1.j
+  GROUP BY 1, 2
+),
+hashed AS (SELECT id, {{bh}} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2, i * 1.0 / (s1.sz + s2.sz - i) AS jaccard
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+)
+SELECT m.id1, m.id2,
+       ROUND(m.m / CAST(8.0 AS DOUBLE), 6) AS est_jaccard,
+       ROUND(j.jaccard, 6) AS jaccard,
+       ROUND(ABS(m.m / CAST(8.0 AS DOUBLE) - j.jaccard), 6) AS abs_err
+FROM m JOIN jac j ON j.id1 = m.id1 AND j.id2 = m.id2
+""".format(shingles=SHINGLES_CTE_DUCK, bh=base_h)
     o["dedup_ngram_jaccard"] = f"""
 WITH {SHINGLES_CTE_DUCK},
 hashed AS (SELECT id, {base_h} AS sh FROM shingled),
