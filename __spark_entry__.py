@@ -4442,6 +4442,35 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_events_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard of the USER SETS behind each
+    pair of event types (do clickers and purchasers overlap more
+    than clickers and errorers?) — the segment-analysis staple. One
+    distinct (type, user) pass, a self equi-join keyed on the user
+    (pairs bounded by types² per user), sizes joined back; the same
+    inverted-index shape as every Jaccard here, on categorical
+    audiences instead of shingles."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = (ev.where(F.col("user_id").isNotNull())
+          .select(F.col("event_type").alias("t"),
+                  F.col("user_id").alias("u")).distinct())
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("sz"))
+    a = tu.select(F.col("t").alias("t1"), "u")
+    b = tu.select(F.col("t").alias("t2"), "u")
+    inter = (a.join(b, "u").where(F.col("t1") < F.col("t2"))
+             .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("i")))
+    return (inter
+            .join(sizes.withColumnRenamed("t", "t1")
+                  .withColumnRenamed("sz", "sz1"), "t1")
+            .join(sizes.withColumnRenamed("t", "t2")
+                  .withColumnRenamed("sz", "sz2"), "t2")
+            .select("t1", "t2", F.col("i").alias("n_shared"),
+                    F.round(F.col("i")
+                            / (F.col("sz1") + F.col("sz2") - F.col("i")),
+                            6).alias("jaccard"))
+            .orderBy("t1", "t2"))
+
+
 def q_dedup_minhash_estimate(spark, sf_dir):
     """MinHash estimator calibration: per LSH candidate pair, the
     signature-match fraction (the MinHash Jaccard ESTIMATE,
@@ -4872,7 +4901,7 @@ _DRIVER_PRIORITY = [
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
-    "dedup_minhash_estimate",
+    "dedup_minhash_estimate", "events_audience_overlap",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5161,6 +5190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dispersion": q_events_dispersion,
         "graph_kcore": q_graph_kcore,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "events_audience_overlap": q_events_audience_overlap,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5236,6 +5266,23 @@ pairs AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 )
 SELECT id1, id2 FROM pairs
+"""
+    # audience overlap: exact integer set algebra.
+    o["events_audience_overlap"] = """
+WITH tu AS (
+  SELECT DISTINCT event_type AS t, user_id AS u
+  FROM events WHERE user_id IS NOT NULL
+),
+sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS sz FROM tu GROUP BY 1),
+inter AS (
+  SELECT a.t AS t1, b.t AS t2, CAST(COUNT(*) AS BIGINT) AS i
+  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT t1, t2, i AS n_shared,
+       ROUND(i / CAST(s1.sz + s2.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.t = t1 JOIN sizes s2 ON s2.t = t2
+ORDER BY t1, t2
 """
     # MinHash calibration: candidate pairs + per-j signature matches
     # (same affine rehash) joined to the exact-Jaccard verify.

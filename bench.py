@@ -172,7 +172,7 @@ HEADLINE = [
     "embedding_procrustes_check", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
-    "dedup_minhash_estimate",
+    "dedup_minhash_estimate", "events_audience_overlap",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
