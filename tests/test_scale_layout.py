@@ -460,9 +460,15 @@ def test_bucketed_edges_remove_pagerank_round_exchange(spark):
     one round's join shape (the thing that repeats 6-10x per run)."""
     from pyspark.sql import functions as F
 
+    import shutil
+
     edges = spark.range(20000).select(
         (F.col("id") % 500).alias("u"),
         ((F.col("id") * 7 + 3) % 500).alias("v"))
+    # a stale dir from a crashed run blocks saveAsTable on a fresh
+    # session (LOCATION_ALREADY_EXISTS) — pre-clean both halves
+    spark.sql("DROP TABLE IF EXISTS pr_edges")
+    shutil.rmtree("spark-warehouse/pr_edges", ignore_errors=True)
     write_bucketed(edges, "pr_edges", "u", buckets=8)
     e = spark.table("pr_edges")
     ranks = spark.range(500).select(F.col("id").alias("u"),
@@ -479,6 +485,7 @@ def test_bucketed_edges_remove_pagerank_round_exchange(spark):
     assert "Bucketed: true" in plan
     # and the result is right
     assert contrib.count() == 500
+    spark.sql("DROP TABLE pr_edges")
 
 
 def test_dynamic_partition_pruning_on_day_partitions(spark, tmp_path):
