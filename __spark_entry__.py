@@ -4442,6 +4442,64 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_docs_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth: cumulative distinct word types
+    vs cumulative tokens, sampled every 50 docs in doc_id order — the
+    corpus-health curve (a flattening vocabulary under growing tokens
+    means duplication; too-steep means OCR noise). Distinct-cumsum
+    via the first-occurrence trick (each type counts once at its
+    min doc), never a cumulative COUNT DISTINCT re-expansion; two
+    running sums over the bucket-sized series."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"),
+                       F.explode(F.regexp_extract_all(
+                           F.lower(F.col("text")),
+                           F.lit("[a-z]+"), 0)).alias("w"))
+    bucket = (F.col("doc_id") / F.lit(50)).cast("long")
+    tokens_per = (toks.groupBy(bucket.alias("b"))
+                  .agg(F.count(F.lit(1)).alias("toks")))
+    first_seen = toks.groupBy("w").agg(F.min("doc_id").alias("d0"))
+    types_per = (first_seen
+                 .groupBy((F.col("d0") / F.lit(50)).cast("long")
+                          .alias("b"))
+                 .agg(F.count(F.lit(1)).alias("new_types")))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tokens_per.join(types_per, "b", "left")
+            .select("b", F.coalesce("new_types", F.lit(0))
+                    .alias("new_types"), "toks")
+            .select("b", "new_types",
+                    F.sum("toks").over(w).alias("cum_tokens"),
+                    F.sum("new_types").over(w).alias("cum_types"))
+            .orderBy("b"))
+
+
+def q_docs_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit: closed-form OLS of ln(freq) on
+    ln(rank) over the top-200 terms (natural language sits near
+    slope -1; heavy boilerplate flattens the head). One token
+    aggregate, one vocab-sized rank window on (freq desc, term),
+    algebraic sums finish — the regression.ols_by_group shape with a
+    single group."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    rw = Window.orderBy(F.desc("n"), F.col("w"))
+    top = (freq.withColumn("r", F.row_number().over(rw))
+           .where(F.col("r") <= 200)
+           .select(F.log(F.col("r").cast("double")).alias("x"),
+                   F.log(F.col("n").cast("double")).alias("y")))
+    agg = top.agg(F.count(F.lit(1)).cast("double").alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = ((agg["m"] * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (agg["m"] * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return agg.select(F.col("m").cast("long").alias("n_terms"),
+                      F.round(slope, 6).alias("zipf_slope"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -4902,6 +4960,7 @@ _DRIVER_PRIORITY = [
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
+    "docs_heaps_curve", "docs_zipf_slope",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5191,6 +5250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "events_audience_overlap": q_events_audience_overlap,
+        "docs_heaps_curve": q_docs_heaps_curve,
+        "docs_zipf_slope": q_docs_zipf_slope,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5266,6 +5327,47 @@ pairs AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 )
 SELECT id1, id2 FROM pairs
+"""
+    # Heaps curve: first-occurrence trick + two running sums.
+    o["docs_heaps_curve"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+  FROM documents
+),
+tokens_per AS (SELECT doc_id // 50 AS b, CAST(COUNT(*) AS BIGINT) AS toks
+               FROM toks GROUP BY 1),
+first_seen AS (SELECT w, MIN(doc_id) AS d0 FROM toks GROUP BY 1),
+types_per AS (SELECT d0 // 50 AS b, CAST(COUNT(*) AS BIGINT) AS new_types
+              FROM first_seen GROUP BY 1)
+SELECT t.b, COALESCE(ty.new_types, 0) AS new_types,
+       CAST(SUM(t.toks) OVER (ORDER BY t.b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(ty.new_types, 0)) OVER (ORDER BY t.b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_types
+FROM tokens_per t LEFT JOIN types_per ty ON ty.b = t.b
+ORDER BY t.b
+"""
+    # Zipf slope: same closed-form OLS over (ln rank, ln freq).
+    o["docs_zipf_slope"] = """
+WITH freq AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w
+    FROM documents)
+  GROUP BY 1
+),
+top AS (
+  SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(n AS DOUBLE)) AS y FROM (
+    SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS r FROM freq)
+  WHERE r <= 200
+),
+agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM top)
+SELECT CAST(m AS BIGINT) AS n_terms,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+FROM agg
 """
     # audience overlap: exact integer set algebra.
     o["events_audience_overlap"] = """

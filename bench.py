@@ -173,6 +173,7 @@ HEADLINE = [
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
+    "docs_heaps_curve", "docs_zipf_slope",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
