@@ -4442,6 +4442,28 @@ def q_docs_textrank(spark, sf_dir):
     return text.textrank_keywords(docs, window=2, iterations=6, k=20)
 
 
+def q_events_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve of user activity: events per user bucketed into
+    activity deciles (ntile over the per-USER aggregate — user-count
+    rows, never raw events), each decile's share of all events — the
+    curve behind customer_gini's scalar. Integer counts keep shares
+    exact-ratio cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.where(F.col("user_id").isNotNull())
+                .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").asc(), F.col("user_id").asc())
+    decd = per_user.withColumn("decile", F.ntile(10).over(w))
+    tot = decd.agg(F.sum("n").alias("t"))
+    return (decd.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n").alias("n_events"))
+            .join(F.broadcast(tot))
+            .select("decile", "n_users", "n_events",
+                    F.round(F.col("n_events") / F.col("t"), 6)
+                     .alias("share"))
+            .orderBy("decile"))
+
+
 def q_docs_heaps_curve(spark, sf_dir):
     """Heaps'-law vocabulary growth: cumulative distinct word types
     vs cumulative tokens, sampled every 50 docs in doc_id order — the
@@ -4960,7 +4982,7 @@ _DRIVER_PRIORITY = [
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
-    "docs_heaps_curve", "docs_zipf_slope",
+    "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5252,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": q_events_audience_overlap,
         "docs_heaps_curve": q_docs_heaps_curve,
         "docs_zipf_slope": q_docs_zipf_slope,
+        "events_lorenz_deciles": q_events_lorenz_deciles,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5327,6 +5350,22 @@ pairs AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 )
 SELECT id1, id2 FROM pairs
+"""
+    # Lorenz deciles: ntile over the per-user aggregate; exact ratios.
+    o["events_lorenz_deciles"] = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+decd AS (
+  SELECT n, NTILE(10) OVER (ORDER BY n ASC, user_id ASC) AS decile
+  FROM per_user
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM decd)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(n) AS BIGINT) / CAST(t.t AS DOUBLE), 6) AS share
+FROM decd CROSS JOIN t GROUP BY decile, t.t ORDER BY decile
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """
