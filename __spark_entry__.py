@@ -4522,6 +4522,28 @@ def q_docs_zipf_slope(spark, sf_dir):
                       F.round(slope, 6).alias("zipf_slope"))
 
 
+def q_feat_target_encode_loo(spark, sf_dir):
+    """Leakage-free target encoding (functions/encoding.py): encode
+    each order's customer NATION by the leave-one-out mean order
+    value, plus the m=20 empirical-Bayes smoothed form — the standard
+    categorical feature for tabular models, one window pass instead
+    of a K-fold loop. Target is cents (exact int64 sums) so the final
+    division is a single deterministic double op cross-engine."""
+    from recdb_postgresql_spark.functions.encoding import target_encode_loo
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = (orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                      orders["o_custkey"] == cust["c_custkey"])
+          .select("o_orderkey", "c_nationkey",
+                  F.round(F.col("o_totalprice") * 100, 0)
+                   .cast("long").alias("cents")))
+    enc = target_encode_loo(df, ["c_nationkey"], "cents", smoothing_m=20.0)
+    return (enc.select("o_orderkey", "c_nationkey",
+                       F.round("te_loo", 6).alias("te_loo"),
+                       F.round("te_smooth", 6).alias("te_smooth"))
+            .orderBy("o_orderkey"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -4983,6 +5005,7 @@ _DRIVER_PRIORITY = [
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
     "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
+    "feat_target_encode_loo",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5275,6 +5298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_heaps_curve": q_docs_heaps_curve,
         "docs_zipf_slope": q_docs_zipf_slope,
         "events_lorenz_deciles": q_events_lorenz_deciles,
+        "feat_target_encode_loo": q_feat_target_encode_loo,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5366,6 +5390,29 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(SUM(n) AS BIGINT) AS n_events,
        ROUND(CAST(SUM(n) AS BIGINT) / CAST(t.t AS DOUBLE), 6) AS share
 FROM decd CROSS JOIN t GROUP BY decile, t.t ORDER BY decile
+"""
+    # LOO target encoding: exact int cents sums; every division is a
+    # single double op on identical int64 inputs (IEEE-deterministic).
+    o["feat_target_encode_loo"] = """
+WITH base AS (
+  SELECT o.o_orderkey, c.c_nationkey,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+w AS (
+  SELECT o_orderkey, c_nationkey, cents,
+         CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS c
+  FROM base
+),
+p AS (SELECT CAST(SUM(cents) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS prior
+      FROM base)
+SELECT o_orderkey, c_nationkey,
+       ROUND(CASE WHEN c > 1 THEN (s - cents) / (c - 1)
+                  ELSE p.prior END, 6) AS te_loo,
+       ROUND((s - cents + 20.0 * p.prior) / (c - 1 + 20.0), 6) AS te_smooth
+FROM w CROSS JOIN p
+ORDER BY o_orderkey
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

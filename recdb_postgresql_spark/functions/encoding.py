@@ -1,0 +1,71 @@
+"""Leakage-free categorical feature encoding.
+
+Target encoding replaces a categorical key with a statistic of the
+label over that key — the workhorse categorical feature for tabular
+models. Done naively (group mean joined back) every row sees its OWN
+label through the group mean: leakage that inflates offline metrics
+and dies in production. The leave-one-out (LOO) form removes the row's
+own contribution in closed form:
+
+    loo_mean(row) = (sum(y over key) - y_row) / (count(key) - 1)
+
+which is exactly the K-fold-at-K=n estimate, computed in ONE window
+pass — no fold loop, no shuffle per fold. Singleton keys (count == 1)
+have no leave-one-out information and fall back to the global prior.
+
+The smoothed variant shrinks small keys toward the prior (classic
+empirical-Bayes / Micci-Barreca 2001 form):
+
+    smooth(row) = (sum - y_row + m * prior) / (count - 1 + m)
+
+Scale shape: one hash-partitioned window over the key (equivalently a
+groupBy + broadcast-back when keys are few) — a single shuffle on the
+encoding key regardless of key cardinality; no iteration, no driver
+state. For exact cross-engine parity feed an INTEGER target (e.g.
+price in cents): group sums stay exact int64 and the final division is
+one deterministic double op.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def target_encode_loo(df: DataFrame, key_cols: Sequence[str],
+                      target_col: str, smoothing_m: float = 0.0,
+                      out_col: str = "te_loo",
+                      smooth_col: str = "te_smooth") -> DataFrame:
+    """Append leave-one-out target encoding of ``key_cols``.
+
+    Adds ``out_col`` (pure LOO mean; global mean for singleton keys)
+    and, when ``smoothing_m > 0``, ``smooth_col`` (LOO shrunk toward
+    the global mean with pseudo-count ``m``). The target is summed
+    as-is — pass an integral column (cents, counts) when exact
+    cross-engine reproducibility matters.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys)
+    y = F.col(target_col)
+    df = (df.withColumn("_te_sum", F.sum(y).over(w))
+            .withColumn("_te_cnt", F.count(y).over(w)))
+    # Global prior from the already-computed per-key rollup (tiny:
+    # one row per key) — broadcast join, no second full pass.
+    totals = (df.groupBy(*keys)
+                .agg(F.first("_te_sum").alias("s"),
+                     F.first("_te_cnt").alias("c"))
+                .agg((F.sum("s") / F.sum("c")).alias("_te_prior")))
+    df = df.join(F.broadcast(totals))
+    loo = F.when(F.col("_te_cnt") > 1,
+                 (F.col("_te_sum") - y) / (F.col("_te_cnt") - 1)
+                 ).otherwise(F.col("_te_prior"))
+    df = df.withColumn(out_col, loo)
+    if smoothing_m > 0:
+        m = F.lit(float(smoothing_m))
+        df = df.withColumn(
+            smooth_col,
+            (F.col("_te_sum") - y + m * F.col("_te_prior"))
+            / (F.col("_te_cnt") - 1 + m))
+    return df.drop("_te_sum", "_te_cnt", "_te_prior")

@@ -1,0 +1,32 @@
+"""Leave-one-out target encoding semantics (functions/encoding.py)."""
+
+import pytest
+
+from recdb_postgresql_spark.functions.encoding import target_encode_loo
+
+
+def test_loo_excludes_own_row_and_singleton_prior(spark):
+    rows = [("a", 10), ("a", 20), ("a", 30), ("b", 100)]
+    df = spark.createDataFrame(rows, ["k", "y"])
+    out = {(r["k"], r["y"]): r for r in
+           target_encode_loo(df, ["k"], "y", smoothing_m=2.0).collect()}
+    # LOO for ('a', 10) is mean(20, 30) = 25 — own label excluded.
+    assert out[("a", 10)]["te_loo"] == pytest.approx(25.0)
+    assert out[("a", 20)]["te_loo"] == pytest.approx(20.0)
+    assert out[("a", 30)]["te_loo"] == pytest.approx(15.0)
+    # Singleton key: no LOO information -> global prior 160/4 = 40.
+    assert out[("b", 100)]["te_loo"] == pytest.approx(40.0)
+    # Smoothed (m=2): (sum - y + m*prior) / (cnt - 1 + m).
+    assert out[("a", 10)]["te_smooth"] == pytest.approx((50 + 80) / 4.0)
+    # Singleton smoothed collapses exactly to the prior.
+    assert out[("b", 100)]["te_smooth"] == pytest.approx(40.0)
+
+
+def test_loo_mean_of_encodings_is_unbiased_per_key(spark):
+    # For cnt>1 keys, sum of LOO encodings == sum of plain means*(cnt)
+    # i.e. the encoder doesn't shift the per-key average.
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, ["k", "y"])
+    vals = [r["te_loo"] for r in
+            target_encode_loo(df, ["k"], "y").collect()]
+    assert sum(vals) / len(vals) == pytest.approx(3.0)
