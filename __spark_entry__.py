@@ -4544,6 +4544,31 @@ def q_feat_target_encode_loo(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+def q_er_jw_rerank(spark, sf_dir):
+    """Jaro-Winkler candidate rerank (operators/linkage.py): brand-
+    blocked part-name pairs scored with the PG-fuzzystrmatch-exact
+    JW (floored transpositions, verified bit-identical to DuckDB),
+    keep rounded jw >= 0.95 — the standard name-match scorer applied
+    the only scalable way: AFTER blocking, never on a cross product.
+    Arrow-batched pandas UDF; candidate volume is the brand-block
+    pair count, bounded by the generator."""
+    from recdb_postgresql_spark.operators import linkage
+    part = load_table(spark, sf_dir, "part")
+    base = part.select("p_partkey", "p_brand", "p_name")
+    pairs = (base.alias("a").join(
+                base.alias("b"),
+                (F.col("a.p_brand") == F.col("b.p_brand"))
+                & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select(F.col("a.p_partkey").alias("id1"),
+                     F.col("b.p_partkey").alias("id2"),
+                     F.col("a.p_name").alias("n1"),
+                     F.col("b.p_name").alias("n2")))
+    scored = linkage.jaro_winkler_pairs(pairs, "n1", "n2")
+    return (scored.withColumn("jw", F.round("jw", 6))
+            .where(F.col("jw") >= 0.95)
+            .select("id1", "id2", "jw").orderBy("id1", "id2"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5005,7 +5030,7 @@ _DRIVER_PRIORITY = [
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
     "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
-    "feat_target_encode_loo",
+    "feat_target_encode_loo", "er_jw_rerank",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5299,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf_slope": q_docs_zipf_slope,
         "events_lorenz_deciles": q_events_lorenz_deciles,
         "feat_target_encode_loo": q_feat_target_encode_loo,
+        "er_jw_rerank": q_er_jw_rerank,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5413,6 +5439,16 @@ SELECT o_orderkey, c_nationkey,
        ROUND((s - cents + 20.0 * p.prior) / (c - 1 + 20.0), 6) AS te_smooth
 FROM w CROSS JOIN p
 ORDER BY o_orderkey
+"""
+    # JW rerank: DuckDB's jaro_winkler_similarity IS the semantics
+    # the Spark-side pandas UDF replicates (floored transpositions).
+    o["er_jw_rerank"] = """
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.95
+ORDER BY id1, id2
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """
