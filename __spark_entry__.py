@@ -4569,6 +4569,24 @@ def q_er_jw_rerank(spark, sf_dir):
             .select("id1", "id2", "jw").orderBy("id1", "id2"))
 
 
+_SPRT = {"p0": 0.15, "p1": 0.20, "alpha": 0.05, "beta": 0.05}
+
+
+def q_events_sprt(spark, sf_dir):
+    """Wald SPRT sequential monitor (operators/stats.sprt_monitor):
+    cumulative purchase-rate evidence for H1 p=0.20 vs H0 p=0.15 at
+    6h peeks, with the anytime accept/continue decision — the
+    always-valid complement to the fixed-horizon conversion z-test.
+    Facts collapse to a per-bucket rollup map-side; the ordered
+    window runs over peek-count rows only."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.sprt_monitor(
+        ev, F.expr(f"ts div {21600 * 10 ** 9}"),
+        F.col("event_type") == "purchase", **_SPRT)
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5030,7 +5048,7 @@ _DRIVER_PRIORITY = [
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
     "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
-    "feat_target_encode_loo", "er_jw_rerank",
+    "feat_target_encode_loo", "er_jw_rerank", "events_sprt",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5325,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lorenz_deciles": q_events_lorenz_deciles,
         "feat_target_encode_loo": q_feat_target_encode_loo,
         "er_jw_rerank": q_er_jw_rerank,
+        "events_sprt": q_events_sprt,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5449,6 +5468,43 @@ FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.95
 ORDER BY id1, id2
+"""
+    # SPRT: the four log constants are the SAME Python doubles the
+    # Spark side embeds (repr round-trips exactly), so llr is integer
+    # counts times identical literals — bit-reproducible, and the
+    # unrounded boundary comparisons agree cross-engine.
+    import math as _m
+    _la = _m.log(_SPRT["p1"] / _SPRT["p0"])
+    _lb = _m.log((1 - _SPRT["p1"]) / (1 - _SPRT["p0"]))
+    _up = _m.log((1 - _SPRT["beta"]) / _SPRT["alpha"])
+    _lo = _m.log(_SPRT["beta"] / (1 - _SPRT["alpha"]))
+    o["events_sprt"] = f"""
+WITH per AS (
+  SELECT epoch_ns(ts) // 21600000000000 AS bucket,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT bucket,
+         CAST(SUM(s) OVER w AS BIGINT) AS successes,
+         CAST(SUM(n) OVER w AS BIGINT) AS trials
+  FROM per
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, trials, successes,
+       ROUND(successes * CAST({_la!r} AS DOUBLE)
+             + (trials - successes) * CAST({_lb!r} AS DOUBLE), 6) AS llr,
+       CASE WHEN successes * CAST({_la!r} AS DOUBLE)
+                 + (trials - successes) * CAST({_lb!r} AS DOUBLE)
+                 >= CAST({_up!r} AS DOUBLE) THEN 'accept_h1'
+            WHEN successes * CAST({_la!r} AS DOUBLE)
+                 + (trials - successes) * CAST({_lb!r} AS DOUBLE)
+                 <= CAST({_lo!r} AS DOUBLE) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum ORDER BY bucket
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

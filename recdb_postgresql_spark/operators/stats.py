@@ -303,3 +303,59 @@ def gini(df: DataFrame, entity_col: str, val_col: str) -> DataFrame:
     return agg.select(F.col("n").cast("long").alias("n"),
                       F.round("s", 4).alias("total"),
                       F.round(g, 6).alias("gini"))
+
+
+def sprt_monitor(df: DataFrame, bucket: "F.Column", success,
+                 p0: float, p1: float,
+                 alpha: float = 0.05, beta: float = 0.05) -> DataFrame:
+    """Wald SPRT sequential monitor for a binomial rate: at every
+    time ``bucket`` (the peek granularity), the cumulative
+    log-likelihood ratio of H1: p=p1 vs H0: p=p0 and the anytime
+    decision — the sequential companion to the fixed-horizon
+    two_proportion_ztest, i.e. "stop the experiment the moment the
+    evidence crosses Wald's boundaries" instead of waiting for a
+    preplanned n (Wald 1945; the always-valid-inference staple).
+
+        llr_n = s * ln(p1/p0) + (n - s) * ln((1-p1)/(1-p0))
+        accept H1 when llr >= ln((1-beta)/alpha)
+        accept H0 when llr <= ln(beta/(1-alpha))
+
+    Scale shape: the per-bucket (successes, trials) rollup is the
+    only pass over the facts (map-side partial); the running sums
+    then run over the BUCKET rollup — thousands of rows however big
+    the fact table — so the single-partition ordered window is
+    cardinality-bounded by the peek schedule, never by the data.
+    The four log constants are computed once driver-side (Python
+    floats embedded as literals), so the per-row math is integer
+    counts times identical doubles: bit-reproducible cross-engine.
+
+    Returns (bucket, trials, successes, llr, decision) per bucket,
+    decision in {'accept_h1', 'accept_h0', 'continue'} — the state
+    HAD the monitor peeked at that bucket's close.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    per = (df.groupBy(bucket.alias("bucket"))
+             .agg(F.sum(success.cast("long")).alias("s"),
+                  F.count(F.lit(1)).alias("n")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (per.withColumn("successes", F.sum("s").over(w))
+              .withColumn("trials", F.sum("n").over(w)))
+    llr = (F.col("successes") * F.lit(la)
+           + (F.col("trials") - F.col("successes")) * F.lit(lb))
+    decision = (F.when(llr >= F.lit(upper), F.lit("accept_h1"))
+                 .when(llr <= F.lit(lower), F.lit("accept_h0"))
+                 .otherwise(F.lit("continue")))
+    return (cum.select("bucket", "trials", "successes",
+                       F.round(llr, 6).alias("llr"),
+                       decision.alias("decision"))
+            .orderBy("bucket"))

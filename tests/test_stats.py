@@ -4,6 +4,7 @@ expected mass), and the Benford digit audit."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.operators import stats
@@ -247,3 +248,32 @@ def test_gini_extremes_and_uniform(spark):
     dup = spark.createDataFrame(
         [(i, 5.0) for i in range(10)] * 2, ["e", "x"])
     assert gini(dup, "e", "x").collect()[0]["gini"] == 0.0
+
+
+def test_sprt_crosses_h1_on_high_rate_and_h0_on_low(spark):
+    import math
+    from pyspark.sql import functions as F
+    # 10 buckets x 50 trials at 40% success: decisive for H1 p=0.3
+    # vs H0 p=0.1; all-failure stream is decisive for H0.
+    rows = [(b, 1 if i < 20 else 0) for b in range(10) for i in range(50)]
+    df = spark.createDataFrame(rows, ["b", "x"])
+    out = stats.sprt_monitor(df, F.col("b"), F.col("x") == 1,
+                             p0=0.1, p1=0.3).collect()
+    assert [r["trials"] for r in out] == [50 * (b + 1) for b in range(10)]
+    # llr formula spot-check at the first peek
+    la, lb = math.log(3.0), math.log(0.7 / 0.9)
+    assert out[0]["llr"] == pytest.approx(20 * la + 30 * lb, abs=1e-6)
+    assert out[-1]["decision"] == "accept_h1"
+    # ambiguous evidence (rate between p0 and p1, tiny n) -> continue
+    mid = spark.createDataFrame(
+        [(0, 1 if i < 2 else 0) for i in range(10)], ["b", "x"])
+    r = stats.sprt_monitor(mid, F.col("b"), F.col("x") == 1,
+                           p0=0.1, p1=0.3).collect()[0]
+    assert r["decision"] == "continue"
+    lo = spark.createDataFrame([(b, 0) for b in range(10) for _ in range(50)],
+                               ["b", "x"])
+    out2 = stats.sprt_monitor(lo, F.col("b"), F.col("x") == 1,
+                              p0=0.1, p1=0.3).collect()
+    assert out2[-1]["decision"] == "accept_h0"
+    with pytest.raises(ValueError):
+        stats.sprt_monitor(df, F.col("b"), F.col("x") == 1, p0=0.2, p1=0.2)
