@@ -4587,6 +4587,25 @@ def q_events_sprt(spark, sf_dir):
         F.col("event_type") == "purchase", **_SPRT)
 
 
+def q_audit_orders_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprint (operators/profile.py):
+    64 bucketed XOR-of-row-md5 signatures over orders' key columns —
+    the cross-system reconciliation primitive (compare 64 rows, not
+    the table; a mismatched bucket narrows the diff to 1/64). Float
+    price canonicalizes to cents int64 first so the row string is
+    engine-portable. One pass, map-side-combining XOR aggregate."""
+    from recdb_postgresql_spark.operators import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    return profile.table_fingerprint(
+        proj, F.col("o_orderkey"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "cents"], n_buckets=64)
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5049,6 +5068,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_estimate", "events_audience_overlap",
     "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
     "feat_target_encode_loo", "er_jw_rerank", "events_sprt",
+    "audit_orders_fingerprint",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5344,6 +5364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_target_encode_loo": q_feat_target_encode_loo,
         "er_jw_rerank": q_er_jw_rerank,
         "events_sprt": q_events_sprt,
+        "audit_orders_fingerprint": q_audit_orders_fingerprint,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5505,6 +5526,22 @@ SELECT bucket, trials, successes,
                  <= CAST({_lo!r} AS DOUBLE) THEN 'accept_h0'
             ELSE 'continue' END AS decision
 FROM cum ORDER BY bucket
+"""
+    # Table fingerprint: identical md5-row-sig + XOR agg in SQL.
+    o["audit_orders_fingerprint"] = """
+WITH r AS (
+  SELECT CAST(concat('0x', substring(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           o_orderstatus, o_orderpriority,
+           CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+         )), 1, 15)) AS BIGINT) AS sig,
+         CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 64 AS bucket
+  FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(sig) AS BIGINT) AS xor_sig
+FROM r GROUP BY bucket ORDER BY bucket
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

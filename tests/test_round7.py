@@ -503,3 +503,29 @@ def test_label_propagation_seeds_and_isolated(spark):
            for r in graph.label_propagation(e, rounds=4,
                                             seed_labels=seeds).collect()}
     assert set(got.values()) == {0}
+
+
+def test_table_fingerprint_localizes_single_row_diff(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.operators.profile import table_fingerprint
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}", None if i == 3 else i * 10) for i in range(200)],
+        ["id", "s", "x"])
+    cols = ["id", "s", "x"]
+    fp = lambda df: {r["bucket"]: (r["n_rows"], r["xor_sig"])  # noqa: E731
+                     for r in table_fingerprint(df, F.col("id"), cols,
+                                                 n_buckets=8).collect()}
+    base = fp(a)
+    # identical content, different row order / partitioning -> equal
+    assert fp(a.orderBy(F.desc("id")).repartition(7)) == base
+    # one changed value flips exactly one bucket's signature
+    b = a.withColumn("x", F.when(F.col("id") == 42, 999)
+                     .otherwise(F.col("x")))
+    diff = [k for k in base if fp(b)[k] != base[k]]
+    assert len(diff) == 1
+    # NULL is distinguishable from the string 'None'/absent value
+    c = a.withColumn("x", F.when(F.col("id") == 3, 30)
+                     .otherwise(F.col("x")))
+    assert fp(c) != base
