@@ -4606,6 +4606,28 @@ def q_audit_orders_fingerprint(spark, sf_dir):
          "cents"], n_buckets=64)
 
 
+def q_shard_rendezvous(spark, sf_dir):
+    """Rendezvous (HRW) shard routing (functions/layout.py): assign
+    every document to 16 shards by hash-argmax, then measure the
+    16 -> 17 scale-up — per shard: size, how many keys move, and the
+    HRW invariant that EVERY moved key lands on the new shard only
+    (expected movement 1/17 vs modulo's 15/16). Pure map-side
+    expression, no join, no shuffle beyond the 16-row readout."""
+    from recdb_postgresql_spark.functions.layout import rendezvous_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    a = docs.select(rendezvous_shard(key, 16).alias("s16"),
+                    rendezvous_shard(key, 17).alias("s17"))
+    return (a.groupBy(F.col("s16").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("s17") != F.col("s16")).cast("long"))
+                  .alias("n_moved"),
+                 F.sum((F.col("s17") == 16).cast("long"))
+                  .alias("n_to_new"))
+            .orderBy("shard"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5068,7 +5090,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_estimate", "events_audience_overlap",
     "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
     "feat_target_encode_loo", "er_jw_rerank", "events_sprt",
-    "audit_orders_fingerprint",
+    "audit_orders_fingerprint", "shard_rendezvous",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5365,6 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_jw_rerank": q_er_jw_rerank,
         "events_sprt": q_events_sprt,
         "audit_orders_fingerprint": q_audit_orders_fingerprint,
+        "shard_rendezvous": q_shard_rendezvous,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5542,6 +5565,28 @@ WITH r AS (
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(sig) AS BIGINT) AS xor_sig
 FROM r GROUP BY bucket ORDER BY bucket
+"""
+    # Rendezvous sharding: unnested shard hashes + arg_max (ties at
+    # 2^-60 per pair; arg_max/first-max agree in practice), movement
+    # measured between the 16- and 17-shard assignments.
+    o["shard_rendezvous"] = """
+WITH h AS (
+  SELECT d.doc_id, t.s AS shard,
+         CAST(concat('0x', substring(md5(concat(t.s || ':',
+              CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+  FROM documents d CROSS JOIN range(17) t(s)
+),
+a16 AS (SELECT doc_id, CAST(arg_max(shard, hv) AS INT) AS s16
+        FROM h WHERE shard < 16 GROUP BY doc_id),
+a17 AS (SELECT doc_id, CAST(arg_max(shard, hv) AS INT) AS s17
+        FROM h GROUP BY doc_id)
+SELECT s16 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s17 <> s16 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST(SUM(CASE WHEN s17 = 16 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new
+FROM a16 JOIN a17 USING (doc_id)
+GROUP BY s16 ORDER BY shard
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def spread_small(df: DataFrame) -> DataFrame:
@@ -88,3 +89,23 @@ def write_zordered(df: DataFrame, path: str, cols, n_files: int,
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def rendezvous_shard(key: Column, n_shards: int) -> Column:
+    """Highest-random-weight (rendezvous / HRW) shard id in
+    [0, n_shards) for ``key``: argmax over shards of the seeded
+    portable hash h(shard, key). The routing primitive behind stable
+    sharding: growing n -> n+1 moves EXACTLY the keys whose new-shard
+    hash wins — an expected 1/(n+1) of the data — while modulo
+    sharding reshuffles (n-1)/n of it. Pure map-side expression (one
+    md5 per shard per row, no join, no shuffle): the assignment
+    column composes with partitionBy/bucketBy at write time.
+
+    Ties are broken toward the LOWEST shard id (array_position takes
+    the first maximum) — with 60-bit hashes a tie is ~2^-60 per
+    key-pair, but the rule is pinned so two engines agree."""
+    from recdb_postgresql_spark.functions.hashing import seeded_hash
+
+    hs = F.array(*[seeded_hash(key, s) for s in range(n_shards)])
+    # 1-based position of the max -> 0-based shard id
+    return (F.array_position(hs, F.array_max(hs)) - 1).cast("int")

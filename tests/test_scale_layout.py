@@ -510,3 +510,26 @@ def test_dynamic_partition_pruning_on_day_partitions(spark, tmp_path):
     # correctness: only days 3, 13, 23 survive
     expect = sum(x for x in range(50000) if x % 30 in (3, 13, 23))
     assert joined.collect()[0]["s"] == expect
+
+
+def test_rendezvous_minimal_movement_and_balance(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions.layout import rendezvous_shard
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    a = df.select(rendezvous_shard(F.col("k"), 8).alias("s8"),
+                  rendezvous_shard(F.col("k"), 9).alias("s9"))
+    moved = a.where(F.col("s8") != F.col("s9"))
+    n_moved = moved.count()
+    # expected 1/9 of keys move; allow wide tolerance
+    assert 2000 / 9 * 0.6 < n_moved < 2000 / 9 * 1.6
+    # HRW invariant: every moved key lands on the NEW shard
+    assert moved.where(F.col("s9") != 8).count() == 0
+    # stayers keep their shard id verbatim (no renumbering)
+    assert a.where((F.col("s8") == F.col("s9"))
+                   & (F.col("s8") >= 8)).count() == 0
+    # balance: each of 8 shards holds ~250 keys
+    sizes = [r["n"] for r in a.groupBy("s8")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 8 and min(sizes) > 150 and max(sizes) < 350
