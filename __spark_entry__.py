@@ -4552,10 +4552,14 @@ def q_er_jw_rerank(spark, sf_dir):
     the only scalable way: AFTER blocking, never on a cross product.
     Arrow-batched pandas UDF; candidate volume is the brand-block
     pair count, bounded by the generator."""
+    from recdb_postgresql_spark.functions.layout import spread_small
     from recdb_postgresql_spark.operators import linkage
     part = load_table(spark, sf_dir, "part")
     base = part.select("p_partkey", "p_brand", "p_name")
-    pairs = (base.alias("a").join(
+    # spread the PROBE side before the broadcast join (a one-file dim
+    # is one partition; pairs then build + score on every core — the
+    # spread moves 20k rows, not the 100x-larger pair set)
+    pairs = (spread_small(base).alias("a").join(
                 base.alias("b"),
                 (F.col("a.p_brand") == F.col("b.p_brand"))
                 & (F.col("a.p_partkey") < F.col("b.p_partkey")))
