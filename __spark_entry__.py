@@ -4632,6 +4632,25 @@ def q_shard_rendezvous(spark, sf_dir):
             .orderBy("shard"))
 
 
+def q_events_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (functions/encoding.py): map each event
+    type's value distribution onto the pooled empirical distribution
+    — after it every type has identical marginals (the batch-effect
+    remover from the microarray literature, equally the feature-prep
+    step before cross-segment comparisons). Integer-exact index
+    arithmetic; output values are copied, never computed."""
+    from recdb_postgresql_spark.functions.encoding import quantile_normalize
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value"))
+    out = quantile_normalize(ev, "event_type", "value", "event_id")
+    return (out.select("event_id", "event_type",
+                       F.round("value", 6).alias("value"),
+                       F.round("qnorm", 6).alias("qnorm"))
+            .orderBy("event_id"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5095,6 +5114,7 @@ _DRIVER_PRIORITY = [
     "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
     "feat_target_encode_loo", "er_jw_rerank", "events_sprt",
     "audit_orders_fingerprint", "shard_rendezvous",
+    "events_quantile_normalize",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
@@ -5392,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sprt": q_events_sprt,
         "audit_orders_fingerprint": q_audit_orders_fingerprint,
         "shard_rendezvous": q_shard_rendezvous,
+        "events_quantile_normalize": q_events_quantile_normalize,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5591,6 +5612,33 @@ SELECT s16 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS n_to_new
 FROM a16 JOIN a17 USING (doc_id)
 GROUP BY s16 ORDER BY shard
+"""
+    # Quantile normalization: identical integer index arithmetic.
+    o["events_quantile_normalize"] = """
+WITH e AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM e),
+r AS (
+  SELECT event_id, event_type, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS BIGINT) AS qr,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS qn
+  FROM e
+),
+p AS (
+  SELECT value AS pv,
+         CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT) - 1
+           AS prn
+  FROM e
+)
+SELECT r.event_id, r.event_type, ROUND(r.value, 6) AS value,
+       ROUND(p.pv, 6) AS qnorm
+FROM r CROSS JOIN n
+JOIN p ON p.prn = CASE WHEN r.qn > 1
+                       THEN (r.qr - 1) * (n.nt - 1) // (r.qn - 1)
+                       ELSE (n.nt - 1) // 2 END
+ORDER BY r.event_id
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

@@ -69,3 +69,46 @@ def target_encode_loo(df: DataFrame, key_cols: Sequence[str],
             (F.col("_te_sum") - y + m * F.col("_te_prior"))
             / (F.col("_te_cnt") - 1 + m))
     return df.drop("_te_sum", "_te_cnt", "_te_prior")
+
+
+def quantile_normalize(df: DataFrame, group_col: str, val_col: str,
+                       id_col: str, out_col: str = "qnorm") -> DataFrame:
+    """Map every group's value distribution onto the POOLED empirical
+    distribution (quantile normalization — the batch-effect remover:
+    after it, every group has identical marginals, so cross-group
+    comparisons see rank structure, not scale/shift artifacts).
+
+    Row with within-group rank r of n_g maps to the pooled sorted
+    value at position floor((r-1) * (N-1) / (n_g-1)) (lower empirical
+    quantile; singleton groups map to the pooled median position) —
+    ALL index arithmetic is exact integer division, and the output
+    values are copied from the pooled column untouched, so the
+    transform is bit-portable across engines.
+
+    Scale shape: the per-group rank is a partitioned window (fully
+    distributed); the pooled order is ONE global row_number over N
+    rows — the zipWithIndex shape. At 100 TB replace the pooled side
+    with a fixed-resolution quantile grid (the group side and the
+    join are unchanged); at feature-table scales the exact pooled
+    sort is one range-partitioned pass.
+    """
+    from pyspark.sql import Window
+
+    n_total = df.count()
+    gw = Window.partitionBy(group_col).orderBy(val_col, id_col)
+    ranked = (df.withColumn("_qr", F.row_number().over(gw))
+                .withColumn("_qn", F.count(F.lit(1)).over(
+                    Window.partitionBy(group_col))))
+    pos = F.when(
+        F.col("_qn") > 1,
+        F.expr(f"(_qr - 1) * ({n_total} - 1) div (_qn - 1)")
+    ).otherwise(F.lit((n_total - 1) // 2))
+    ranked = ranked.withColumn("_qpos", pos.cast("long"))
+    pooled = (df.select(F.col(val_col).alias("_pv"),
+                        F.col(id_col).alias("_pid"))
+              .withColumn("_prn", F.row_number().over(
+                  Window.orderBy("_pv", "_pid")) - 1))
+    return (ranked.join(pooled.select("_prn", "_pv"),
+                        ranked["_qpos"] == pooled["_prn"])
+            .withColumn(out_col, F.col("_pv"))
+            .drop("_qr", "_qn", "_qpos", "_prn", "_pv"))

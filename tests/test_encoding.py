@@ -30,3 +30,26 @@ def test_loo_mean_of_encodings_is_unbiased_per_key(spark):
     vals = [r["te_loo"] for r in
             target_encode_loo(df, ["k"], "y").collect()]
     assert sum(vals) / len(vals) == pytest.approx(3.0)
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions.encoding import quantile_normalize
+
+    # group a: 1..8 ; group b: 101..108 (same shape, shifted scale)
+    rows = ([("a", i, float(i)) for i in range(1, 9)]
+            + [("b", i + 10, float(100 + i)) for i in range(1, 9)])
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    out = quantile_normalize(df, "g", "v", "id")
+    got = {(r["g"], r["v"]): r["qnorm"] for r in out.collect()}
+    # both groups map onto identical pooled quantiles
+    a_vals = sorted(v for (g, _), v in got.items() if g == "a")
+    b_vals = sorted(v for (g, _), v in got.items() if g == "b")
+    assert a_vals == b_vals
+    # monotone within group: rank order preserved
+    assert got[("a", 1.0)] < got[("a", 8.0)]
+    # rank-8-of-8 maps to the pooled max (index (7*15)//7 = 15)
+    assert got[("a", 8.0)] == 108.0 and got[("b", 108.0)] == 108.0
+    # row count preserved
+    assert out.count() == 16
