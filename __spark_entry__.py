@@ -5088,6 +5088,10 @@ _DRIVER_PRIORITY = [
     "ann_ivf_trained_probe", "rec_als_implicit",
     "docs_quality_classifier_probe", "rec_als_foldin_check",
     "rec_item2vec_similar",
+    # (2b) third-session additions (newest first per the rotation rule)
+    "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
+    "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
+    "events_quantile_normalize",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5111,10 +5115,7 @@ _DRIVER_PRIORITY = [
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
-    "docs_heaps_curve", "docs_zipf_slope", "events_lorenz_deciles",
-    "feat_target_encode_loo", "er_jw_rerank", "events_sprt",
-    "audit_orders_fingerprint", "shard_rendezvous",
-    "events_quantile_normalize",
+    "docs_heaps_curve", "docs_zipf_slope",
     "q11_important_stock", "q20_potential_promotion",
     "q21_suppliers_waiting",
     # round-9 TPC-H adapted battery (all oracle-checked)
