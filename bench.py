@@ -174,6 +174,9 @@ HEADLINE = [
     "events_cusum", "events_dispersion", "graph_kcore",
     "dedup_minhash_estimate", "events_audience_overlap",
     "docs_heaps_curve", "docs_zipf_slope",
+    "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
+    "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
+    "events_quantile_normalize",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
