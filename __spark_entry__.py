@@ -4527,8 +4527,13 @@ def q_feat_target_encode_loo(spark, sf_dir):
     each order's customer NATION by the leave-one-out mean order
     value, plus the m=20 empirical-Bayes smoothed form — the standard
     categorical feature for tabular models, one window pass instead
-    of a K-fold loop. Target is cents (exact int64 sums) so the final
-    division is a single deterministic double op cross-engine."""
+    of a K-fold loop. Target is cents (exact int64 sums) and the
+    prior is INTEGERIZED (floor of the global mean — the operator's
+    documented bit-reproducibility pattern), so every output is one
+    IEEE division of exactly-represented values: emitted UNROUNDED,
+    hash-identical cross-engine with no ROUND boundary behavior in
+    play (DuckDB's ROUND disagrees with itself between folded and
+    runtime paths at 1-ulp-boundary digits — measured r9)."""
     from recdb_postgresql_spark.functions.encoding import target_encode_loo
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -4537,10 +4542,12 @@ def q_feat_target_encode_loo(spark, sf_dir):
           .select("o_orderkey", "c_nationkey",
                   F.round(F.col("o_totalprice") * 100, 0)
                    .cast("long").alias("cents")))
-    enc = target_encode_loo(df, ["c_nationkey"], "cents", smoothing_m=20.0)
-    return (enc.select("o_orderkey", "c_nationkey",
-                       F.round("te_loo", 6).alias("te_loo"),
-                       F.round("te_smooth", 6).alias("te_smooth"))
+    tot = df.agg(F.sum("cents").alias("s"),
+                 F.count(F.lit(1)).alias("c")).collect()[0]
+    prior_int = tot["s"] // tot["c"]
+    enc = target_encode_loo(df, ["c_nationkey"], "cents",
+                            smoothing_m=20.0, prior=float(prior_int))
+    return (enc.select("o_orderkey", "c_nationkey", "te_loo", "te_smooth")
             .orderBy("o_orderkey"))
 
 
@@ -5506,8 +5513,11 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(CAST(SUM(n) AS BIGINT) / CAST(t.t AS DOUBLE), 6) AS share
 FROM decd CROSS JOIN t GROUP BY decile, t.t ORDER BY decile
 """
-    # LOO target encoding: exact int cents sums; every division is a
-    # single double op on identical int64 inputs (IEEE-deterministic).
+    # LOO target encoding: exact int cents sums + INTEGER prior, so
+    # every emitted value is one IEEE division of exactly-represented
+    # inputs — bit-identical cross-engine, no ROUND involved at all
+    # (DuckDB ROUND is inconsistent between folded/runtime paths at
+    # boundary digits; exact-ratio outputs sidestep the class).
     o["feat_target_encode_loo"] = """
 WITH base AS (
   SELECT o.o_orderkey, c.c_nationkey,
@@ -5520,12 +5530,13 @@ w AS (
          CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS c
   FROM base
 ),
-p AS (SELECT CAST(SUM(cents) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS prior
+p AS (SELECT CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS prior
       FROM base)
 SELECT o_orderkey, c_nationkey,
-       ROUND(CASE WHEN c > 1 THEN (s - cents) / (c - 1)
-                  ELSE p.prior END, 6) AS te_loo,
-       ROUND((s - cents + 20.0 * p.prior) / (c - 1 + 20.0), 6) AS te_smooth
+       CASE WHEN c > 1 THEN (s - cents) / (c - 1)
+            ELSE CAST(p.prior AS DOUBLE) END AS te_loo,
+       (s - cents + CAST(20.0 AS DOUBLE) * p.prior)
+         / (c - 1 + CAST(20.0 AS DOUBLE)) AS te_smooth
 FROM w CROSS JOIN p
 ORDER BY o_orderkey
 """

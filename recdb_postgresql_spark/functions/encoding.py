@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 def target_encode_loo(df: DataFrame, key_cols: Sequence[str],
                       target_col: str, smoothing_m: float = 0.0,
                       out_col: str = "te_loo",
-                      smooth_col: str = "te_smooth") -> DataFrame:
+                      smooth_col: str = "te_smooth",
+                      prior: Optional[float] = None) -> DataFrame:
     """Append leave-one-out target encoding of ``key_cols``.
 
     Adds ``out_col`` (pure LOO mean; global mean for singleton keys)
@@ -45,19 +46,31 @@ def target_encode_loo(df: DataFrame, key_cols: Sequence[str],
     the global mean with pseudo-count ``m``). The target is summed
     as-is — pass an integral column (cents, counts) when exact
     cross-engine reproducibility matters.
+
+    ``prior`` overrides the computed global mean — pass the TRAINING
+    split's prior when encoding a serving/eval split (computing it
+    from the encoded split would leak), or an integer-valued prior to
+    keep every emitted value an exact ratio of integers (the
+    bit-reproducibility pattern the oracle queries use: with integral
+    target, integral prior, and integral ``m``, each output is ONE
+    IEEE division of exactly-represented values — no rounding needed,
+    no engine-specific ROUND boundary behavior to fight).
     """
     keys = list(key_cols)
     w = Window.partitionBy(*keys)
     y = F.col(target_col)
     df = (df.withColumn("_te_sum", F.sum(y).over(w))
             .withColumn("_te_cnt", F.count(y).over(w)))
-    # Global prior from the already-computed per-key rollup (tiny:
-    # one row per key) — broadcast join, no second full pass.
-    totals = (df.groupBy(*keys)
-                .agg(F.first("_te_sum").alias("s"),
-                     F.first("_te_cnt").alias("c"))
-                .agg((F.sum("s") / F.sum("c")).alias("_te_prior")))
-    df = df.join(F.broadcast(totals))
+    if prior is not None:
+        df = df.withColumn("_te_prior", F.lit(float(prior)))
+    else:
+        # Global prior from the already-computed per-key rollup
+        # (tiny: one row per key) — broadcast join, no second pass.
+        totals = (df.groupBy(*keys)
+                    .agg(F.first("_te_sum").alias("s"),
+                         F.first("_te_cnt").alias("c"))
+                    .agg((F.sum("s") / F.sum("c")).alias("_te_prior")))
+        df = df.join(F.broadcast(totals))
     loo = F.when(F.col("_te_cnt") > 1,
                  (F.col("_te_sum") - y) / (F.col("_te_cnt") - 1)
                  ).otherwise(F.col("_te_prior"))
