@@ -4658,6 +4658,22 @@ def q_events_quantile_normalize(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def q_docs_stratified_sample(spark, sf_dir):
+    """Exact stratified sample (functions/sampling.py): exactly 500
+    documents allocated across languages by the largest-remainder
+    method, chosen within each language by hash priority — the
+    mix-preserving corpus sample with exact counts (hash_sample keeps
+    fractions only in expectation). Pure integer allocation + md5
+    priority: the selected row SET is engine-reproducible, so the
+    oracle checks membership, not just counts."""
+    from recdb_postgresql_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang",
+                            F.col("doc_id").cast("string"), 500)
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5098,7 +5114,7 @@ _DRIVER_PRIORITY = [
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
-    "events_quantile_normalize",
+    "events_quantile_normalize", "docs_stratified_sample",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5421,6 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_orders_fingerprint": q_audit_orders_fingerprint,
         "shard_rendezvous": q_shard_rendezvous,
         "events_quantile_normalize": q_events_quantile_normalize,
+        "docs_stratified_sample": q_docs_stratified_sample,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5651,6 +5668,35 @@ JOIN p ON p.prn = CASE WHEN r.qn > 1
                        THEN (r.qr - 1) * (n.nt - 1) // (r.qn - 1)
                        ELSE (n.nt - 1) // 2 END
 ORDER BY r.event_id
+"""
+    # Stratified sample: same integer Hamilton allocation + md5
+    # priority; membership (not just counts) must match.
+    o["docs_stratified_sample"] = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+a AS (SELECT lang, (500 * n) // t.nn AS base, (500 * n) % t.nn AS rem
+      FROM c CROSS JOIN t),
+a2 AS (SELECT lang, base,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rrank,
+              500 - CAST(SUM(base) OVER () AS BIGINT) AS spare
+       FROM a),
+k AS (SELECT lang,
+             CAST(base + CASE WHEN rrank <= spare THEN 1 ELSE 0 END
+                  AS BIGINT) AS k
+      FROM a2),
+pri AS (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY
+           CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 15)) AS BIGINT) % 1000000,
+           CAST(d.doc_id AS VARCHAR)) AS rn
+  FROM documents d
+)
+SELECT p.doc_id, p.lang
+FROM pri p JOIN k ON p.lang = k.lang
+WHERE p.rn <= k.k
+ORDER BY p.lang, p.doc_id
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

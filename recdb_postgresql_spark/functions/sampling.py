@@ -183,3 +183,52 @@ def temperature_mix(df: DataFrame, group_col: str, key: Column,
                     group_col)
             .where(b < thr)
             .drop("fraction"))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, key: Column,
+                      total_n: int) -> DataFrame:
+    """Exactly ``total_n`` rows, allocated across strata by the
+    largest-remainder (Hamilton) method and chosen within each
+    stratum by hash priority — "give me a 100k-document sample that
+    preserves the language mix" with EXACT counts, deterministically.
+
+    hash_sample keeps fractions only in expectation; this pays one
+    per-stratum window for exact counts. Allocation is pure integer
+    arithmetic (quota floor + largest remainder, stratum-value
+    tiebreak), so the selected row SET is identical across runs,
+    partitionings, and engines. Strata smaller than their allocation
+    contribute everything they have (the sample then undershoots
+    total_n — surfaced, not silently rebalanced: silent respill would
+    change other strata's membership when one stratum shrinks).
+
+    Scale shape: one count aggregate (stratum-sized), the allocation
+    window over THAT rollup (driver-free, stratum-count rows), one
+    broadcast join back, one per-stratum priority window — the
+    group_cap pattern with computed caps.
+    """
+    from pyspark.sql import Window
+
+    if total_n <= 0:
+        raise ValueError("total_n must be positive")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    # quota = total_n * n_h / N; base = floor, remainder ranks pick up
+    # the leftover units (largest remainder, stratum-value tiebreak)
+    alloc = (counts.join(F.broadcast(tot))
+             .withColumn("_base", F.expr(f"({total_n} * _n) div _tot"))
+             .withColumn("_rem", F.expr(f"({total_n} * _n) % _tot")))
+    rw = Window.orderBy(F.desc("_rem"), F.col(stratum_col))
+    alloc = (alloc
+             .withColumn("_rrank", F.row_number().over(rw))
+             .withColumn("_spare", F.lit(total_n) - F.sum("_base").over(
+                 Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)))
+             .withColumn("_k", F.col("_base")
+                         + (F.col("_rrank") <= F.col("_spare"))
+                         .cast("long"))
+             .select(stratum_col, "_k"))
+    w = Window.partitionBy(stratum_col).orderBy(hash_bucket(key), key)
+    return (df.join(F.broadcast(alloc), stratum_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("_k"))
+            .drop("_rn", "_k"))

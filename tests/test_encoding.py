@@ -53,3 +53,39 @@ def test_quantile_normalize_equalizes_marginals(spark):
     assert got[("a", 8.0)] == 108.0 and got[("b", 108.0)] == 108.0
     # row count preserved
     assert out.count() == 16
+
+
+def test_stratified_sample_exact_total_and_proportions(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions.sampling import stratified_sample
+
+    # strata 600/300/100 -> a 100-row sample should allocate 60/30/10
+    rows = ([("a", i) for i in range(600)]
+            + [("b", 1000 + i) for i in range(300)]
+            + [("c", 2000 + i) for i in range(100)])
+    df = spark.createDataFrame(rows, ["g", "id"])
+    out = stratified_sample(df, "g", F.col("id").cast("string"), 100)
+    got = [(r["g"], r["id"]) for r in out.collect()]
+    cnt = Counter(g for g, _ in got)
+    assert sum(cnt.values()) == 100
+    assert cnt == {"a": 60, "b": 30, "c": 10}
+    # deterministic: same rows on a different partitioning
+    out2 = stratified_sample(df.repartition(13), "g",
+                             F.col("id").cast("string"), 100)
+    assert sorted(got) == sorted((r["g"], r["id"]) for r in out2.collect())
+    # Hamilton semantics: the spare unit goes to the LARGEST
+    # remainder (a: 51/101 beats b: 50/101) — tiny strata are not
+    # guaranteed representation
+    tiny = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", 200)], ["g", "id"])
+    got3 = Counter(r["g"] for r in stratified_sample(
+        tiny, "g", F.col("id").cast("string"), 50).collect())
+    assert got3 == {"a": 50}
+    # budget beyond the population: every stratum contributes all it
+    # has (undershoot surfaced, no respill)
+    got4 = Counter(r["g"] for r in stratified_sample(
+        tiny, "g", F.col("id").cast("string"), 200).collect())
+    assert got4 == {"a": 100, "b": 1}
