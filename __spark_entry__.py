@@ -4674,6 +4674,32 @@ def q_docs_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_events_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries top-talkers audit (functions/sketch.py): the k=32
+    bounded-memory heavy-hitters summary over event users, each
+    surfaced key joined back to its exact count with the classic
+    guarantee (exact - 2N/(k+1) <= est <= exact) evaluated in-query —
+    the CMS/HLL family's third member, for streams too wide to
+    groupBy. Rows-only by nature: MG is order-dependent within
+    partitions (the GUARANTEE, pinned in tests, is the contract —
+    not a unique value set), so no SQL oracle can reproduce it."""
+    from recdb_postgresql_spark.functions.sketch import misra_gries
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    k = 32
+    mg = misra_gries(ev, F.col("user_id"), k)
+    exact = (ev.groupBy(F.col("user_id").cast("string").alias("key"))
+             .agg(F.count(F.lit(1)).alias("exact")))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (mg.join(exact, "key").join(F.broadcast(tot))
+            .select("key", "est_count", "exact",
+                    (F.col("est_count") <= F.col("exact")).alias("le_exact"),
+                    (F.col("exact") - F.col("est_count")
+                     <= 2.0 * F.col("n") / (k + 1)).alias("within_bound"))
+            .orderBy(F.desc("exact"), "key"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5115,6 +5141,7 @@ _DRIVER_PRIORITY = [
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
+    "events_mg_heavy_hitters",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5438,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_rendezvous": q_shard_rendezvous,
         "events_quantile_normalize": q_events_quantile_normalize,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "events_mg_heavy_hitters": q_events_mg_heavy_hitters,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)

@@ -16,7 +16,7 @@ sketch bit-for-bit (no RNG, no seeds to ship)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.functions.hashing import md5_long
@@ -147,3 +147,69 @@ def hll_estimate(sketch: DataFrame, b: int = 6) -> DataFrame:
     return agg.select(F.lit(m).alias("m"),
                       F.col("v_zero").cast("long").alias("v_zero"),
                       F.round(est, 4).alias("est_distinct"))
+
+
+def misra_gries(df: DataFrame, key: Column, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitters summary: at most ``k`` (key,
+    est_count) rows with the classic deterministic guarantee
+
+        true_count - N/(k+1)  <=  est_count  <=  true_count
+
+    so every key with frequency > N/(k+1) is guaranteed present —
+    the bounded-memory "top talkers" sketch that completes the
+    CMS (point counts) / HLL (distinct) family for streams too wide
+    to groupBy. Two-level mergeable-summaries shape (Agarwal et al.
+    2012): each partition runs the k-counter MG loop over an Arrow
+    batch iterator (state = k counters, one pass, amortized O(1) per
+    row), and the <= partitions*k summary rows merge by summing
+    per-key and subtracting the (k+1)-th largest merged weight —
+    the merge is itself an MG step, so the additive error stays
+    <= N/(k+1) end to end.
+
+    Output counts depend on row order within partitions (inherent to
+    MG — it is not an order-free aggregate), so callers verify the
+    GUARANTEE, not exact values; the repo pins it under adversarial
+    orderings in tests.
+    """
+    import pandas as pd
+
+    kdf = df.select(key.cast("string").alias("mg_key"))
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for x in pdf["mg_key"]:
+                if x is None:
+                    continue
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame({"mg_key": list(counters.keys()),
+                            "cnt": list(counters.values())})
+
+    summaries = kdf.mapInPandas(summarize, "mg_key string, cnt long")
+    merged = (summaries.groupBy("mg_key")
+              .agg(F.sum("cnt").alias("cnt")))
+    # (k+1)-th largest merged weight (0 when <= k keys survive): the
+    # merge-time decrement that keeps the summary size and the
+    # additive guarantee (the summary table is tiny — partitions*k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cnt"), F.col("mg_key"))
+    ranked = merged.withColumn("_r", F.row_number().over(w))
+    kth = (ranked.where(F.col("_r") == k + 1)
+           .select(F.col("cnt").alias("_kth")))
+    out = (ranked.join(F.broadcast(kth), how="left")
+           .withColumn("est_count",
+                       F.col("cnt") - F.coalesce(F.col("_kth"), F.lit(0)))
+           .where(F.col("est_count") > 0)
+           .select(F.col("mg_key").alias("key"), "est_count"))
+    return out
