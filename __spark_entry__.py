@@ -4700,6 +4700,23 @@ def q_events_mg_heavy_hitters(spark, sf_dir):
             .orderBy(F.desc("exact"), "key"))
 
 
+def q_docs_lang_auc(spark, sf_dir):
+    """Rank-sum ROC AUC (operators/stats.auc_rank): how well the
+    ASCII-letter fraction of a document separates non-Chinese from
+    Chinese text — the thresholdless scorer eval via the Mann-Whitney
+    identity with exact tie handling (2r+t-1 integers; one division).
+    The score is an exact ratio of character counts, so ranks agree
+    bit-for-bit cross-engine."""
+    from recdb_postgresql_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+         / F.length("text")).alias("ascii_ratio"),
+        F.col("lang"))
+    return stats.auc_rank(scored, "ascii_ratio", F.col("lang") != "zh")
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5141,7 +5158,7 @@ _DRIVER_PRIORITY = [
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
-    "events_mg_heavy_hitters",
+    "events_mg_heavy_hitters", "docs_lang_auc",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5466,6 +5483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_normalize": q_events_quantile_normalize,
         "docs_stratified_sample": q_docs_stratified_sample,
         "events_mg_heavy_hitters": q_events_mg_heavy_hitters,
+        "docs_lang_auc": q_docs_lang_auc,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5725,6 +5743,29 @@ SELECT p.doc_id, p.lang
 FROM pri p JOIN k ON p.lang = k.lang
 WHERE p.rn <= k.k
 ORDER BY p.lang, p.doc_id
+"""
+    # Rank-sum AUC: same 2r+t-1 integer form; one exact division.
+    o["docs_lang_auc"] = """
+WITH s AS (
+  SELECT CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           / CAST(length(text) AS BIGINT) AS sc,
+         (lang <> 'zh') AS y
+  FROM documents
+),
+r AS (
+  SELECT y,
+         CAST(RANK() OVER (ORDER BY sc) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY sc) AS BIGINT) AS t
+  FROM s
+)
+SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       (CAST(SUM(CASE WHEN y THEN 2 * r + t - 1 END) AS BIGINT)
+        - CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+          * (CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) + 1))
+       / (2 * CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+            * CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)) AS auc
+FROM r
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

@@ -359,3 +359,38 @@ def sprt_monitor(df: DataFrame, bucket: "F.Column", success,
                        F.round(llr, 6).alias("llr"),
                        decision.alias("decision"))
             .orderBy("bucket"))
+
+
+def auc_rank(df: DataFrame, score_col: str, label) -> DataFrame:
+    """ROC AUC of a scorer via the rank-sum (Mann-Whitney) identity:
+    AUC = P(score_pos > score_neg) + P(tie)/2, computed from average
+    ranks — the standard classifier/retrieval eval without a single
+    threshold sweep. ``label`` is a boolean Column.
+
+    One global rank window over the scores + one aggregate. Exactness
+    trick: with min-rank r and tie-group size t, twice the average
+    rank is the INTEGER 2r + t - 1, so twice-the-rank-sum S2 stays
+    exact and AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg) is one
+    IEEE division of exact integers — bit-reproducible cross-engine.
+
+    Scale shape: the rank is a global-order window over the SCORED
+    rows; for 100 TB pre-bin scores to a fixed grid (the identity
+    holds on binned ties) so the window runs over the bin rollup.
+    Returns one row: n_pos, n_neg, auc.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(score_col).alias("_s"),
+                  label.cast("boolean").alias("_y"))
+    w = Window.orderBy("_s")
+    tw = Window.partitionBy("_s")
+    ranked = (d.withColumn("_r", F.rank().over(w))
+               .withColumn("_t", F.count(F.lit(1)).over(tw)))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_y"),
+                     2 * F.col("_r") + F.col("_t") - 1)).alias("s2"),
+        F.sum(F.col("_y").cast("long")).alias("n_pos"),
+        F.sum((~F.col("_y")).cast("long")).alias("n_neg"))
+    auc = ((F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+           / (2 * F.col("n_pos") * F.col("n_neg")))
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))

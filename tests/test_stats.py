@@ -277,3 +277,22 @@ def test_sprt_crosses_h1_on_high_rate_and_h0_on_low(spark):
     assert out2[-1]["decision"] == "accept_h0"
     with pytest.raises(ValueError):
         stats.sprt_monitor(df, F.col("b"), F.col("x") == 1, p0=0.2, p1=0.2)
+
+
+def test_auc_rank_known_values(spark):
+    # perfect separation -> 1.0; reversed -> 0.0; all-tied -> 0.5
+    perf = spark.createDataFrame(
+        [(float(s), s >= 5) for s in range(10)], ["sc", "y"])
+    assert stats.auc_rank(perf, "sc", F.col("y")).collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame(
+        [(float(s), s < 5) for s in range(10)], ["sc", "y"])
+    assert stats.auc_rank(rev, "sc", F.col("y")).collect()[0]["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(1.0, i % 2 == 0) for i in range(10)], ["sc", "y"])
+    assert stats.auc_rank(tied, "sc", F.col("y")).collect()[0]["auc"] == 0.5
+    # hand case: pos scores {3, 1}, neg {2, 0} -> pairs won 3 of 4
+    hand = spark.createDataFrame(
+        [(3.0, True), (1.0, True), (2.0, False), (0.0, False)],
+        ["sc", "y"])
+    r = stats.auc_rank(hand, "sc", F.col("y")).collect()[0]
+    assert r["auc"] == 0.75 and r["n_pos"] == 2 and r["n_neg"] == 2
