@@ -4717,6 +4717,22 @@ def q_docs_lang_auc(spark, sf_dir):
     return stats.auc_rank(scored, "ascii_ratio", F.col("lang") != "zh")
 
 
+def q_docs_lang_calibration(spark, sf_dir):
+    """Reliability table + Brier terms (stats.calibration_table) for
+    the ascii-ratio scorer against the non-Chinese label — AUC's
+    companion: ranking quality vs probability quality. Ten fixed-
+    width bins, one map-side assignment, one bins-sized aggregate."""
+    from recdb_postgresql_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+         / F.length("text")).alias("ascii_ratio"),
+        F.col("lang"))
+    return stats.calibration_table(scored, "ascii_ratio",
+                                   F.col("lang") != "zh", bins=10)
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5158,7 +5174,7 @@ _DRIVER_PRIORITY = [
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
-    "events_mg_heavy_hitters", "docs_lang_auc",
+    "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5484,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "events_mg_heavy_hitters": q_events_mg_heavy_hitters,
         "docs_lang_auc": q_docs_lang_auc,
+        "docs_lang_calibration": q_docs_lang_calibration,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5766,6 +5783,32 @@ SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        / (2 * CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
             * CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)) AS auc
 FROM r
+"""
+    # Calibration table: same fixed-width binning; frac_pos exact
+    # ratio, float sums rounded after the bins-sized aggregate.
+    o["docs_lang_calibration"] = """
+WITH s AS (
+  SELECT CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           / CAST(length(text) AS BIGINT) AS sc,
+         CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+b AS (
+  SELECT LEAST(9, CAST(FLOOR(sc * 10) AS INT)) AS bin, sc, y FROM s
+),
+per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         SUM(sc) AS ssum,
+         SUM((sc - y) * (sc - y)) AS sqerr
+  FROM b GROUP BY bin
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per)
+SELECT bin, n, pos / n AS frac_pos,
+       ROUND(ssum / n, 6) AS mean_score,
+       ROUND(sqerr / t.nt, 6) AS brier_term
+FROM per CROSS JOIN t
+ORDER BY bin
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

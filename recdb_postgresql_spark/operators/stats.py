@@ -394,3 +394,40 @@ def auc_rank(df: DataFrame, score_col: str, label) -> DataFrame:
     auc = ((F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
            / (2 * F.col("n_pos") * F.col("n_neg")))
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_table(df: DataFrame, score_col: str, label,
+                      bins: int = 10) -> DataFrame:
+    """Reliability table for a [0,1] scorer: fixed-width score bins
+    with observed positive rate vs mean predicted score, plus each
+    bin's contribution to the Brier score — AUC (auc_rank) measures
+    RANKING, this measures whether the score's VALUE means what it
+    says (a miscalibrated-but-monotone scorer has perfect AUC and a
+    useless probability). One map-side bin assignment + one
+    bins-sized aggregate; nothing scales past the fact scan.
+
+    Returns per non-empty bin: bin, n, frac_pos (exact integer
+    ratio), mean_score, brier_term = sum((score - y)^2)/N_total —
+    summing brier_term over bins gives the Brier score.
+    """
+    d = df.select(F.col(score_col).alias("_s"),
+                  label.cast("boolean").alias("_y"))
+    b = F.least(F.lit(bins - 1),
+                F.floor(F.col("_s") * bins).cast("int"))
+    per = (d.withColumn("_b", b)
+           .groupBy("_b")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_y").cast("long")).alias("pos"),
+                F.sum("_s").alias("ssum"),
+                F.sum((F.col("_s") - F.col("_y").cast("double"))
+                      * (F.col("_s") - F.col("_y").cast("double")))
+                .alias("sqerr")))
+    tot = per.agg(F.sum("n").alias("nt"))
+    return (per.join(F.broadcast(tot))
+            .select(F.col("_b").alias("bin"), "n",
+                    (F.col("pos") / F.col("n")).alias("frac_pos"),
+                    F.round(F.col("ssum") / F.col("n"), 6)
+                     .alias("mean_score"),
+                    F.round(F.col("sqerr") / F.col("nt"), 6)
+                     .alias("brier_term"))
+            .orderBy("bin"))

@@ -296,3 +296,29 @@ def test_auc_rank_known_values(spark):
         ["sc", "y"])
     r = stats.auc_rank(hand, "sc", F.col("y")).collect()[0]
     assert r["auc"] == 0.75 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_calibration_table_perfect_and_miscalibrated(spark):
+    # perfectly calibrated scorer: within each bin frac_pos tracks
+    # the score; Brier sums to p(1-p)-ish. Use score == label
+    # probability exactly: score 0.2 bin -> 20% positives
+    rows = []
+    for b10, frac in ((2, 0.2), (8, 0.8)):
+        sc = b10 / 10.0 + 0.05
+        n = 100
+        rows += [(sc, i < int(frac * n)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["sc", "y"])
+    out = {r["bin"]: r for r in
+           stats.calibration_table(df, "sc", F.col("y")).collect()}
+    assert set(out) == {2, 8}
+    assert out[2]["frac_pos"] == 0.2 and out[8]["frac_pos"] == 0.8
+    assert out[2]["mean_score"] == 0.25 and out[8]["mean_score"] == 0.85
+    # Brier of this near-calibrated scorer ~= mean of p(1-p) terms
+    brier = sum(r["brier_term"] for r in out.values())
+    expect = 0.5 * ((0.25 - 1) ** 2 * 0.2 + 0.25 ** 2 * 0.8
+                    + (0.85 - 1) ** 2 * 0.8 + 0.85 ** 2 * 0.2)
+    assert abs(brier - expect) < 1e-6
+    # score 1.0 lands in the top bin (LEAST clamp), not bin 10
+    edge = spark.createDataFrame([(1.0, True)], ["sc", "y"])
+    assert stats.calibration_table(
+        edge, "sc", F.col("y")).collect()[0]["bin"] == 9
