@@ -4733,6 +4733,24 @@ def q_docs_lang_calibration(spark, sf_dir):
                                    F.col("lang") != "zh", bins=10)
 
 
+def q_docs_lang_gains(spark, sf_dir):
+    """Cumulative gains / lift by score decile (stats.gains_table):
+    ranking documents by ascii-ratio, how much of the non-Chinese
+    mass the top deciles capture vs random — the targeting readout
+    completing the scorer-eval trio (AUC ranks, calibration values,
+    gains yields). All-integer ratios, doc_id-pinned tie order."""
+    from recdb_postgresql_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+         / F.length("text")).alias("ascii_ratio"),
+        F.col("lang"))
+    return stats.gains_table(scored, "ascii_ratio",
+                             F.col("lang") != "zh", "doc_id")
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5175,6 +5193,7 @@ _DRIVER_PRIORITY = [
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
+    "docs_lang_gains",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5501,6 +5520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mg_heavy_hitters": q_events_mg_heavy_hitters,
         "docs_lang_auc": q_docs_lang_auc,
         "docs_lang_calibration": q_docs_lang_calibration,
+        "docs_lang_gains": q_docs_lang_gains,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5809,6 +5829,38 @@ SELECT bin, n, pos / n AS frac_pos,
        ROUND(sqerr / t.nt, 6) AS brier_term
 FROM per CROSS JOIN t
 ORDER BY bin
+"""
+    # Gains table: same ntile cut (doc_id tie pin), integer ratios.
+    o["docs_lang_gains"] = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           / CAST(length(text) AS BIGINT) AS sc,
+         CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+dd AS (
+  SELECT y, NTILE(10) OVER (ORDER BY sc DESC, doc_id) AS dec FROM s
+),
+per AS (
+  SELECT dec, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM dd GROUP BY dec
+),
+c AS (
+  SELECT dec, n, pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(pos) OVER w AS BIGINT) AS cum_pos
+  FROM per
+  WINDOW w AS (ORDER BY dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+      FROM per)
+SELECT dec AS decile, n, pos, cum_n, cum_pos,
+       cum_pos / t.pt AS capture,
+       (cum_pos * t.nt) / (t.pt * cum_n) AS lift
+FROM c CROSS JOIN t
+ORDER BY decile
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

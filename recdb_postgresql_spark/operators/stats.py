@@ -431,3 +431,41 @@ def calibration_table(df: DataFrame, score_col: str, label,
                     F.round(F.col("sqerr") / F.col("nt"), 6)
                      .alias("brier_term"))
             .orderBy("bin"))
+
+
+def gains_table(df: DataFrame, score_col: str, label, id_col: str,
+                deciles: int = 10) -> DataFrame:
+    """Cumulative gains / lift table: rank by score descending, cut
+    into ``deciles``, and report how much of the total positive mass
+    the top k/10 captures vs random (lift) — the campaign-targeting
+    readout beside auc_rank (ranking) and calibration_table
+    (probability). ``id_col`` pins tie order so the decile CUT is
+    deterministic cross-engine even with heavily tied scores.
+
+    All outputs are exact integer ratios (counts only), emitted
+    unrounded. The rank window is global over scored rows — same
+    zipWithIndex-shape note as quantile_normalize: pre-aggregate to a
+    score grid at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(score_col).alias("_s"),
+                  label.cast("long").alias("_y"),
+                  F.col(id_col).alias("_id"))
+    w = Window.orderBy(F.desc("_s"), F.col("_id"))
+    decd = d.withColumn("_d", F.ntile(deciles).over(w))
+    per = (decd.groupBy("_d")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_y").alias("pos")))
+    cw = (Window.orderBy("_d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = per.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    return (per.withColumn("cum_n", F.sum("n").over(cw))
+            .withColumn("cum_pos", F.sum("pos").over(cw))
+            .join(F.broadcast(tot))
+            .select(F.col("_d").alias("decile"), "n", "pos",
+                    "cum_n", "cum_pos",
+                    (F.col("cum_pos") / F.col("pt")).alias("capture"),
+                    ((F.col("cum_pos") * F.col("nt"))
+                     / (F.col("pt") * F.col("cum_n"))).alias("lift"))
+            .orderBy("decile"))

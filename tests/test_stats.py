@@ -322,3 +322,17 @@ def test_calibration_table_perfect_and_miscalibrated(spark):
     edge = spark.createDataFrame([(1.0, True)], ["sc", "y"])
     assert stats.calibration_table(
         edge, "sc", F.col("y")).collect()[0]["bin"] == 9
+
+
+def test_gains_table_perfect_ranker(spark):
+    # 100 rows, 20 positives all with the top scores: decile 1 and 2
+    # capture everything; lift of decile 1 is 5x
+    rows = [(float(100 - i), i < 20, i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["sc", "y", "id"])
+    out = {r["decile"]: r for r in
+           stats.gains_table(df, "sc", F.col("y"), "id").collect()}
+    assert out[1]["pos"] == 10 and out[2]["pos"] == 10
+    assert out[2]["capture"] == 1.0 and out[10]["capture"] == 1.0
+    assert out[1]["lift"] == 5.0            # 10/10 vs 20/100 base rate
+    assert out[10]["lift"] == 1.0           # full population
+    assert out[10]["cum_n"] == 100
