@@ -4751,6 +4751,35 @@ def q_docs_lang_gains(spark, sf_dir):
                              F.col("lang") != "zh", "doc_id")
 
 
+def q_geo_dbscan(spark, sf_dir):
+    """Grid-blocked DBSCAN (operators/geo.py): density clusters over
+    the customers' synthetic planar coordinates — core/border/noise
+    roles with canonical min-core-id labels. Coordinates stay in
+    INTEGER centi-units so every distance comparison is exact
+    integer arithmetic cross-engine (the d2 <= eps^2 boundary never
+    rides a float). eps=250, min_pts=3 on the 10000x10000 grid —
+    tuned to sf0.01's density (~2.9 expected eps-neighbors; the
+    driver's gate scale). The SPARK side is density-robust at any SF
+    (CC auto-escalates to star rounds); the recursive min-label
+    ORACLE is the thing that blows up when 10x density makes one
+    giant core component — same oracle-shadow asymmetry the dedup
+    family documents."""
+    from recdb_postgresql_spark.functions.hashing import md5_long
+    from recdb_postgresql_spark.operators import geo
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (md5_long(F.concat(F.lit("gx:"), key)) % 10000)
+        .cast("double").alias("x"),
+        (md5_long(F.concat(F.lit("gy:"), key)) % 10000)
+        .cast("double").alias("y"))
+    return (geo.grid_dbscan(pts, eps=250.0, min_pts=3)
+            .select("pid", "role", F.col("cluster").cast("long")
+                    .alias("cluster")))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5193,7 +5222,7 @@ _DRIVER_PRIORITY = [
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
-    "docs_lang_gains",
+    "docs_lang_gains", "geo_dbscan",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5521,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_auc": q_docs_lang_auc,
         "docs_lang_calibration": q_docs_lang_calibration,
         "docs_lang_gains": q_docs_lang_gains,
+        "geo_dbscan": q_geo_dbscan,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -7696,6 +7726,65 @@ WHERE p.pid != q.qid
     # the star-CC variant must produce the exact same component map as
     # propagation — one reachability oracle pins both algorithms
     o["dedup_clusters_star"] = o["dedup_clusters"]
+
+    # DBSCAN: integer centi-unit coords -> exact integer distance
+    # comparisons; recursive reach gives exact components.
+    o["geo_dbscan"] = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+         ({gx}) % 10000 AS x,
+         ({gy}) % 10000 AS y
+  FROM customer
+),
+cells AS (
+  SELECT pid, x, y,
+         CAST(FLOOR(x / 250.0) AS BIGINT) AS cx,
+         CAST(FLOOR(y / 250.0) AS BIGINT) AS cy
+  FROM pts
+),
+prs AS (
+  SELECT a.pid AS pa, b.pid AS pb
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.pid <> b.pid
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= 250 * 250
+),
+deg AS (SELECT pa AS pid, COUNT(*) AS nb FROM prs GROUP BY 1),
+core AS (SELECT pid FROM deg WHERE nb + 1 >= 3),
+ce AS (
+  SELECT p.pa, p.pb FROM prs p
+  JOIN core c1 ON c1.pid = p.pa
+  JOIN core c2 ON c2.pid = p.pb
+),
+reach(id, lbl) AS (
+  SELECT pa AS id, pa AS lbl FROM ce
+  UNION
+  SELECT e.pa AS id, r.lbl FROM ce e JOIN reach r ON r.id = e.pb
+),
+comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+core_lab AS (
+  SELECT c.pid, CAST(COALESCE(comp.cluster, c.pid) AS BIGINT) AS cluster
+  FROM core c LEFT JOIN comp ON comp.id = c.pid
+),
+border AS (
+  SELECT p.pa AS pid, CAST(MIN(cl.cluster) AS BIGINT) AS cluster
+  FROM prs p
+  JOIN core_lab cl ON cl.pid = p.pb
+  LEFT JOIN core co ON co.pid = p.pa
+  WHERE co.pid IS NULL
+  GROUP BY 1
+),
+lab AS (
+  SELECT pid, 'core' AS role, cluster FROM core_lab
+  UNION ALL
+  SELECT pid, 'border' AS role, cluster FROM border
+)
+SELECT p.pid, COALESCE(l.role, 'noise') AS role, l.cluster
+FROM pts p LEFT JOIN lab l ON l.pid = p.pid
+ORDER BY p.pid
+"""
 
     o["docs_source_overlap"] = f"""
 WITH pairs AS (

@@ -103,3 +103,72 @@ def grid_knn_join(points: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("qid").orderBy("dist2", id_col)
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def grid_dbscan(points: DataFrame, eps: float, min_pts: int,
+                id_col: str = "pid", x_col: str = "x",
+                y_col: str = "y") -> DataFrame:
+    """DBSCAN density clustering, grid-blocked: (id, role, cluster)
+    with role in {'core', 'border', 'noise'} and cluster = the MIN
+    core id reachable through core-core eps-edges (canonical labels —
+    no scan-order dependence, unlike textbook DBSCAN's border
+    assignment; borders take the smallest adjacent core cluster).
+
+    Candidate pairs come from the 3x3 neighbor-cell cover with cell
+    side = eps (exact: any eps-neighbor is at most one cell away per
+    axis), as a plain cell equi-join — the classic all-pairs distance
+    matrix never exists, and density (points per cell) bounds every
+    task. Neighbor counts cap at min_pts conceptually; components run
+    only over CORE-core edges (dedup.connected_components — union-
+    find / label-prop / star escalation by graph size). A core point
+    with no core neighbor keeps its own id as the cluster label.
+
+    Scale shape: one cell snap (map), one self equi-join on (cx, cy),
+    one degree aggregate, CC over the (much smaller) core-edge graph,
+    one broadcast-size join back for borders. eps is the density knob:
+    it bounds rows-per-cell, hence per-task pair volume.
+    """
+    from recdb_postgresql_spark.operators.dedup import connected_components
+
+    p = with_grid_cell(points.select(F.col(id_col).alias("pid"),
+                                     F.col(x_col).alias("x"),
+                                     F.col(y_col).alias("y")),
+                       "x", "y", eps)
+    probe = (p.withColumn("dx", F.explode(F.expr("sequence(-1, 1)")))
+             .withColumn("dy", F.explode(F.expr("sequence(-1, 1)")))
+             .select(F.col("pid").alias("pa"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"),
+                     (F.col("cx") + F.col("dx")).alias("ncx"),
+                     (F.col("cy") + F.col("dy")).alias("ncy")))
+    d2 = ((F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x"))
+          + (F.col("ya") - F.col("y")) * (F.col("ya") - F.col("y")))
+    pairs = (probe.join(p, (F.col("ncx") == F.col("cx"))
+                        & (F.col("ncy") == F.col("cy")))
+             .where(F.col("pa") != F.col("pid"))
+             .where(d2 <= F.lit(eps * eps))
+             .select("pa", F.col("pid").alias("pb")))
+    deg = pairs.groupBy("pa").agg(F.count(F.lit(1)).alias("nb"))
+    core = (deg.where(F.col("nb") + 1 >= min_pts)
+            .select(F.col("pa").alias("pid")))
+    ce = (pairs.join(core.withColumnRenamed("pid", "pa"), "pa")
+          .join(core.withColumnRenamed("pid", "pb"), "pb")
+          .select(F.col("pa").alias("id1"), F.col("pb").alias("id2")))
+    comp = connected_components(ce)  # (id, component)
+    core_lab = (core.join(comp, core["pid"] == comp["id"], "left")
+                .select("pid", F.coalesce("component", "pid")
+                        .alias("cluster")))
+    border = (pairs.join(core_lab.withColumnRenamed("pid", "pb"), "pb")
+              .join(core.withColumnRenamed("pid", "pa"), "pa",
+                    "left_anti")
+              .groupBy(F.col("pa").alias("pid"))
+              .agg(F.min("cluster").alias("cluster")))
+    labeled = (core_lab.select("pid", F.lit("core").alias("role"),
+                               "cluster")
+               .unionByName(border.select(
+                   "pid", F.lit("border").alias("role"), "cluster")))
+    noise = (p.select("pid").join(labeled.select("pid"), "pid",
+                                  "left_anti")
+             .select("pid", F.lit("noise").alias("role"),
+                     F.lit(None).cast(labeled.schema["cluster"].dataType)
+                     .alias("cluster")))
+    return labeled.unionByName(noise).orderBy("pid")

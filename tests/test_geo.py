@@ -82,3 +82,31 @@ def test_grid_range_join_exact_vs_bruteforce(spark, radius, seed):
              if pid != qid
              and round((x - qx) ** 2 + (y - qy) ** 2, 6) <= radius * radius}
     assert got == brute and got
+
+
+def test_dbscan_blobs_borders_and_noise(spark):
+    from recdb_postgresql_spark.operators.geo import grid_dbscan
+
+    # two 5x2 dense blobs (spacing 0.3), a border point hanging 1.0
+    # off blob 1's corner, and two isolated noise points
+    rows, pid = [], 0
+    for bx, by in ((0.0, 0.0), (50.0, 50.0)):
+        for i in range(10):
+            rows.append((pid, bx + (i % 5) * 0.3, by + (i // 5) * 0.3))
+            pid += 1
+    rows += [(90, 1.2 + 1.4, 0.0)]   # reaches 2 cores: border, not core
+    rows += [(100, 25.0, 25.0), (101, 80.0, 10.0)]
+    df = spark.createDataFrame(rows, ["pid", "x", "y"])
+    out = {r["pid"]: r for r in
+           grid_dbscan(df, eps=1.5, min_pts=4).collect()}
+    assert {out[i]["cluster"] for i in range(10)} == {0}
+    assert {out[i]["cluster"] for i in range(10, 20)} == {10}
+    assert all(out[i]["role"] == "core" for i in range(20))
+    assert out[100]["role"] == "noise" and out[100]["cluster"] is None
+    assert out[101]["role"] == "noise"
+    # the hanger-on: within eps of cores but with too few neighbors
+    assert out[90]["role"] == "border" and out[90]["cluster"] == 0
+    # determinism across partitionings
+    out2 = {r["pid"]: (r["role"], r["cluster"]) for r in
+            grid_dbscan(df.repartition(7), eps=1.5, min_pts=4).collect()}
+    assert out2 == {k: (v["role"], v["cluster"]) for k, v in out.items()}
