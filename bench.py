@@ -176,7 +176,9 @@ HEADLINE = [
     "docs_heaps_curve", "docs_zipf_slope",
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
-    "events_quantile_normalize",
+    "events_quantile_normalize", "docs_stratified_sample",
+    "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
+    "docs_lang_gains", "geo_dbscan",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
