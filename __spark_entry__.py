@@ -4666,10 +4666,11 @@ def q_docs_stratified_sample(spark, sf_dir):
     fractions only in expectation). Pure integer allocation + md5
     priority: the selected row SET is engine-reproducible, so the
     oracle checks membership, not just counts."""
-    from recdb_postgresql_spark.functions.sampling import stratified_sample
+    from recdb_postgresql_spark.functions.sampling import (
+        stratified_sample_exact)
 
     docs = load_table(spark, sf_dir, "documents")
-    out = stratified_sample(docs, "lang",
+    out = stratified_sample_exact(docs, "lang",
                             F.col("doc_id").cast("string"), 500)
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 

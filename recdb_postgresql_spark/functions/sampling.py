@@ -185,8 +185,8 @@ def temperature_mix(df: DataFrame, group_col: str, key: Column,
             .drop("fraction"))
 
 
-def stratified_sample(df: DataFrame, stratum_col: str, key: Column,
-                      total_n: int) -> DataFrame:
+def stratified_sample_exact(df: DataFrame, stratum_col: str,
+                            key: Column, total_n: int) -> DataFrame:
     """Exactly ``total_n`` rows, allocated across strata by the
     largest-remainder (Hamilton) method and chosen within each
     stratum by hash priority — "give me a 100k-document sample that

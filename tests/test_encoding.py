@@ -60,7 +60,8 @@ def test_stratified_sample_exact_total_and_proportions(spark):
 
     from pyspark.sql import functions as F
 
-    from recdb_postgresql_spark.functions.sampling import stratified_sample
+    from recdb_postgresql_spark.functions.sampling import (
+        stratified_sample_exact as stratified_sample)
 
     # strata 600/300/100 -> a 100-row sample should allocate 60/30/10
     rows = ([("a", i) for i in range(600)]
