@@ -4781,6 +4781,48 @@ def q_geo_dbscan(spark, sf_dir):
                     .alias("cluster")))
 
 
+def q_er_blocking_quality(spark, sf_dir):
+    """Blocking-quality audit — the ER meta-eval every linkage
+    pipeline needs before trusting its candidate generator: for the
+    cheap (brand, first-word) blocking vs the brand-blocked JW>=0.95
+    ground truth, report REDUCTION RATIO (1 - candidates/allpairs)
+    and PAIRS COMPLETENESS (truth pairs the blocking still covers).
+    One row, all exact integer ratios; the JW scoring runs the C
+    kernel over brand-blocked candidates only."""
+    from recdb_postgresql_spark.operators import linkage
+
+    part = load_table(spark, sf_dir, "part")
+    base = part.select("p_partkey", "p_brand", "p_name",
+                       F.split(F.col("p_name"), " ").getItem(0)
+                       .alias("w1"))
+    brand_pairs = (base.alias("a").join(
+        base.alias("b"),
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(F.col("a.p_partkey").alias("id1"),
+                F.col("b.p_partkey").alias("id2"),
+                F.col("a.p_name").alias("n1"),
+                F.col("b.p_name").alias("n2"),
+                (F.col("a.w1") == F.col("b.w1")).alias("same_w1")))
+    scored = linkage.jaro_winkler_pairs(brand_pairs, "n1", "n2")
+    truth = scored.where(F.round("jw", 6) >= 0.95)
+    n = base.count()
+    agg = truth.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.sum(F.col("same_w1").cast("long")).alias("captured"))
+    cand = (brand_pairs.where("same_w1")
+            .agg(F.count(F.lit(1)).alias("cand_pairs")))
+    total = n * (n - 1) // 2
+    return (agg.join(F.broadcast(cand))
+            .select(F.lit(n).alias("n_parts"),
+                    F.lit(total).alias("all_pairs"),
+                    "cand_pairs", "truth_pairs", "captured",
+                    (1 - F.col("cand_pairs") / F.lit(total))
+                    .alias("reduction_ratio"),
+                    (F.col("captured") / F.col("truth_pairs"))
+                    .alias("completeness")))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5223,7 +5265,7 @@ _DRIVER_PRIORITY = [
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
-    "docs_lang_gains", "geo_dbscan",
+    "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5552,6 +5594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_calibration": q_docs_lang_calibration,
         "docs_lang_gains": q_docs_lang_gains,
         "geo_dbscan": q_geo_dbscan,
+        "er_blocking_quality": q_er_blocking_quality,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5892,6 +5935,44 @@ SELECT dec AS decile, n, pos, cum_n, cum_pos,
        (cum_pos * t.nt) / (t.pt * cum_n) AS lift
 FROM c CROSS JOIN t
 ORDER BY decile
+"""
+    # Blocking quality: same truth/candidate definitions; DuckDB's
+    # own jaro_winkler_similarity scores the truth side.
+    o["er_blocking_quality"] = """
+WITH base AS (
+  SELECT p_partkey, p_brand, p_name,
+         split_part(p_name, ' ', 1) AS w1
+  FROM part
+),
+bp AS (
+  SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+         a.p_name AS n1, b.p_name AS n2,
+         (a.w1 = b.w1) AS same_w1
+  FROM base a JOIN base b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+),
+truth AS (
+  SELECT same_w1 FROM bp
+  WHERE ROUND(jaro_winkler_similarity(n1, n2), 6) >= 0.95
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+         CAST(SUM(CASE WHEN same_w1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS captured
+  FROM truth
+),
+cand AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs
+  FROM bp WHERE same_w1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+SELECT nn.n AS n_parts,
+       nn.n * (nn.n - 1) // 2 AS all_pairs,
+       cand.cand_pairs, agg.truth_pairs, agg.captured,
+       1 - cand.cand_pairs / (nn.n * (nn.n - 1) // 2)
+         AS reduction_ratio,
+       agg.captured / agg.truth_pairs AS completeness
+FROM agg CROSS JOIN cand CROSS JOIN nn
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """
