@@ -370,6 +370,7 @@ def main():
     keyness_probe(spark, sf_dir)
     pq_probe(spark, sf_dir, mult=10)
     jw_kernel_probe(spark)
+    dbscan_probe(spark)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     # probe flat-ish vs corpus (batch-driven), from-scratch linear in
@@ -846,3 +847,44 @@ def jw_kernel_probe(spark, n: int = 4_000_000, mult: int = 4) -> None:
            n_big=n * mult, s_big=t_big, slope=t_big / t_small,
            eff_ns_per_pair_big=t_big / (n * mult) * 1e9,
            py_ns_per_pair=py_ns)
+
+
+def dbscan_probe(spark, n: int = 100_000, mult: int = 4) -> None:
+    """Grid-DBSCAN at n and mult*n uniform points with eps chosen to
+    hold the DENSITY KNOB constant (expected ~3 eps-neighbors per
+    point at both scales): pair volume and runtime should grow
+    ~linearly with n because per-cell density — hence per-task pair
+    work — is pinned by eps. This is the claim SCALING.md makes for
+    the eps knob; a fixed eps at 4x points would instead grow pair
+    volume ~16x (density²)."""
+    import math
+
+    from recdb_postgresql_spark.operators.geo import grid_dbscan
+
+    side = 100_000.0
+
+    def pts(m):
+        return spark.range(m).select(
+            F.col("id").alias("pid"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), 10_000_000)
+             / 100.0).alias("x"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), 10_000_000)
+             / 100.0).alias("y")).localCheckpoint()
+
+    def run(m):
+        eps = math.sqrt(3.0 / (math.pi * (m / side ** 2)))
+        df = pts(m)
+        t0 = time.perf_counter()
+        out = grid_dbscan(df, eps=eps, min_pts=3)
+        roles = {r["role"]: r["n"] for r in
+                 out.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        return time.perf_counter() - t0, roles
+
+    s_small, r_small = run(n)
+    s_big, r_big = run(n * mult)
+    record("dbscan_density", n_small=n, s_small=s_small,
+           core_small=r_small.get("core", 0),
+           n_big=n * mult, s_big=s_big,
+           core_big=r_big.get("core", 0),
+           slope=s_big / s_small)
