@@ -4823,6 +4823,31 @@ def q_er_blocking_quality(spark, sf_dir):
                     .alias("completeness")))
 
 
+def q_events_hll_by_type(spark, sf_dir):
+    """Per-segment HLL distinct sketch (sketch.hll_build_grouped):
+    one 64-register table PER EVENT TYPE — the mergeable
+    per-dimension form (per-day/per-shard sketches union by MAX and
+    any segment subset re-estimates without rescanning). Joined to
+    the exact per-type distincts with the relative error — the
+    grouped twin of events_hll_users, rows = types x metadata."""
+    from recdb_postgresql_spark.functions.sketch import (
+        hll_build_grouped, hll_estimate_grouped)
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull())
+    est = hll_estimate_grouped(hll_build_grouped(ev, "event_type",
+                                                 "user_id", b=6), b=6)
+    exact = (ev.groupBy(F.col("event_type").alias("grp"))
+             .agg(F.count_distinct("user_id").alias("exact_distinct")))
+    return (est.join(exact, "grp")
+            .select(F.col("grp").alias("event_type"), "m", "v_zero",
+                    "est_distinct", "exact_distinct",
+                    F.round(F.col("est_distinct")
+                            / F.col("exact_distinct") - 1, 6)
+                    .alias("rel_err"))
+            .orderBy("event_type"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5266,6 +5291,7 @@ _DRIVER_PRIORITY = [
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
+    "events_hll_by_type",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5595,6 +5621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_gains": q_docs_lang_gains,
         "geo_dbscan": q_geo_dbscan,
         "er_blocking_quality": q_er_blocking_quality,
+        "events_hll_by_type": q_events_hll_by_type,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -5973,6 +6000,50 @@ SELECT nn.n AS n_parts,
          AS reduction_ratio,
        agg.captured / agg.truth_pairs AS completeness
 FROM agg CROSS JOIN cand CROSS JOIN nn
+"""
+    # Grouped HLL: the events_hll_users register SQL per event_type.
+    o["events_hll_by_type"] = """
+WITH h AS (
+  SELECT event_type AS grp,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT grp, h >> 54 AS idx,
+         MAX(CASE WHEN h % 18014398509481984 > 0
+                  THEN 55 - length(bin(h % 18014398509481984))
+                  ELSE 55 END) AS rho
+  FROM h GROUP BY 1, 2
+),
+spine AS (
+  SELECT g.grp, r.range AS idx
+  FROM (SELECT DISTINCT grp FROM reg) g CROSS JOIN range(64) r
+),
+a AS (
+  SELECT s.grp,
+         SUM(POWER(2.0, -COALESCE(r.rho, 0))) AS z,
+         COUNT(*) FILTER (WHERE r.rho IS NULL) AS v_zero
+  FROM spine s LEFT JOIN reg r ON r.grp = s.grp AND r.idx = s.idx
+  GROUP BY s.grp
+),
+est AS (
+  SELECT grp, CAST(v_zero AS BIGINT) AS v_zero,
+         ROUND(CASE WHEN 0.709 * 64 * 64 / z <= 2.5 * 64 AND v_zero > 0
+                    THEN 64.0 * LN(64.0 / v_zero)
+                    ELSE 0.709 * 64 * 64 / z END, 4) AS est_distinct
+  FROM a
+),
+ex AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT est.grp AS event_type, 64 AS m, est.v_zero, est.est_distinct,
+       ex.exact_distinct,
+       ROUND(est.est_distinct / ex.exact_distinct - 1, 6) AS rel_err
+FROM est JOIN ex ON ex.grp = est.grp
+ORDER BY event_type
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

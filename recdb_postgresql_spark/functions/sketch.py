@@ -213,3 +213,48 @@ def misra_gries(df: DataFrame, key: Column, k: int = 64) -> DataFrame:
            .where(F.col("est_count") > 0)
            .select(F.col("mg_key").alias("key"), "est_count"))
     return out
+
+
+def hll_build_grouped(df: DataFrame, group_col: str, col: str,
+                      b: int = 6, hash_fn=md5_long) -> DataFrame:
+    """(group, idx, rho): one HLL register table PER GROUP — the
+    mergeable per-dimension distinct sketch (distinct users per day /
+    per segment / per shard). Rows <= groups * 2^b however big the
+    facts; group sketches union across shards/days by MAX, and any
+    subset of groups re-estimates without rescanning (the reason to
+    sketch per dimension instead of per query)."""
+    rest = _HLL_HASH_BITS - b
+    h = hash_fn(F.col(col).cast("string"))
+    idx = F.shiftright(h, rest)
+    w = h % F.lit(1 << rest)
+    rho = (F.when(w > 0, F.lit(rest + 1) - F.length(F.bin(w)))
+           .otherwise(F.lit(rest + 1)))
+    return (df.where(F.col(col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    idx.alias("idx"), rho.alias("rho"))
+            .groupBy("grp", "idx").agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate_grouped(sketch: DataFrame, b: int = 6) -> DataFrame:
+    """(grp, m, v_zero, est_distinct) per group from a grouped
+    register table — the hll_estimate finisher with the zero-register
+    spine crossed per group (groups x 2^b rows, still metadata-
+    sized)."""
+    m = 1 << b
+    groups = sketch.select("grp").distinct()
+    spark = sketch.sparkSession
+    spine = (groups.crossJoin(
+        spark.range(m).select(F.col("id").alias("idx"))))
+    joined = spine.join(sketch, ["grp", "idx"], "left")
+    agg = joined.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.coalesce(F.col("rho"), F.lit(0))))
+         .alias("z"),
+        F.count(F.when(F.col("rho").isNull(), 1)).alias("v_zero"))
+    e_raw = F.lit(_hll_alpha(m) * m * m) / F.col("z")
+    est = (F.when((e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m))
+                                          / F.col("v_zero")))
+           .otherwise(e_raw))
+    return agg.select("grp", F.lit(m).alias("m"),
+                      F.col("v_zero").cast("long").alias("v_zero"),
+                      F.round(est, 4).alias("est_distinct"))

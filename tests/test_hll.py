@@ -71,3 +71,30 @@ def test_hll_duplicates_do_not_move_registers(spark):
     thrice = once.unionByName(once).unionByName(once)
     assert sorted(map(tuple, sketch.hll_build(once, "k").collect())) \
         == sorted(map(tuple, sketch.hll_build(thrice, "k").collect()))
+
+
+def test_grouped_hll_matches_global_per_group_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions.sketch import (
+        hll_build, hll_build_grouped, hll_estimate, hll_estimate_grouped)
+
+    rows = ([("a", f"u{i}") for i in range(300)]
+            + [("b", f"v{i}") for i in range(40)])
+    df = spark.createDataFrame(rows, ["g", "u"])
+    grouped = hll_build_grouped(df, "g", "u", b=6)
+    est = {r["grp"]: r["est_distinct"]
+           for r in hll_estimate_grouped(grouped, b=6).collect()}
+    # each group's sketch is EXACTLY the global sketch of that slice
+    for g in ("a", "b"):
+        solo = hll_estimate(
+            hll_build(df.where(F.col("g") == g), "u", b=6),
+            b=6).collect()[0]["est_distinct"]
+        assert est[g] == solo
+    # register MAX-merge law: union of the two groups' registers ==
+    # sketch of the union
+    merged = (grouped.groupBy("idx").agg(F.max("rho").alias("rho")))
+    all_est = hll_estimate(hll_build(df, "u", b=6), b=6) \
+        .collect()[0]["est_distinct"]
+    assert hll_estimate(merged, b=6).collect()[0]["est_distinct"] \
+        == all_est
