@@ -178,7 +178,8 @@ HEADLINE = [
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
-    "docs_lang_gains", "geo_dbscan",
+    "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
+    "events_hll_by_type",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
