@@ -4848,6 +4848,49 @@ def q_events_hll_by_type(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_events_kmv_overlap(spark, sf_dir):
+    """KMV / bottom-k audience-overlap estimates (sketch.kmv_*): the
+    set-operation sketch HLL cannot be — bottom-k of two sketches'
+    union IS the union's sketch, so pairwise Jaccard estimates come
+    from k-row tables instead of the user sets. Estimator vs the
+    exact Jaccard per event-type pair with abs error — the
+    approximate twin of events_audience_overlap, deterministic (md5
+    order) hence fully oracle-checked."""
+    from recdb_postgresql_spark.functions.sketch import (
+        kmv_build_grouped, kmv_jaccard_pairs)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    est = kmv_jaccard_pairs(
+        kmv_build_grouped(ev, "event_type", "user_id", k=256), k=256)
+    du = ev.select(F.col("event_type").alias("g"),
+                   F.col("user_id").alias("u")).distinct()
+    sizes = du.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (du.alias("a").join(du.alias("b"),
+                                (F.col("a.u") == F.col("b.u"))
+                                & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("grp1"),
+                      F.col("b.g").alias("grp2"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    exact = (inter
+             .join(sizes.withColumnRenamed("g", "grp1")
+                   .withColumnRenamed("n", "n1"), "grp1")
+             .join(sizes.withColumnRenamed("g", "grp2")
+                   .withColumnRenamed("n", "n2"), "grp2")
+             .select("grp1", "grp2",
+                     (F.col("i") / (F.col("n1") + F.col("n2")
+                                    - F.col("i")))
+                     .alias("exact_jaccard")))
+    return (est.join(exact, ["grp1", "grp2"])
+            .select("grp1", "grp2",
+                    F.round("est_jaccard", 6).alias("est_jaccard"),
+                    F.round("exact_jaccard", 6).alias("exact_jaccard"),
+                    F.round(F.abs(F.col("est_jaccard")
+                                  - F.col("exact_jaccard")), 6)
+                    .alias("abs_err"))
+            .orderBy("grp1", "grp2"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5291,7 +5334,7 @@ _DRIVER_PRIORITY = [
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
-    "events_hll_by_type",
+    "events_hll_by_type", "events_kmv_overlap",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5622,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dbscan": q_geo_dbscan,
         "er_blocking_quality": q_er_blocking_quality,
         "events_hll_by_type": q_events_hll_by_type,
+        "events_kmv_overlap": q_events_kmv_overlap,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6044,6 +6088,60 @@ SELECT est.grp AS event_type, 64 AS m, est.v_zero, est.est_distinct,
        ROUND(est.est_distinct / ex.exact_distinct - 1, 6) AS rel_err
 FROM est JOIN ex ON ex.grp = est.grp
 ORDER BY event_type
+"""
+    # KMV overlap: identical bottom-k + union-membership counting.
+    o["events_kmv_overlap"] = """
+WITH d AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM d) WHERE rn <= 256
+),
+gs AS (SELECT DISTINCT grp FROM sk),
+prs AS (SELECT a.grp AS g1, b.grp AS g2
+        FROM gs a JOIN gs b ON a.grp < b.grp),
+u AS (
+  SELECT p.g1, p.g2, s.h,
+         MAX(CASE WHEN s.grp = p.g1 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.grp = p.g2 THEN 1 ELSE 0 END) AS in_b
+  FROM prs p JOIN sk s ON s.grp IN (p.g1, p.g2)
+  GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT g1, g2, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+  FROM u
+),
+est AS (
+  SELECT g1, g2,
+         CAST(SUM(in_a * in_b) AS BIGINT)
+           / CAST(COUNT(*) AS BIGINT) AS est_jaccard
+  FROM topk WHERE rn <= 256 GROUP BY 1, 2
+),
+du AS (SELECT DISTINCT event_type AS g, user_id AS uid
+       FROM events WHERE user_id IS NOT NULL),
+sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT a.g AS g1, b.g AS g2, CAST(COUNT(*) AS BIGINT) AS i
+  FROM du a JOIN du b ON a.uid = b.uid AND a.g < b.g
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT i.g1, i.g2, i.i / (s1.n + s2.n - i.i) AS exact_jaccard
+  FROM inter i JOIN sz s1 ON s1.g = i.g1 JOIN sz s2 ON s2.g = i.g2
+)
+SELECT est.g1 AS grp1, est.g2 AS grp2,
+       ROUND(est.est_jaccard, 6) AS est_jaccard,
+       ROUND(ex.exact_jaccard, 6) AS exact_jaccard,
+       ROUND(ABS(est.est_jaccard - ex.exact_jaccard), 6) AS abs_err
+FROM est JOIN ex ON ex.g1 = est.g1 AND ex.g2 = est.g2
+ORDER BY grp1, grp2
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

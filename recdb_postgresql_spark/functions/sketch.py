@@ -258,3 +258,64 @@ def hll_estimate_grouped(sketch: DataFrame, b: int = 6) -> DataFrame:
     return agg.select("grp", F.lit(m).alias("m"),
                       F.col("v_zero").cast("long").alias("v_zero"),
                       F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_build_grouped(df: DataFrame, group_col: str, col: str,
+                      k: int = 256, hash_fn=md5_long) -> DataFrame:
+    """(grp, h): the k SMALLEST distinct hash values of ``col`` per
+    group — the KMV / bottom-k sketch (Bar-Yossef et al. 2002;
+    ThetaSketch's core). Unlike HLL it supports SET OPERATIONS:
+    bottom-k of a union is computable from the two sketches alone,
+    which yields intersection and Jaccard estimates no register
+    sketch can give. Deterministic (md5 order), so estimates are
+    engine-reproducible and oracle-checkable. Rows <= groups * k.
+    """
+    from pyspark.sql import Window
+
+    w_rank = F.row_number().over(
+        Window.partitionBy("grp").orderBy("h"))
+    return (df.where(F.col(col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    hash_fn(F.col(col).cast("string")).alias("h"))
+            .distinct()
+            .withColumn("_r", w_rank)
+            .where(F.col("_r") <= k)
+            .select("grp", "h"))
+
+
+def kmv_jaccard_pairs(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """(grp1, grp2, est_jaccard): pairwise Jaccard estimates between
+    group sketches. For each pair, the k smallest of the UNION of the
+    two sketches is the union's own KMV (mergeability); the estimator
+    is the fraction of those bottom-k present in BOTH sketches —
+    unbiased for |A∩B|/|A∪B| (the standard KMV intersection trick).
+    All counting, one self-join keyed on the hash value: sketch-sized
+    work however large the underlying sets."""
+    from pyspark.sql import Window
+
+    pairs = (sketch.select(F.col("grp").alias("grp1")).distinct()
+             .join(sketch.select(F.col("grp").alias("grp2")).distinct(),
+                   F.col("grp1") < F.col("grp2")))
+    a = sketch.select(F.col("grp").alias("grp1"), "h")
+    b = sketch.select(F.col("grp").alias("grp2"), "h")
+    # union of the two sketches per pair, flagged by membership
+    ua = pairs.join(a, "grp1").select("grp1", "grp2", "h",
+                                      F.lit(1).alias("in_a"),
+                                      F.lit(0).alias("in_b"))
+    ub = pairs.join(b, "grp2").select("grp1", "grp2", "h",
+                                      F.lit(0).alias("in_a"),
+                                      F.lit(1).alias("in_b"))
+    merged = (ua.unionByName(ub)
+              .groupBy("grp1", "grp2", "h")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("grp1", "grp2").orderBy("h")
+    topk = (merged.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k))
+    return (topk.groupBy("grp1", "grp2")
+            .agg(F.count(F.lit(1)).alias("kk"),
+                 F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+                 .alias("both"))
+            .select("grp1", "grp2",
+                    (F.col("both") / F.col("kk")).alias("est_jaccard"))
+            .orderBy("grp1", "grp2"))

@@ -98,3 +98,30 @@ def test_grouped_hll_matches_global_per_group_and_merges(spark):
         .collect()[0]["est_distinct"]
     assert hll_estimate(merged, b=6).collect()[0]["est_distinct"] \
         == all_est
+
+
+def test_kmv_jaccard_estimator_planted_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.functions.sketch import (
+        kmv_build_grouped, kmv_jaccard_pairs)
+
+    # A = 0..999, B = 500..1499 -> true jaccard 500/1500 = 1/3;
+    # C disjoint -> 0
+    rows = ([("A", f"u{i}") for i in range(1000)]
+            + [("B", f"u{i}") for i in range(500, 1500)]
+            + [("C", f"w{i}") for i in range(300)])
+    df = spark.createDataFrame(rows, ["g", "u"])
+    sk = kmv_build_grouped(df, "g", "u", k=256)
+    # sketch size law: min(k, distinct) rows per group
+    import collections
+    szs = collections.Counter(r["grp"] for r in sk.collect())
+    assert szs == {"A": 256, "B": 256, "C": 256}
+    est = {(r["grp1"], r["grp2"]): r["est_jaccard"]
+           for r in kmv_jaccard_pairs(sk, k=256).collect()}
+    assert abs(est[("A", "B")] - 1 / 3) < 0.08
+    assert est[("A", "C")] == 0.0 and est[("B", "C")] == 0.0
+    # duplicates in the fact stream don't change the sketch
+    sk2 = kmv_build_grouped(df.unionByName(df), "g", "u", k=256)
+    assert sorted(map(tuple, sk.collect())) == \
+        sorted(map(tuple, sk2.collect()))
