@@ -473,3 +473,68 @@ class StreamingDistinctMonitor:
         return (stream_df.writeStream
                 .foreachBatch(lambda df, bid: self.on_batch(df, bid))
                 .options(**options))
+
+
+class StreamingHeavyHittersMonitor:
+    """Running top-talkers per micro-batch via Misra-Gries summary
+    merge (``functions/sketch.misra_gries``) — "which keys dominate
+    the stream so far", in k counters of driver state however long
+    the stream runs. The MG sibling of ``StreamingDistinctMonitor``:
+    each batch reduces to its own <=k-row summary (distributed,
+    mapInPandas two-level), then merges into the running summary with
+    the (k+1)-th-weight decrement — the Agarwal et al. mergeable-
+    summaries step, so the additive guarantee (est in
+    [true - N/(k+1)*levels, true]) survives arbitrarily many batches.
+
+    Unlike the HLL monitor, MG merge is NOT idempotent (counts add),
+    so replayed batches double-count — pair with the upstream
+    exactly-once dedup stage when replay is possible (same caveat as
+    the counting monitors, documented here on purpose)."""
+
+    def __init__(self, spark: SparkSession, key_col: str = "user_id",
+                 k: int = 32):
+        self.spark, self.key_col, self.k = spark, key_col, int(k)
+        self._counters: dict[str, int] = {}
+        self.n_seen = 0
+        self.history: list[dict] = []
+
+    def _merge(self, batch_summary: dict[str, int]) -> None:
+        c = self._counters
+        for key, w in batch_summary.items():
+            c[key] = c.get(key, 0) + w
+        if len(c) > self.k:
+            # subtract the (k+1)-th largest weight, drop <= 0
+            kth = sorted(c.values(), reverse=True)[self.k]
+            dead = []
+            for key in c:
+                c[key] -= kth
+                if c[key] <= 0:
+                    dead.append(key)
+            for key in dead:
+                del c[key]
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: int | None = None) -> dict:
+        from pyspark.sql import functions as F
+
+        from recdb_postgresql_spark.functions.sketch import misra_gries
+
+        n = batch_df.count()
+        summary = {r["key"]: int(r["est_count"]) for r in
+                   misra_gries(batch_df, F.col(self.key_col),
+                               self.k).collect()}
+        self._merge(summary)
+        self.n_seen += n
+        top = sorted(self._counters.items(),
+                     key=lambda kv: (-kv[1], kv[0]))[:5]
+        report = {"batch_id": batch_id, "batch_rows": n,
+                  "total_rows": self.n_seen,
+                  "top": [{"key": key, "est_count": w}
+                          for key, w in top]}
+        self.history.append(report)
+        return report
+
+    def attach(self, stream_df: DataFrame, **options):
+        return (stream_df.writeStream
+                .foreachBatch(lambda df, bid: self.on_batch(df, bid))
+                .options(**options))

@@ -372,3 +372,45 @@ def test_streaming_distinct_monitor(spark, tmp_path):
     assert mon2.history and \
         abs(mon2.history[-1]["est_total_distinct"]
             - r1["est_total_distinct"]) < 0.01
+
+
+def test_streaming_heavy_hitters_monitor(spark, tmp_path):
+    """MG-state top-talkers monitor: the planted dominant key leads
+    the running top list across batches, counters never exceed k, and
+    the same contract holds through a real availableNow stream."""
+    from recdb_postgresql_spark.streaming.ingest import (
+        StreamingHeavyHittersMonitor,
+    )
+
+    mon = StreamingHeavyHittersMonitor(spark, key_col="user_id", k=16)
+    b1 = spark.createDataFrame(
+        [("hot",)] * 300 + [(f"t{i}",) for i in range(400)],
+        "user_id string")
+    b2 = spark.createDataFrame(
+        [("hot",)] * 200 + [("warm",)] * 150
+        + [(f"u{i}",) for i in range(300)], "user_id string")
+    r1 = mon.on_batch(b1, 0)
+    r2 = mon.on_batch(b2, 1)
+    assert r1["top"][0]["key"] == "hot"
+    assert r2["top"][0]["key"] == "hot"
+    assert {e["key"] for e in r2["top"][:2]} == {"hot", "warm"}
+    assert len(mon._counters) <= 16
+    assert r2["total_rows"] == 700 + 650
+    # guarantee direction: estimate never exceeds the true count
+    true_hot = 500
+    assert r2["top"][0]["est_count"] <= true_hot
+
+    # real stream drive
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    b1.write.parquet(str(incoming / "batch1"))
+    mon2 = StreamingHeavyHittersMonitor(spark, key_col="user_id", k=16)
+    q = (spark.readStream.schema("user_id string")
+         .parquet(str(incoming / "*"))
+         .writeStream
+         .foreachBatch(lambda df, bid: mon2.on_batch(df, bid))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    assert mon2.history and mon2.history[-1]["top"][0]["key"] == "hot"
