@@ -4795,7 +4795,8 @@ def q_er_blocking_quality(spark, sf_dir):
     base = part.select("p_partkey", "p_brand", "p_name",
                        F.split(F.col("p_name"), " ").getItem(0)
                        .alias("w1"))
-    brand_pairs = (base.alias("a").join(
+    from recdb_postgresql_spark.functions.layout import spread_small
+    brand_pairs = (spread_small(base).alias("a").join(
         base.alias("b"),
         (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")))
