@@ -5307,7 +5307,9 @@ _DRIVER_PRIORITY = [
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
     #
-    # r10 NOTE: round 9 ultimately added ~60 entries (two sessions),
+    # r10 NOTE: round 9 ultimately added ~75 entries (THREE sessions;
+    # the third added the feature-encoding / scorer-eval / sketch-set-
+    # op / DBSCAN / JW-kernel batch, all leading section 2b),
     # far more than one ~50-slot window. This ordering samples: the
     # two re-proves, the five previously-never-sampled rows-only
     # entries, the first-session r9 additions, then the continuation
