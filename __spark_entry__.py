@@ -4892,6 +4892,30 @@ def q_events_kmv_overlap(spark, sf_dir):
             .orderBy("grp1", "grp2"))
 
 
+def q_events_qini_uplift(spark, sf_dir):
+    """Qini uplift curve (stats.qini_table): hash-split users into
+    treated/control (the deterministic A/B assignment), outcome =
+    purchased at least once, uplift-score = activity volume —
+    cumulative INCREMENTAL conversions by score decile, the causal
+    readout gains_table can't give (sure-thing targeting scores flat
+    here). Integer counts end to end; one exact division per row."""
+    from recdb_postgresql_spark.functions.sampling import hash_bucket
+    from recdb_postgresql_spark.operators import stats
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()))
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max((F.col("event_type") == "purchase")
+                        .cast("long")).alias("purchased")))
+    users = users.withColumn(
+        "treated", hash_bucket(F.concat(F.lit("ab:"),
+                                        F.col("user_id").cast("string")))
+        < 500_000)
+    return stats.qini_table(users, "n_events", F.col("treated"),
+                            F.col("purchased") == 1, "user_id")
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5337,7 +5361,7 @@ _DRIVER_PRIORITY = [
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
-    "events_hll_by_type", "events_kmv_overlap",
+    "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5669,6 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_quality": q_er_blocking_quality,
         "events_hll_by_type": q_events_hll_by_type,
         "events_kmv_overlap": q_events_kmv_overlap,
+        "events_qini_uplift": q_events_qini_uplift,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6145,6 +6170,43 @@ SELECT est.g1 AS grp1, est.g2 AS grp2,
        ROUND(ABS(est.est_jaccard - ex.exact_jaccard), 6) AS abs_err
 FROM est JOIN ex ON ex.g1 = est.g1 AND ex.g2 = est.g2
 ORDER BY grp1, grp2
+"""
+    # Qini: same hash split, ntile cut, integer cumulative counts.
+    o["events_qini_uplift"] = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         CASE WHEN CAST(concat('0x', substring(md5(
+                concat('ab:', CAST(user_id AS VARCHAR))), 1, 15))
+              AS BIGINT) % 1000000 < 500000 THEN 1 ELSE 0 END AS t
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+dd AS (
+  SELECT t, y,
+         NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS dec
+  FROM u
+),
+per AS (
+  SELECT dec,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(1 - t) AS BIGINT) AS n_c,
+         CAST(SUM(t * y) AS BIGINT) AS conv_t,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS conv_c
+  FROM dd GROUP BY dec
+),
+c AS (
+  SELECT dec, n_t, n_c, conv_t, conv_c,
+         CAST(SUM(n_t) OVER w AS BIGINT) AS cum_n_t,
+         CAST(SUM(n_c) OVER w AS BIGINT) AS cum_n_c,
+         CAST(SUM(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+         CAST(SUM(conv_c) OVER w AS BIGINT) AS cum_conv_c
+  FROM per
+  WINDOW w AS (ORDER BY dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT dec AS decile, n_t, n_c, conv_t, conv_c, cum_n_t, cum_n_c,
+       ROUND(cum_conv_t - (cum_conv_c * cum_n_t) / cum_n_c, 6) AS qini
+FROM c ORDER BY decile
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

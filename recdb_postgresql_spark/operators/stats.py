@@ -469,3 +469,49 @@ def gains_table(df: DataFrame, score_col: str, label, id_col: str,
                     ((F.col("cum_pos") * F.col("nt"))
                      / (F.col("pt") * F.col("cum_n"))).alias("lift"))
             .orderBy("decile"))
+
+
+def qini_table(df: DataFrame, score_col: str, treated, converted,
+               id_col: str, deciles: int = 10) -> DataFrame:
+    """Qini / uplift curve: rank units by an uplift score, cut into
+    ``deciles``, and report the cumulative INCREMENTAL conversions —
+    treated converters minus the control converters scaled to the
+    treated exposure:
+
+        qini(k) = cum_conv_t(k) - cum_conv_c(k) * cum_n_t(k)/cum_n_c(k)
+
+    — the causal cousin of gains_table (which measures response, not
+    uplift: a model that targets sure-things scores high on gains and
+    flat on Qini). ``treated``/``converted`` are boolean Columns;
+    ties pin on ``id_col``. Same shape as gains_table: one ntile
+    window over scored units, one deciles-sized cumulative finisher —
+    integer counts end to end, one exact division per row.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(score_col).alias("_s"),
+                  treated.cast("long").alias("_t"),
+                  converted.cast("long").alias("_y"),
+                  F.col(id_col).alias("_id"))
+    w = Window.orderBy(F.desc("_s"), F.col("_id"))
+    per = (d.withColumn("_d", F.ntile(deciles).over(w))
+           .groupBy("_d")
+           .agg(F.sum("_t").alias("n_t"),
+                F.sum(F.lit(1) - F.col("_t")).alias("n_c"),
+                F.sum(F.col("_t") * F.col("_y")).alias("conv_t"),
+                F.sum((F.lit(1) - F.col("_t")) * F.col("_y"))
+                .alias("conv_c")))
+    cw = (Window.orderBy("_d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (per.withColumn("cum_n_t", F.sum("n_t").over(cw))
+           .withColumn("cum_n_c", F.sum("n_c").over(cw))
+           .withColumn("cum_conv_t", F.sum("conv_t").over(cw))
+           .withColumn("cum_conv_c", F.sum("conv_c").over(cw)))
+    qini = (F.col("cum_conv_t")
+            - (F.col("cum_conv_c") * F.col("cum_n_t"))
+            / F.col("cum_n_c"))
+    return (cum.select(F.col("_d").alias("decile"),
+                       "n_t", "n_c", "conv_t", "conv_c",
+                       "cum_n_t", "cum_n_c",
+                       F.round(qini, 6).alias("qini"))
+            .orderBy("decile"))

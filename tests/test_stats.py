@@ -336,3 +336,26 @@ def test_gains_table_perfect_ranker(spark):
     assert out[1]["lift"] == 5.0            # 10/10 vs 20/100 base rate
     assert out[10]["lift"] == 1.0           # full population
     assert out[10]["cum_n"] == 100
+
+
+def test_qini_planted_uplift_vs_sure_things(spark):
+    # score separates a genuine-uplift segment (treat converts 80%,
+    # control 10%) from a sure-thing segment (everyone converts):
+    # qini climbs over the high-score deciles and stays ~flat after
+    rows = []
+    uid = 0
+    for i in range(200):  # high score: real uplift
+        t = i % 2 == 0
+        y = (i % 10 < 8) if t else (i % 10 < 1)
+        rows.append((uid, 100.0, t, y)); uid += 1
+    for i in range(200):  # low score: sure things, zero uplift
+        rows.append((uid, 1.0, i % 2 == 0, True)); uid += 1
+    df = spark.createDataFrame(rows, ["id", "sc", "t", "y"])
+    out = {r["decile"]: r for r in stats.qini_table(
+        df, "sc", F.col("t"), F.col("y"), "id", deciles=4).collect()}
+    # deciles 1-2 hold the uplift segment: qini ~ (0.8-0.1)*100 = 70
+    assert out[2]["qini"] > 50
+    # sure-thing tail adds ~nothing: final qini ~= mid qini
+    assert abs(out[4]["qini"] - out[2]["qini"]) < 15
+    # exposure bookkeeping
+    assert out[4]["cum_n_t"] + out[4]["cum_n_c"] == 400
