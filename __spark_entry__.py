@@ -4916,6 +4916,50 @@ def q_events_qini_uplift(spark, sf_dir):
                             F.col("purchased") == 1, "user_id")
 
 
+def q_audit_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the schema's FK edges —
+    the cross-table data contract beside profile.validate's
+    single-table rules: for each relationship, child row count,
+    orphaned rows (left-anti), and the orphan rate. Each edge is one
+    broadcast/shuffle anti-join on the key; output is edge-count
+    rows. On TPC-H-shaped data every rate should be 0 — the query is
+    the monitoring shape, not the anomaly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        n = child.count()
+        orphans = (child.select(F.col(ckey).alias("k"))
+                   .join(parent.select(F.col(pkey).alias("k"))
+                         .distinct(), "k", "left_anti").count())
+        return (name, n, orphans)
+
+    rows = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+             orders, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey",
+             part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+             supp, "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey",
+             cust, "c_custkey"),
+        edge("customer.c_nationkey->nation", cust, "c_nationkey",
+             nation, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", supp, "s_nationkey",
+             nation, "n_nationkey"),
+    ]
+    out = spark.createDataFrame(rows, "fk string, n_child long, "
+                                      "n_orphans long")
+    return (out.select("fk", "n_child", "n_orphans",
+                       F.round(F.col("n_orphans") / F.col("n_child"), 6)
+                       .alias("orphan_rate"))
+            .orderBy("fk"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5362,6 +5406,7 @@ _DRIVER_PRIORITY = [
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
+    "audit_fk_integrity",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5694,6 +5739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_by_type": q_events_hll_by_type,
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_qini_uplift": q_events_qini_uplift,
+        "audit_fk_integrity": q_audit_fk_integrity,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6207,6 +6253,55 @@ c AS (
 SELECT dec AS decile, n_t, n_c, conv_t, conv_c, cum_n_t, cum_n_c,
        ROUND(cum_conv_t - (cum_conv_c * cum_n_t) / cum_n_c, 6) AS qini
 FROM c ORDER BY decile
+"""
+    # FK audit: per-edge anti-join orphan counts.
+    o["audit_fk_integrity"] = """
+WITH e AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+              AS BIGINT)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM supplier s
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = s.s_nationkey))
+              AS BIGINT)
+)
+SELECT fk, n_child, n_orphans,
+       ROUND(n_orphans / n_child, 6) AS orphan_rate
+FROM e ORDER BY fk
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """
