@@ -10335,7 +10335,7 @@ a AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(i * x) AS ix
   FROM ranked
 )
-SELECT n, ROUND(s, 4) AS total,
+SELECT n, ROUND(s, 0) AS total,
        ROUND((2.0 * ix - (n + 1) * s) / (n * s), 6) AS gini
 FROM a
 """

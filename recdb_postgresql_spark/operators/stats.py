@@ -300,8 +300,11 @@ def gini(df: DataFrame, entity_col: str, val_col: str) -> DataFrame:
                      F.sum(F.col("i") * F.col("x")).alias("ix"))
     g = ((2.0 * F.col("ix") - (F.col("n") + 1) * F.col("s"))
          / (F.col("n") * F.col("s")))
+    # total rounds to WHOLE units: at 1e10+ magnitudes, 4 decimals is
+    # 15 significant digits — past the determinism of a parallel
+    # double sum (sf0.1 sweep caught a last-ulp spread, r9)
     return agg.select(F.col("n").cast("long").alias("n"),
-                      F.round("s", 4).alias("total"),
+                      F.round("s", 0).alias("total"),
                       F.round(g, 6).alias("gini"))
 
 
