@@ -4707,7 +4707,11 @@ def q_docs_lang_auc(spark, sf_dir):
     Chinese text — the thresholdless scorer eval via the Mann-Whitney
     identity with exact tie handling (2r+t-1 integers; one division).
     The score is an exact ratio of character counts, so ranks agree
-    bit-for-bit cross-engine."""
+    bit-for-bit cross-engine. (On THIS synthetic corpus the lang
+    column is a label over shared-vocabulary text, so the honest
+    readout is ~0.5 — the mechanism, not the separation, is what the
+    oracle checks; examples/targeting_example.py runs the same trio
+    on a genuinely predictive score.)"""
     from recdb_postgresql_spark.operators import stats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6251,7 +6255,10 @@ c AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT dec AS decile, n_t, n_c, conv_t, conv_c, cum_n_t, cum_n_c,
-       ROUND(cum_conv_t - (cum_conv_c * cum_n_t) / cum_n_c, 6) AS qini
+       CASE WHEN cum_n_c = 0 THEN NULL
+            ELSE ROUND(cum_conv_t
+                       - (cum_conv_c * cum_n_t) / cum_n_c, 6)
+       END AS qini
 FROM c ORDER BY decile
 """
     # FK audit: per-edge anti-join orphan counts.

@@ -394,8 +394,10 @@ def auc_rank(df: DataFrame, score_col: str, label) -> DataFrame:
                      2 * F.col("_r") + F.col("_t") - 1)).alias("s2"),
         F.sum(F.col("_y").cast("long")).alias("n_pos"),
         F.sum((~F.col("_y")).cast("long")).alias("n_neg"))
-    auc = ((F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1))
-           / (2 * F.col("n_pos") * F.col("n_neg")))
+    # try_divide: a single-class label has no defined AUC -> NULL
+    auc = F.try_divide(
+        F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1),
+        2 * F.col("n_pos") * F.col("n_neg"))
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
 
 
@@ -468,9 +470,11 @@ def gains_table(df: DataFrame, score_col: str, label, id_col: str,
             .join(F.broadcast(tot))
             .select(F.col("_d").alias("decile"), "n", "pos",
                     "cum_n", "cum_pos",
-                    (F.col("cum_pos") / F.col("pt")).alias("capture"),
-                    ((F.col("cum_pos") * F.col("nt"))
-                     / (F.col("pt") * F.col("cum_n"))).alias("lift"))
+                    F.try_divide(F.col("cum_pos"), F.col("pt"))
+                     .alias("capture"),
+                    F.try_divide(F.col("cum_pos") * F.col("nt"),
+                                 F.col("pt") * F.col("cum_n"))
+                     .alias("lift"))
             .orderBy("decile"))
 
 
@@ -510,9 +514,11 @@ def qini_table(df: DataFrame, score_col: str, treated, converted,
            .withColumn("cum_n_c", F.sum("n_c").over(cw))
            .withColumn("cum_conv_t", F.sum("conv_t").over(cw))
            .withColumn("cum_conv_c", F.sum("conv_c").over(cw)))
+    # try_divide: a leading decile with no control units yet has no
+    # defined uplift (NULL), not a crash — ANSI mode is on
     qini = (F.col("cum_conv_t")
-            - (F.col("cum_conv_c") * F.col("cum_n_t"))
-            / F.col("cum_n_c"))
+            - F.try_divide(F.col("cum_conv_c") * F.col("cum_n_t"),
+                           F.col("cum_n_c")))
     return (cum.select(F.col("_d").alias("decile"),
                        "n_t", "n_c", "conv_t", "conv_c",
                        "cum_n_t", "cum_n_c",

@@ -194,3 +194,15 @@ def test_experiment_example_end_to_end(spark):
     assert out["benford_chi2"] > 0
     assert out["corr_value_double"] == 1.0       # perfectly linear pair
     assert out["acf_lag1"] is not None
+
+
+def test_targeting_example_end_to_end(spark):
+    from examples.targeting_example import run
+    out = run(spark, verbose=False)
+    assert out["n_encoded"] > 0 and out["distinct_loo"] > 1
+    # activity genuinely predicts heavy buying (tiny-SF tolerant bar)
+    assert out["auc"] > 0.7
+    assert 0.0 < out["brier"] < 0.5
+    assert out["top_decile_lift"] >= 1.0
+    assert out["sprt_final"] in {"accept_h1", "accept_h0", "continue"}
+    assert out["sprt_peeks"] > 0
