@@ -4964,6 +4964,20 @@ def q_audit_fk_integrity(spark, sf_dir):
             .orderBy("fk"))
 
 
+def q_lineitem_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price
+    (stats.spearman_corr) — the monotone-association companion to
+    lineitem_corr_matrix's Pearson (robust to scale and outliers;
+    price is roughly quantity x unit-price, so the rank association
+    is strong while linear correlation is diluted by unit-price
+    spread). Exact 2r+t-1 tie handling; sums exact int64, finisher
+    in doubles."""
+    from recdb_postgresql_spark.operators import stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5410,7 +5424,7 @@ _DRIVER_PRIORITY = [
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
-    "audit_fk_integrity",
+    "audit_fk_integrity", "lineitem_spearman",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5744,6 +5758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_qini_uplift": q_events_qini_uplift,
         "audit_fk_integrity": q_audit_fk_integrity,
+        "lineitem_spearman": q_lineitem_spearman,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6309,6 +6324,35 @@ WITH e AS (
 SELECT fk, n_child, n_orphans,
        ROUND(n_orphans / n_child, 6) AS orphan_rate
 FROM e ORDER BY fk
+"""
+    # Spearman: same exact double-rank form, finisher in doubles
+    # (HUGEINT sums convert to the same IEEE doubles as int64).
+    o["lineitem_spearman"] = """
+WITH d AS (
+  SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT (2 * CAST(RANK() OVER (ORDER BY a) AS BIGINT)
+          + CAST(COUNT(*) OVER (PARTITION BY a) AS BIGINT) - 1) AS ra,
+         (2 * CAST(RANK() OVER (ORDER BY b) AS BIGINT)
+          + CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) - 1) AS rb
+  FROM d
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(ra) AS DOUBLE) AS sa,
+         CAST(SUM(rb) AS DOUBLE) AS sb,
+         CAST(SUM(ra * ra) AS DOUBLE) AS saa,
+         CAST(SUM(rb * rb) AS DOUBLE) AS sbb,
+         CAST(SUM(ra * rb) AS DOUBLE) AS sab
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sab - sa * sb)
+             / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
+         AS spearman
+FROM agg
 """
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """

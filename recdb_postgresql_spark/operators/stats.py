@@ -524,3 +524,45 @@ def qini_table(df: DataFrame, score_col: str, treated, converted,
                        "cum_n_t", "cum_n_c",
                        F.round(qini, 6).alias("qini"))
             .orderBy("decile"))
+
+
+def spearman_corr(df: DataFrame, col_a: str,
+                  col_b: str) -> DataFrame:
+    """Spearman rank correlation: Pearson over average ranks — the
+    monotone-association readout that ignores scale and outliers
+    (corr_matrix's Pearson answers LINEAR association). Ties take
+    average ranks via the exact 2r+t-1 integer form (the auc_rank
+    trick), so the rank columns are exact halves and the closed-form
+    Pearson over them is engine-stable under 6-decimal rounding.
+    Two global rank windows over the fact rows (pre-bin at corpus
+    scale); one algebraic finisher. Returns (n, spearman)."""
+    from pyspark.sql import Window
+
+    d = df.select(F.col(col_a).alias("_a"),
+                  F.col(col_b).alias("_b")).na.drop()
+
+    def avg_rank2(c):  # TWICE the average rank (exact integer)
+        w = Window.orderBy(c)
+        tw = Window.partitionBy(c)
+        return (2 * F.rank().over(w) + F.count(F.lit(1)).over(tw) - 1)
+
+    ranked = (d.withColumn("_ra", avg_rank2(F.col("_a")))
+               .withColumn("_rb", avg_rank2(F.col("_b"))))
+    # sums stay exact int64 (sum of (2r)^2 <= 4n^3 fits to ~100M
+    # rows); the FINISHER products would overflow int64, so they
+    # combine as doubles — same exact-int inputs on both engines ->
+    # identical IEEE results
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_ra").cast("double").alias("sa"),
+        F.sum("_rb").cast("double").alias("sb"),
+        F.sum(F.col("_ra") * F.col("_ra")).cast("double").alias("saa"),
+        F.sum(F.col("_rb") * F.col("_rb")).cast("double").alias("sbb"),
+        F.sum(F.col("_ra") * F.col("_rb")).cast("double").alias("sab"))
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+                 * (F.col("n") * F.col("sbb")
+                    - F.col("sb") * F.col("sb")))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.round(F.try_divide(num, den), 6)
+                      .alias("spearman"))

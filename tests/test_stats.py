@@ -359,3 +359,29 @@ def test_qini_planted_uplift_vs_sure_things(spark):
     assert abs(out[4]["qini"] - out[2]["qini"]) < 15
     # exposure bookkeeping
     assert out[4]["cum_n_t"] + out[4]["cum_n_c"] == 400
+
+
+def test_spearman_monotone_ties_and_scipy_free_check(spark):
+    # perfect monotone (nonlinear) relation -> exactly 1.0
+    mono = spark.createDataFrame(
+        [(float(i), float(i ** 3)) for i in range(1, 20)], ["a", "b"])
+    assert stats.spearman_corr(mono, "a", "b") \
+        .collect()[0]["spearman"] == 1.0
+    # reversed -> -1.0
+    rev = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 20)], ["a", "b"])
+    assert stats.spearman_corr(rev, "a", "b") \
+        .collect()[0]["spearman"] == -1.0
+    # hand case with ties: a=[1,2,2,3], b=[1,3,2,4]
+    # avg ranks a: 1, 2.5, 2.5, 4 ; b: 1, 3, 2, 4 -> pearson(ranks)
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)], ["a", "b"])
+    r = stats.spearman_corr(tied, "a", "b").collect()[0]
+    import math
+    ra, rb = [1, 2.5, 2.5, 4], [1, 3, 2, 4]
+    n = 4
+    num = n * sum(x * y for x, y in zip(ra, rb)) - sum(ra) * sum(rb)
+    den = math.sqrt((n * sum(x * x for x in ra) - sum(ra) ** 2)
+                    * (n * sum(y * y for y in rb) - sum(rb) ** 2))
+    assert r["spearman"] == pytest.approx(round(num / den, 6), abs=1e-9)
+    assert r["n"] == 4
