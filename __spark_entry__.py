@@ -4978,6 +4978,19 @@ def q_lineitem_spearman(spark, sf_dir):
     return stats.spearman_corr(li, "l_quantity", "l_extendedprice")
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity) of the exact
+    near-dup pair graph — do template hubs link to hubs (clique
+    families, positive) or to leaves (chains off a template,
+    negative)? Newman 2002's edge-endpoint Pearson: one degree
+    aggregate + two broadcast joins + an algebraic finisher over the
+    same edge list triangles/label-prop/k-core read."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
+                                threshold=0.5)
+    return graph.degree_assortativity(pairs)
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5424,7 +5437,7 @@ _DRIVER_PRIORITY = [
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
-    "audit_fk_integrity", "lineitem_spearman",
+    "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5759,6 +5772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qini_uplift": q_events_qini_uplift,
         "audit_fk_integrity": q_audit_fk_integrity,
         "lineitem_spearman": q_lineitem_spearman,
+        "graph_assortativity": q_graph_assortativity,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6354,6 +6368,45 @@ SELECT CAST(n AS BIGINT) AS n,
          AS spearman
 FROM agg
 """
+    # Assortativity: both orientations, degrees joined back, Pearson.
+    o["graph_assortativity"] = f"""
+WITH {{SH}},
+hashed AS (SELECT id, {{BH}} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+e AS (SELECT id1 AS a, id2 AS b FROM prs
+      UNION ALL SELECT id2 AS a, id1 AS b FROM prs),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e GROUP BY 1),
+ends AS (
+  SELECT da.d AS da, db.d AS db
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(da) AS DOUBLE) AS sa, CAST(SUM(db) AS DOUBLE) AS sb,
+         CAST(SUM(da * da) AS DOUBLE) AS saa,
+         CAST(SUM(db * db) AS DOUBLE) AS sbb,
+         CAST(SUM(da * db) AS DOUBLE) AS sab
+  FROM ends
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND((m * sab - sa * sb)
+             / SQRT((m * saa - sa * sa) * (m * sbb - sb * sb)), 6)
+         AS assortativity
+FROM agg
+"""
+    o["graph_assortativity"] = o["graph_assortativity"].replace(
+        "{SH}", SHINGLES_CTE_DUCK).replace("{BH}", base_h)
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """
 WITH toks AS MATERIALIZED (

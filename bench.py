@@ -180,7 +180,7 @@ HEADLINE = [
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
-    "audit_fk_integrity", "lineitem_spearman",
+    "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

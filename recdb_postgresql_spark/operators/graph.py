@@ -389,3 +389,39 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 6,
     return (live.groupBy(F.col("u").alias("id"))
             .agg(F.count(F.lit(1)).cast("int").alias("deg"))
             .orderBy("id"))
+
+
+def degree_assortativity(pairs: DataFrame, id1: str = "id1",
+                         id2: str = "id2") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge list —
+    positive means hubs attach to hubs (social cores), negative means
+    hubs attach to leaves (hub-and-spoke, most tech/dedup graphs).
+    One degree aggregate, two broadcast joins back onto the edges,
+    one algebraic finisher — the corr_matrix shape on graph
+    structure; nothing scales past the edge scan. Each undirected
+    edge contributes BOTH orientations (the standard symmetric
+    estimator). Returns (n_edges, assortativity)."""
+    e = (pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+         .unionByName(pairs.select(F.col(id2).alias("a"),
+                                   F.col(id1).alias("b"))))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d")) \
+        .withColumnRenamed("a", "node")
+    ends = (e.join(F.broadcast(deg.withColumnRenamed("node", "a")
+                               .withColumnRenamed("d", "da")), "a")
+            .join(F.broadcast(deg.withColumnRenamed("node", "b")
+                              .withColumnRenamed("d", "db")), "b"))
+    agg = ends.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("da").cast("double").alias("sa"),
+        F.sum("db").cast("double").alias("sb"),
+        F.sum(F.col("da") * F.col("da")).cast("double").alias("saa"),
+        F.sum(F.col("db") * F.col("db")).cast("double").alias("sbb"),
+        F.sum(F.col("da") * F.col("db")).cast("double").alias("sab"))
+    num = F.col("m") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt((F.col("m") * F.col("saa") - F.col("sa") * F.col("sa"))
+                 * (F.col("m") * F.col("sbb")
+                    - F.col("sb") * F.col("sb")))
+    return agg.select((F.col("m") / 2).cast("long").alias("n_edges"),
+                      F.round(F.try_divide(num, den), 6)
+                      .alias("assortativity"))

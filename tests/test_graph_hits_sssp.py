@@ -94,3 +94,29 @@ def test_kcore_empty_when_overdemanding(spark):
     from recdb_postgresql_spark.operators.graph import kcore
     e = _edges(spark, [(1, 2), (2, 3)])
     assert kcore(e, k=5, rounds=3).count() == 0
+
+
+def test_assortativity_star_vs_clique(spark):
+    from recdb_postgresql_spark.operators.graph import degree_assortativity
+
+    # star: hub-to-leaf only -> strongly negative (exactly -1 for a
+    # pure star: endpoint degrees are perfectly anti-correlated)
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                                 ["id1", "id2"])
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 8 and r["assortativity"] == -1.0
+    # clique: all degrees equal -> correlation undefined (zero
+    # variance) -> NULL via try_divide, never a crash
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        ["id1", "id2"])
+    r2 = degree_assortativity(k4).collect()[0]
+    assert r2["n_edges"] == 6 and r2["assortativity"] is None
+    # two cliques joined by a bridge: mixed degrees, finite value
+    edges = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(10 + a, 10 + b) for a in range(4)
+                for b in range(a + 1, 4)] + [(0, 10)])
+    r3 = degree_assortativity(
+        spark.createDataFrame(edges, ["id1", "id2"])).collect()[0]
+    assert r3["assortativity"] is not None
+    assert -1.0 <= r3["assortativity"] <= 1.0
