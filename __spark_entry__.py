@@ -4991,6 +4991,48 @@ def q_graph_assortativity(spark, sf_dir):
     return graph.degree_assortativity(pairs)
 
 
+def q_events_user_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands: distinct (user, day), day - dense day-rank is
+    constant within an island, one groupBy sizes the islands, one max
+    per user. Top-20 streaks with count/start/end; ties broken by
+    user then start. Scale: windows partition BY USER (fully
+    distributed); state per task is one user's distinct days."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("user_id",
+                  F.expr(f"ts div {86400 * 10 ** 9}").alias("day"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ev.withColumn("grp", F.col("day")
+                        - F.row_number().over(w))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("day").alias("start_day"),
+                    F.max("day").alias("end_day")))
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.col("start_day"))
+    return (streaks.withColumn("rn", F.row_number().over(best))
+            .where(F.col("rn") == 1)
+            .select("user_id", "len", "start_day", "end_day")
+            .orderBy(F.desc("len"), "user_id")
+            .limit(20))
+
+
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient (graph.clustering_coefficient)
+    on the near-dup pair graph: triangles / C(degree, 2) per node —
+    family members read ~1, bridges read ~0 at equal degree.
+    Composes the degree-oriented triangle count with one degree
+    aggregate; exact integer counts, one division, NULL for
+    degree-1 nodes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
+                                threshold=0.5)
+    return (graph.clustering_coefficient(pairs)
+            .withColumnRenamed("id", "doc_id"))
+
+
 def q_events_audience_overlap(spark, sf_dir):
     """Audience-overlap matrix: Jaccard of the USER SETS behind each
     pair of event types (do clickers and purchasers overlap more
@@ -5438,6 +5480,7 @@ _DRIVER_PRIORITY = [
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
     "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
+    "events_user_streaks", "graph_clustering",
     # (3) round-9 new entries
     "rec_als_implicit_foldin", "docs_lang_classifier",
     "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
@@ -5773,6 +5816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_fk_integrity": q_audit_fk_integrity,
         "lineitem_spearman": q_lineitem_spearman,
         "graph_assortativity": q_graph_assortativity,
+        "events_user_streaks": q_events_user_streaks,
+        "graph_clustering": q_graph_clustering,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -6407,6 +6452,75 @@ FROM agg
 """
     o["graph_assortativity"] = o["graph_assortativity"].replace(
         "{SH}", SHINGLES_CTE_DUCK).replace("{BH}", base_h)
+    # Clustering coefficient: triangles oracle + degrees + division.
+    o["graph_clustering"] = """
+WITH {SH},
+hashed AS (SELECT id, {BH} AS sh FROM shingled),
+sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+),
+e AS (SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+      FROM p WHERE id1 <> id2),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+pn AS (SELECT x AS id FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       FROM pn GROUP BY 1),
+und AS (SELECT a AS n FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM und GROUP BY 1)
+SELECT deg.n AS doc_id, deg.degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree > 1
+            THEN ROUND(2 * COALESCE(tc.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1)), 6)
+            ELSE NULL END AS clustering
+FROM deg LEFT JOIN tc ON tc.id = deg.n
+ORDER BY doc_id
+"""
+    o["graph_clustering"] = o["graph_clustering"].replace(
+        "{SH}", SHINGLES_CTE_DUCK).replace("{BH}", base_h)
+    # Streaks: gaps-and-islands; LIMIT boundary pinned by (len, user).
+    o["events_user_streaks"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY day) AS grp
+  FROM d
+),
+st AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MIN(day) AS BIGINT) AS start_day,
+         CAST(MAX(day) AS BIGINT) AS end_day
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, len, start_day, end_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rn
+  FROM st
+)
+SELECT user_id, len, start_day, end_day
+FROM best WHERE rn = 1
+ORDER BY len DESC, user_id
+LIMIT 20
+"""
     # Heaps curve: first-occurrence trick + two running sums.
     o["docs_heaps_curve"] = """
 WITH toks AS MATERIALIZED (

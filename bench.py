@@ -181,6 +181,7 @@ HEADLINE = [
     "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
     "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
+    "events_user_streaks", "graph_clustering",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -425,3 +425,30 @@ def degree_assortativity(pairs: DataFrame, id1: str = "id1",
     return agg.select((F.col("m") / 2).cast("long").alias("n_edges"),
                       F.round(F.try_divide(num, den), 6)
                       .alias("assortativity"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "id1",
+                           dst: str = "id2") -> DataFrame:
+    """(id, degree, n_triangles, clustering): local clustering
+    coefficient per node — triangles / C(degree, 2), the "how
+    clique-like is this node's neighborhood" readout that
+    distinguishes a template FAMILY member (c -> 1) from a bridge
+    between families (c -> 0) at equal degree. Composes
+    triangle_count (degree-oriented, skew-bounded) with one degree
+    aggregate; degree-1 nodes have no defined coefficient (NULL).
+    All counts exact integers; one division."""
+    tri = triangle_count(edges, src, dst)
+    und = (edges.select(F.col(src).alias("n"))
+           .unionByName(edges.select(F.col(dst).alias("n"))))
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    out = (deg.join(tri.withColumnRenamed("id", "n"), "n", "left")
+           .withColumn("n_triangles",
+                       F.coalesce("n_triangles", F.lit(0)))
+           .withColumn("clustering",
+                       F.round(F.try_divide(
+                           2 * F.col("n_triangles"),
+                           F.col("degree") * (F.col("degree") - 1)),
+                           6)))
+    return (out.select(F.col("n").alias("id"), "degree",
+                       "n_triangles", "clustering")
+            .orderBy("id"))

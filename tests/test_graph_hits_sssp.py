@@ -120,3 +120,20 @@ def test_assortativity_star_vs_clique(spark):
         spark.createDataFrame(edges, ["id1", "id2"])).collect()[0]
     assert r3["assortativity"] is not None
     assert -1.0 <= r3["assortativity"] <= 1.0
+
+
+def test_clustering_coefficient_clique_and_bridge(spark):
+    from recdb_postgresql_spark.operators.graph import (
+        clustering_coefficient)
+
+    # K4 + a pendant node hanging off node 0
+    edges = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(0, 9)])
+    out = {r["id"]: r for r in clustering_coefficient(
+        spark.createDataFrame(edges, ["id1", "id2"])).collect()}
+    # interior clique nodes: every neighbor pair connected -> 1.0
+    assert out[1]["clustering"] == 1.0 and out[1]["degree"] == 3
+    # node 0 gained a pendant neighbor: 3 triangles of C(4,2)=6 pairs
+    assert out[0]["degree"] == 4 and out[0]["clustering"] == 0.5
+    # pendant: degree 1 -> undefined (NULL), zero triangles
+    assert out[9]["clustering"] is None and out[9]["n_triangles"] == 0
