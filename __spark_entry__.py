@@ -5414,6 +5414,40 @@ def q_events_benford(spark, sf_dir):
     return stats.benford_first_digit(ev, "value")
 
 
+
+
+def q_events_ddq_quantiles(spark, sf_dir):
+    """DDSketch-style mergeable quantile sketch (functions/
+    sketch.ddq_build): p50/p90/p99 of the value column estimated from
+    a <512-row bucket table beside the exact order statistics and the
+    achieved relative error — the quantile member of the explicit
+    sketch family (CMS counts / HLL distincts / MG heavy hitters /
+    KMV set ops), and the one Spark's approx_percentile can't export
+    for later merging. Buckets come from integer bit tricks (bit
+    length + top-4-bits), never float log, so the sketch — and the
+    estimates — reproduce bit-for-bit in the SQL oracle. Guarantee on
+    display: |rel_err| <= 2^-4 = 6.25%."""
+    from recdb_postgresql_spark.functions import sketch as sk
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & (F.col("value") >= 0)))
+    ps = [0.5, 0.9, 0.99]
+    est = sk.ddq_quantiles(sk.ddq_build(ev, "value"), ps)
+    ex = (ev.selectExpr(
+            "percentile(value, array(0.5D, 0.9D, 0.99D)) AS exs")
+          .select(F.posexplode("exs").alias("i", "ex")))
+    ex = ex.select(
+        F.element_at(F.array(*[F.lit(float(p)) for p in ps]),
+                     F.col("i") + 1).alias("p"),
+        F.col("ex"))
+    return (est.join(ex, "p")
+            .select("p", F.col("rank").alias("at_rank"), "est_value",
+                    F.round("ex", 6).alias("exact_value"),
+                    F.round(F.col("est_value") / F.col("ex") - 1, 6)
+                     .alias("rel_err"))
+            .orderBy("p"))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5472,6 +5506,8 @@ _DRIVER_PRIORITY = [
     "ann_ivf_trained_probe", "rec_als_implicit",
     "docs_quality_classifier_probe", "rec_als_foldin_check",
     "rec_item2vec_similar",
+    # (2c) fourth-session additions (newest first per the rotation rule)
+    "events_ddq_quantiles",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5818,6 +5854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "events_user_streaks": q_events_user_streaks,
         "graph_clustering": q_graph_clustering,
+        "events_ddq_quantiles": q_events_ddq_quantiles,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -10981,5 +11018,50 @@ SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
        ROUND(t.n * POWER(n_obs / t.n - LOG10(1.0 + 1.0 / digit), 2)
              / LOG10(1.0 + 1.0 / digit), 6) AS chi2_term
 FROM counts CROSS JOIN t ORDER BY digit
+"""
+    # DDSketch bucket layout restated: integer quantize, bit-length
+    # octave, top-4-bit sub-bucket; cumulative over the <512-row
+    # bucket table; exact quantile_cont beside it. All integer ops
+    # until the final divisions -> bit parity with the Spark sketch.
+    o["events_ddq_quantiles"] = """
+WITH v AS (
+  SELECT value FROM events WHERE value IS NOT NULL AND value >= 0
+),
+qz AS (
+  SELECT CAST(ROUND(value * 1000000.0) AS BIGINT) AS q FROM v
+),
+b AS (
+  SELECT GREATEST(length(bin(q)) - 4, 0) AS shift,
+         q >> GREATEST(length(bin(q)) - 4, 0) AS sub,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM qz GROUP BY 1, 2
+),
+c AS (
+  SELECT ((sub << shift) + ((sub + 1) << shift)) / 2.0 / 1000000.0
+           AS mid,
+         SUM(cnt) OVER (ORDER BY (sub << shift)) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM b
+),
+ps AS (
+  SELECT CAST(0.5 AS DOUBLE) AS p, quantile_cont(value, 0.5) AS ex
+    FROM v
+  UNION ALL
+  SELECT CAST(0.9 AS DOUBLE), quantile_cont(value, 0.9) FROM v
+  UNION ALL
+  SELECT CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99) FROM v
+),
+est AS (
+  SELECT p, ex,
+         GREATEST(CAST(CEIL(p * total) AS BIGINT), 1) AS at_rank,
+         arg_min(mid, cum) AS est_value
+  FROM ps CROSS JOIN c
+  WHERE cum >= GREATEST(CAST(CEIL(p * total) AS BIGINT), 1)
+  GROUP BY p, ex, GREATEST(CAST(CEIL(p * total) AS BIGINT), 1)
+)
+SELECT p, at_rank, est_value,
+       ROUND(ex, 6) AS exact_value,
+       ROUND(est_value / ex - 1, 6) AS rel_err
+FROM est
 """
     return o

@@ -319,3 +319,90 @@ def kmv_jaccard_pairs(sketch: DataFrame, k: int = 256) -> DataFrame:
             .select("grp1", "grp2",
                     (F.col("both") / F.col("kk")).alias("est_jaccard"))
             .orderBy("grp1", "grp2"))
+
+
+# ----------------------------------------------------------------------
+# DDSketch-style mergeable quantile sketch (integer-exact buckets)
+# ----------------------------------------------------------------------
+
+def ddq_build(df: DataFrame, col: str, scale: int = 1_000_000,
+              sub_bits: int = 3) -> DataFrame:
+    """(shift, sub, cnt): a DDSketch-style relative-error quantile
+    sketch (Masson, Lee, Rim — VLDB 2019) for a NON-NEGATIVE value
+    column — the mergeable quantile summary that completes the
+    explicit-sketch family (CMS counts / HLL distincts / MG heavy
+    hitters / KMV set ops). Spark's built-in ``approx_percentile``
+    carries a KLL sketch internally but cannot EXPORT it, so per-shard
+    or per-day summaries can't be stored and merged later; this one is
+    a plain DataFrame.
+
+    Bucketing is DDSketch's log layout with base 2^(1/2^sub_bits),
+    computed with INTEGER BIT TRICKS instead of float log (the same
+    move as HLL's bin()-length rho, so a SQL oracle reproduces the
+    sketch bit-for-bit): the value is quantized to ``q =
+    round(v*scale)``, its octave is the bit length of q, and the top
+    ``sub_bits+1`` bits of q are the sub-bucket. A bucket's bounds are
+    [sub << shift, (sub+1) << shift); with sub >= 2^sub_bits the width
+    is at most lb/2^sub_bits, so the midpoint estimate has relative
+    error <= 2^-(sub_bits+1) (6.25% at the default) plus the 1/scale
+    quantization term. Values below 2^(sub_bits+1) quantized units get
+    shift=0 singleton buckets — EXACT at the tail where relative
+    buckets would be coarsest.
+
+    Bucket count is bounded by ~(64 - sub_bits) * 2^sub_bits (< 512)
+    however large the input: one map-side-combined aggregate, shards
+    sketch locally, sketches merge by summing cnt."""
+    q = F.round(F.col(col).cast("double") * F.lit(float(scale)), 0) \
+         .cast("long")
+    lvl = F.length(F.bin(q))  # bit length of q; bin(0) = '0' -> 1
+    shift = F.greatest(lvl - F.lit(sub_bits + 1), F.lit(0)) \
+             .cast("int")
+    # python-side F.shiftright insists on a literal bit count; the SQL
+    # function takes column operands
+    return (df.where(F.col(col).isNotNull() & (F.col(col) >= 0))
+            .select(q.alias("_q"), shift.alias("shift"))
+            .select("shift",
+                    F.expr("shiftright(_q, shift)").alias("sub"))
+            .groupBy("shift", "sub")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def ddq_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge: the sketch of a union of shards is the row-wise sum
+    of the shard sketches (cnt is additive per bucket)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("shift", "sub").agg(F.sum("cnt").alias("cnt"))
+
+
+def ddq_quantiles(sketch: DataFrame, ps, scale: int = 1_000_000) -> DataFrame:
+    """(p, rank, est_value) for each requested quantile p: the
+    midpoint of the bucket holding rank ceil(p*N) in bucket order.
+    Bucket order IS numeric order of the lower bound sub << shift
+    (monotone in the original value), so one cumulative window over
+    the <512-row bucket table — sketch-sized work, single task by
+    design — answers every p at once. Midpoints are exact binary
+    fractions of integers, so estimates are bit-reproducible in any
+    engine."""
+    from pyspark.sql import Window
+
+    lb = F.expr("shiftleft(sub, shift)")
+    ub = F.expr("shiftleft(sub + 1, shift)")
+    w = Window.orderBy(lb)
+    b = (sketch
+         .withColumn("mid", (lb + ub) / F.lit(2.0) / F.lit(float(scale)))
+         .withColumn("cum", F.sum("cnt").over(
+             w.rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("total", F.sum("cnt").over(
+             w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))))
+    spark = sketch.sparkSession
+    pdf = spark.createDataFrame([(float(p),) for p in ps], ["p"])
+    r = F.ceil(F.col("p") * F.col("total")).cast("long")
+    return (pdf.crossJoin(b)
+            .where(F.col("cum") >= F.greatest(r, F.lit(1)))
+            .groupBy("p")
+            .agg(F.min_by(F.col("mid"), F.col("cum")).alias("est_value"),
+                 F.greatest(F.min(r), F.lit(1)).alias("rank"))
+            .select("p", "rank", "est_value"))
