@@ -5448,6 +5448,24 @@ def q_events_ddq_quantiles(spark, sf_dir):
             .orderBy("p"))
 
 
+
+
+def q_events_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI (stats.poisson_bootstrap_ci): 95%
+    percentile-method interval for the mean value per event type,
+    B=100 replicates. THE distributed bootstrap — each row's
+    resample multiplicity is a hash-drawn Poisson(1), so replicates
+    are weighted aggregates (shuffle = groups x B rows) instead of
+    with-replacement draws; integer hash thresholds + quantized
+    values make every replicate mean, and hence the CI order
+    statistics, bit-reproducible in the SQL oracle."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.poisson_bootstrap_ci(
+        ev, "event_type", "value", "event_id", n_boot=100)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5508,6 +5526,7 @@ _DRIVER_PRIORITY = [
     "rec_item2vec_similar",
     # (2c) fourth-session additions (newest first per the rotation rule)
     "events_ddq_quantiles",
+    "events_bootstrap_ci",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5855,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_streaks": q_events_user_streaks,
         "graph_clustering": q_graph_clustering,
         "events_ddq_quantiles": q_events_ddq_quantiles,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11063,5 +11083,60 @@ SELECT p, at_rank, est_value,
        ROUND(ex, 6) AS exact_value,
        ROUND(est_value / ex - 1, 6) AS rel_err
 FROM est
+"""
+    # Poisson bootstrap restated: same integer CDF thresholds on the
+    # same md5(id:b) hash, same quantized integer sums -> replicate
+    # means and their order statistics match bit-for-bit.
+    _pb = MD5L.format(
+        x="concat(CAST(_id AS VARCHAR), ':', CAST(b AS VARCHAR))")
+    o["events_bootstrap_ci"] = f"""
+WITH base AS (
+  SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS _id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+rep AS (
+  SELECT grp, _id, v, b
+  FROM base CROSS JOIN (SELECT UNNEST(generate_series(1, 100)) AS b) s
+),
+wt AS (
+  SELECT grp, b, v,
+         CASE WHEN h < 424136118829305344 THEN 0
+              WHEN h < 848272237658610688 THEN 1
+              WHEN h < 1060340297073263360 THEN 2
+              WHEN h < 1131029650211480960 THEN 3
+              WHEN h < 1148701988496035328 THEN 4
+              WHEN h < 1152236456152946176 THEN 5
+              ELSE 6 END AS w
+  FROM (SELECT grp, b, v, ({_pb}) AS h FROM rep) t
+),
+m AS (
+  SELECT grp, b, SUM(w) AS nb, SUM(w * v) AS sb
+  FROM wt GROUP BY grp, b HAVING SUM(w) > 0
+),
+mm AS (
+  SELECT grp, b, sb / nb / 1000000.0 AS mb FROM m
+),
+r AS (
+  SELECT grp, mb,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mb, b) AS r,
+         COUNT(*) OVER (PARTITION BY grp) AS nb_eff
+  FROM mm
+),
+ci AS (
+  SELECT grp,
+         MAX(CASE WHEN r = GREATEST(CAST(CEIL(CAST(0.025 AS DOUBLE) * nb_eff) AS BIGINT), 1)
+                  THEN mb END) AS ci_lo,
+         MAX(CASE WHEN r = CAST(CEIL(CAST(0.975 AS DOUBLE) * nb_eff) AS BIGINT)
+                  THEN mb END) AS ci_hi
+  FROM r GROUP BY grp
+),
+pe AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(v) / COUNT(*) / 1000000.0 AS mean
+  FROM base GROUP BY grp
+)
+SELECT pe.grp, n_rows, mean, ci_lo, ci_hi
+FROM pe JOIN ci ON pe.grp = ci.grp
 """
     return o

@@ -566,3 +566,88 @@ def spearman_corr(df: DataFrame, col_a: str,
     return agg.select(F.col("n").cast("long").alias("n"),
                       F.round(F.try_divide(num, den), 6)
                       .alias("spearman"))
+
+
+# Poisson(1) CDF thresholds scaled to the 60-bit md5 hash range:
+# t[k] = floor(P(X <= k) * 2^60). A uniform 60-bit hash compared
+# against these INTEGER literals draws Poisson(1) deterministically —
+# no float division, no RNG state, bit-identical in any engine.
+_POISSON1_CDF60 = [424136118829305344, 848272237658610688,
+                   1060340297073263360, 1131029650211480960,
+                   1148701988496035328, 1152236456152946176]
+
+
+def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
+                         id_col: str, n_boot: int = 100,
+                         alpha: float = 0.05,
+                         scale: int = 1_000_000) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — Google's distributed bootstrap; also
+    Kleiner et al.'s BLB lineage): classical resampling needs n draws
+    WITH replacement from n rows — a global operation — but each
+    row's multiplicity in a resample is asymptotically Poisson(1),
+    which each executor can draw locally from a hash of (row id,
+    replicate id). No resample ever materializes: replicate b is just
+    a weighted aggregate.
+
+    Scale shape: the map side explodes each row into n_boot weighted
+    copies but the aggregate combines them map-side, so the SHUFFLE
+    is groups x n_boot rows however big the table; CPU is n_boot x
+    one scan — the knob to budget. Values quantize to integers
+    (round(v*scale)) so every replicate sum is exact int64 and the
+    whole readout — point mean, per-replicate means, CI bounds as
+    order statistics of the n_boot means — is partitioning-invariant
+    and bit-reproducible cross-engine.
+
+    Returns (grp, n_rows, mean, ci_lo, ci_hi): the percentile-method
+    (alpha/2, 1-alpha/2) interval."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.functions.hashing import md5_long
+
+    v = F.round(F.col(val_col).cast("double") * F.lit(float(scale)), 0) \
+         .cast("long")
+    base = (df.where(F.col(val_col).isNotNull())
+            .select(F.col(group_col).alias("grp"), v.alias("v"),
+                    F.col(id_col).cast("string").alias("_id")))
+
+    rep = base.select(
+        "grp", "v", "_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b"))
+    h = md5_long(F.concat(F.col("_id"), F.lit(":"),
+                          F.col("b").cast("string")))
+    w = F.when(h < _POISSON1_CDF60[0], 0)
+    for k in range(1, 6):
+        w = w.when(h < _POISSON1_CDF60[k], k)
+    w = w.otherwise(6).cast("long")
+
+    means = (rep.withColumn("w", w)
+             .groupBy("grp", "b")
+             .agg(F.sum("w").alias("nb"),
+                  F.sum(F.col("w") * F.col("v")).alias("sb"))
+             .where(F.col("nb") > 0)
+             .select("grp", "b",
+                     (F.col("sb") / F.col("nb") / F.lit(float(scale)))
+                     .alias("mb")))
+    wn = Window.partitionBy("grp").orderBy("mb", "b")
+    ranked = (means
+              .withColumn("r", F.row_number().over(wn))
+              .withColumn("nb_eff", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    lo_r = F.greatest(F.ceil(F.lit(alpha / 2.0) * F.col("nb_eff"))
+                      .cast("long"), F.lit(1))
+    hi_r = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("nb_eff")) \
+            .cast("long")
+    ci = (ranked.groupBy("grp")
+          .agg(F.max(F.when(F.col("r") == lo_r, F.col("mb")))
+               .alias("ci_lo"),
+               F.max(F.when(F.col("r") == hi_r, F.col("mb")))
+               .alias("ci_hi")))
+    pe = (base.groupBy("grp")
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               (F.sum("v") / F.count(F.lit(1)) / F.lit(float(scale)))
+               .alias("mean")))
+    return (pe.join(ci, "grp")
+            .select("grp", "n_rows", "mean", "ci_lo", "ci_hi")
+            .orderBy("grp"))

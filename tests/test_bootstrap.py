@@ -1,0 +1,68 @@
+"""Poisson bootstrap CI (operators/stats.poisson_bootstrap_ci):
+interval sanity on a planted distribution, ~1/sqrt(n) width scaling,
+and partitioning invariance (the bit-reproducibility claim)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from recdb_postgresql_spark.operators import stats
+
+
+def _uniform_df(spark, n, lo=0.0, hi=100.0, grp="a"):
+    # deterministic pseudo-uniform values from a hash of the id
+    return (spark.range(n)
+            .select(F.lit(grp).alias("g"), F.col("id").alias("rid"),
+                    (F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                                        1, 8), 16, 10).cast("long")
+                     % 10_000 / 10_000.0 * (hi - lo) + lo).alias("v")))
+
+
+def test_bootstrap_ci_covers_mean_and_is_ordered(spark):
+    df = _uniform_df(spark, 4000)
+    row = stats.poisson_bootstrap_ci(df, "g", "v", "rid",
+                                     n_boot=60).collect()[0]
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+    # uniform(0,100): mean ~50, se ~ 100/sqrt(12)/sqrt(4000) ~ 0.46;
+    # a 95% CI must be a few se wide, not degenerate, not huge
+    assert 0.5 < row["ci_hi"] - row["ci_lo"] < 4.0
+    assert abs(row["mean"] - 50.0) < 3.0
+
+
+def test_bootstrap_width_shrinks_with_n(spark):
+    small = stats.poisson_bootstrap_ci(
+        _uniform_df(spark, 500), "g", "v", "rid", n_boot=60).collect()[0]
+    big = stats.poisson_bootstrap_ci(
+        _uniform_df(spark, 8000), "g", "v", "rid", n_boot=60).collect()[0]
+    ratio = (small["ci_hi"] - small["ci_lo"]) / (big["ci_hi"] - big["ci_lo"])
+    # expected sqrt(16) = 4; allow bootstrap noise
+    assert 2.0 < ratio < 8.0, ratio
+
+
+def test_bootstrap_partitioning_invariant(spark):
+    df = _uniform_df(spark, 2000)
+    a = stats.poisson_bootstrap_ci(df.repartition(17), "g", "v", "rid",
+                                   n_boot=40).collect()[0]
+    b = stats.poisson_bootstrap_ci(df.coalesce(1), "g", "v", "rid",
+                                   n_boot=40).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_poisson_weight_distribution(spark):
+    # the hash-thresholded weights must match Poisson(1) frequencies
+    from recdb_postgresql_spark.functions.hashing import md5_long
+    from recdb_postgresql_spark.operators.stats import _POISSON1_CDF60
+
+    n = 50_000
+    h = spark.range(n).select(
+        md5_long(F.col("id").cast("string")).alias("h"))
+    w = F.when(F.col("h") < _POISSON1_CDF60[0], 0)
+    for k in range(1, 6):
+        w = w.when(F.col("h") < _POISSON1_CDF60[k], k)
+    w = w.otherwise(6)
+    freq = {r["w"]: r["n"] for r in
+            h.select(w.alias("w")).groupBy("w")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k in (0, 1, 2):
+        expect = math.exp(-1) / math.factorial(k)
+        assert abs(freq[k] / n - expect) < 0.01, (k, freq[k] / n, expect)
