@@ -5466,6 +5466,33 @@ def q_events_bootstrap_ci(spark, sf_dir):
         ev, "event_type", "value", "event_id", n_boot=100)
 
 
+
+
+def q_orders_mad_outliers(spark, sf_dir):
+    """Robust outliers (stats.mad_outliers): Iglewicz-Hoaglin modified
+    z-scores of order totals within each order priority — median/MAD
+    resist the contamination that inflates mean/stddev z-scores. The
+    top 20 by |mz| (rounded-score + key tiebreak so the LIMIT boundary
+    is engine-stable), flagged at the conventional 3.5 cutoff."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.operators import stats
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = stats.mad_outliers(o, "o_orderpriority", "o_totalprice",
+                                "o_orderkey")
+    w = Window.orderBy(F.abs(F.col("mz")).desc(), F.col("id"))
+    return (scored.where(F.col("mz").isNotNull())
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= 20)
+            .select(F.col("grp").alias("o_orderpriority"),
+                    F.col("id").alias("o_orderkey"),
+                    F.col("v").alias("o_totalprice"),
+                    F.round("med", 6).alias("med"),
+                    F.round("mad", 6).alias("mad"), "mz",
+                    (F.abs(F.col("mz")) > 3.5).alias("is_outlier")))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5527,6 +5554,7 @@ _DRIVER_PRIORITY = [
     # (2c) fourth-session additions (newest first per the rotation rule)
     "events_ddq_quantiles",
     "events_bootstrap_ci",
+    "orders_mad_outliers",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5875,6 +5903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "events_ddq_quantiles": q_events_ddq_quantiles,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        "orders_mad_outliers": q_orders_mad_outliers,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11138,5 +11167,34 @@ pe AS (
 )
 SELECT pe.grp, n_rows, mean, ci_lo, ci_hi
 FROM pe JOIN ci ON pe.grp = ci.grp
+"""
+    # median/MAD via quantile_cont (linear-interpolation parity with
+    # Spark percentile is established); ordering on the ROUNDED score
+    # + key so the top-20 boundary cannot flip on a ulp.
+    o["orders_mad_outliers"] = """
+WITH med AS (
+  SELECT o_orderpriority AS grp, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+mad AS (
+  SELECT o.o_orderpriority AS grp,
+         quantile_cont(ABS(o.o_totalprice - m.med), 0.5) AS mad
+  FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+  WHERE o.o_totalprice IS NOT NULL GROUP BY 1
+),
+scored AS (
+  SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+         m.med, d.mad,
+         ROUND(0.6745 * (o.o_totalprice - m.med) / d.mad, 6) AS mz
+  FROM orders o
+  JOIN med m ON o.o_orderpriority = m.grp
+  JOIN mad d ON o.o_orderpriority = d.grp
+  WHERE o.o_totalprice IS NOT NULL AND d.mad <> 0
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, mz,
+       ABS(mz) > 3.5 AS is_outlier
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(mz) DESC, o_orderkey) <= 20
 """
     return o

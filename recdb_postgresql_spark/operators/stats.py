@@ -651,3 +651,38 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
     return (pe.join(ci, "grp")
             .select("grp", "n_rows", "mean", "ci_lo", "ci_hi")
             .orderBy("grp"))
+
+
+def mad_outliers(df: DataFrame, group_col: str, val_col: str,
+                 id_col: str) -> DataFrame:
+    """Robust per-group outlier scores: the Iglewicz-Hoaglin modified
+    z-score 0.6745 * (v - median) / MAD, where MAD is the median
+    absolute deviation — the outlier detector that (unlike mean/stddev
+    z-scores) a few extreme rows cannot drag toward themselves; the
+    conventional flag threshold is |mz| > 3.5.
+
+    Two exact-percentile aggregates per group (median, then MAD over
+    the residuals) and a broadcast of the group-sized stats table back
+    onto the facts — med/MAD rows are per-GROUP, so the join is a
+    broadcast at any fact scale. Spark's exact ``percentile`` buffers
+    a group's values in executor memory: fine into the tens of
+    millions of rows per group; past that swap the two medians for
+    ``ddq_quantiles`` sketches (same 6.25% relative error the flag
+    threshold easily tolerates) — the swap point, not a rewrite.
+
+    Returns fact rows scored: (grp, id, v, med, mad, mz), mz NULL
+    where MAD = 0 (a degenerate constant group has no scale)."""
+    base = (df.where(F.col(val_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.col(id_col).alias("id"),
+                    F.col(val_col).cast("double").alias("v")))
+    med = base.groupBy("grp").agg(
+        F.expr("percentile(v, 0.5D)").alias("med"))
+    resid = base.join(F.broadcast(med), "grp")
+    mad = resid.groupBy("grp").agg(
+        F.expr("percentile(abs(v - med), 0.5D)").alias("mad"))
+    scored = resid.join(F.broadcast(mad), "grp")
+    mz = F.try_divide(F.lit(0.6745) * (F.col("v") - F.col("med")),
+                      F.col("mad"))
+    return scored.select("grp", "id", "v", "med", "mad",
+                         F.round(mz, 6).alias("mz"))
