@@ -5493,6 +5493,20 @@ def q_orders_mad_outliers(spark, sf_dir):
                     (F.abs(F.col("mz")) > 3.5).alias("is_outlier")))
 
 
+
+
+def q_docs_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram
+    distribution vs the rest of the corpus (text.js_divergence) — the
+    bounded symmetric domain-shift score beside keyness's per-term
+    G2. Zero-mass terms fold algebraically into a residual (no
+    sources x vocab grid); per-term contributions quantize to 1e-15
+    integers so the vocabulary-sized sum is partitioning-invariant
+    and bit-reproducible in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.js_divergence(docs)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5555,6 +5569,7 @@ _DRIVER_PRIORITY = [
     "events_ddq_quantiles",
     "events_bootstrap_ci",
     "orders_mad_outliers",
+    "docs_js_divergence",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5904,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ddq_quantiles": q_events_ddq_quantiles,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "orders_mad_outliers": q_orders_mad_outliers,
+        "docs_js_divergence": q_docs_js_divergence,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11196,5 +11212,45 @@ SELECT o_orderpriority, o_orderkey, o_totalprice,
        ABS(mz) > 3.5 AS is_outlier
 FROM scored
 QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(mz) DESC, o_orderkey) <= 20
+"""
+    # JS divergence restated with the same zero-mass fold and the
+    # same 1e-15 integer quantization of per-term contributions; op
+    # order inside LN() mirrored exactly.
+    o["docs_js_divergence"] = """
+WITH toks AS (
+  SELECT source AS grp,
+         UNNEST(regexp_extract_all(lower(text),
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS term
+  FROM documents
+),
+gt AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS a
+       FROM toks GROUP BY 1, 2),
+tt AS (SELECT term, SUM(a) AS t_tot FROM gt GROUP BY 1),
+gtot AS (SELECT grp, SUM(a) AS g_tot, CAST(COUNT(*) AS BIGINT) AS n_terms
+         FROM gt GROUP BY 1),
+n AS (SELECT SUM(a) AS n FROM gt),
+nd AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1),
+terms AS (
+  SELECT gt.grp, gtot.g_tot, gtot.n_terms,
+         gt.a / gtot.g_tot AS p,
+         (tt.t_tot - gt.a) / (n.n - gtot.g_tot) AS q
+  FROM gt JOIN tt ON tt.term = gt.term
+  JOIN gtot ON gtot.grp = gt.grp CROSS JOIN n
+),
+agg AS (
+  SELECT grp, g_tot, n_terms,
+         SUM(CAST(ROUND((CASE WHEN q > 0
+               THEN p * LN((2.0 * p) / (p + q))
+                    + q * LN((2.0 * q) / (p + q))
+               ELSE p * LN(2.0) END) * 1e15, 0) AS BIGINT)) AS cq,
+         SUM(CAST(ROUND(q * 1e15, 0) AS BIGINT)) AS qa
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT agg.grp AS source, nd.n_docs,
+       CAST(agg.g_tot AS BIGINT) AS n_tokens, agg.n_terms,
+       ROUND((agg.cq / 1e15 + (1.0 - agg.qa / 1e15) * LN(2.0))
+             * 0.5 / LN(2.0), 6) AS jsd_bits
+FROM agg JOIN nd ON nd.grp = agg.grp
 """
     return o

@@ -1792,3 +1792,58 @@ def textrank_keywords(docs: DataFrame, window: int = 2,
     return (pr.select(F.col("id").alias("word"),
                       F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), "word").limit(k))
+
+
+def js_divergence(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """(group, n_docs, n_tokens, n_terms, jsd_bits): Jensen-Shannon
+    divergence between each group's unigram distribution and the REST
+    of the corpus — the bounded, symmetric domain-shift readout (0 =
+    same language, 1 bit = disjoint vocabularies) used to score
+    pretraining-mixture drift; keyness says WHICH terms differ, this
+    says HOW FAR the whole distribution is.
+
+    Never materializes the sources x vocab zero grid: for a term the
+    group lacks (p=0) the per-term JS contribution collapses to
+    q*ln2, so those terms fold into ONE residual computed from the
+    present-term q-mass: sum_{p=0} q = 1 - sum_{p>0} q. Work is
+    therefore the (group, term) PRESENT pairs plus a vocab-sized
+    term-total join — the keyness shape exactly.
+
+    Per-term contributions and q-masses quantize to 1e-15 integer
+    units before summing (bounded by 2*ln2*1e15, no overflow), so the
+    cross-term sum is partitioning-invariant and the result
+    bit-reproducible cross-engine — a float sum over a 100k-term
+    vocabulary would not be."""
+    toks = (docs.select(F.col(group_col).alias("grp"),
+                        F.explode(_tokens(F.col(text_col))).alias("term")))
+    gt = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("a"))
+    term_tot = gt.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    grp_tot = gt.groupBy("grp").agg(F.sum("a").alias("g_tot"),
+                                    F.count(F.lit(1)).alias("n_terms"))
+    n_tot = gt.agg(F.sum("a").alias("n"))
+    ndocs = (docs.groupBy(F.col(group_col).alias("grp"))
+             .agg(F.count(F.lit(1)).alias("n_docs")))
+    base = (gt.join(term_tot, "term")
+            .join(F.broadcast(grp_tot), "grp")
+            .join(F.broadcast(n_tot)))
+    p = F.col("a") / F.col("g_tot")
+    q = (F.col("t_tot") - F.col("a")) / (F.col("n") - F.col("g_tot"))
+    ln2 = F.log(F.lit(2.0))
+    contrib = (F.when(q > 0,
+                      p * F.log((F.lit(2.0) * p) / (p + q))
+                      + q * F.log((F.lit(2.0) * q) / (p + q)))
+               .otherwise(p * ln2))
+    quant = F.lit(1e15)
+    agg = (base.groupBy("grp", "g_tot", "n_terms")
+           .agg(F.sum(F.round(contrib * quant, 0).cast("long"))
+                .alias("cq"),
+                F.sum(F.round(q * quant, 0).cast("long")).alias("qa")))
+    jsd_bits = ((F.col("cq") / quant
+                 + (F.lit(1.0) - F.col("qa") / quant) * ln2)
+                * F.lit(0.5) / ln2)
+    return (agg.join(F.broadcast(ndocs), "grp")
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    F.col("g_tot").alias("n_tokens"), "n_terms",
+                    F.round(jsd_bits, 6).alias("jsd_bits"))
+            .orderBy(group_col))
