@@ -5507,6 +5507,34 @@ def q_docs_js_divergence(spark, sf_dir):
     return text.js_divergence(docs)
 
 
+
+
+def q_audit_fd_check(spark, sf_dir):
+    """Functional-dependency audit (profile.fd_audit): g3 error (min
+    row deletions for the FD to hold), violating groups, and
+    confidence for a mix of FDs that hold (nation -> region; a key
+    determines everything) and FDs that don't (customer -> order
+    priority, part -> supplier) — the schema-drift companion to
+    audit_fk_integrity's orphan scan."""
+    from recdb_postgresql_spark.operators import profile
+
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = profile.fd_audit(nat, [
+        ("nation.nationkey->regionkey", ["n_nationkey"], "n_regionkey")])
+    b = profile.fd_audit(orders, [
+        ("orders.custkey->orderpriority", ["o_custkey"],
+         "o_orderpriority"),
+        ("orders.orderkey->orderstatus", ["o_orderkey"],
+         "o_orderstatus")])
+    c = profile.fd_audit(li, [
+        ("lineitem.partkey->suppkey", ["l_partkey"], "l_suppkey"),
+        ("lineitem.orderkey+linenumber->quantity",
+         ["l_orderkey", "l_linenumber"], "l_quantity")])
+    return a.unionByName(b).unionByName(c).orderBy("fd")
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5570,6 +5598,7 @@ _DRIVER_PRIORITY = [
     "events_bootstrap_ci",
     "orders_mad_outliers",
     "docs_js_divergence",
+    "audit_fd_check",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5920,6 +5949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "orders_mad_outliers": q_orders_mad_outliers,
         "docs_js_divergence": q_docs_js_divergence,
+        "audit_fd_check": q_audit_fd_check,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11253,4 +11283,37 @@ SELECT agg.grp AS source, nd.n_docs,
              * 0.5 / LN(2.0), 6) AS jsd_bits
 FROM agg JOIN nd ON nd.grp = agg.grp
 """
+    # g3 restated per FD: majority dependent count per determinant
+    # group; all integer counting until the confidence division.
+    _fd_tpl = """
+  SELECT '{name}' AS fd,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_groups,
+         CAST(SUM(n - mx) AS BIGINT) AS g3_rows,
+         SUM(n - mx) = 0 AS holds,
+         ROUND(1.0 - CAST(SUM(n - mx) AS BIGINT)
+                     / CAST(SUM(n) AS BIGINT), 6) AS confidence
+  FROM (
+    SELECT {det}, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS ndep
+    FROM (SELECT {det}, {dep}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {tbl} GROUP BY {det}, {dep}) p
+    GROUP BY {det}
+  ) d"""
+    _fds = [
+        ("nation.nationkey->regionkey", "nation",
+         "n_nationkey", "n_regionkey"),
+        ("orders.custkey->orderpriority", "orders",
+         "o_custkey", "o_orderpriority"),
+        ("orders.orderkey->orderstatus", "orders",
+         "o_orderkey", "o_orderstatus"),
+        ("lineitem.partkey->suppkey", "lineitem",
+         "l_partkey", "l_suppkey"),
+        ("lineitem.orderkey+linenumber->quantity", "lineitem",
+         "l_orderkey, l_linenumber", "l_quantity"),
+    ]
+    o["audit_fd_check"] = "\nUNION ALL\n".join(
+        _fd_tpl.format(name=n, tbl=t, det=d, dep=p2)
+        for n, t, d, p2 in _fds)
     return o

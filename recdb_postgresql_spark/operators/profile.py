@@ -304,3 +304,47 @@ def table_fingerprint(df: DataFrame, key: Column,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.bit_xor("sig").alias("xor_sig"))
             .orderBy("bucket"))
+
+
+def fd_audit(df: DataFrame, fds) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD
+    ``(name, [determinant cols], dependent col)``, does determinant ->
+    dependent hold, and how badly not — the schema-inference /
+    data-quality primitive (Papenbrock et al.'s FD-discovery metrics)
+    behind "is this column derivable", "is this a safe join key",
+    "did denormalization drift".
+
+    Reports the standard g3 error: the minimum number of rows to
+    DELETE for the FD to hold (n - sum over determinant groups of the
+    group's majority dependent count), plus group counts and
+    confidence = 1 - g3/n. NULL determinants/dependents group as
+    ordinary values (SQL GROUP BY semantics — an all-NULL dependent
+    still functionally determines).
+
+    Shape per FD: one (det, dep) aggregate with map-side combine,
+    one det-keyed re-aggregate, one scalar finisher — two shuffles of
+    distinct-pair rows, never a self-join. FDs audit independently
+    (different keys), so the result is a union of one-row reports."""
+    outs = []
+    for name, det, dep in fds:
+        pairs = (df.groupBy(*det, dep)
+                 .agg(F.count(F.lit(1)).alias("c")))
+        per_det = (pairs.groupBy(*det)
+                   .agg(F.sum("c").alias("n"), F.max("c").alias("mx"),
+                        F.count(F.lit(1)).alias("ndep")))
+        agg = per_det.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
+             .cast("long").alias("violating_groups"),
+            F.sum(F.col("n") - F.col("mx")).alias("g3_rows"))
+        outs.append(agg.select(
+            F.lit(name).alias("fd"), "n_rows", "n_groups",
+            "violating_groups", "g3_rows",
+            (F.col("g3_rows") == 0).alias("holds"),
+            F.round(F.lit(1.0) - F.col("g3_rows") / F.col("n_rows"), 6)
+             .alias("confidence")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
