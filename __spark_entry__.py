@@ -5535,6 +5535,38 @@ def q_audit_fd_check(spark, sf_dir):
     return a.unionByName(b).unionByName(c).orderBy("fd")
 
 
+
+
+def q_events_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance (dml.incremental_rollup): a
+    per-type count/sum rollup maintained from a CDC batch — inserts
+    (event_id%7 rows absent yesterday), deletes (%11 rows gone
+    today), updates (%13 values bumped) — WITHOUT rescanning facts.
+    The oracle recomputes the rollup from the full new table, so a
+    hash match IS the incremental==recompute proof. Values quantize
+    to 1e-6 integers upstream, making the maintained sums exact."""
+    from recdb_postgresql_spark.operators import dml
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.round(F.col("value") * 1e6, 0).cast("long")
+                  .alias("q")))
+    base = ev.where(F.col("event_id") % 7 != 0)
+    new = (ev.where(F.col("event_id") % 11 != 0)
+           .withColumn("q", F.when(F.col("event_id") % 13 == 0,
+                                   F.col("q") + 5_000_000)
+                             .otherwise(F.col("q"))))
+    rollup0 = (base.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("q").alias("sum_val")))
+    changes = dml.cdc_diff(base, new, ["event_id"], with_before=True)
+    r1 = dml.incremental_rollup(rollup0, changes, ["event_type"], "q")
+    return (r1.select("event_type", "n_rows",
+                      F.round(F.col("sum_val") / 1e6, 6)
+                      .alias("sum_value"))
+            .orderBy("event_type"))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5599,6 +5631,7 @@ _DRIVER_PRIORITY = [
     "orders_mad_outliers",
     "docs_js_divergence",
     "audit_fd_check",
+    "events_ivm_rollup",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5950,6 +5983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mad_outliers": q_orders_mad_outliers,
         "docs_js_divergence": q_docs_js_divergence,
         "audit_fd_check": q_audit_fd_check,
+        "events_ivm_rollup": q_events_ivm_rollup,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11316,4 +11350,21 @@ FROM agg JOIN nd ON nd.grp = agg.grp
     o["audit_fd_check"] = "\nUNION ALL\n".join(
         _fd_tpl.format(name=n, tbl=t, det=d, dep=p2)
         for n, t, d, p2 in _fds)
+    # the IVM proof: the oracle is the FULL RECOMPUTE over the new
+    # table state; the engine answered from base rollup + delta only.
+    o["events_ivm_rollup"] = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS q
+  FROM events
+),
+new AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN q + 5000000 ELSE q END AS q
+  FROM q WHERE event_id % 11 <> 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(q) / 1000000.0, 6) AS sum_value
+FROM new GROUP BY event_type
+"""
     return o
