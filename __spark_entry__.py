@@ -5567,6 +5567,27 @@ def q_events_ivm_rollup(spark, sf_dir):
             .orderBy("event_type"))
 
 
+
+
+def q_docs_lang_isotonic(spark, sf_dir):
+    """Isotonic recalibration (stats.isotonic_calibration) of the
+    ascii-ratio scorer vs the non-Chinese label — the step-function
+    FIX for what docs_lang_calibration diagnoses, completing the
+    scorer-eval family (AUC ranks / calibration values / gains
+    targets / isotonic repairs). PAV runs driver-local over 50 bin
+    rows; the oracle recomputes the fit through the Barlow minimax
+    identity, so the hash match proves PAV == max-min on real data."""
+    from recdb_postgresql_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+         / F.length("text")).alias("ascii_ratio"),
+        F.col("lang"))
+    return stats.isotonic_calibration(scored, "ascii_ratio",
+                                      F.col("lang") != "zh", bins=50)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5632,6 +5653,7 @@ _DRIVER_PRIORITY = [
     "docs_js_divergence",
     "audit_fd_check",
     "events_ivm_rollup",
+    "docs_lang_isotonic",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5984,6 +6006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_js_divergence": q_docs_js_divergence,
         "audit_fd_check": q_audit_fd_check,
         "events_ivm_rollup": q_events_ivm_rollup,
+        "docs_lang_isotonic": q_docs_lang_isotonic,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11366,5 +11389,41 @@ new AS (
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
        ROUND(SUM(q) / 1000000.0, 6) AS sum_value
 FROM new GROUP BY event_type
+"""
+    # isotonic fit restated via the Barlow minimax identity over the
+    # bins-cubed lattice (50^3 rows, oracle-side only — the engine
+    # runs linear PAV); every candidate average is one division of
+    # exact integer prefix sums, so max/min selection is bit-stable.
+    o["docs_lang_isotonic"] = """
+WITH scored AS (
+  SELECT LEAST(49, CAST(FLOOR(
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / length(text) * 50) AS INT)) AS b,
+         lang <> 'zh' AS y
+  FROM documents
+),
+per AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM scored GROUP BY b
+),
+pre AS (
+  SELECT b, n, pos,
+         SUM(n) OVER (ORDER BY b) AS cn,
+         SUM(pos) OVER (ORDER BY b) AS cp
+  FROM per
+),
+mn AS (
+  SELECT i.b AS bi, k.b AS bk,
+         MIN((j.cp - (k.cp - k.pos)) / (j.cn - (k.cn - k.n))) AS m
+  FROM pre i
+  JOIN pre k ON k.b <= i.b
+  JOIN pre j ON j.b >= i.b
+  GROUP BY i.b, k.b
+),
+iso AS (SELECT bi AS b, MAX(m) AS iso_rate FROM mn GROUP BY bi)
+SELECT per.b AS bin, per.n, per.pos,
+       per.pos / per.n AS raw_rate, iso.iso_rate
+FROM per JOIN iso ON iso.b = per.b
 """
     return o

@@ -686,3 +686,55 @@ def mad_outliers(df: DataFrame, group_col: str, val_col: str,
                       F.col("mad"))
     return scored.select("grp", "id", "v", "med", "mad",
                          F.round(mz, 6).alias("mz"))
+
+
+def isotonic_calibration(df: DataFrame, score_col: str, label,
+                         bins: int = 50) -> DataFrame:
+    """Isotonic recalibration of a [0,1] scorer by pool-adjacent-
+    violators (PAV) over score bins — the nonparametric step-function
+    fix for the miscalibration calibration_table diagnoses (Zadrozny
+    & Elkan 2002): fit the best NON-DECREASING positive-rate curve,
+    no sigmoid assumption.
+
+    Scale shape: the facts collapse to one bins-sized aggregate
+    (map-side combine); PAV runs DRIVER-LOCAL over <= ``bins`` rows
+    (the BPE-merge pattern — the sequential algorithm touches
+    metadata-sized state only, never facts). Block values are single
+    divisions of exact integer sums, and pooling compares rates by
+    integer cross-multiplication, so the fitted curve is
+    bit-reproducible; the registered oracle recomputes it through the
+    Barlow minimax identity iso_i = max_{k<=i} min_{j>=i} avg(k..j)
+    — a hash match proves PAV == minimax on real data.
+
+    Returns per non-empty bin: (bin, n, pos, raw_rate, iso_rate),
+    iso_rate non-decreasing in bin."""
+    d = df.select(F.col(score_col).alias("_s"),
+                  label.cast("boolean").alias("_y"))
+    b = F.least(F.lit(bins - 1),
+                F.floor(F.col("_s") * bins).cast("int"))
+    per = (d.withColumn("_b", b)
+           .groupBy("_b")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_y").cast("long")).alias("pos")))
+    rows = sorted((r["_b"], r["n"], r["pos"]) for r in per.collect())
+    # PAV over (weight=n, mass=pos) blocks; pool while the previous
+    # block's rate exceeds the current one (integer cross-compare)
+    blocks = []  # [start_row_idx, w, p]
+    for i, (_b, n, pos) in enumerate(rows):
+        start, w, p = i, n, pos
+        while blocks and blocks[-1][2] * w > p * blocks[-1][1]:
+            s0, w0, p0 = blocks.pop()
+            start, w, p = s0, w + w0, p + p0
+        blocks.append([start, w, p])
+    iso = [0.0] * len(rows)
+    bounds = [blk[0] for blk in blocks] + [len(rows)]
+    for blk, end in zip(blocks, bounds[1:]):
+        val = blk[2] / blk[1]
+        for i in range(blk[0], end):
+            iso[i] = val
+    spark = df.sparkSession
+    out = [(int(_b), int(n), int(pos), pos / n, iso[i])
+           for i, (_b, n, pos) in enumerate(rows)]
+    return spark.createDataFrame(
+        out, "bin int, n long, pos long, raw_rate double, "
+             "iso_rate double").orderBy("bin")
