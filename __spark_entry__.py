@@ -5588,6 +5588,31 @@ def q_docs_lang_isotonic(spark, sf_dir):
                                       F.col("lang") != "zh", bins=50)
 
 
+
+
+def q_events_forecast_eval(spark, sf_dir):
+    """Rolling-origin backtest scores (temporal.forecast_eval) for
+    the Holt one-step-ahead fit per event type: MAE/RMSE/sMAPE and
+    Hyndman-Koehler MASE vs the naive y_{t-1} baseline on identical
+    evaluation rows — "is the model beating persistence" as a table.
+    Per-term integer quantization makes every score, including the
+    pure-ratio MASE, bit-reproducible against the recursive-CTE
+    oracle."""
+    from recdb_postgresql_spark.operators import temporal
+
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                     & F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.sum("value").alias("y")))
+    fitted = temporal.holt_forecast(hourly, ["event_type"], "bucket",
+                                    "y", alpha=0.3, beta=0.1)
+    return (temporal.forecast_eval(fitted, ["event_type"])
+            .orderBy("event_type"))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5654,6 +5679,7 @@ _DRIVER_PRIORITY = [
     "audit_fd_check",
     "events_ivm_rollup",
     "docs_lang_isotonic",
+    "events_forecast_eval",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6007,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_fd_check": q_audit_fd_check,
         "events_ivm_rollup": q_events_ivm_rollup,
         "docs_lang_isotonic": q_docs_lang_isotonic,
+        "events_forecast_eval": q_events_forecast_eval,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11425,5 +11452,35 @@ iso AS (SELECT bi AS b, MAX(m) AS iso_rate FROM mn GROUP BY bi)
 SELECT per.b AS bin, per.n, per.pos,
        per.pos / per.n AS raw_rate, iso.iso_rate
 FROM per JOIN iso ON iso.b = per.b
+"""
+    # backtest wrapper over the SAME recursive-CTE holt twin: lag
+    # naive on the fitted rows, integer-quantized score sums.
+    o["events_forecast_eval"] = f"""
+WITH fitted AS (
+  SELECT * FROM ({o['events_holt_forecast'].strip().rstrip(';')}) hf
+),
+lagged AS (
+  SELECT event_type, y, yhat,
+         LAG(y) OVER (PARTITION BY event_type ORDER BY bucket) AS naive
+  FROM fitted
+),
+e AS (
+  SELECT event_type,
+         CAST(ROUND(ABS(y - yhat) * 1e6, 0) AS BIGINT) AS qa,
+         CAST(ROUND(ABS(y - naive) * 1e6, 0) AS BIGINT) AS qn,
+         CAST(ROUND((y - yhat) * (y - yhat) * 1e6, 0) AS BIGINT) AS qs,
+         CASE WHEN ABS(y) + ABS(yhat) > 0 THEN
+           CAST(ROUND(2.0 * ABS(y - yhat) / (ABS(y) + ABS(yhat)) * 1e12,
+                      0) AS BIGINT) END AS qm
+  FROM lagged WHERE yhat IS NOT NULL AND naive IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(SUM(qa) / 1e6 / COUNT(*), 6) AS mae,
+       ROUND(SQRT(SUM(qs) / 1e6 / COUNT(*)), 6) AS rmse,
+       ROUND(CASE WHEN COUNT(qm) > 0
+                  THEN SUM(qm) / 1e12 / COUNT(qm) END, 6) AS smape,
+       ROUND(CASE WHEN SUM(qn) > 0 THEN SUM(qa) / SUM(qn) END, 6)
+         AS mase
+FROM e GROUP BY event_type
 """
     return o

@@ -823,3 +823,54 @@ def cusum_alarm(events: DataFrame, slack: float = 0.5,
                            (F.col("cusum_hi") > threshold)
                            | (F.col("cusum_lo") > threshold))
             .orderBy("b"))
+
+
+def forecast_eval(fitted: DataFrame, key_cols, bucket_col: str = "bucket",
+                  y_col: str = "y", yhat_col: str = "yhat") -> DataFrame:
+    """(key..., n_eval, mae, rmse, smape, mase): backtest scores for a
+    one-step-ahead fitted series (holt_forecast / holt_winters output
+    shape) — the Hyndman & Koehler (2006) scale-free readout. MASE
+    divides the forecast's MAE by the NAIVE forecast's (y_{t-1}) MAE
+    on the same evaluation rows: < 1 beats naive, and unlike MAPE it
+    survives zero-valued buckets; sMAPE is reported for continuity
+    with legacy dashboards.
+
+    Per-term quantities quantize to integer units before summing
+    (|err| at 1e-6, err^2 at 1e-6, sMAPE terms at 1e-12), so per-key
+    sums are partitioning-invariant and MASE is a pure integer ratio
+    — the whole report reproduces bit-for-bit cross-engine. One lag
+    window + one key-sized aggregate over the already-AGGREGATED
+    series; nothing scales with facts."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    y = F.col(y_col)
+    yh = F.col(yhat_col)
+    d = (fitted.withColumn("_naive", F.lag(y).over(w))
+         .where(yh.isNotNull() & F.col("_naive").isNotNull()))
+    err = F.abs(y - yh)
+    qa = F.round(err * F.lit(1e6), 0).cast("long")
+    qn = F.round(F.abs(y - F.col("_naive")) * F.lit(1e6), 0).cast("long")
+    qs = F.round((y - yh) * (y - yh) * F.lit(1e6), 0).cast("long")
+    denom = F.abs(y) + F.abs(yh)
+    qm = F.when(denom > 0,
+                F.round(F.lit(2.0) * err / denom * F.lit(1e12), 0)
+                 .cast("long"))
+    agg = (d.select(*keys, qa.alias("qa"), qn.alias("qn"),
+                    qs.alias("qs"), qm.alias("qm"))
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n_eval"),
+                F.sum("qa").alias("sae"), F.sum("qn").alias("san"),
+                F.sum("qs").alias("ssq"), F.sum("qm").alias("ssm"),
+                F.count("qm").alias("nm")))
+    return agg.select(
+        *keys, "n_eval",
+        F.round(F.col("sae") / F.lit(1e6) / F.col("n_eval"), 6)
+         .alias("mae"),
+        F.round(F.sqrt(F.col("ssq") / F.lit(1e6) / F.col("n_eval")), 6)
+         .alias("rmse"),
+        F.round(F.try_divide(F.col("ssm") / F.lit(1e12),
+                             F.col("nm")), 6).alias("smape"),
+        F.round(F.try_divide(F.col("sae"), F.col("san")), 6)
+         .alias("mase"))
