@@ -5613,6 +5613,20 @@ def q_events_forecast_eval(spark, sf_dir):
             .orderBy("event_type"))
 
 
+
+
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior
+    (funnel.markov_transitions): counts + row-normalized
+    probabilities between consecutive per-user events, `_start`
+    entry state included. States²-bounded output however large the
+    event log; (ts, event_id) ordering pins simultaneous events."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.markov_transitions(ev)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5680,6 +5694,7 @@ _DRIVER_PRIORITY = [
     "events_ivm_rollup",
     "docs_lang_isotonic",
     "events_forecast_eval",
+    "events_markov",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6034,6 +6049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ivm_rollup": q_events_ivm_rollup,
         "docs_lang_isotonic": q_docs_lang_isotonic,
         "events_forecast_eval": q_events_forecast_eval,
+        "events_markov": q_events_markov,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11482,5 +11498,22 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
        ROUND(CASE WHEN SUM(qn) > 0 THEN SUM(qa) / SUM(qn) END, 6)
          AS mase
 FROM e GROUP BY event_type
+"""
+    o["events_markov"] = """
+WITH pairs AS (
+  SELECT COALESCE(LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
+           '_start') AS from_state,
+         event_type AS to_state
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+cnt AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+),
+tot AS (SELECT from_state, SUM(n) AS t FROM cnt GROUP BY 1)
+SELECT c.from_state, c.to_state, c.n, ROUND(c.n / t.t, 6) AS p
+FROM cnt c JOIN tot t ON t.from_state = c.from_state
 """
     return o

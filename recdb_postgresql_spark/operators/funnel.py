@@ -397,3 +397,38 @@ def top_session_paths(events: DataFrame, gap_ns: int = 1800 * 10 ** 9,
     return (paths.groupBy("path")
             .agg(F.count(F.lit(1)).alias("n_sessions"))
             .orderBy(F.desc("n_sessions"), "path").limit(k))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """(from_state, to_state, n, p): the first-order Markov chain of
+    user behavior — transition counts and row-normalized
+    probabilities between consecutive events per user, with a
+    synthetic ``_start`` state before each user's first event (so
+    entry-point mass is part of the same matrix). The
+    behavioral-modeling summary behind next-action prediction and
+    the top_session_paths mining here.
+
+    One lag window per user (ordered by (ts, id) — the id tiebreak
+    makes simultaneous events deterministic), one states²-bounded
+    aggregate, one broadcast row-total join; p is an exact integer
+    ratio. State space is the event-type vocabulary, so the matrix
+    is metadata-sized at any fact scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (events
+             .where(F.col(user_col).isNotNull()
+                    & F.col(type_col).isNotNull())
+             .select(F.coalesce(F.lag(type_col).over(w),
+                                F.lit("_start")).alias("from_state"),
+                     F.col(type_col).alias("to_state")))
+    cnt = (pairs.groupBy("from_state", "to_state")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_state").agg(F.sum("n").alias("_t"))
+    return (cnt.join(F.broadcast(tot), "from_state")
+            .select("from_state", "to_state", "n",
+                    F.round(F.col("n") / F.col("_t"), 6).alias("p"))
+            .orderBy("from_state", "to_state"))

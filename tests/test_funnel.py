@@ -272,3 +272,18 @@ def test_top_session_paths_truncates_and_orders(spark):
     out = top_session_paths(ev, k=5, max_len=3).collect()
     assert len(out) == 1
     assert out[0]["path"] == "e0>e1>e2"
+
+
+def test_markov_transitions_counts_and_start(spark):
+    from pyspark.sql import functions as F
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+            (2, 1, "a"), (2, 2, "a")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]) \
+              .withColumn("event_id", F.col("ts"))
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["p"])
+           for r in funnel.markov_transitions(df).collect()}
+    assert got[("_start", "a")] == (2, 1.0)
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "a")] == (1, 0.5)
+    assert got[("b", "a")] == (1, 1.0)
+    assert sum(n for n, _ in got.values()) == 5
