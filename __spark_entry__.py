@@ -5627,6 +5627,18 @@ def q_events_markov(spark, sf_dir):
     return funnel.markov_transitions(ev)
 
 
+
+
+def q_docs_collocations(spark, sf_dir):
+    """Top adjacent-bigram collocations by PMI (text.collocations):
+    multiword expressions keyness/tf-idf can't see. Bigram pairs are
+    built map-side with one slice-zip per document (no positional
+    self-join); vocab-sized count aggregates; mandatory min_count
+    floor BEFORE ranking because PMI maximizes on hapax pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.collocations(docs, k=25, min_count=5)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5695,6 +5707,7 @@ _DRIVER_PRIORITY = [
     "docs_lang_isotonic",
     "events_forecast_eval",
     "events_markov",
+    "docs_collocations",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6050,6 +6063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_isotonic": q_docs_lang_isotonic,
         "events_forecast_eval": q_events_forecast_eval,
         "events_markov": q_events_markov,
+        "docs_collocations": q_docs_collocations,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11515,5 +11529,40 @@ cnt AS (
 tot AS (SELECT from_state, SUM(n) AS t FROM cnt GROUP BY 1)
 SELECT c.from_state, c.to_state, c.n, ROUND(c.n / t.t, 6) AS p
 FROM cnt c JOIN tot t ON t.from_state = c.from_state
+"""
+    # bigrams from positional tokens (TextRank's UNNEST(generate_
+    # series) shape restricted to pos+1); PMI as the same division
+    # tree; rounded-score + pair ordering pins the top-k boundary.
+    o["docs_collocations"] = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text),
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0) AS ws
+           FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id AS d, i AS pos, ws[i+1] AS w
+  FROM t, UNNEST(generate_series(0, len(ws) - 1)) AS s(i)
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+nu AS (SELECT SUM(c) AS nu FROM uni),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.d = a.d AND b.pos = a.pos + 1
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM pairs),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT w1, w2, n_pair,
+       ROUND(LN((n_pair / nb.nb)
+                / ((u1.c / nu.nu) * (u2.c / nu.nu))), 6) AS pmi
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN nb CROSS JOIN nu
+QUALIFY ROW_NUMBER() OVER (
+  ORDER BY ROUND(LN((n_pair / nb.nb)
+                    / ((u1.c / nu.nu) * (u2.c / nu.nu))), 6) DESC,
+           w1, w2) <= 25
 """
     return o

@@ -1847,3 +1847,48 @@ def js_divergence(docs: DataFrame, group_col: str = "source",
                     F.col("g_tot").alias("n_tokens"), "n_terms",
                     F.round(jsd_bits, 6).alias("jsd_bits"))
             .orderBy(group_col))
+
+
+def collocations(docs: DataFrame, k: int = 25, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """(w1, w2, n_pair, pmi): the corpus's top-``k`` adjacent-bigram
+    collocations by pointwise mutual information ln(P(w1w2) /
+    (P(w1)P(w2))) — multiword expressions ("new york", "machine
+    learning") that unigram frequency and tf-idf are blind to; the
+    lexical-quality companion to keyness (which compares SUBCORPORA,
+    not word pairs). ``min_count`` is mandatory hygiene: PMI is
+    maximized by hapax pairs, so the floor comes BEFORE ranking.
+
+    Work shape: per-doc positional tokens pair by (doc, pos+1) map-
+    side (arrays never leave their row — the pair list is built with
+    one slice-zip, no self-join); bigram and unigram counts collapse
+    in vocab-sized aggregates; totals broadcast. top-k by (rounded
+    pmi, pair) is a bounded TakeOrdered."""
+    from pyspark.sql import Window
+
+    toks = docs.select(_tokens(F.col(text_col)).alias("ws"))
+    pairs = toks.select(F.explode(F.arrays_zip(
+        F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+        F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))"))).alias("pr")) \
+        .select(F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    uni = (toks.select(F.explode("ws").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    nu = uni.agg(F.sum("c").alias("nu"))
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("n_pair"))
+           .where(F.col("n_pair") >= min_count))
+    nb = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    scored = (big
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2")
+              .join(F.broadcast(nb)).join(F.broadcast(nu)))
+    pmi = F.log((F.col("n_pair") / F.col("nb"))
+                / ((F.col("c1") / F.col("nu"))
+                   * (F.col("c2") / F.col("nu"))))
+    w = Window.orderBy(F.round(pmi, 6).desc(), "w1", "w2")
+    return (scored.withColumn("pmi", F.round(pmi, 6))
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("w1", "w2", "n_pair", "pmi"))

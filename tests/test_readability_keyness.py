@@ -93,3 +93,23 @@ def test_textrank_min_len_and_window(spark):
     # positions keep the ORIGINAL sequence: 'race' (pos 7) is not
     # within window 1 of 'ran' (pos 5) despite 'the' being filtered
     assert "race" not in out and "ran" not in out
+
+
+def test_collocations_pmi_and_floor(spark):
+    import math
+
+    from recdb_postgresql_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "new york " * 3 + "alpha beta", "en", "s", 10),
+         (2, "new york again and again", "en", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    rows = {(r["w1"], r["w2"]): r
+            for r in T.collocations(docs, k=10, min_count=2).collect()}
+    # "new york" appears 4 times; hapax pairs are floored out
+    assert ("alpha", "beta") not in rows
+    r = rows[("new", "york")]
+    assert r["n_pair"] == 4
+    # corpus: 13 tokens doc1? -> compute exactly: doc1 has 8 tokens,
+    # doc2 has 5 -> nu=13; bigrams per doc = len-1 -> nb=7+4=11
+    expect = math.log((4 / 11) / ((4 / 13) * (4 / 13)))
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
