@@ -5639,6 +5639,25 @@ def q_docs_collocations(spark, sf_dir):
     return text.collocations(docs, k=25, min_count=5)
 
 
+
+
+def q_events_t_closeness(spark, sf_dir):
+    """t-closeness audit (privacy.t_closeness_audit) completing the
+    privacy trio: per (event_type, dow) equivalence class, the Earth
+    Mover's Distance between the class's value distribution and the
+    global one over 10 ordered buckets — the skew leak l-diversity's
+    cardinality check cannot see. Classes x bins grid work only;
+    exact integer cum-ratios keep the EMD engine-reproducible."""
+    from recdb_postgresql_spark.operators import privacy
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.withColumn("dow", ((F.expr(f"ts div {86400 * 10 ** 9}")
+                               + 4) % 7).cast("int"))
+    return (privacy.t_closeness_audit(d, ["event_type", "dow"],
+                                      "value", t=0.2, bins=10)
+            .orderBy("event_type", "dow"))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5708,6 +5727,7 @@ _DRIVER_PRIORITY = [
     "events_forecast_eval",
     "events_markov",
     "docs_collocations",
+    "events_t_closeness",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6064,6 +6084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_eval": q_events_forecast_eval,
         "events_markov": q_events_markov,
         "docs_collocations": q_docs_collocations,
+        "events_t_closeness": q_events_t_closeness,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11564,5 +11585,53 @@ QUALIFY ROW_NUMBER() OVER (
   ORDER BY ROUND(LN((n_pair / nb.nb)
                     / ((u1.c / nu.nu) * (u2.c / nu.nu))), 6) DESC,
            w1, w2) <= 25
+"""
+    # ordered-domain EMD restated: dense class x bucket grid, exact
+    # integer cumulative ratios, 1e-15 quantized term sums.
+    o["events_t_closeness"] = """
+WITH base AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+         CAST(value AS DOUBLE) AS s
+  FROM events
+),
+rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+d AS (
+  SELECT event_type, dow,
+         LEAST(9, CAST(FLOOR((s - lo) / (hi - lo) * 10) AS INT)) AS bk
+  FROM base CROSS JOIN rng
+),
+cls AS (SELECT event_type, dow, bk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2, 3),
+gdist AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS gc FROM d GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+classes AS (SELECT event_type, dow, CAST(SUM(c) AS BIGINT) AS class_size
+            FROM cls GROUP BY 1, 2),
+spine AS (SELECT event_type, dow, class_size, CAST(g AS INT) AS bk
+          FROM classes, UNNEST(generate_series(0, 9)) AS s(g)),
+grid AS (
+  SELECT sp.event_type, sp.dow, sp.class_size, sp.bk,
+         COALESCE(cls.c, 0) AS c, COALESCE(gl.gc, 0) AS gc
+  FROM spine sp
+  LEFT JOIN cls ON cls.event_type = sp.event_type
+               AND cls.dow = sp.dow AND cls.bk = sp.bk
+  LEFT JOIN gdist gl ON gl.bk = sp.bk
+),
+cum AS (
+  SELECT event_type, dow, class_size,
+         SUM(c) OVER (PARTITION BY event_type, dow ORDER BY bk) AS cp,
+         SUM(gc) OVER (PARTITION BY event_type, dow ORDER BY bk) AS cq,
+         nt.n
+  FROM grid CROSS JOIN nt
+),
+emd AS (
+  SELECT event_type, dow, class_size,
+         SUM(CAST(ROUND(ABS(cp / class_size - cq / CAST(n AS DOUBLE))
+                        * 1e15, 0) AS BIGINT)) / 1e15 / 9.0 AS emd
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, class_size, ROUND(emd, 6) AS emd,
+       emd > CAST(0.2 AS DOUBLE) AS violates
+FROM emd
 """
     return o

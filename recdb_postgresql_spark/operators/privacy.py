@@ -64,3 +64,63 @@ def generalize(col, width: float):
     repairs k-anonymity violations by coarsening quasi-identifiers.
     Pure map-side arithmetic; re-audit after applying."""
     return (F.floor(col / F.lit(width)) * F.lit(width))
+
+
+def t_closeness_audit(df: DataFrame, quasi_cols: Sequence[str],
+                      sensitive_col: str, t: float = 0.2,
+                      bins: int = 10) -> DataFrame:
+    """(…quasi_cols, class_size, emd, violates): t-closeness (Li,
+    Li & Venkatasubramanian 2007) — the audit l-diversity cannot do:
+    a class can hold l distinct sensitive values that are all
+    SKEWED relative to the table (every salary in the class is in
+    the top decile), leaking through distribution, not cardinality.
+    Per equivalence class, the Earth Mover's Distance between the
+    class's sensitive-value distribution and the GLOBAL one over an
+    ordered domain; flag when EMD > ``t``.
+
+    The numeric sensitive column ordinalizes into ``bins``
+    equal-width buckets; for an ordered domain of m buckets,
+    EMD = (1/(m-1)) * sum_i |cumP_i - cumQ_i| (the standard ordered-
+    distance normalization). Work: one (class, bucket) aggregate,
+    one broadcast of the m-row global distribution, one cumulative
+    window over classes x m rows — class-sized state, never
+    row-sized. Counts stay integers to the final divisions: cum
+    fractions are exact integer ratios, so the audit reproduces
+    cross-engine."""
+    cols = list(quasi_cols)
+    s = F.col(sensitive_col).cast("double")
+    rng = df.agg(F.min(s).alias("lo"), F.max(s).alias("hi"))
+    d = (df.crossJoin(F.broadcast(rng))
+         .withColumn("_bk", F.least(
+             F.lit(bins - 1),
+             F.floor((s - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                     * bins).cast("int"))))
+    cls = (d.groupBy(*cols, "_bk")
+           .agg(F.count(F.lit(1)).alias("c")))
+    glob = d.groupBy("_bk").agg(F.count(F.lit(1)).alias("gc"))
+    n_tot = d.count()
+    # dense (class x bucket) grid so zero buckets participate in the
+    # cumulative sums — grid is classes x bins, metadata-sized
+    classes = cls.groupBy(*cols).agg(F.sum("c").alias("class_size"))
+    spark = df.sparkSession
+    spine = (classes.crossJoin(
+        spark.range(bins).select(F.col("id").cast("int").alias("_bk"))))
+    grid = (spine.join(cls, cols + ["_bk"], "left")
+            .na.fill({"c": 0})
+            .join(F.broadcast(glob), "_bk", "left")
+            .na.fill({"gc": 0}))
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*cols).orderBy("_bk")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid
+           .withColumn("_cp", F.sum("c").over(w))
+           .withColumn("_cq", F.sum("gc").over(w)))
+    term = F.abs(F.col("_cp") / F.col("class_size")
+                 - F.col("_cq") / F.lit(float(n_tot)))
+    emd = (cum.groupBy(*cols, "class_size")
+           .agg((F.sum(F.round(term * F.lit(1e15), 0).cast("long"))
+                 / F.lit(1e15) / F.lit(float(bins - 1))).alias("emd")))
+    return emd.select(*cols, "class_size",
+                      F.round("emd", 6).alias("emd"),
+                      (F.col("emd") > t).alias("violates"))

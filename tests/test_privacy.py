@@ -56,3 +56,25 @@ def test_validate_one_pass_counts(spark):
     assert out["negative_v"]["violations"] == 1
     assert out["never_fires"]["violations"] == 0 and out["never_fires"]["pass"]
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    from recdb_postgresql_spark.operators import privacy
+    # class "hi" holds only top-of-range values; class "mix" mirrors
+    # the global distribution and must score near 0
+    rows = ([("mix", float(v % 10)) for v in range(100)]
+            + [("hi", 9.0)] * 10 + [("hi", 8.0)] * 10)
+    df = spark.createDataFrame(rows, ["qc", "v"])
+    out = {r["qc"]: r for r in
+           privacy.t_closeness_audit(df, ["qc"], "v", t=0.2,
+                                     bins=10).collect()}
+    assert out["hi"]["violates"] and out["hi"]["emd"] > 0.3
+    assert not out["mix"]["violates"] and out["mix"]["emd"] < 0.1
+
+
+def test_t_closeness_identical_distribution_zero(spark):
+    from recdb_postgresql_spark.operators import privacy
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(10)]
+    df = spark.createDataFrame(rows, ["qc", "v"])
+    out = privacy.t_closeness_audit(df, ["qc"], "v", bins=10).collect()
+    assert all(r["emd"] == 0.0 and not r["violates"] for r in out)
