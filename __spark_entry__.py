@@ -5658,6 +5658,20 @@ def q_events_t_closeness(spark, sf_dir):
             .orderBy("event_type", "dow"))
 
 
+
+
+def q_events_rfm(spark, sf_dir):
+    """RFM segmentation (funnel.rfm_segments): per-user recency/
+    frequency/monetary quintiles with the conventional three-digit
+    segment code. Ntiles order on exact INTEGER metrics with full
+    (metric, user) tie-breaks, so quintile boundaries are
+    engine-stable; monetary sums are 1e-6-quantized exact."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.rfm_segments(ev, n_tiles=5)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5728,6 +5742,7 @@ _DRIVER_PRIORITY = [
     "events_markov",
     "docs_collocations",
     "events_t_closeness",
+    "events_rfm",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6085,6 +6100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": q_events_markov,
         "docs_collocations": q_docs_collocations,
         "events_t_closeness": q_events_t_closeness,
+        "events_rfm": q_events_rfm,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11633,5 +11649,27 @@ emd AS (
 SELECT event_type, dow, class_size, ROUND(emd, 6) AS emd,
        emd > CAST(0.2 AS DOUBLE) AS violates
 FROM emd
+"""
+    o["events_rfm"] = """
+WITH mx AS (SELECT MAX(epoch_ns(ts)) AS mxts FROM events),
+per AS (
+  SELECT user_id, MIN(mxts - epoch_ns(ts)) AS rns,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS mq
+  FROM events CROSS JOIN mx
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+tiled AS (
+  SELECT user_id, rns, frequency, mq,
+         CAST(NTILE(5) OVER (ORDER BY rns DESC, user_id) AS INT) AS r,
+         CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT) AS f,
+         CAST(NTILE(5) OVER (ORDER BY mq, user_id) AS INT) AS m
+  FROM per
+)
+SELECT user_id, ROUND(rns / 86400000000000.0, 6) AS recency_days,
+       frequency, ROUND(mq / 1e6, 6) AS monetary, r, f, m,
+       CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
+              CAST(m AS VARCHAR)) AS segment
+FROM tiled
 """
     return o

@@ -432,3 +432,49 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
             .select("from_state", "to_state", "n",
                     F.round(F.col("n") / F.col("_t"), 6).alias("p"))
             .orderBy("from_state", "to_state"))
+
+
+def rfm_segments(events: DataFrame, n_tiles: int = 5,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 val_col: str = "value") -> DataFrame:
+    """(user, recency_days, frequency, monetary, r, f, m, segment):
+    classic RFM segmentation — per-user recency (days since last
+    event, measured from the corpus max so the readout is
+    reproducible), frequency (event count) and monetary (value sum,
+    1e-6-quantized so it's exact), each cut into ``n_tiles`` ntiles
+    (5 = the conventional 555-is-best coding; r is REVERSED so
+    fresher = higher). ``segment`` concatenates the three digits.
+
+    One user-level aggregate (map-side combined) + three global ntile
+    windows over USER rows with full deterministic tie-breaks
+    (metric, then user id) — at 100 TB pre-bin the metrics to a grid
+    or swap the ntile for ddq_quantiles cut points; the per-user
+    aggregate is the only fact-scan cost either way."""
+    from pyspark.sql import Window
+
+    DAY_NS = 86400 * 10 ** 9
+    mx = events.agg(F.max(ts_col).alias("_mx"))
+    per = (events.where(F.col(user_col).isNotNull())
+           .crossJoin(F.broadcast(mx))
+           .groupBy(F.col(user_col).alias("user_id"))
+           .agg(F.min(F.col("_mx") - F.col(ts_col)).alias("_rns"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.round(F.col(val_col) * 1e6, 0).cast("long"))
+                .alias("_mq")))
+    # ntiles order on the exact INTEGER metrics; the readable
+    # recency_days/monetary doubles are derived afterwards
+    r = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("_rns").desc(), "user_id"))
+    f = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("frequency"), "user_id"))
+    m = F.ntile(n_tiles).over(Window.orderBy(F.col("_mq"), "user_id"))
+    return (per.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+            .select("user_id",
+                    F.round(F.col("_rns") / F.lit(float(DAY_NS)), 6)
+                    .alias("recency_days"), "frequency",
+                    F.round(F.col("_mq") / 1e6, 6).alias("monetary"),
+                    "r", "f", "m",
+                    F.concat(F.col("r").cast("string"),
+                             F.col("f").cast("string"),
+                             F.col("m").cast("string")).alias("segment"))
+            .orderBy("user_id"))

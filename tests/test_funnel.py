@@ -287,3 +287,20 @@ def test_markov_transitions_counts_and_start(spark):
     assert got[("a", "a")] == (1, 0.5)
     assert got[("b", "a")] == (1, 1.0)
     assert sum(n for n, _ in got.values()) == 5
+
+
+def test_rfm_segments_semantics(spark):
+    from pyspark.sql import functions as F
+    # user 1: old, rare, cheap; user 2: fresh, frequent, big spender
+    rows = [(1, 0, 1.0), (2, 100, 10.0), (2, 200, 10.0),
+            (2, 300, 10.0), (3, 150, 5.0), (3, 250, 5.0)]
+    df = (spark.createDataFrame(rows, ["user_id", "d", "value"])
+          .select("user_id",
+                  (F.col("d") * 86400 * 10 ** 9).alias("ts"), "value"))
+    from recdb_postgresql_spark.operators import funnel
+    out = {r["user_id"]: r
+           for r in funnel.rfm_segments(df, n_tiles=3).collect()}
+    assert out[2]["segment"] == "333" and out[1]["segment"] == "111"
+    assert out[1]["recency_days"] == 300.0
+    assert out[2]["monetary"] == 30.0 and out[2]["frequency"] == 3
+    assert out[3]["r"] == 2 and out[3]["f"] == 2 and out[3]["m"] == 2
