@@ -182,6 +182,11 @@ HEADLINE = [
     "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
     "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
     "events_user_streaks", "graph_clustering",
+    # fourth-session batch
+    "events_ddq_quantiles", "events_bootstrap_ci", "orders_mad_outliers",
+    "docs_js_divergence", "audit_fd_check", "events_ivm_rollup",
+    "docs_lang_isotonic", "events_forecast_eval", "events_markov",
+    "docs_collocations", "events_t_closeness", "events_rfm",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

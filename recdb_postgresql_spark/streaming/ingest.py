@@ -538,3 +538,72 @@ class StreamingHeavyHittersMonitor:
         return (stream_df.writeStream
                 .foreachBatch(lambda df, bid: self.on_batch(df, bid))
                 .options(**options))
+
+
+class StreamingQuantileMonitor:
+    """Running latency/value quantiles per micro-batch via the
+    DDSketch-style bucket table (``functions/sketch.ddq_build``) —
+    "what are p50/p90/p99 over everything seen so far" without
+    storing values. State is the <512-row bucket dict; each batch
+    sketches itself in one map-side aggregate and merges by SUM.
+
+    Count-merge means replays ADD (like the counting monitors, unlike
+    the HLL monitor's idempotent MAX) — pair with upstream
+    exactly-once delivery or a batch-id guard when totals must be
+    exact; quantile POSITIONS degrade gracefully under modest
+    double-counting because both numerator and denominator inflate.
+    The per-batch report carries running estimates at the requested
+    quantiles plus batch/total counts."""
+
+    def __init__(self, spark: SparkSession, val_col: str = "value",
+                 ps=(0.5, 0.9, 0.99), scale: int = 1_000_000,
+                 sub_bits: int = 3):
+        self.spark, self.val_col = spark, val_col
+        self.ps = list(ps)
+        self.scale, self.sub_bits = int(scale), int(sub_bits)
+        self._buckets: dict[tuple[int, int], int] = {}
+        self.history: list[dict] = []
+
+    def _quantiles(self) -> dict[float, float]:
+        items = sorted(self._buckets.items(),
+                       key=lambda kv: kv[0][1] << kv[0][0])
+        total = sum(c for _, c in items)
+        out = {}
+        import math
+
+        for p in self.ps:
+            r = max(math.ceil(p * total), 1)
+            cum = 0
+            val = None
+            for (shift, sub), c in items:
+                cum += c
+                if cum >= r:
+                    lb, ub = sub << shift, (sub + 1) << shift
+                    val = (lb + ub) / 2.0 / self.scale
+                    break
+            out[p] = val
+        return out
+
+    def on_batch(self, batch_df: DataFrame,
+                 batch_id: int | None = None) -> dict:
+        from recdb_postgresql_spark.functions.sketch import ddq_build
+
+        rows = ddq_build(batch_df, self.val_col, scale=self.scale,
+                         sub_bits=self.sub_bits).collect()
+        n_batch = 0
+        for r in rows:
+            k = (int(r["shift"]), int(r["sub"]))
+            self._buckets[k] = self._buckets.get(k, 0) + int(r["cnt"])
+            n_batch += int(r["cnt"])
+        qs = self._quantiles()
+        report = {"batch_id": batch_id, "n_batch": n_batch,
+                  "n_total": sum(self._buckets.values())}
+        for p, v in qs.items():
+            report[f"p{int(p * 100)}"] = v
+        self.history.append(report)
+        return report
+
+    def attach(self, stream_df: DataFrame, **options):
+        return (stream_df.writeStream
+                .foreachBatch(lambda df, bid: self.on_batch(df, bid))
+                .options(**options))

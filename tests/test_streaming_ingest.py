@@ -414,3 +414,42 @@ def test_streaming_heavy_hitters_monitor(spark, tmp_path):
          .start())
     q.awaitTermination(120)
     assert mon2.history and mon2.history[-1]["top"][0]["key"] == "hot"
+
+
+def test_streaming_quantile_monitor(spark, tmp_path):
+    """DDQ-state quantile monitor: running estimates honor the 6.25%
+    relative-error guarantee vs the exact union quantiles, state
+    merges by count addition, and the contract holds through a real
+    availableNow stream."""
+    from recdb_postgresql_spark.streaming.ingest import (
+        StreamingQuantileMonitor,
+    )
+
+    mon = StreamingQuantileMonitor(spark, val_col="v",
+                                   ps=(0.5, 0.99))
+    b1 = spark.createDataFrame([(float(i),) for i in range(1, 1001)],
+                               "v double")
+    b2 = spark.createDataFrame([(float(i),) for i in range(2000, 4001)],
+                               "v double")
+    r1 = mon.on_batch(b1, 0)
+    assert r1["n_total"] == 1000
+    assert abs(r1["p50"] / 500 - 1) < 0.0625 + 1e-3
+    r2 = mon.on_batch(b2, 1)
+    assert r2["n_total"] == 3001
+    # union: 1..1000 + 2000..4000 -> p50 is the 1501st value = 2500
+    assert abs(r2["p50"] / 2500 - 1) < 0.0625 + 1e-3
+    assert abs(r2["p99"] / 3970 - 1) < 0.0625 + 1e-3
+
+    # real stream drive
+    incoming = tmp_path / "qin"
+    incoming.mkdir()
+    b1.write.parquet(str(incoming / "b1"))
+    mon2 = StreamingQuantileMonitor(spark, val_col="v", ps=(0.5,))
+    stream = (spark.readStream.schema("v double")
+              .parquet(str(incoming) + "/*"))
+    q = (mon2.attach(stream)
+         .option("checkpointLocation", str(tmp_path / "qck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert mon2.history and mon2.history[-1]["n_total"] == 1000
+    assert abs(mon2.history[-1]["p50"] / 500 - 1) < 0.0625 + 1e-3
