@@ -5672,6 +5672,39 @@ def q_events_rfm(spark, sf_dir):
     return funnel.rfm_segments(ev, n_tiles=5)
 
 
+
+
+def q_events_ddq_by_type(spark, sf_dir):
+    """Per-group quantile sketches (sketch.ddq_build_grouped): p50 and
+    p99 of value PER EVENT TYPE from groups x <512-row bucket tables —
+    the per-dimension quantile state approx_percentile can't export —
+    beside the exact per-type order statistics and achieved rel_err
+    (guarantee 6.25%). One partitioned cumulative window answers
+    every (group, p) at once."""
+    from recdb_postgresql_spark.functions import sketch as sk
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & (F.col("value") >= 0)))
+    ps = [0.5, 0.99]
+    est = sk.ddq_quantiles_grouped(
+        sk.ddq_build_grouped(ev, "event_type", "value"), ps)
+    ex = (ev.groupBy(F.col("event_type").alias("grp"))
+          .agg(F.expr("percentile(value, array(0.5D, 0.99D))")
+               .alias("exs"))
+          .select("grp", F.posexplode("exs").alias("i", "ex")))
+    ex = ex.select("grp",
+                   F.element_at(F.array(*[F.lit(float(p)) for p in ps]),
+                                F.col("i") + 1).alias("p"),
+                   F.col("ex"))
+    return (est.join(ex, ["grp", "p"])
+            .select(F.col("grp").alias("event_type"), "p",
+                    F.col("rank").alias("at_rank"), "est_value",
+                    F.round("ex", 6).alias("exact_value"),
+                    F.round(F.col("est_value") / F.col("ex") - 1, 6)
+                     .alias("rel_err"))
+            .orderBy("event_type", "p"))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5747,6 +5780,7 @@ _DRIVER_PRIORITY = [
     "docs_collocations",
     "events_t_closeness",
     "events_rfm",
+    "events_ddq_by_type",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5868,6 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_user_counts": q_events_cms_user_counts,
         "rec_similar_items": q_rec_similar_items,
         "events_rfm": q_events_rfm,
+        "events_ddq_by_type": q_events_ddq_by_type,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6105,6 +6140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_collocations": q_docs_collocations,
         "events_t_closeness": q_events_t_closeness,
         "events_rfm": q_events_rfm,
+        "events_ddq_by_type": q_events_ddq_by_type,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11675,5 +11711,50 @@ SELECT user_id, ROUND(rns / 86400000000000.0, 6) AS recency_days,
        CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR),
               CAST(m AS VARCHAR)) AS segment
 FROM tiled
+"""
+    # grouped ddq: same integer bucket layout partitioned by type.
+    o["events_ddq_by_type"] = """
+WITH v AS (
+  SELECT event_type AS grp, value FROM events
+  WHERE value IS NOT NULL AND value >= 0
+),
+qz AS (
+  SELECT grp, CAST(ROUND(value * 1000000.0) AS BIGINT) AS q FROM v
+),
+b AS (
+  SELECT grp, GREATEST(length(bin(q)) - 4, 0) AS shift,
+         q >> GREATEST(length(bin(q)) - 4, 0) AS sub,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM qz GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT grp,
+         ((sub << shift) + ((sub + 1) << shift)) / 2.0 / 1000000.0
+           AS mid,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY (sub << shift))
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS total
+  FROM b
+),
+ps AS (
+  SELECT grp, CAST(0.5 AS DOUBLE) AS p,
+         quantile_cont(value, 0.5) AS ex
+  FROM v GROUP BY grp
+  UNION ALL
+  SELECT grp, CAST(0.99 AS DOUBLE), quantile_cont(value, 0.99)
+  FROM v GROUP BY grp
+),
+est AS (
+  SELECT c.grp, p, ex,
+         GREATEST(CAST(CEIL(p * total) AS BIGINT), 1) AS at_rank,
+         arg_min(mid, cum) AS est_value
+  FROM ps JOIN c ON c.grp = ps.grp
+  WHERE cum >= GREATEST(CAST(CEIL(p * total) AS BIGINT), 1)
+  GROUP BY c.grp, p, ex, GREATEST(CAST(CEIL(p * total) AS BIGINT), 1)
+)
+SELECT grp AS event_type, p, at_rank, est_value,
+       ROUND(ex, 6) AS exact_value,
+       ROUND(est_value / ex - 1, 6) AS rel_err
+FROM est
 """
     return o

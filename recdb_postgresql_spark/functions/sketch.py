@@ -406,3 +406,53 @@ def ddq_quantiles(sketch: DataFrame, ps, scale: int = 1_000_000) -> DataFrame:
             .agg(F.min_by(F.col("mid"), F.col("cum")).alias("est_value"),
                  F.greatest(F.min(r), F.lit(1)).alias("rank"))
             .select("p", "rank", "est_value"))
+
+
+def ddq_build_grouped(df: DataFrame, group_col: str, col: str,
+                      scale: int = 1_000_000,
+                      sub_bits: int = 3) -> DataFrame:
+    """(grp, shift, sub, cnt): one DDQ bucket table PER GROUP — the
+    per-dimension quantile state (p99 latency per endpoint/day/shard)
+    that ``approx_percentile``'s unexportable internal sketch can't
+    give. Rows <= groups x ~512; group sketches merge by cnt-SUM and
+    any group subset re-estimates without rescanning facts."""
+    q = F.round(F.col(col).cast("double") * F.lit(float(scale)), 0) \
+         .cast("long")
+    lvl = F.length(F.bin(q))
+    shift = F.greatest(lvl - F.lit(sub_bits + 1), F.lit(0)).cast("int")
+    return (df.where(F.col(col).isNotNull() & (F.col(col) >= 0))
+            .select(F.col(group_col).alias("grp"), q.alias("_q"),
+                    shift.alias("shift"))
+            .select("grp", "shift",
+                    F.expr("shiftright(_q, shift)").alias("sub"))
+            .groupBy("grp", "shift", "sub")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def ddq_quantiles_grouped(sketch: DataFrame, ps,
+                          scale: int = 1_000_000) -> DataFrame:
+    """(grp, p, rank, est_value): ddq_quantiles per group — one
+    cumulative window PARTITIONED by group over the sketch rows;
+    every group's p-estimates answer in one pass over
+    groups x buckets rows."""
+    from pyspark.sql import Window
+
+    lb = F.expr("shiftleft(sub, shift)")
+    ub = F.expr("shiftleft(sub + 1, shift)")
+    w = Window.partitionBy("grp").orderBy(lb)
+    b = (sketch
+         .withColumn("mid", (lb + ub) / F.lit(2.0) / F.lit(float(scale)))
+         .withColumn("cum", F.sum("cnt").over(
+             w.rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("total", F.sum("cnt").over(
+             w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))))
+    spark = sketch.sparkSession
+    pdf = spark.createDataFrame([(float(p),) for p in ps], ["p"])
+    r = F.ceil(F.col("p") * F.col("total")).cast("long")
+    return (b.join(F.broadcast(pdf))
+            .where(F.col("cum") >= F.greatest(r, F.lit(1)))
+            .groupBy("grp", "p")
+            .agg(F.min_by(F.col("mid"), F.col("cum")).alias("est_value"),
+                 F.greatest(F.min(r), F.lit(1)).alias("rank"))
+            .select("grp", "p", "rank", "est_value"))

@@ -77,3 +77,37 @@ def test_ddq_bucket_count_bounded(spark):
     df = spark.range(1, 200_000).selectExpr("CAST(id AS DOUBLE) / 7 AS v")
     n = sketch.ddq_build(df, "v").count()
     assert n < 512
+
+
+def test_ddq_grouped_matches_ungrouped_per_group(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    vals = [("a", math.exp(i / 30.0)) for i in range(300)]
+    vals += [("b", float(i + 1)) for i in range(500)]
+    df = spark.createDataFrame(vals, ["g", "v"])
+    grouped = sketch.ddq_quantiles_grouped(
+        sketch.ddq_build_grouped(df, "g", "v"), [0.5, 0.9])
+    got = {(r["grp"], r["p"]): r["est_value"]
+           for r in grouped.collect()}
+    for g in ("a", "b"):
+        sub = df.where(F.col("g") == g)
+        solo = {r["p"]: r["est_value"] for r in sketch.ddq_quantiles(
+            sketch.ddq_build(sub, "v"), [0.5, 0.9]).collect()}
+        assert got[(g, 0.5)] == solo[0.5]
+        assert got[(g, 0.9)] == solo[0.9]
+
+
+def test_ddq_grouped_merge_law(spark):
+    a = spark.createDataFrame([("g", float(v)) for v in range(1, 400)],
+                              ["g", "v"])
+    b = spark.createDataFrame([("g", float(v)) for v in range(200, 900)],
+                              ["g", "v"])
+    from pyspark.sql import functions as F
+    merged = (sketch.ddq_build_grouped(a, "g", "v")
+              .unionByName(sketch.ddq_build_grouped(b, "g", "v"))
+              .groupBy("grp", "shift", "sub")
+              .agg(F.sum("cnt").alias("cnt")))
+    direct = sketch.ddq_build_grouped(a.unionByName(b), "g", "v")
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, direct.collect()))
