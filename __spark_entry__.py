@@ -5705,6 +5705,31 @@ def q_events_ddq_by_type(spark, sf_dir):
             .orderBy("event_type", "p"))
 
 
+
+
+def q_lineitem_joinsize_cms(spark, sf_dir):
+    """Join-size estimation from sketches (sketch.cms_join_size): the
+    AMS/CMS inner-product estimate of |lineitem ⋈ lineitem| on
+    l_partkey (= sum_k f(k)^2) beside the exact size and the
+    overestimate ratio — join PLANNING from two 4x256 matrices
+    without executing the join; the pre-shuffle answer the
+    salting/skew decision wants. est >= exact always (collision mass
+    only adds)."""
+    from recdb_postgresql_spark.functions import sketch as sk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cms = sk.cms_build(li, "l_partkey", depth=4, width=256)
+    est = sk.cms_join_size(cms, cms)
+    exact = (li.where(F.col("l_partkey").isNotNull())
+             .groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("est_join_size", "exact_size",
+                    F.round(F.col("est_join_size")
+                            / F.col("exact_size"), 6).alias("ratio")))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5781,6 +5806,7 @@ _DRIVER_PRIORITY = [
     "events_t_closeness",
     "events_rfm",
     "events_ddq_by_type",
+    "lineitem_joinsize_cms",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5903,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_similar_items": q_rec_similar_items,
         "events_rfm": q_events_rfm,
         "events_ddq_by_type": q_events_ddq_by_type,
+        "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6141,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_t_closeness": q_events_t_closeness,
         "events_rfm": q_events_rfm,
         "events_ddq_by_type": q_events_ddq_by_type,
+        "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11756,5 +11784,31 @@ SELECT grp AS event_type, p, at_rank, est_value,
        ROUND(ex, 6) AS exact_value,
        ROUND(est_value / ex - 1, 6) AS rel_err
 FROM est
+"""
+    # AMS inner product restated over the same md5 counter matrix.
+    _cj = MD5L.format(
+        x="concat(CAST(j AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))")
+    o["lineitem_joinsize_cms"] = f"""
+WITH rows_j AS (
+  SELECT j, l_partkey FROM lineitem
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j) s
+  WHERE l_partkey IS NOT NULL
+),
+cms AS (
+  SELECT j, ({_cj}) % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rows_j GROUP BY 1, 2
+),
+ip AS (
+  SELECT j, SUM(cnt * cnt) AS ip FROM cms GROUP BY j
+),
+est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+ex AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+        WHERE l_partkey IS NOT NULL GROUP BY l_partkey) t
+)
+SELECT est_join_size, exact_size,
+       ROUND(est_join_size / exact_size, 6) AS ratio
+FROM est CROSS JOIN ex
 """
     return o

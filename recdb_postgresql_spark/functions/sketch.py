@@ -456,3 +456,26 @@ def ddq_quantiles_grouped(sketch: DataFrame, ps,
             .agg(F.min_by(F.col("mid"), F.col("cum")).alias("est_value"),
                  F.greatest(F.min(r), F.lit(1)).alias("rank"))
             .select("grp", "p", "rank", "est_value"))
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """One row (est_join_size): the equi-join cardinality estimate
+    from two CMS counter matrices — the classic AMS/CMS inner-product
+    result (Alon-Matias-Szegedy 1996; Cormode-Muthukrishnan 2005):
+    |A ⋈_k B| = sum_k f_A(k)·f_B(k), and each CMS row j's
+    bucket-wise inner product sum_b c_Aj[b]·c_Bj[b] OVERESTIMATES it
+    by hash-collision mass, so min over the d rows is the estimate
+    (always >= truth, within 2·N_A·N_B/width with probability
+    1-2^-d). This answers "how big would this join be" from two
+    d x w matrices — join PLANNING without executing the join, the
+    sketch the skew/salting decision wants before committing a
+    shuffle. Same (depth, width, hash_fn) required on both sides.
+
+    Pure integer arithmetic over sketch-sized rows: one bucket-keyed
+    equi-join of <= d*w rows per side, one d-row aggregate, one MIN."""
+    a = cms_a.select("j", "bucket", F.col("cnt").alias("ca"))
+    b = cms_b.select("j", "bucket", F.col("cnt").alias("cb"))
+    per_row = (a.join(b, ["j", "bucket"])
+               .groupBy("j")
+               .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip")))
+    return per_row.agg(F.min("ip").alias("est_join_size"))
