@@ -5730,6 +5730,26 @@ def q_lineitem_joinsize_cms(spark, sf_dir):
                             / F.col("exact_size"), 6).alias("ratio")))
 
 
+
+
+def q_events_peaks(spark, sf_dir):
+    """Spike detection (temporal.detect_peaks): hourly event-count
+    buckets per type that are strict ±2-neighbor local maxima above
+    the Tukey fence (p75 + 1.5*IQR) — the "this hour spiked" alert
+    CUSUM's cumulative shift and the seasonal-residual scan don't
+    isolate. Key-sized quantile broadcast + one ordered window over
+    the aggregated series."""
+    from recdb_postgresql_spark.operators import temporal
+
+    HOUR_NS = 3600 * 10**9
+    hourly = (load_table(spark, sf_dir, "events")
+              .where(F.col("event_type").isNotNull())
+              .groupBy("event_type",
+                       F.expr(f"ts div {HOUR_NS}").alias("bucket"))
+              .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    return temporal.detect_peaks(hourly, ["event_type"], w=2)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5807,6 +5827,7 @@ _DRIVER_PRIORITY = [
     "events_rfm",
     "events_ddq_by_type",
     "lineitem_joinsize_cms",
+    "events_peaks",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5930,6 +5951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "events_ddq_by_type": q_events_ddq_by_type,
         "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
+        "events_peaks": q_events_peaks,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6169,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "events_ddq_by_type": q_events_ddq_by_type,
         "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
+        "events_peaks": q_events_peaks,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11810,5 +11833,31 @@ ex AS (
 SELECT est_join_size, exact_size,
        ROUND(est_join_size / exact_size, 6) AS ratio
 FROM est CROSS JOIN ex
+"""
+    o["events_peaks"] = """
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+qs AS (
+  SELECT event_type, quantile_cont(y, 0.25) AS q1,
+         quantile_cont(y, 0.75) AS q3
+  FROM h GROUP BY 1
+),
+n AS (
+  SELECT h.event_type, bucket, y, q1, q3,
+         LAG(y, 1) OVER wdw AS l1, LAG(y, 2) OVER wdw AS l2,
+         LEAD(y, 1) OVER wdw AS r1, LEAD(y, 2) OVER wdw AS r2
+  FROM h JOIN qs ON qs.event_type = h.event_type
+  WINDOW wdw AS (PARTITION BY h.event_type ORDER BY bucket)
+)
+SELECT event_type, bucket, y,
+       ROUND(q3 + 1.5 * (q3 - q1), 6) AS thresh
+FROM n
+WHERE COALESCE(y > l1, TRUE) AND COALESCE(y > l2, TRUE)
+  AND COALESCE(y > r1, TRUE) AND COALESCE(y > r2, TRUE)
+  AND y > q3 + 1.5 * (q3 - q1)
 """
     return o

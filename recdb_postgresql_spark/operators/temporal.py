@@ -25,6 +25,8 @@ as-of recipe (pandas' merge_asof per-group, made shuffle-parallel).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -874,3 +876,41 @@ def forecast_eval(fitted: DataFrame, key_cols, bucket_col: str = "bucket",
                              F.col("nm")), 6).alias("smape"),
         F.round(F.try_divide(F.col("sae"), F.col("san")), 6)
          .alias("mase"))
+
+
+def detect_peaks(series: DataFrame, key_cols, bucket_col: str = "bucket",
+                 y_col: str = "y", w: int = 2,
+                 iqr_k: float = 1.5) -> DataFrame:
+    """(key..., bucket, y, thresh): anomalous PEAKS in a per-key
+    series — buckets that are a strict local maximum over the ±``w``
+    neighboring buckets AND exceed the key's Tukey fence
+    (p75 + iqr_k * IQR, the boxplot outlier rule) — the monitoring
+    alert shape ("this hour spiked") that CUSUM's cumulative-shift
+    and the residual-anomaly operators don't isolate: a single
+    spike barely moves CUSUM, and a level shift is not a peak.
+
+    Two exact per-key quantiles (broadcast back — key-sized table)
+    + one ordered window for the 2w neighbor comparisons over the
+    AGGREGATED series; ROW-neighbor semantics on the observed
+    buckets (gaps compare against the nearest observed neighbors —
+    densify upstream via resample if calendar adjacency matters)."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    qs = (series.groupBy(*keys)
+          .agg(F.expr(f"percentile({y_col}, 0.25D)").alias("_q1"),
+               F.expr(f"percentile({y_col}, 0.75D)").alias("_q3")))
+    thresh = (F.col("_q3")
+              + F.lit(float(iqr_k)) * (F.col("_q3") - F.col("_q1")))
+    ww = Window.partitionBy(*keys).orderBy(bucket_col)
+    neigh = [F.lag(y_col, i).over(ww) for i in range(1, w + 1)] \
+        + [F.lead(y_col, i).over(ww) for i in range(1, w + 1)]
+    is_peak = reduce(
+        lambda a, b: a & b,
+        [F.coalesce(F.col(y_col) > n, F.lit(True)) for n in neigh])
+    return (series.join(F.broadcast(qs), keys)
+            .withColumn("_pk", is_peak)
+            .where(F.col("_pk") & (F.col(y_col) > thresh))
+            .select(*keys, bucket_col, y_col,
+                    F.round(thresh, 6).alias("thresh"))
+            .orderBy(*keys, bucket_col))

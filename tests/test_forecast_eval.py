@@ -43,3 +43,23 @@ def test_mase_null_on_constant_series(spark):
     r = _eval(spark, rows)["a"]
     assert r["mase"] is None
     assert r["mae"] == 1.0
+
+
+def test_detect_peaks_semantics(spark):
+    # flat series with one spike at t=10 and a plateau at t=20-21
+    # (plateau is NOT a strict local max)
+    rows = [("a", t, 10.0) for t in range(30)]
+    rows[10] = ("a", 10, 100.0)
+    rows[20] = ("a", 20, 90.0)
+    rows[21] = ("a", 21, 90.0)
+    df = spark.createDataFrame(rows, ["k", "bucket", "y"])
+    got = temporal.detect_peaks(df, ["k"], w=2).collect()
+    assert [(r["bucket"], r["y"]) for r in got] == [(10, 100.0)]
+
+
+def test_detect_peaks_boundary_counts(spark):
+    # a spike at the series end IS a peak (missing leads -> true)
+    rows = [("a", t, 10.0) for t in range(49)] + [("a", 49, 100.0)]
+    df = spark.createDataFrame(rows, ["k", "bucket", "y"])
+    got = temporal.detect_peaks(df, ["k"], w=2).collect()
+    assert [(r["bucket"], r["y"]) for r in got] == [(49, 100.0)]
