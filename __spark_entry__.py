@@ -5750,6 +5750,22 @@ def q_events_peaks(spark, sf_dir):
     return temporal.detect_peaks(hourly, ["event_type"], w=2)
 
 
+
+
+def q_rec_covisitation(spark, sf_dir):
+    """Directional co-visitation top-k (cf.covisitation): for each
+    item, the 5 items the same user touches within 6 hours AFTER it
+    — session-locality "viewed next" serving the symmetric
+    co-occurrence matrix can't express. User-keyed pair join bounded
+    by per-user activity x window; items²-bounded matrix out."""
+    from recdb_postgresql_spark.operators import cf
+
+    ev = load_table(spark, sf_dir, "events")
+    r = (ratings_from_events(ev, with_ts=True)
+         .where(F.col("userid").isNotNull()))
+    return cf.covisitation(r, window_ns=6 * 3600 * 10 ** 9, k=5)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5828,6 +5844,7 @@ _DRIVER_PRIORITY = [
     "events_ddq_by_type",
     "lineitem_joinsize_cms",
     "events_peaks",
+    "rec_covisitation",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5952,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ddq_by_type": q_events_ddq_by_type,
         "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
         "events_peaks": q_events_peaks,
+        "rec_covisitation": q_rec_covisitation,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6192,6 +6210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ddq_by_type": q_events_ddq_by_type,
         "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
         "events_peaks": q_events_peaks,
+        "rec_covisitation": q_rec_covisitation,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11859,5 +11878,30 @@ FROM n
 WHERE COALESCE(y > l1, TRUE) AND COALESCE(y > l2, TRUE)
   AND COALESCE(y > r1, TRUE) AND COALESCE(y > r2, TRUE)
   AND y > q3 + 1.5 * (q3 - q1)
+"""
+    o["rec_covisitation"] = """
+WITH r AS (
+  SELECT user_id AS u,
+         CAST(json_extract_string(props, 'k') AS INT) AS i,
+         epoch_ns(ts) AS t
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+    AND user_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.i AS itemid, b.i AS next_item
+  FROM r a JOIN r b ON b.u = a.u
+  WHERE a.i <> b.i AND b.t > a.t
+    AND b.t - a.t <= 21600000000000
+),
+cnt AS (
+  SELECT itemid, next_item, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT itemid, next_item, n,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY itemid
+                ORDER BY n DESC, next_item) AS rnk FROM cnt) t
+WHERE rnk <= 5
 """
     return o

@@ -577,3 +577,42 @@ def wilson_topk(ratings: DataFrame, positive_threshold: float = 50.0,
                        F.round(p, 6).alias("pos_rate"),
                        F.round(lb, 6).alias("wilson_lb"))
             .orderBy(F.desc("wilson_lb"), "item").limit(k))
+
+
+def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
+                 k: int = 5, user_col: str = "userid",
+                 item_col: str = "itemid",
+                 ts_col: str = "ratingts") -> DataFrame:
+    """(itemid, next_item, n, rank): the directional co-visitation
+    matrix — for each item, the top-``k`` items the SAME user touched
+    within ``window_ns`` AFTER it (count-ranked) — the
+    session-locality "viewed next" recommender that the symmetric
+    co-occurrence/PMI matrix here can't express (it ignores order and
+    time). Serving is one broadcast-index lookup; the matrix rebuilds
+    incrementally per day and counts merge additively.
+
+    Work shape: the pair join is keyed on the USER with a time-window
+    predicate — per-user cost is bounded by events-per-user x
+    window density, never corpus²; counts collapse to an items²-
+    bounded matrix (and far sparser in practice). Ties rank by
+    (n DESC, next_item) so the cut is deterministic."""
+    from pyspark.sql import Window
+
+    a = ratings_ts.select(F.col(user_col).alias("u"),
+                          F.col(item_col).alias("i1"),
+                          F.col(ts_col).alias("t1"))
+    b = ratings_ts.select(F.col(user_col).alias("u"),
+                          F.col(item_col).alias("i2"),
+                          F.col(ts_col).alias("t2"))
+    pairs = (a.join(b, "u")
+             .where((F.col("i1") != F.col("i2"))
+                    & (F.col("t2") > F.col("t1"))
+                    & (F.col("t2") - F.col("t1") <= window_ns)))
+    cnt = (pairs.groupBy(F.col("i1").alias("itemid"),
+                         F.col("i2").alias("next_item"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("itemid").orderBy(F.col("n").desc(),
+                                             "next_item")
+    return (cnt.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("itemid", "rank"))

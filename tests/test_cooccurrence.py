@@ -122,3 +122,22 @@ def test_wilson_small_sample_pulled_down(spark):
            - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
           / (1 + z2 / n))
     assert abs(out[1]["wilson_lb"] - round(lb, 6)) < 1e-9
+
+
+def test_covisitation_directional_window(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.operators import cf
+    H = 3600 * 10 ** 9
+    rows = [  # user, item, t
+        (1, 10, 0 * H), (1, 20, 1 * H), (1, 30, 9 * H),
+        (2, 10, 0 * H), (2, 20, 2 * H),
+    ]
+    df = spark.createDataFrame(rows, ["userid", "itemid", "ratingts"])
+    got = {(r["itemid"], r["next_item"]): (r["n"], r["rank"])
+           for r in cf.covisitation(df, window_ns=6 * H, k=3).collect()}
+    # 10 -> 20 within window for both users; 20 -> 30 is 8h for user 1
+    # (outside 6h); 30 follows nothing
+    assert got[(10, 20)] == (2, 1)
+    assert (20, 30) not in got and (20, 10) not in got
+    assert all(k[0] != 30 for k in got)
