@@ -5766,6 +5766,26 @@ def q_rec_covisitation(spark, sf_dir):
     return cf.covisitation(r, window_ns=6 * 3600 * 10 ** 9, k=5)
 
 
+
+
+def q_events_did(spark, sf_dir):
+    """Difference-in-differences (stats.diff_in_diff): even-id users
+    as treated, corpus time-midpoint as the pre/post cut, value as
+    outcome — the parallel-trends causal readout joining Qini/SPRT in
+    the experiment family. One conditional-sum aggregate pass;
+    quantized exact cell moments."""
+    from recdb_postgresql_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(((F.min("ts") + F.max("ts")) / F.lit(2.0))
+                 .alias("_mid"))
+    d = ev.crossJoin(F.broadcast(mid))
+    return stats.diff_in_diff(
+        d.where(F.col("user_id").isNotNull()),
+        F.col("user_id") % 2 == 0, F.col("ts") >= F.col("_mid"),
+        "value")
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5845,6 +5865,7 @@ _DRIVER_PRIORITY = [
     "lineitem_joinsize_cms",
     "events_peaks",
     "rec_covisitation",
+    "events_did",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5970,6 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
         "events_peaks": q_events_peaks,
         "rec_covisitation": q_rec_covisitation,
+        "events_did": q_events_did,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6211,6 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
         "events_peaks": q_events_peaks,
         "rec_covisitation": q_rec_covisitation,
+        "events_did": q_events_did,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11903,5 +11926,54 @@ SELECT itemid, next_item, n,
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY itemid
                 ORDER BY n DESC, next_item) AS rnk FROM cnt) t
 WHERE rnk <= 5
+"""
+    # 2x2 conditional-moment cells restated; same quantization and
+    # variance identity.
+    _did_cells = []
+    for _tag, _tv, _pv in (("t_pre", "TRUE", "FALSE"),
+                           ("t_post", "TRUE", "TRUE"),
+                           ("c_pre", "FALSE", "FALSE"),
+                           ("c_post", "FALSE", "TRUE")):
+        _c = f"(trt = {_tv} AND post = {_pv})"
+        _did_cells.append(
+            f"CAST(SUM(CASE WHEN {_c} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{_tag},\n"
+            f"SUM(CASE WHEN {_c} THEN q END) AS s_{_tag},\n"
+            f"SUM(CASE WHEN {_c} THEN q * q END) AS ss_{_tag}")
+    _m = {t: f"(s_{t} / n_{t} / 1000.0)"
+          for t in ("t_pre", "t_post", "c_pre", "c_post")}
+    _v = {t: f"((n_{t} * CAST(ss_{t} AS DOUBLE) - CAST(s_{t} AS DOUBLE)"
+             f" * CAST(s_{t} AS DOUBLE)) / (CAST(n_{t} AS DOUBLE)"
+             f" * (n_{t} - 1)) / (1000.0 * 1000.0))"
+          for t in ("t_pre", "t_post", "c_pre", "c_post")}
+    _did = (f"(({_m['t_post']} - {_m['t_pre']})"
+            f" - ({_m['c_post']} - {_m['c_pre']}))")
+    _se = ("SQRT(" + " + ".join(f"{_v[t]} / n_{t}" for t in
+                                ("t_pre", "t_post", "c_pre", "c_post"))
+           + ")")
+    o["events_did"] = f"""
+WITH mid AS (
+  SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) / 2.0 AS m
+  FROM events
+),
+d AS (
+  SELECT user_id % 2 = 0 AS trt, epoch_ns(ts) >= m AS post,
+         CAST(ROUND(value * 1000.0) AS BIGINT) AS q
+  FROM events CROSS JOIN mid
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+a AS (
+  SELECT {",".join(_did_cells)}
+  FROM d
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       ROUND({_m['t_pre']}, 6) AS m_t_pre,
+       ROUND({_m['t_post']}, 6) AS m_t_post,
+       ROUND({_m['c_pre']}, 6) AS m_c_pre,
+       ROUND({_m['c_post']}, 6) AS m_c_post,
+       ROUND({_did}, 6) AS did,
+       ROUND({_se}, 6) AS se,
+       ROUND({_did} / {_se}, 6) AS t_stat
+FROM a
 """
     return o

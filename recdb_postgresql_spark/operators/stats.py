@@ -738,3 +738,57 @@ def isotonic_calibration(df: DataFrame, score_col: str, label,
     return spark.createDataFrame(
         out, "bin int, n long, pos long, raw_rate double, "
              "iso_rate double").orderBy("bin")
+
+
+def diff_in_diff(df: DataFrame, treated, post, val_col: str,
+                 scale: int = 1000) -> DataFrame:
+    """One-row difference-in-differences readout: the 2x2
+    (treated x post) cell means, the DiD interaction estimate
+    (T_post - T_pre) - (C_post - C_pre), its large-sample SE
+    sqrt(sum var_g / n_g over the four cells), and the t statistic —
+    the parallel-trends causal design beside the uplift (Qini) and
+    sequential (SPRT) readouts here.
+
+    ONE aggregate pass: four cells' (n, sum, sum-of-squares) as
+    conditional sums with map-side combine. Values quantize to
+    ``scale`` integer units so sums are exact; cell variances come
+    from the (n*ssq - s^2)/(n*(n-1)) identity on those exact inputs,
+    making the whole row bit-reproducible cross-engine."""
+    q = F.round(F.col(val_col).cast("double") * F.lit(float(scale)), 0) \
+         .cast("long")
+    d = df.where(F.col(val_col).isNotNull()).select(
+        treated.cast("boolean").alias("_t"),
+        post.cast("boolean").alias("_p"), q.alias("_q"))
+
+    def cell(tv, pv, tag):
+        c = (F.col("_t") == tv) & (F.col("_p") == pv)
+        return [F.sum(F.when(c, 1).otherwise(0)).alias(f"n_{tag}"),
+                F.sum(F.when(c, F.col("_q"))).alias(f"s_{tag}"),
+                F.sum(F.when(c, F.col("_q") * F.col("_q")))
+                 .alias(f"ss_{tag}")]
+
+    aggs = (cell(True, False, "t_pre") + cell(True, True, "t_post")
+            + cell(False, False, "c_pre") + cell(False, True, "c_post"))
+    a = d.agg(*aggs)
+    sc = F.lit(float(scale))
+
+    def mean(tag):
+        return F.col(f"s_{tag}") / F.col(f"n_{tag}") / sc
+
+    def var(tag):  # sample variance in VALUE units
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        ss = F.col(f"ss_{tag}").cast("double")
+        return (n * ss - s * s) / (n * (n - 1)) / (sc * sc)
+
+    did = ((mean("t_post") - mean("t_pre"))
+           - (mean("c_post") - mean("c_pre")))
+    se = F.sqrt(sum(var(t) / F.col(f"n_{t}")
+                    for t in ("t_pre", "t_post", "c_pre", "c_post")))
+    out = [F.col(f"n_{t}") for t in ("t_pre", "t_post",
+                                     "c_pre", "c_post")]
+    out += [F.round(mean(t), 6).alias(f"m_{t}")
+            for t in ("t_pre", "t_post", "c_pre", "c_post")]
+    return a.select(*out, F.round(did, 6).alias("did"),
+                    F.round(se, 6).alias("se"),
+                    F.round(F.try_divide(did, se), 6).alias("t_stat"))

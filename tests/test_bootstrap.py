@@ -66,3 +66,21 @@ def test_poisson_weight_distribution(spark):
     for k in (0, 1, 2):
         expect = math.exp(-1) / math.factorial(k)
         assert abs(freq[k] / n - expect) < 0.01, (k, freq[k] / n, expect)
+
+
+def test_diff_in_diff_planted_effect(spark):
+    # control: 10 -> 12 (trend +2); treated: 10 -> 15 (trend +2,
+    # effect +3); noise-free -> did exactly 3, se 0 -> t NULL? no:
+    # add tiny within-cell variance so se > 0
+    rows = []
+    for i in range(40):
+        eps = (i % 2) * 0.2
+        rows += [(True, False, 10.0 + eps), (True, True, 15.0 + eps),
+                 (False, False, 10.0 + eps), (False, True, 12.0 + eps)]
+    df = spark.createDataFrame(rows, ["trt", "post", "v"])
+    r = stats.diff_in_diff(df, F.col("trt"), F.col("post"),
+                           "v").collect()[0]
+    assert r["did"] == 3.0
+    assert r["m_t_post"] == 15.1 and r["m_c_pre"] == 10.1
+    assert r["se"] > 0 and r["t_stat"] > 10
+    assert r["n_t_pre"] == 40
