@@ -371,6 +371,8 @@ def main():
     pq_probe(spark, sf_dir, mult=10)
     jw_kernel_probe(spark)
     dbscan_probe(spark)
+    bootstrap_probe(spark, sf_dir)
+    covisit_probe(spark, sf_dir)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     # probe flat-ish vs corpus (batch-driven), from-scratch linear in
@@ -888,3 +890,65 @@ def dbscan_probe(spark, n: int = 100_000, mult: int = 4) -> None:
            n_big=n * mult, s_big=s_big,
            core_big=r_big.get("core", 0),
            slope=s_big / s_small)
+
+
+def bootstrap_probe(spark, sf_dir: str, b_small: int = 50,
+                    b_big: int = 200) -> None:
+    """Poisson bootstrap cost model: wall time should scale ~linearly
+    in n_boot (the map side does B x the scan's CPU; the shuffle is
+    groups x B rows and never matters) — B is the budget knob
+    SCALING.md documents. Claim measured: slope(t_big/t_small) ~
+    b_big/b_small, not super-linear."""
+    from recdb_postgresql_spark.operators.stats import poisson_bootstrap_ci
+
+    ev = load_table(spark, sf_dir, "events").localCheckpoint()
+    # warm
+    poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
+                         n_boot=10).collect()
+    t0 = time.perf_counter()
+    poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
+                         n_boot=b_small).collect()
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
+                         n_boot=b_big).collect()
+    t_big = time.perf_counter() - t0
+    record("bootstrap_b", b_small=b_small, s_small=t_small,
+           b_big=b_big, s_big=t_big, slope=t_big / t_small,
+           b_ratio=b_big / b_small)
+
+
+def covisit_probe(spark, sf_dir: str, mult: int = 4) -> None:
+    """Co-visitation scale shape: amplify USERS mult-fold (shifted
+    ids — per-user activity and window density held constant), so
+    pair volume and wall time should grow ~linearly with users; a
+    corpus-squared shape would grow mult² (the reason the join is
+    keyed on the user, never on time alone)."""
+    from recdb_postgresql_spark.operators.cf import covisitation
+
+    r = ratings_from_events(load_table(spark, sf_dir, "events"),
+                            with_ts=True).where(
+        F.col("userid").isNotNull())
+
+    def amplified(m):
+        parts = [r.select((F.col("userid") + F.lit(i * 1_000_000))
+                          .alias("userid"), "itemid", "ratingts")
+                 for i in range(m)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint()
+
+    W = 6 * 3600 * 10 ** 9
+    small = amplified(1)
+    covisitation(small, window_ns=W).count()  # warm
+    t0 = time.perf_counter()
+    n_small = covisitation(small, window_ns=W).count()
+    t_small = time.perf_counter() - t0
+    big = amplified(mult)
+    t0 = time.perf_counter()
+    n_big = covisitation(big, window_ns=W).count()
+    t_big = time.perf_counter() - t0
+    record("covisit_users", mult=mult, rows_small=n_small,
+           s_small=t_small, rows_big=n_big, s_big=t_big,
+           slope=t_big / t_small)

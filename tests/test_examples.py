@@ -206,3 +206,14 @@ def test_targeting_example_end_to_end(spark):
     assert out["top_decile_lift"] >= 1.0
     assert out["sprt_final"] in {"accept_h1", "accept_h0", "continue"}
     assert out["sprt_peeks"] > 0
+
+
+def test_data_quality_example_end_to_end(spark):
+    from examples.data_quality_example import run
+    out = run(spark, verbose=False)
+    assert out["contracts"]["value_negative"] == 0
+    assert out["fk_orphans"] == 0
+    assert out["fd"]["orderkey->status"][0] is True
+    assert out["fd"]["custkey->priority"][0] is False
+    assert out["ivm_matches_recompute"] is True
+    assert out["fingerprint_buckets"] == 64
