@@ -5786,6 +5786,34 @@ def q_events_did(spark, sf_dir):
         "value")
 
 
+
+
+def q_rec_ranking_rbo(spark, sf_dir):
+    """Rank-biased overlap (stats.rank_biased_overlap) between two
+    item rankings of the same catalog — by total event count vs by
+    distinct reachers — the top-weighted agreement readout for
+    "did the new scorer change what users actually see" (Spearman
+    over-weights the unserved tail). Deterministic (count DESC, item)
+    tie-breaks; everything after the id join is depth-bounded."""
+    from pyspark.sql import Window
+
+    from recdb_postgresql_spark.operators import stats
+
+    r = (ratings_from_events(load_table(spark, sf_dir, "events"))
+         .where(F.col("userid").isNotNull()))
+    by_events = (r.groupBy("itemid")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .withColumn("rank", F.row_number().over(
+                     Window.orderBy(F.col("c").desc(), "itemid"))))
+    by_users = (r.select("itemid", "userid").distinct()
+                .groupBy("itemid")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("rank", F.row_number().over(
+                    Window.orderBy(F.col("c").desc(), "itemid"))))
+    return stats.rank_biased_overlap(by_events, by_users, "itemid",
+                                     p=0.9, depth=50)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5866,6 +5894,7 @@ _DRIVER_PRIORITY = [
     "events_peaks",
     "rec_covisitation",
     "events_did",
+    "rec_ranking_rbo",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -5992,6 +6021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_peaks": q_events_peaks,
         "rec_covisitation": q_rec_covisitation,
         "events_did": q_events_did,
+        "rec_ranking_rbo": q_rec_ranking_rbo,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6234,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_peaks": q_events_peaks,
         "rec_covisitation": q_rec_covisitation,
         "events_did": q_events_did,
+        "rec_ranking_rbo": q_rec_ranking_rbo,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -11975,5 +12006,44 @@ SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
        ROUND({_se}, 6) AS se,
        ROUND({_did} / {_se}, 6) AS t_stat
 FROM a
+"""
+    o["rec_ranking_rbo"] = """
+WITH r AS (
+  SELECT user_id AS userid,
+         CAST(json_extract_string(props, 'k') AS INT) AS itemid
+  FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL
+    AND user_id IS NOT NULL
+),
+by_events AS (
+  SELECT itemid, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, itemid)
+           AS rnk
+  FROM r GROUP BY itemid
+),
+by_users AS (
+  SELECT itemid, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, itemid)
+           AS rnk
+  FROM (SELECT DISTINCT itemid, userid FROM r) d GROUP BY itemid
+),
+mr AS (
+  SELECT GREATEST(a.rnk, b.rnk) AS m
+  FROM by_events a JOIN by_users b ON b.itemid = a.itemid
+  WHERE a.rnk <= 50 AND b.rnk <= 50
+),
+per AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM mr GROUP BY m),
+xd AS (
+  SELECT d, COALESCE(SUM(c), 0) AS x
+  FROM (SELECT UNNEST(generate_series(1, 50)) AS d) s
+  LEFT JOIN per ON per.m <= s.d
+  GROUP BY d
+),
+agg AS (
+  SELECT SUM(CAST(ROUND(POW(CAST(0.9 AS DOUBLE), d - 1) * x / d * 1e15,
+                        0) AS BIGINT)) AS s
+  FROM xd
+)
+SELECT CAST(0.9 AS DOUBLE) AS p, CAST(50 AS INT) AS depth,
+       ROUND((1.0 - CAST(0.9 AS DOUBLE)) * s / 1e15, 6) AS rbo
+FROM agg
 """
     return o

@@ -792,3 +792,46 @@ def diff_in_diff(df: DataFrame, treated, post, val_col: str,
     return a.select(*out, F.round(did, 6).alias("did"),
                     F.round(se, 6).alias("se"),
                     F.round(F.try_divide(did, se), 6).alias("t_stat"))
+
+
+def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
+                        rank_col: str = "rank", p: float = 0.9,
+                        depth: int = 100) -> DataFrame:
+    """One row (p, depth, rbo): truncated rank-biased overlap
+    (Webber, Moffat & Zobel 2010) between two rankings — the
+    top-weighted agreement score for comparing two scorers' output
+    lists (old vs new model, popularity vs personalization), where
+    Spearman/Kendall over-weight the tail that top-k serving never
+    shows. RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |A_d ∩ B_d| / d.
+
+    An item enters the intersection at depth max(rank_a, rank_b), so
+    the per-depth overlap X_d is a cumulative count over a
+    depth-sized table: one join on the item id, one (depth x
+    distinct-entry-depth) spine join — everything after the id join
+    is bounded by ``depth``, never by catalog size. Terms quantize
+    to 1e-15 integers before the final sum (bit-reproducible)."""
+    ra = a.select(F.col(id_col).alias("_id"),
+                  F.col(rank_col).alias("_ra")).where(
+        F.col(rank_col) <= depth)
+    rb = b.select(F.col(id_col).alias("_id"),
+                  F.col(rank_col).alias("_rb")).where(
+        F.col(rank_col) <= depth)
+    mr = (ra.join(rb, "_id")
+          .select(F.greatest("_ra", "_rb").alias("_mr")))
+    per = mr.groupBy("_mr").agg(F.count(F.lit(1)).alias("c"))
+    spark = a.sparkSession
+    spine = spark.range(1, depth + 1).select(
+        F.col("id").cast("int").alias("d"))
+    xd = (spine.join(F.broadcast(per), per["_mr"] <= spine["d"],
+                     "left")
+          .groupBy("d")
+          .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("x")))
+    term = (F.pow(F.lit(float(p)), F.col("d") - 1)
+            * F.col("x") / F.col("d"))
+    agg = xd.agg(F.sum(F.round(term * F.lit(1e15), 0).cast("long"))
+                 .alias("s"))
+    return agg.select(F.lit(float(p)).alias("p"),
+                      F.lit(depth).alias("depth"),
+                      F.round((F.lit(1.0) - F.lit(float(p)))
+                              * F.col("s") / F.lit(1e15), 6)
+                      .alias("rbo"))

@@ -84,3 +84,30 @@ def test_diff_in_diff_planted_effect(spark):
     assert r["m_t_post"] == 15.1 and r["m_c_pre"] == 10.1
     assert r["se"] > 0 and r["t_stat"] > 10
     assert r["n_t_pre"] == 40
+
+
+def test_rbo_identical_and_disjoint(spark):
+    a = spark.createDataFrame([(i, i) for i in range(1, 21)],
+                              ["item", "rank"])
+    b = spark.createDataFrame([(i + 100, i) for i in range(1, 21)],
+                              ["item", "rank"])
+    same = stats.rank_biased_overlap(a, a, "item", p=0.9,
+                                     depth=20).collect()[0]
+    # identical truncated lists: (1-p) sum p^(d-1) = 1 - p^20
+    assert abs(same["rbo"] - (1 - 0.9 ** 20)) < 1e-6
+    diff = stats.rank_biased_overlap(a, b, "item", p=0.9,
+                                     depth=20).collect()[0]
+    assert diff["rbo"] == 0.0
+
+
+def test_rbo_hand_case(spark):
+    # A = [1,2,3], B = [2,1,4]: overlap at d=1:0, d=2:2, d=3:2
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              ["item", "rank"])
+    b = spark.createDataFrame([(2, 1), (1, 2), (4, 3)],
+                              ["item", "rank"])
+    r = stats.rank_biased_overlap(a, b, "item", p=0.5,
+                                  depth=3).collect()[0]
+    expect = 0.5 * (0.5 ** 0 * 0 / 1 + 0.5 ** 1 * 2 / 2
+                    + 0.5 ** 2 * 2 / 3)
+    assert abs(r["rbo"] - expect) < 1e-6
