@@ -5814,6 +5814,27 @@ def q_rec_ranking_rbo(spark, sf_dir):
                                      p=0.9, depth=50)
 
 
+
+
+def q_events_impute(spark, sf_dir):
+    """Group-median imputation (profile.impute_group_median): null
+    out every 13th value, refill from the per-type median (global
+    fallback), flag was_imputed — the repair move that respects
+    per-segment location. Group-sized percentile broadcasts; no fact
+    shuffle."""
+    from recdb_postgresql_spark.operators import profile
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.when(F.col("event_id") % 13 == 0, F.lit(None))
+                   .otherwise(F.col("value")).alias("value")))
+    return (profile.impute_group_median(ev, "event_type", "value",
+                                        out_col="value_filled")
+            .select("event_id", "event_type",
+                    F.round("value_filled", 6).alias("value_filled"),
+                    "was_imputed"))
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5895,6 +5916,7 @@ _DRIVER_PRIORITY = [
     "rec_covisitation",
     "events_did",
     "rec_ranking_rbo",
+    "events_impute",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6022,6 +6044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_covisitation": q_rec_covisitation,
         "events_did": q_events_did,
         "rec_ranking_rbo": q_rec_ranking_rbo,
+        "events_impute": q_events_impute,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6265,6 +6288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_covisitation": q_rec_covisitation,
         "events_did": q_events_did,
         "rec_ranking_rbo": q_rec_ranking_rbo,
+        "events_impute": q_events_impute,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12045,5 +12069,23 @@ agg AS (
 SELECT CAST(0.9 AS DOUBLE) AS p, CAST(50 AS INT) AS depth,
        ROUND((1.0 - CAST(0.9 AS DOUBLE)) * s / 1e15, 6) AS rbo
 FROM agg
+"""
+    o["events_impute"] = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS gm
+  FROM base GROUP BY 1
+),
+gmed AS (SELECT quantile_cont(value, 0.5) AS GM FROM base)
+SELECT b.event_id, b.event_type,
+       ROUND(COALESCE(b.value, m.gm, g.GM), 6) AS value_filled,
+       b.value IS NULL AS was_imputed
+FROM base b
+LEFT JOIN med m ON m.event_type IS NOT DISTINCT FROM b.event_type
+CROSS JOIN gmed g
 """
     return o

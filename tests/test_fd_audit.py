@@ -28,3 +28,18 @@ def test_fd_null_dependent_groups_as_value(spark):
         [(1, None), (1, None), (2, "z")], ["k", "v"])
     row = profile.fd_audit(df, [("k->v", ["k"], "v")]).collect()[0]
     assert row["holds"]
+
+
+def test_impute_group_median_semantics(spark):
+    from pyspark.sql import functions as F
+    rows = [("a", 1.0), ("a", 3.0), ("a", None),
+            ("b", None), ("b", None),  # all-null group -> global
+            ("c", 10.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = profile.impute_group_median(df, "g", "v").collect()
+    got = sorted((r["g"], r["v"], r["was_imputed"]) for r in out)
+    # group a median = 2.0; global median of (1,3,10) = 3.0
+    assert ("a", 2.0, True) in got
+    assert ("b", 3.0, True) in got
+    assert ("c", 10.0, False) in got
+    assert sum(1 for _, _, i in got if i) == 3
