@@ -187,6 +187,9 @@ HEADLINE = [
     "docs_js_divergence", "audit_fd_check", "events_ivm_rollup",
     "docs_lang_isotonic", "events_forecast_eval", "events_markov",
     "docs_collocations", "events_t_closeness", "events_rfm",
+    "events_ddq_by_type", "lineitem_joinsize_cms", "events_peaks",
+    "rec_covisitation", "events_did", "rec_ranking_rbo",
+    "events_impute",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
