@@ -367,3 +367,29 @@ def test_round9b_new_queries_plan_shapes(spark):
     # top-k outliers ride TakeOrderedAndProject, not a full sort
     plan = _plan(entrymod.queries()["embedding_outliers_maha"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_session4_operators_keep_scale_plan_shapes(spark):
+    # MAD outliers / imputation / t-closeness: group-stat tables
+    # BROADCAST back onto facts — never a fact-side SortMergeJoin
+    for name in ("orders_mad_outliers", "events_impute",
+                  "events_t_closeness"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        # (one-row/bins-sized broadcast CROSS joins are fine; a
+        # fact-side sort-merge join is not)
+        assert "SortMergeJoin" not in plan, name
+    # bootstrap: the B-fold explode must collapse in a PARTIAL
+    # hash aggregate before any exchange (shuffle = groups x B rows)
+    plan = _plan(entrymod.queries()["events_bootstrap_ci"](spark, SF))
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    # ddq: sketch build is one aggregate, no join at all before the
+    # bucket table; quantile finisher is window over sketch rows
+    plan = _plan(entrymod.queries()["events_ddq_quantiles"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    # covisitation: the pair join is keyed on the USER (equi-join),
+    # never a pure range/cross join on time
+    plan = _plan(entrymod.queries()["rec_covisitation"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
