@@ -5835,6 +5835,24 @@ def q_events_impute(spark, sf_dir):
                     "was_imputed"))
 
 
+
+
+def q_events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (funnel.markov_attribution):
+    credit channels by the conversion probability that disappears
+    when transitions into them are severed — the data-driven
+    multi-touch model beside the position/decay heuristics.
+    Truncated absorption runs 24 INTEGER matrix-vector rounds over
+    the states²-sized chain (driver-local, PAV/BPE pattern); the
+    oracle unrolls the identical integer rounds, so every
+    probability and credit share matches bit-for-bit."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.markov_attribution(
+        ev, ["view", "click", "signup", "error"])
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5917,6 +5935,7 @@ _DRIVER_PRIORITY = [
     "events_did",
     "rec_ranking_rbo",
     "events_impute",
+    "events_markov_attribution",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6045,6 +6064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_did": q_events_did,
         "rec_ranking_rbo": q_rec_ranking_rbo,
         "events_impute": q_events_impute,
+        "events_markov_attribution": q_events_markov_attribution,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6289,6 +6309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_did": q_events_did,
         "rec_ranking_rbo": q_rec_ranking_rbo,
         "events_impute": q_events_impute,
+        "events_markov_attribution": q_events_markov_attribution,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12087,5 +12108,238 @@ SELECT b.event_id, b.event_type,
 FROM base b
 LEFT JOIN med m ON m.event_type IS NOT DISTINCT FROM b.event_type
 CROSS JOIN gmed g
+"""
+    # the same 24 integer matrix-vector rounds, unrolled (the
+    # pagerank/HITS oracle contract); all-int arithmetic until the
+    # final ratio divisions.
+    _mk_unrolled = """v1 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v0 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v2 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v1 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v3 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v2 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v4 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v3 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v5 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v4 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v6 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v5 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v7 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v6 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v8 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v7 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v9 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v8 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v10 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v9 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v11 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v10 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v12 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v11 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v13 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v12 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v14 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v13 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v15 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v14 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v16 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v15 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v17 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v16 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v18 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v17 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v19 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v18 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v20 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v19 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v21 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v20 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v22 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v21 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v23 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v22 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+),
+v24 AS MATERIALIZED (
+  SELECT r.ch, m.t AS state,
+         CAST(SUM(r.v * m.q) // 1000000000 AS BIGINT) AS v
+  FROM v23 r JOIN mq m ON m.f = r.state
+  WHERE r.ch = '_full_' OR m.t <> r.ch
+  GROUP BY 1, 2
+)"""
+    o["events_markov_attribution"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+fc AS (SELECT user_id, MIN(rn) AS fcn FROM seq
+       WHERE event_type = 'purchase' GROUP BY 1),
+trunc AS (
+  SELECT s.user_id, s.event_type, s.rn
+  FROM seq s LEFT JOIN fc ON fc.user_id = s.user_id
+  WHERE fc.fcn IS NULL OR s.rn <= fc.fcn
+),
+pairs AS (
+  SELECT COALESCE(LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY rn), '_start') AS f,
+         event_type AS t
+  FROM trunc
+),
+tc AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+       FROM pairs GROUP BY 1, 2),
+occ AS (
+  SELECT event_type AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trunc GROUP BY 1
+  UNION ALL
+  SELECT '_start', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM trunc
+),
+mq AS (
+  SELECT tc.f, tc.t,
+         CAST((tc.n * 1000000000 * 2 + o.n) // (2 * o.n) AS BIGINT)
+           AS q
+  FROM tc JOIN occ o ON o.s = tc.f
+  WHERE tc.f <> 'purchase'
+  UNION ALL
+  SELECT 'purchase', 'purchase', CAST(1000000000 AS BIGINT)
+),
+chains AS (
+  SELECT UNNEST(['_full_', 'view', 'click', 'signup', 'error']) AS ch
+),
+v0 AS (SELECT ch, '_start' AS state,
+              CAST(1000000000 AS BIGINT) AS v FROM chains),
+""" + _mk_unrolled + """,
+p AS (
+  SELECT c.ch,
+         COALESCE(MAX(CASE WHEN state = 'purchase' THEN v END), 0) AS p
+  FROM chains c LEFT JOIN v24 ON v24.ch = c.ch
+  GROUP BY c.ch
+),
+fullp AS (SELECT p AS pf FROM p WHERE ch = '_full_'),
+tot AS (
+  SELECT SUM(GREATEST(pf - p.p, 0)) AS tre
+  FROM p CROSS JOIN fullp WHERE ch <> '_full_'
+)
+SELECT ch AS channel, pf / 1000000000 AS p_conv,
+       p.p / 1000000000 AS p_removed,
+       CASE WHEN pf > 0 THEN 1.0 - (p.p / pf) END AS removal_effect,
+       CASE WHEN tre > 0 THEN GREATEST(pf - p.p, 0) / tre END
+         AS attribution
+FROM p CROSS JOIN fullp CROSS JOIN tot
+WHERE ch <> '_full_'
 """
     return o

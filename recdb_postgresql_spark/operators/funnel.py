@@ -478,3 +478,94 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5,
                              F.col("f").cast("string"),
                              F.col("m").cast("string")).alias("segment"))
             .orderBy("user_id"))
+
+
+def markov_attribution(events: DataFrame, channels,
+                       conv_type: str = "purchase",
+                       k_rounds: int = 24, scale: int = 10 ** 9,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """(channel, p_conv, p_removed, removal_effect, attribution):
+    Markov removal-effect attribution (the data-driven multi-touch
+    model: Anderl et al. 2014) — build the first-order journey chain
+    (markov_transitions semantics, journeys truncated at first
+    conversion, per-state END mass implicit in the occurrence
+    denominators), make the conversion state absorbing, and price
+    each channel by how much conversion probability DISAPPEARS when
+    transitions into it are severed. Position/decay attribution
+    (the operators beside this) assume credit shapes; removal effect
+    derives them from the observed graph.
+
+    Exactness: transition probabilities quantize to ``scale``
+    integer units with integer half-up rounding, and the truncated
+    absorption runs ``k_rounds`` of INTEGER matrix-vector rounds
+    (v' = sum(v*Mq) // scale; total mass <= scale bounds every sum
+    below 2^63) — so a SQL oracle unrolling the same rounds matches
+    bit-for-bit. The iteration itself is driver-local over the
+    states²-sized matrix (the PAV/BPE metadata pattern); the facts
+    contribute two aggregates (transition counts, occurrence
+    counts)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = (events.where(F.col(user_col).isNotNull()
+                        & F.col(type_col).isNotNull())
+           .withColumn("_rn", F.row_number().over(w)))
+    fc = (seq.where(F.col(type_col) == conv_type)
+          .groupBy(user_col).agg(F.min("_rn").alias("_fc")))
+    trunc = (seq.join(fc, user_col, "left")
+             .where(F.col("_fc").isNull() | (F.col("_rn") <= F.col("_fc"))))
+    pairs = trunc.select(
+        F.coalesce(F.lag(type_col).over(
+            Window.partitionBy(user_col).orderBy("_rn")),
+            F.lit("_start")).alias("f"),
+        F.col(type_col).alias("t"))
+    t_counts = {(r["f"], r["t"]): r["n"] for r in
+                pairs.groupBy("f", "t")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    occ = {r["s"]: r["n"] for r in
+           trunc.groupBy(F.col(type_col).alias("s"))
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    occ["_start"] = trunc.select(user_col).distinct().count()
+
+    # integer half-up quantized transition matrix; conv absorbing
+    mq: dict[tuple[str, str], int] = {}
+    for (f, t), n in t_counts.items():
+        if f == conv_type:
+            continue
+        d = occ[f]
+        mq[(f, t)] = (n * scale * 2 + d) // (2 * d)
+    mq[(conv_type, conv_type)] = scale
+
+    def absorb(blocked: str | None) -> int:
+        v = {"_start": scale}
+        for _ in range(k_rounds):
+            nv: dict[str, int] = {}
+            for (f, t), q in mq.items():
+                if blocked is not None and t == blocked:
+                    continue
+                if f in v and v[f] > 0:
+                    nv[t] = nv.get(t, 0) + v[f] * q
+            v = {s: m // scale for s, m in nv.items()}
+        return v.get(conv_type, 0)
+
+    p_full = absorb(None)
+    rows = []
+    removed = {c: absorb(c) for c in channels}
+    tot_re = sum(max(p_full - p, 0) for p in removed.values())
+    # raw integer-ratio doubles, never Python round(): round-half-
+    # EVEN would diverge from the oracle's ROUND; every value below
+    # is one correctly-rounded division of exact ints, so it is
+    # bit-identical in any engine computing the same ratio
+    for c in channels:
+        re = (1.0 - removed[c] / p_full) if p_full > 0 else None
+        attr = (max(p_full - removed[c], 0) / tot_re
+                if tot_re > 0 else None)
+        rows.append((c, p_full / scale, removed[c] / scale, re, attr))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows, "channel string, p_conv double, p_removed double, "
+              "removal_effect double, attribution double") \
+        .orderBy("channel")

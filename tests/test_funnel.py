@@ -304,3 +304,30 @@ def test_rfm_segments_semantics(spark):
     assert out[1]["recency_days"] == 300.0
     assert out[2]["monetary"] == 30.0 and out[2]["frequency"] == 3
     assert out[3]["r"] == 2 and out[3]["f"] == 2 and out[3]["m"] == 2
+
+
+def test_markov_attribution_gateway_channel(spark):
+    from recdb_postgresql_spark.operators import funnel
+    # every conversion flows through 'b': _start -> a -> b -> buy for
+    # half the users, _start -> b -> buy for the rest; 'c' is a dead
+    # end no converter touches
+    rows = []
+    eid = 0
+    for u in range(10):
+        path = (["a", "b", "buy"] if u % 2 == 0 else ["b", "buy"]) \
+            if u < 8 else ["c"]
+        for i, t in enumerate(path):
+            rows.append((u, eid, i + 1, t))
+            eid += 1
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts",
+                                      "event_type"])
+    out = {r["channel"]: r for r in funnel.markov_attribution(
+        df, ["a", "b", "c"], conv_type="buy").collect()}
+    # severing b kills ALL conversion; severing a leaves the direct
+    # _start->b->buy path; c contributes nothing
+    assert out["b"]["removal_effect"] > 0.99
+    assert 0 < out["a"]["removal_effect"] < out["b"]["removal_effect"]
+    assert abs(out["c"]["removal_effect"]) < 1e-9
+    assert abs(out["c"]["attribution"]) < 1e-9
+    s = sum(r["attribution"] for r in out.values())
+    assert abs(s - 1.0) < 1e-9
