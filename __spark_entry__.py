@@ -5853,6 +5853,23 @@ def q_events_markov_attribution(spark, sf_dir):
         ev, ["view", "click", "signup", "error"])
 
 
+
+
+def q_embedding_silhouette(spark, sf_dir):
+    """Cluster-quality readout (similarity.silhouette_simplified):
+    per-cell simplified silhouette of the IVF assignment over the
+    deterministic first-8 centroids — O(n*k) instead of exact
+    silhouette's O(n²); scores quantized so cell means are
+    partitioning-invariant, and with deterministic centroids the
+    whole report hash-checks (the kmeans production path runs the
+    same plan rows-only)."""
+    from recdb_postgresql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.first_k_centroids(emb, k=8)
+    return similarity.silhouette_simplified(emb, cents)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5936,6 +5953,7 @@ _DRIVER_PRIORITY = [
     "rec_ranking_rbo",
     "events_impute",
     "events_markov_attribution",
+    "embedding_silhouette",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6065,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_ranking_rbo": q_rec_ranking_rbo,
         "events_impute": q_events_impute,
         "events_markov_attribution": q_events_markov_attribution,
+        "embedding_silhouette": q_embedding_silhouette,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6310,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_ranking_rbo": q_rec_ranking_rbo,
         "events_impute": q_events_impute,
         "events_markov_attribution": q_events_markov_attribution,
+        "embedding_silhouette": q_embedding_silhouette,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12341,5 +12361,41 @@ SELECT ch AS channel, pf / 1000000000 AS p_conv,
          AS attribution
 FROM p CROSS JOIN fullp CROSS JOIN tot
 WHERE ch <> '_full_'
+"""
+    o["embedding_silhouette"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.cvec AS DOUBLE[])), 9)
+           AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+top2 AS (
+  SELECT vec_id, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS rn
+  FROM scored
+),
+piv AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cid END) AS cell,
+         MAX(CASE WHEN rn = 1 THEN sim END) AS s1,
+         MAX(CASE WHEN rn = 2 THEN sim END) AS s2
+  FROM top2 WHERE rn <= 2 GROUP BY vec_id
+),
+sq AS (
+  SELECT cell,
+         CAST(ROUND(CASE WHEN GREATEST(1.0 - s1, 1.0 - s2) <> 0 THEN
+             ((1.0 - s2) - (1.0 - s1)) / GREATEST(1.0 - s1, 1.0 - s2)
+           END * 1e12, 0) AS BIGINT) AS sq
+  FROM piv
+)
+SELECT cell AS cid, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(sq) / 1e12 / COUNT(sq), 6) AS mean_sil
+FROM sq GROUP BY cell
 """
     return o

@@ -707,3 +707,49 @@ def mahalanobis_outliers(emb: DataFrame, id_col: str = "vec_id",
                    .alias("d2")))
     return (scored.select(id_col, F.round(F.sqrt("d2"), 6).alias("maha"))
             .orderBy(F.desc("maha"), id_col).limit(top_k))
+
+
+def silhouette_simplified(emb: DataFrame, centroids: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """(cid, n, mean_sil): simplified (centroid-based) silhouette per
+    cluster — a = cosine distance to the OWN centroid, b = distance
+    to the nearest OTHER centroid, s = (b-a)/max(a,b) — the cluster-
+    quality readout (tight + separated -> 1, boundary -> 0, likely
+    misassigned -> <0) at O(n*k) cost instead of exact silhouette's
+    O(n²) pairwise matrix; the standard big-data form (sklearn calls
+    it the simplified silhouette).
+
+    One broadcast centroid join + per-vector top-2 window (the
+    ivf_assign shape), per-point scores quantized to 1e-12 ints so
+    cluster means are partitioning-invariant; with deterministic
+    centroids (first_k_centroids) the whole report is
+    oracle-checkable, with kmeans_centroids it is the same plan under
+    the rows-only contract."""
+    from pyspark.sql import Window
+
+    scored = (spread_small(emb).crossJoin(F.broadcast(centroids))
+              .select(F.col(id_col),
+                      F.col("cid"),
+                      F.round(cosine_sim(F.col(vec_col), F.col("cvec")),
+                              9).alias("sim")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), "cid")
+    top2 = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2))
+    piv = (top2.groupBy(id_col)
+           .agg(F.max(F.when(F.col("rn") == 1, F.col("cid")))
+                .alias("cell"),
+                F.max(F.when(F.col("rn") == 1, F.col("sim")))
+                .alias("s1"),
+                F.max(F.when(F.col("rn") == 2, F.col("sim")))
+                .alias("s2")))
+    a = F.lit(1.0) - F.col("s1")
+    b = F.lit(1.0) - F.col("s2")
+    s = F.try_divide(b - a, F.greatest(a, b))
+    sq = F.round(s * F.lit(1e12), 0).cast("long")
+    return (piv.select("cell", sq.alias("sq"))
+            .groupBy(F.col("cell").alias("cid"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("sq") / F.lit(1e12) / F.count("sq"), 6)
+                 .alias("mean_sil"))
+            .orderBy("cid"))

@@ -111,3 +111,27 @@ def test_ddq_grouped_merge_law(spark):
     direct = sketch.ddq_build_grouped(a.unionByName(b), "g", "v")
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, direct.collect()))
+
+
+def test_silhouette_separated_vs_boundary(spark):
+    from recdb_postgresql_spark.operators import similarity
+    # two tight, well-separated clusters -> mean_sil near 1;
+    # a smeared blob between two centroids -> near 0
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 0.1]))
+        rows.append((100 + i, [0.1, 10.0 + (i % 3) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.1]), (1, [0.1, 10.0])],
+        "cid int, cvec array<double>")
+    out = {r["cid"]: r for r in
+           similarity.silhouette_simplified(df, cents).collect()}
+    assert out[0]["n"] == 20 and out[1]["n"] == 20
+    assert out[0]["mean_sil"] > 0.9 and out[1]["mean_sil"] > 0.9
+    # boundary points: equidistant from both centroids -> s ~ 0
+    mid = spark.createDataFrame(
+        [(i, [5.0, 5.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    m = similarity.silhouette_simplified(mid, cents).collect()
+    assert all(abs(r["mean_sil"]) < 0.05 for r in m)
