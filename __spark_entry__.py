@@ -5870,6 +5870,17 @@ def q_embedding_silhouette(spark, sf_dir):
     return similarity.silhouette_simplified(emb, cents)
 
 
+
+
+def q_docs_vocab_coverage(spark, sf_dir):
+    """Good-Turing missing mass + Chao1 vocabulary richness
+    (text.vocabulary_coverage): closed-form "will more data buy new
+    tokens" estimates beside the Heaps growth curve. Two nested
+    aggregates, integer until the final ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocabulary_coverage(docs)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5954,6 +5965,7 @@ _DRIVER_PRIORITY = [
     "events_impute",
     "events_markov_attribution",
     "embedding_silhouette",
+    "docs_vocab_coverage",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6084,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_impute": q_events_impute,
         "events_markov_attribution": q_events_markov_attribution,
         "embedding_silhouette": q_embedding_silhouette,
+        "docs_vocab_coverage": q_docs_vocab_coverage,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6330,6 +6343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_impute": q_events_impute,
         "events_markov_attribution": q_events_markov_attribution,
         "embedding_silhouette": q_embedding_silhouette,
+        "docs_vocab_coverage": q_docs_vocab_coverage,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12397,5 +12411,25 @@ sq AS (
 SELECT cell AS cid, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(sq) / 1e12 / COUNT(sq), 6) AS mean_sil
 FROM sq GROUP BY cell
+"""
+    o["docs_vocab_coverage"] = """
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(lower(text),
+         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS t
+  FROM documents
+),
+tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tc
+)
+SELECT n_tokens, vocab, n1, n2,
+       ROUND(n1 / n_tokens, 6) AS missing_mass,
+       ROUND(vocab + CASE WHEN n2 <> 0
+                          THEN (n1 * n1) / (2 * n2) END, 2) AS chao1
+FROM a
 """
     return o

@@ -1892,3 +1892,34 @@ def collocations(docs: DataFrame, k: int = 25, min_count: int = 5,
             .withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") <= k)
             .select("w1", "w2", "n_pair", "pmi"))
+
+
+def vocabulary_coverage(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """One row (n_tokens, vocab, n1, n2, missing_mass, chao1): how
+    much vocabulary the corpus has NOT seen yet — the Good-Turing
+    missing-mass estimate n1/N (the probability the next token is a
+    brand-new type) and the Chao1 species-richness lower bound
+    V + n1²/(2·n2) for the TRUE vocabulary size — the coverage
+    readout that says whether more data will keep buying new tokens
+    (complements the Heaps growth curve with closed-form estimates).
+
+    Two nested aggregates (term counts, then count-of-counts — the
+    second is over vocab-sized rows) and a one-row finisher; all
+    integer until the final divisions."""
+    toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+    tc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+         .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+         .alias("n2"))
+    chao1 = (F.col("vocab")
+             + F.try_divide(F.col("n1") * F.col("n1"),
+                            F.lit(2) * F.col("n2")))
+    return agg.select("n_tokens", "vocab", "n1", "n2",
+                      F.round(F.col("n1") / F.col("n_tokens"), 6)
+                      .alias("missing_mass"),
+                      F.round(chao1, 2).alias("chao1"))

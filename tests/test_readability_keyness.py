@@ -113,3 +113,15 @@ def test_collocations_pmi_and_floor(spark):
     # doc2 has 5 -> nu=13; bigrams per doc = len-1 -> nb=7+4=11
     expect = math.log((4 / 11) / ((4 / 13) * (4 / 13)))
     assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+
+
+def test_vocabulary_coverage_closed_forms(spark):
+    from recdb_postgresql_spark.operators import text as T
+    # tokens: a a a b b c d -> V=4, N=7, n1=2 (c,d), n2=1 (b)
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c d", "en", "s", 13)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    r = T.vocabulary_coverage(docs).collect()[0]
+    assert (r["n_tokens"], r["vocab"], r["n1"], r["n2"]) == (7, 4, 2, 1)
+    assert abs(r["missing_mass"] - 2 / 7) < 1e-6
+    assert r["chao1"] == 4 + 2 * 2 / 2  # V + n1^2/(2 n2) = 6
