@@ -189,7 +189,8 @@ HEADLINE = [
     "docs_collocations", "events_t_closeness", "events_rfm",
     "events_ddq_by_type", "lineitem_joinsize_cms", "events_peaks",
     "rec_covisitation", "events_did", "rec_ranking_rbo",
-    "events_impute",
+    "events_impute", "events_markov_attribution",
+    "embedding_silhouette", "docs_vocab_coverage",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
