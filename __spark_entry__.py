@@ -5915,13 +5915,16 @@ _DRIVER_PRIORITY = [
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
     #
-    # r10 NOTE: round 9 ultimately added ~85 entries (FOUR sessions;
+    # r10 NOTE: round 9 ultimately added ~95 entries (FOUR sessions;
     # the third added the feature-encoding / scorer-eval / sketch-set-
     # op / DBSCAN / JW-kernel batch leading section 2b; the fourth
-    # added the 2c batch above it: ddq quantile sketch, Poisson
-    # bootstrap, MAD outliers, JS divergence, FD audit, IVM rollup,
-    # isotonic PAV, forecast eval, Markov, collocations, t-closeness,
-    # RFM — all oracle-checked),
+    # added the 22-entry 2c batch above it — ddq quantile sketches
+    # (global+grouped), Poisson bootstrap, MAD outliers, JS
+    # divergence, FD audit, IVM rollup, isotonic PAV, forecast eval,
+    # Markov chain + removal-effect attribution, collocations,
+    # t-closeness, RFM, CMS join-size, peaks, covisitation, DiD, RBO,
+    # imputation, silhouette, vocab coverage — ALL oracle-checked and
+    # sf0.1-sweep green),
     # far more than one ~50-slot window. This ordering samples: the
     # two re-proves, the five previously-never-sampled rows-only
     # entries, the first-session r9 additions, then the continuation
