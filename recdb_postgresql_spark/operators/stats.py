@@ -615,6 +615,10 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
     rep = base.select(
         "grp", "v", "_id",
         F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b"))
+    # (measured: halving md5 count via two 60-bit slices per digest
+    # does NOT pay — the cost is the B-fold ROW volume through
+    # codegen+combine, not the digest; keep the simple per-(row,b)
+    # hash, and budget with n_boot as SCALING.md documents)
     h = md5_long(F.concat(F.col("_id"), F.lit(":"),
                           F.col("b").cast("string")))
     w = F.when(h < _POISSON1_CDF60[0], 0)
