@@ -5881,6 +5881,33 @@ def q_docs_vocab_coverage(spark, sf_dir):
     return text.vocabulary_coverage(docs)
 
 
+
+
+def q_events_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over the KM lifetimes (same
+    12h-churn / 6h-bucket framing as events_survival) plus the
+    Fleming-Harrington survival exp(-H) — the additive hazard scale
+    where cohorts difference cleanly (funnel.nelson_aalen)."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.nelson_aalen(ev, churn_window_ns=12 * 3600 * 10**9,
+                               day_ns=6 * 3600 * 10**9)
+
+
+def q_events_logrank(spark, sf_dir):
+    """Log-rank test (funnel.logrank_test): do even- and odd-id user
+    cohorts share a lifetime distribution? Hypergeometric O-E terms
+    per event time, 1e-12-quantized invariant sums — the inferential
+    companion the KM / Nelson-Aalen curves lack."""
+    from recdb_postgresql_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel.logrank_test(ev, F.col("user_id") % 2 == 0,
+                               churn_window_ns=12 * 3600 * 10**9,
+                               day_ns=6 * 3600 * 10**9)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5969,6 +5996,8 @@ _DRIVER_PRIORITY = [
     "events_markov_attribution",
     "embedding_silhouette",
     "docs_vocab_coverage",
+    "events_hazard",
+    "events_logrank",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6100,6 +6129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_attribution": q_events_markov_attribution,
         "embedding_silhouette": q_embedding_silhouette,
         "docs_vocab_coverage": q_docs_vocab_coverage,
+        "events_hazard": q_events_hazard,
+        "events_logrank": q_events_logrank,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6347,6 +6378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_attribution": q_events_markov_attribution,
         "embedding_silhouette": q_embedding_silhouette,
         "docs_vocab_coverage": q_docs_vocab_coverage,
+        "events_hazard": q_events_hazard,
+        "events_logrank": q_events_logrank,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12434,5 +12467,97 @@ SELECT n_tokens, vocab, n1, n2,
        ROUND(vocab + CASE WHEN n2 <> 0
                           THEN (n1 * n1) / (2 * n2) END, 2) AS chao1
 FROM a
+"""
+    # Nelson-Aalen / log-rank share the KM lifetime CTEs
+    _surv_cte = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_ns(ts) AS tsn,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+t AS (SELECT MAX(tsn) AS tmax FROM ev),
+spans AS (
+  SELECT u, MIN(tsn) AS first_ts, MAX(tsn) AS last_ts, MAX(g) AS g
+  FROM ev GROUP BY u
+),
+marked AS (
+  SELECT g,
+         CASE WHEN s.last_ts <= t.tmax - 43200000000000
+              THEN 1 ELSE 0 END AS churned,
+         CAST(FLOOR((CASE WHEN s.last_ts <= t.tmax - 43200000000000
+                          THEN s.last_ts ELSE t.tmax END - s.first_ts)
+                    / CAST(21600000000000 AS DOUBLE)) AS BIGINT)
+           AS t_days
+  FROM spans s, t
+)"""
+    o["events_hazard"] = _surv_cte + """,
+per_t AS (
+  SELECT t_days, CAST(SUM(churned) AS BIGINT) AS n_churned,
+         COUNT(*) AS cnt
+  FROM marked GROUP BY t_days
+),
+at_risk AS (
+  SELECT t_days, n_churned,
+         CAST(SUM(cnt) OVER (ORDER BY t_days
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_risk
+  FROM per_t
+)
+SELECT t_days, n_risk, n_churned,
+       ROUND(SUM(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cum_hazard,
+       ROUND(EXP(-SUM(CAST(n_churned AS DOUBLE)
+                      / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS survival_fh
+FROM at_risk
+"""
+    o["events_logrank"] = _surv_cte + """,
+per AS (
+  SELECT t_days,
+         CAST(SUM(CASE WHEN g = 1 THEN churned END) AS BIGINT) AS d_a,
+         CAST(SUM(churned) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         COUNT(*) AS c
+  FROM marked GROUP BY t_days
+),
+risk AS (
+  SELECT t_days, d_a, d,
+         CAST(SUM(c) OVER wrisk AS BIGINT) AS n_r,
+         CAST(SUM(c_a) OVER wrisk AS BIGINT) AS na_r
+  FROM per
+  WINDOW wrisk AS (ORDER BY t_days
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  QUALIFY d > 0
+),
+agg AS (
+  SELECT CAST(SUM(d_a) AS BIGINT) AS obs_a,
+         SUM(CAST(ROUND(CAST(d AS DOUBLE) * CAST(na_r AS DOUBLE)
+                        / CAST(n_r AS DOUBLE) * 1e12, 0) AS BIGINT))
+           AS ea_q,
+         SUM(CAST(ROUND(CASE WHEN n_r > 1 THEN
+               CAST(d AS DOUBLE) * (CAST(na_r AS DOUBLE)
+                 / CAST(n_r AS DOUBLE))
+               * ((CAST(n_r AS DOUBLE) - CAST(na_r AS DOUBLE))
+                  / CAST(n_r AS DOUBLE))
+               * (CAST(n_r AS DOUBLE) - CAST(d AS DOUBLE))
+               / (CAST(n_r AS DOUBLE) - CAST(1 AS DOUBLE))
+             ELSE 0.0 END * 1e12, 0) AS BIGINT)) AS v_q
+  FROM risk
+),
+sizes AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(COUNT(*) AS BIGINT) AS n_tot
+  FROM marked
+)
+SELECT n_a, n_tot - n_a AS n_b, obs_a,
+       ROUND(ea_q / 1e12, 6) AS exp_a,
+       ROUND((obs_a - ea_q / 1e12) / SQRT(v_q / 1e12), 6) AS z,
+       ROUND(((obs_a - ea_q / 1e12) / SQRT(v_q / 1e12))
+             * ((obs_a - ea_q / 1e12) / SQRT(v_q / 1e12)), 6) AS chi2
+FROM agg CROSS JOIN sizes
 """
     return o

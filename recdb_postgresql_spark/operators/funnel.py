@@ -569,3 +569,124 @@ def markov_attribution(events: DataFrame, channels,
         rows, "channel string, p_conv double, p_removed double, "
               "removal_effect double, attribution double") \
         .orderBy("channel")
+
+
+def nelson_aalen(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts",
+                 churn_window_ns: int = 7 * DAY_NS,
+                 day_ns: int = DAY_NS) -> DataFrame:
+    """(t_days, n_risk, n_churned, cum_hazard, survival_fh):
+    Nelson-Aalen cumulative hazard H(t) = sum_{t_i<=t} d_i/n_i over
+    the same censored lifetimes as ``kaplan_meier``, plus the
+    Fleming-Harrington survival exp(-H) — the hazard-scale sibling
+    (H is additive, so hazards DIFFERENCE cleanly between cohorts
+    where KM curves only ratio). Same scale shape as KM: duration-
+    keyed aggregates and two ordered windows over distinct-lifetime
+    rows; each hazard increment is an exact integer ratio."""
+    from pyspark.sql import Window
+
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("tsn")) \
+        .where(F.col("u").isNotNull() & F.col("tsn").isNotNull())
+    tmax = ev.agg(F.max("tsn").alias("tmax"))
+    spans = ev.groupBy("u").agg(F.min("tsn").alias("first_ts"),
+                                F.max("tsn").alias("last_ts"))
+    churned = (F.col("last_ts")
+               <= F.col("tmax") - F.lit(int(churn_window_ns)))
+    end_ts = F.when(churned, F.col("last_ts")).otherwise(F.col("tmax"))
+    marked = (spans.crossJoin(F.broadcast(tmax))
+              .select(F.when(churned, 1).otherwise(0).alias("churned"),
+                      F.floor((end_ts - F.col("first_ts"))
+                              / F.lit(float(day_ns)))
+                      .cast("long").alias("t_days")))
+    per_t = marked.groupBy("t_days").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.count(F.lit(1)).alias("cnt"))
+    w_risk = (Window.orderBy("t_days")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_cum = (Window.orderBy("t_days")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum("cnt").over(w_risk).cast("long"))
+    inc = F.col("n_churned") / F.col("n_risk")
+    haz = F.sum(inc).over(w_cum)
+    return (at_risk
+            .select("t_days", "n_risk", "n_churned",
+                    F.round(haz, 6).alias("cum_hazard"),
+                    F.round(F.exp(-haz), 6).alias("survival_fh"))
+            .orderBy("t_days"))
+
+
+def logrank_test(events: DataFrame, group, user_col: str = "user_id",
+                 ts_col: str = "ts",
+                 churn_window_ns: int = 7 * DAY_NS,
+                 day_ns: int = DAY_NS) -> DataFrame:
+    """One row (n_a, n_b, obs_a, exp_a, z, chi2): the log-rank test —
+    do two cohorts share a survival curve? At each event time the
+    observed group-A churns compare against the hypergeometric
+    expectation d * nA/n given the risk sets; z = sum(O-E)/sqrt(sum V)
+    (Mantel 1966) — the inferential companion KM/Nelson-Aalen plots
+    lack. ``group`` is a boolean Column over the events row: TRUE =
+    cohort A (evaluated per user via MAX — a user's cohort must be
+    constant).
+
+    Per-time contributions are exact integer ratios quantized to
+    1e-12 before summing (partitioning-invariant, oracle-exact); work
+    is the KM shape per group plus one distinct-lifetime-sized
+    pivot."""
+    from pyspark.sql import Window
+
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("tsn"),
+                       group.cast("int").alias("g")) \
+        .where(F.col("u").isNotNull() & F.col("tsn").isNotNull())
+    tmax = ev.agg(F.max("tsn").alias("tmax"))
+    spans = ev.groupBy("u").agg(F.min("tsn").alias("first_ts"),
+                                F.max("tsn").alias("last_ts"),
+                                F.max("g").alias("g"))
+    churned = (F.col("last_ts")
+               <= F.col("tmax") - F.lit(int(churn_window_ns)))
+    end_ts = F.when(churned, F.col("last_ts")).otherwise(F.col("tmax"))
+    marked = (spans.crossJoin(F.broadcast(tmax))
+              .select("g",
+                      F.when(churned, 1).otherwise(0).alias("churned"),
+                      F.floor((end_ts - F.col("first_ts"))
+                              / F.lit(float(day_ns)))
+                      .cast("long").alias("t_days")))
+    per = marked.groupBy("t_days").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("churned"))).cast("long")
+         .alias("d_a"),
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+         .alias("c_a"),
+        F.count(F.lit(1)).alias("c"))
+    w_risk = (Window.orderBy("t_days")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    risk = (per
+            .withColumn("n_r", F.sum("c").over(w_risk).cast("long"))
+            .withColumn("na_r", F.sum("c_a").over(w_risk).cast("long"))
+            .where(F.col("d") > 0))
+    n, na, d, da = (F.col("n_r").cast("double"),
+                    F.col("na_r").cast("double"),
+                    F.col("d").cast("double"), F.col("d_a"))
+    e_a = d * na / n
+    v = F.when(n > 1,
+               d * (na / n) * ((n - na) / n) * (n - d) / (n - F.lit(1.0))
+               ).otherwise(F.lit(0.0))
+    q = F.lit(1e12)
+    agg = risk.agg(
+        F.sum("d_a").alias("obs_a"),
+        F.sum(F.round(e_a * q, 0).cast("long")).alias("ea_q"),
+        F.sum(F.round(v * q, 0).cast("long")).alias("v_q"))
+    sizes = marked.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_a"),
+        F.count(F.lit(1)).alias("n_tot"))
+    z = F.try_divide(F.col("obs_a") - F.col("ea_q") / q,
+                     F.sqrt(F.col("v_q") / q))
+    return (agg.crossJoin(F.broadcast(sizes))
+            .select("n_a", (F.col("n_tot") - F.col("n_a")).alias("n_b"),
+                    "obs_a",
+                    F.round(F.col("ea_q") / q, 6).alias("exp_a"),
+                    F.round(z, 6).alias("z"),
+                    F.round(z * z, 6).alias("chi2")))

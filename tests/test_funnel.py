@@ -331,3 +331,33 @@ def test_markov_attribution_gateway_channel(spark):
     assert abs(out["c"]["attribution"]) < 1e-9
     s = sum(r["attribution"] for r in out.values())
     assert abs(s - 1.0) < 1e-9
+
+
+def test_nelson_aalen_and_logrank(spark):
+    from pyspark.sql import functions as F
+
+    from recdb_postgresql_spark.operators import funnel
+    D = funnel.DAY_NS
+    # cohort A (even users): churn after ~1 day; cohort B: ~10 days;
+    # a few of each censored (active at corpus end)
+    rows = []
+    eid = 0
+    for u in range(20):
+        life = 1 if u % 2 == 0 else 10
+        last = life * D if u < 16 else 30 * D  # censored tail
+        for ts in (0, last):
+            rows.append((u, eid, ts)); eid += 1
+    rows.append((99, eid, 40 * D))  # pins corpus max
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    na = funnel.nelson_aalen(df).collect()
+    # hazard is nondecreasing and increments are d/n
+    hs = [r["cum_hazard"] for r in sorted(na, key=lambda r: r["t_days"])]
+    assert hs == sorted(hs)
+    first = sorted(na, key=lambda r: r["t_days"])[0]
+    assert abs(first["cum_hazard"]
+               - first["n_churned"] / first["n_risk"]) < 1e-9
+    lr = funnel.logrank_test(df, F.col("user_id") % 2 == 0).collect()[0]
+    # cohort A churns much earlier -> strongly significant split
+    assert lr["n_a"] == 10 and lr["n_b"] == 11
+    assert abs(lr["z"]) > 1.9
+    assert lr["chi2"] > 3.84
