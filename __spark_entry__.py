@@ -5908,6 +5908,21 @@ def q_events_logrank(spark, sf_dir):
                                day_ns=6 * 3600 * 10**9)
 
 
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the label-propagation partition on the
+    near-dup graph (graph.modularity) — does the detected community
+    structure beat a degree-preserving random rewiring? The
+    graph-side twin of embedding_silhouette's cluster-quality role;
+    label-table-sized state, 1e-15-quantized invariant term sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
+                                threshold=0.5)
+    labels = graph.label_propagation(pairs, rounds=4)
+    return graph.modularity(pairs, labels)
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -5998,6 +6013,7 @@ _DRIVER_PRIORITY = [
     "docs_vocab_coverage",
     "events_hazard",
     "events_logrank",
+    "graph_modularity",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6131,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_coverage": q_docs_vocab_coverage,
         "events_hazard": q_events_hazard,
         "events_logrank": q_events_logrank,
+        "graph_modularity": q_graph_modularity,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6380,6 +6397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_coverage": q_docs_vocab_coverage,
         "events_hazard": q_events_hazard,
         "events_logrank": q_events_logrank,
+        "graph_modularity": q_graph_modularity,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12560,4 +12578,37 @@ SELECT n_a, n_tot - n_a AS n_b, obs_a,
              * ((obs_a - ea_q / 1e12) / SQRT(v_q / 1e12)), 6) AS chi2
 FROM agg CROSS JOIN sizes
 """
+    # modularity over the SAME unrolled-LPA labels and edge CTEs
+    o["graph_modularity"] = (
+        _lp_edges
+        + "".join(_lp_round.format(k=k, p=k - 1) for k in range(1, 5))
+        + """,
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+la AS (SELECT id, label FROM l4),
+intra AS (
+  SELECT la1.label AS c, CAST(COUNT(*) AS BIGINT) AS mc
+  FROM e JOIN la la1 ON la1.id = e.a JOIN la la2 ON la2.id = e.b
+  WHERE la1.label = la2.label GROUP BY 1
+),
+deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM ue GROUP BY u),
+dmass AS (
+  SELECT la.label AS c, CAST(SUM(deg.d) AS BIGINT) AS dc
+  FROM deg JOIN la ON la.id = deg.id GROUP BY 1
+),
+perc AS (
+  SELECT dmass.c, COALESCE(intra.mc, 0) AS mc, dmass.dc
+  FROM dmass LEFT JOIN intra ON intra.c = dmass.c
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         SUM(CAST(ROUND((mc / CAST(m AS DOUBLE)
+               - (dc / (2.0 * m)) * (dc / (2.0 * m))) * 1e15, 0)
+             AS BIGINT)) AS tq
+  FROM perc CROSS JOIN mm
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l0)
+SELECT n_nodes, n_communities, mm.m AS m_edges,
+       ROUND(tq / 1e15, 6) AS modularity
+FROM agg CROSS JOIN mm CROSS JOIN nn"""
+    )
     return o

@@ -191,7 +191,7 @@ HEADLINE = [
     "rec_covisitation", "events_did", "rec_ranking_rbo",
     "events_impute", "events_markov_attribution",
     "embedding_silhouette", "docs_vocab_coverage",
-    "events_hazard", "events_logrank",
+    "events_hazard", "events_logrank", "graph_modularity",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

@@ -137,3 +137,25 @@ def test_clustering_coefficient_clique_and_bridge(spark):
     assert out[0]["degree"] == 4 and out[0]["clustering"] == 0.5
     # pendant: degree 1 -> undefined (NULL), zero triangles
     assert out[9]["clustering"] is None and out[9]["n_triangles"] == 0
+
+
+def test_modularity_cliques_vs_trivial(spark):
+    from recdb_postgresql_spark.operators import graph
+    # two 5-cliques joined by one bridge edge
+    edges = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))
+    e = spark.createDataFrame(edges, ["id1", "id2"])
+    good = spark.createDataFrame(
+        [(i, i // 10) for i in list(range(5)) + list(range(10, 15))],
+        ["id", "community"])
+    q_good = graph.modularity(e, good).collect()[0]
+    assert q_good["n_communities"] == 2 and q_good["m_edges"] == 21
+    assert q_good["modularity"] > 0.4
+    trivial = good.selectExpr("id", "0 AS community")
+    q_triv = graph.modularity(e, trivial).collect()[0]
+    assert abs(q_triv["modularity"]) < 1e-9
+    assert q_good["modularity"] > q_triv["modularity"]
