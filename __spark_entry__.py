@@ -5960,13 +5960,13 @@ _DRIVER_PRIORITY = [
     # r10 NOTE: round 9 ultimately added ~95 entries (FOUR sessions;
     # the third added the feature-encoding / scorer-eval / sketch-set-
     # op / DBSCAN / JW-kernel batch leading section 2b; the fourth
-    # added the 22-entry 2c batch above it — ddq quantile sketches
+    # added the 26-entry 2c batch above it — ddq quantile sketches
     # (global+grouped), Poisson bootstrap, MAD outliers, JS
     # divergence, FD audit, IVM rollup, isotonic PAV, forecast eval,
     # Markov chain + removal-effect attribution, collocations,
     # t-closeness, RFM, CMS join-size, peaks, covisitation, DiD, RBO,
-    # imputation, silhouette, vocab coverage — ALL oracle-checked and
-    # sf0.1-sweep green),
+    # imputation, silhouette, vocab coverage, Nelson-Aalen + log-rank,
+    # modularity — ALL oracle-checked and sf0.1-sweep green),
     # far more than one ~50-slot window. This ordering samples: the
     # two re-proves, the five previously-never-sampled rows-only
     # entries, the first-session r9 additions, then the continuation
