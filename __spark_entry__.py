@@ -5923,6 +5923,39 @@ def q_graph_modularity(spark, sf_dir):
     return graph.modularity(pairs, labels)
 
 
+
+
+def q_docs_lang_ece(spark, sf_dir):
+    """Expected / Maximum Calibration Error
+    (stats.expected_calibration_error) of the ascii-ratio scorer —
+    the scalar the reliability table plots and docs_lang_isotonic
+    repairs; quantized weighted gaps, one bin aggregate."""
+    from recdb_postgresql_spark.operators import stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+         / F.length("text")).alias("ascii_ratio"),
+        F.col("lang"))
+    return stats.expected_calibration_error(
+        scored, "ascii_ratio", F.col("lang") != "zh", bins=10)
+
+
+def q_lineitem_kendall(spark, sf_dir):
+    """Exact Kendall tau-b (stats.kendall_tau_b) between quantity and
+    binned line price — concordant/discordant mass from the JOINT
+    CONTINGENCY (cells² work, one groupBy of the facts), full tie
+    corrections, all-integer to the final ratio; completes the
+    Pearson (corr_matrix) / Spearman / tau association trio."""
+    from recdb_postgresql_spark.operators import stats
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_quantity").cast("int").alias("qty"),
+                  F.floor(F.col("l_extendedprice") / 2000)
+                  .cast("int").alias("price_bin")))
+    return stats.kendall_tau_b(li, "qty", "price_bin")
+
+
 # ----------------------------------------------------------------------
 # contract functions
 # ----------------------------------------------------------------------
@@ -6014,6 +6047,8 @@ _DRIVER_PRIORITY = [
     "events_hazard",
     "events_logrank",
     "graph_modularity",
+    "docs_lang_ece",
+    "lineitem_kendall",
     # (2b) third-session additions (newest first per the rotation rule)
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
@@ -6148,6 +6183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hazard": q_events_hazard,
         "events_logrank": q_events_logrank,
         "graph_modularity": q_graph_modularity,
+        "docs_lang_ece": q_docs_lang_ece,
+        "lineitem_kendall": q_lineitem_kendall,
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -6398,6 +6435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hazard": q_events_hazard,
         "events_logrank": q_events_logrank,
         "graph_modularity": q_graph_modularity,
+        "docs_lang_ece": q_docs_lang_ece,
+        "lineitem_kendall": q_lineitem_kendall,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -12611,4 +12650,57 @@ SELECT n_nodes, n_communities, mm.m AS m_edges,
        ROUND(tq / 1e15, 6) AS modularity
 FROM agg CROSS JOIN mm CROSS JOIN nn"""
     )
+    o["docs_lang_ece"] = """
+WITH scored AS (
+  SELECT length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / length(text) AS s,
+         lang <> 'zh' AS y
+  FROM documents
+),
+per AS (
+  SELECT LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         SUM(CAST(ROUND(s * 1e6, 0) AS BIGINT)) AS sq
+  FROM scored GROUP BY 1
+),
+g AS (
+  SELECT n,
+         CAST(ROUND(ABS(pos / n - sq / 1e6 / n) * 1e12, 0) AS BIGINT)
+           AS gq
+  FROM per
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(10 AS INT) AS bins,
+       ROUND(SUM(n * gq) / SUM(n) / 1e12, 6) AS ece,
+       ROUND(MAX(gq) / 1e12, 6) AS mce
+FROM g
+"""
+    o["lineitem_kendall"] = """
+WITH d AS (
+  SELECT CAST(l_quantity AS INT) AS x,
+         CAST(FLOOR(l_extendedprice / 2000) AS INT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+num AS (
+  SELECT SUM((CASE WHEN a.x < b.x AND a.y < b.y THEN 1
+                   WHEN a.x < b.x AND a.y > b.y THEN -1
+                   ELSE 0 END) * a.c * b.c) AS num
+  FROM cells a JOIN cells b
+    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+),
+tx AS (SELECT SUM(m * (m - 1)) AS tx
+       FROM (SELECT SUM(c) AS m FROM cells GROUP BY x) t),
+ty AS (SELECT SUM(m * (m - 1)) AS ty
+       FROM (SELECT SUM(c) AS m FROM cells GROUP BY y) t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS INT) AS n_cells FROM cells)
+SELECT n, n_cells,
+       ROUND(2.0 * num / SQRT(
+         (CAST(n AS DOUBLE) * (n - 1) - tx)
+         * (CAST(n AS DOUBLE) * (n - 1) - ty)), 6) AS tau_b
+FROM num CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+"""
     return o

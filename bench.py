@@ -192,6 +192,7 @@ HEADLINE = [
     "events_impute", "events_markov_attribution",
     "embedding_silhouette", "docs_vocab_coverage",
     "events_hazard", "events_logrank", "graph_modularity",
+    "docs_lang_ece", "lineitem_kendall",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

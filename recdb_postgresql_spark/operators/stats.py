@@ -839,3 +839,84 @@ def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
                       F.round((F.lit(1.0) - F.lit(float(p)))
                               * F.col("s") / F.lit(1e15), 6)
                       .alias("rbo"))
+
+
+def expected_calibration_error(df: DataFrame, score_col: str, label,
+                               bins: int = 10) -> DataFrame:
+    """One row (n, bins, ece, mce): Expected / Maximum Calibration
+    Error (Naeini et al. 2015) — the scalar the reliability table
+    (calibration_table) plots and the isotonic fit repairs: ECE =
+    sum_b (n_b/N)·|frac_pos_b − mean_score_b|, MCE = max_b |·|. Same
+    one-bin-aggregate shape; per-bin gaps are exact-int-ratio minus
+    quantized mean differences, 1e-12-quantized before the weighted
+    sum so the scalar is partitioning-invariant."""
+    d = df.select(F.col(score_col).alias("_s"),
+                  label.cast("boolean").alias("_y"))
+    b = F.least(F.lit(bins - 1),
+                F.floor(F.col("_s") * bins).cast("int"))
+    per = (d.withColumn("_b", b)
+           .groupBy("_b")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_y").cast("long")).alias("pos"),
+                F.sum(F.round(F.col("_s") * F.lit(1e6), 0).cast("long"))
+                .alias("sq")))
+    gap = F.abs(F.col("pos") / F.col("n")
+                - F.col("sq") / F.lit(1e6) / F.col("n"))
+    q = F.lit(1e12)
+    gq = F.round(gap * q, 0).cast("long")
+    agg = per.agg(F.sum("n").alias("n_tot"),
+                  F.sum(F.col("n") * gq).alias("wsum"),
+                  F.max(gq).alias("mx"))
+    return agg.select(F.col("n_tot").alias("n"),
+                      F.lit(bins).alias("bins"),
+                      F.round(F.col("wsum") / F.col("n_tot") / q, 6)
+                      .alias("ece"),
+                      F.round(F.col("mx") / q, 6).alias("mce"))
+
+
+def kendall_tau_b(df: DataFrame, col_a: str, col_b: str,
+                  max_cells: int = 100_000) -> DataFrame:
+    """One row (n, n_cells, tau_b): exact Kendall tau-b rank
+    correlation with full tie corrections — computed from the JOINT
+    CONTINGENCY of the two columns, never from row pairs: concordant
+    minus discordant mass is sum over cell pairs of n1*n2*sign, so
+    the work is cells² (bounded, raise past ``max_cells`` — quantize
+    upstream for continuous columns) while the data contributes one
+    groupBy. All integer until the final ratio, so the statistic is
+    bit-exact cross-engine — the tau companion to the Spearman and
+    Pearson coefficients here."""
+    cells = (df.where(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("x"), F.col(col_b).alias("y"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    n_cells = cells.count()
+    if n_cells * n_cells > max_cells * max_cells:
+        raise ValueError(
+            f"kendall_tau_b: {n_cells} distinct cells -> {n_cells**2} "
+            f"cell pairs exceeds the guard; bin the columns upstream")
+    a = cells.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
+                     F.col("c").alias("c1"))
+    b2 = cells.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+                      F.col("c").alias("c2"))
+    pairs = a.join(b2, (F.col("x1") < F.col("x2"))
+                   | ((F.col("x1") == F.col("x2"))
+                      & (F.col("y1") < F.col("y2"))))
+    sgn = (F.when((F.col("x1") < F.col("x2"))
+                  & (F.col("y1") < F.col("y2")), 1)
+           .when((F.col("x1") < F.col("x2"))
+                 & (F.col("y1") > F.col("y2")), -1)
+           .otherwise(0).cast("long"))
+    cd = pairs.agg(F.sum(sgn * F.col("c1") * F.col("c2"))
+                   .alias("num"))
+    margx = (cells.groupBy("x").agg(F.sum("c").alias("m"))
+             .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("tx")))
+    margy = (cells.groupBy("y").agg(F.sum("c").alias("m"))
+             .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("ty")))
+    tot = cells.agg(F.sum("c").alias("n"))
+    j = (cd.crossJoin(F.broadcast(margx)).crossJoin(F.broadcast(margy))
+         .crossJoin(F.broadcast(tot)))
+    n0 = (F.col("n") * (F.col("n") - 1)).cast("double")
+    tau = (F.lit(2.0) * F.col("num")
+           / F.sqrt((n0 - F.col("tx")) * (n0 - F.col("ty"))))
+    return j.select(F.col("n"), F.lit(n_cells).alias("n_cells"),
+                    F.round(tau, 6).alias("tau_b"))

@@ -111,3 +111,32 @@ def test_rbo_hand_case(spark):
     expect = 0.5 * (0.5 ** 0 * 0 / 1 + 0.5 ** 1 * 2 / 2
                     + 0.5 ** 2 * 2 / 3)
     assert abs(r["rbo"] - expect) < 1e-6
+
+
+def test_kendall_tau_b_exact(spark):
+    # hand case with ties: x=[1,1,2,3], y=[1,2,2,3]
+    # pairs: (1,2):x tie ->0; (1,3):C; (1,4):C; (2,3): y tie ->0;
+    # (2,4):C; (3,4):C -> C=4, D=0
+    # T_x pairs=1 (two x=1), T_y pairs=1 (two y=2); n0=6
+    # tau_b = 4/sqrt((6-1)*(6-1)) = 0.8
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 2), (3, 3)],
+                               ["a", "b"])
+    r = stats.kendall_tau_b(df, "a", "b").collect()[0]
+    assert r["n"] == 4 and r["tau_b"] == 0.8
+    # perfect monotone, no ties -> 1.0
+    df2 = spark.createDataFrame([(i, i * 2) for i in range(10)],
+                                ["a", "b"])
+    assert stats.kendall_tau_b(df2, "a", "b").collect()[0]["tau_b"] == 1.0
+
+
+def test_ece_mce_hand_case(spark):
+    # bin 0.05 (b=0): 10 rows, 2 pos, mean score 0.05 -> gap 0.15
+    # bin 0.95 (b=9): 10 rows, 10 pos, mean 0.95 -> gap 0.05
+    rows = [(0.05, 1)] * 2 + [(0.05, 0)] * 8 + [(0.95, 1)] * 10
+    df = spark.createDataFrame(rows, ["s", "y"])
+    from pyspark.sql import functions as F
+    r = stats.expected_calibration_error(df, "s", F.col("y") == 1,
+                                         bins=10).collect()[0]
+    assert r["n"] == 20
+    assert abs(r["ece"] - 0.1) < 1e-9  # (10*0.15 + 10*0.05)/20
+    assert abs(r["mce"] - 0.15) < 1e-9
