@@ -5990,107 +5990,60 @@ _DRIVER_PRIORITY = [
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
     #
-    # r10 NOTE: round 9 ultimately added ~95 entries (FOUR sessions;
-    # the third added the feature-encoding / scorer-eval / sketch-set-
-    # op / DBSCAN / JW-kernel batch leading section 2b; the fourth
-    # added the 26-entry 2c batch above it — ddq quantile sketches
-    # (global+grouped), Poisson bootstrap, MAD outliers, JS
-    # divergence, FD audit, IVM rollup, isotonic PAV, forecast eval,
-    # Markov chain + removal-effect attribution, collocations,
-    # t-closeness, RFM, CMS join-size, peaks, covisitation, DiD, RBO,
-    # imputation, silhouette, vocab coverage, Nelson-Aalen + log-rank,
-    # modularity — ALL oracle-checked and sf0.1-sweep green),
-    # far more than one ~50-slot window. This ordering samples: the
-    # two re-proves, the five previously-never-sampled rows-only
-    # entries, the first-session r9 additions, then the continuation
-    # session's new operator FAMILIES (stats/sketch/graph/text/
-    # privacy — placed ahead of the TPC-H battery completion, which
-    # carries less verification information per slot). After
-    # CORRECTNESS_r09 lands, everything in it moves to the rotation
-    # pool. r10 should lead with its own new entries, then the r9
-    # entries the r09 window CUT (expected: the battery q11/q20/q21
-    # and everything after position ~50 — consult the r09 file),
-    # then resume the stalest-first rotation (next stalest after this
-    # round: the r5/r6-era events_* and dedup_* families).
-
-    # (1) re-prove: oracle CAST fix (r8 hash-red, engine value-correct)
-    "docs_pack_sequences",
-    # re-prove: threshold rounding semantics aligned on both sides (r9)
-    "docs_temperature_mix",
-    # (2) never-driver-sampled rows-only entries (r8 verdict missing #1)
-    "ann_ivf_trained_probe", "rec_als_implicit",
-    "docs_quality_classifier_probe", "rec_als_foldin_check",
-    "rec_item2vec_similar",
-    # (2c) fourth-session additions (newest first per the rotation rule)
-    "events_ddq_quantiles",
-    "events_bootstrap_ci",
-    "orders_mad_outliers",
-    "docs_js_divergence",
-    "audit_fd_check",
-    "events_ivm_rollup",
-    "docs_lang_isotonic",
-    "events_forecast_eval",
-    "events_markov",
-    "docs_collocations",
-    "events_t_closeness",
-    "events_rfm",
-    "events_ddq_by_type",
-    "lineitem_joinsize_cms",
-    "events_peaks",
-    "rec_covisitation",
-    "events_did",
-    "rec_ranking_rbo",
-    "events_impute",
-    "events_markov_attribution",
-    "embedding_silhouette",
-    "docs_vocab_coverage",
-    "events_hazard",
-    "events_logrank",
-    "graph_modularity",
-    "docs_lang_ece",
-    "lineitem_kendall",
-    # (2b) third-session additions (newest first per the rotation rule)
-    "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
-    "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
-    "events_quantile_normalize", "docs_stratified_sample",
-    "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
-    "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
-    "events_hll_by_type", "events_kmv_overlap", "events_qini_uplift",
-    "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
-    "events_user_streaks", "graph_clustering",
-    # (3) round-9 new entries
-    "rec_als_implicit_foldin", "docs_lang_classifier",
-    "text_unigram_tokens", "graph_label_prop", "events_psi_drift",
-    "events_survival", "ann_recall_at_k", "dedup_canonical_pick",
-    "events_changepoint", "events_holt_forecast", "dedup_lsh_recall",
-    "ann_dim_truncation_recall", "events_hw_forecast",
-    "events_attribution_decay", "docs_source_overlap",
-    "events_cohort_ltv", "supplier_pareto",
-    # round-9 continuation (this session): new operator families first —
-    # they carry more verification information per slot than another
-    # battery query; battery + overflow rotate into r10 per the NOTE
-    "events_welch_ab", "events_chi_square", "events_benford",
-    "events_hll_users", "graph_hits", "graph_sssp",
+    # r10 STATE: registry growth is FROZEN this round (r9 verdict next
+    # #1) — round 9 added ~95 entries against a ~50-slot window, leaving
+    # 72 oracle-checked + 6 rows-only entries that have never had a
+    # driver row (recomputed from CORRECTNESS_r01..r09 at r10 open).
+    # This round's window is backlog drain: 2 re-proves + 48 backlog
+    # entries.  r11 continues at section (4) below — the remaining 24
+    # backlog entries + graph_modularity re-prove + the handful of r10
+    # additions, which restores the "no entry ages past ~3 rounds"
+    # arithmetic (backlog 78 <= 2 windows).
+    # (1) re-prove: oracle text touched this round (t-closeness NULL-
+    # sensitive filter / bootstrap CI left-join — value-identical on
+    # bench data, but the oracle statements changed)
+    "events_t_closeness", "events_bootstrap_ci",
+    # (2) BACKLOG DRAIN part 1 (r9 verdict next #1): never-driver-
+    # sampled oracle-checked entries, oldest-first — 48 of 72 fill
+    # the rest of this round's ~50-slot window
+    "events_qini_uplift", "audit_fk_integrity", "lineitem_spearman",
+    "graph_assortativity", "events_user_streaks", "graph_clustering",
+    "graph_label_prop", "events_psi_drift", "events_survival",
+    "ann_recall_at_k", "dedup_canonical_pick", "events_changepoint",
+    "events_holt_forecast", "dedup_lsh_recall", "ann_dim_truncation_recall",
+    "events_attribution_decay", "docs_source_overlap", "events_cohort_ltv",
+    "supplier_pareto", "events_welch_ab", "events_chi_square",
+    "events_benford", "events_hll_users", "graph_hits", "graph_sssp",
     "docs_readability", "docs_keyness", "embedding_outliers_maha",
     "events_conversion_z", "events_anova", "lineitem_corr_matrix",
     "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
     "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
-    "rec_fpgrowth_rules", "docs_textrank", "events_cumulative_users",
-    "embedding_procrustes_check", "rec_wilson_topk",
+    "docs_textrank", "events_cumulative_users", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
-    "events_cusum", "events_dispersion", "graph_kcore",
-    "dedup_minhash_estimate", "events_audience_overlap",
-    "docs_heaps_curve", "docs_zipf_slope",
+    "events_cusum",
+    # (3) the six never-sampled rows-only entries (r9 verdict #3);
+    # they trail the oracle backlog per the verdict's ordering
+    "rec_als_implicit_foldin", "docs_lang_classifier", "text_unigram_tokens",
+    "events_hw_forecast", "rec_fpgrowth_rules", "embedding_procrustes_check",
+    # (4) BACKLOG DRAIN part 2: the remaining 24 never-sampled
+    # oracle-checked entries — r11's window starts HERE
+    "events_dispersion", "graph_kcore", "dedup_minhash_estimate",
+    "events_audience_overlap", "docs_heaps_curve", "docs_zipf_slope",
     "q11_important_stock", "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    # round-9 TPC-H adapted battery (all oracle-checked)
-    "q6_forecast_revenue", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q12_late_priority", "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity",
-    "q19_discounted_revenue", "q22_sales_opportunity", "q2_min_cost_supplier",
-    # (4) rotation fill — stalest first (last sampled r2, then r4, r5)
+    "q21_suppliers_waiting", "q6_forecast_revenue", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_late_priority", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity", "q19_discounted_revenue", "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    # (5) graph_modularity: oracle replaced with the candidate-driven
+    # twin this round (r9 verdict #4) -> re-prove queued behind the
+    # backlog (the local sf0.01+sf0.1 gates hash-check it meanwhile)
+    "graph_modularity",
+    # (6) rotation fill: stalest-first by last driver-sampled round
+    # (r2-era relational batch, then r4 multimodal/TPC-H trio, then
+    # the r5 dedup/ANN/text families, r6..r9 onward)
     "agg_distinct_segments", "setop_customer_activity",
     "subquery_above_avg_customers", "semijoin_order_lines",
     "rollup_lineitem", "string_functions", "leftjoin_null_handling",
@@ -6098,16 +6051,80 @@ _DRIVER_PRIORITY = [
     "rec_peruser_topk", "multimodal_features", "multimodal_frame_plan",
     "quantile_prices", "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_nation_revenue", "window_top_orders_per_customer",
-    "recsql_join_topk", "multimodal_resize_plan",
-    "rec_itemcos_topk", "rec_itemcos_scorefilter", "rec_itemcos_model",
-    "rec_itempear_topk", "rec_usercos_topk", "rec_userpear_topk",
-    "rec_svd_topk", "rec_als_topk", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_clusters",
-    "dedup_simhash", "embedding_neardup", "embedding_neardup_fast",
-    "ann_cosine_topk", "ann_ivf_topk", "text_token_stats",
-    "text_quality", "text_lang_id", "text_tfidf_top_terms",
-    "doc_fingerprint", "events_hourly_rollup", "events_sessionize",
-    "rec_join_ilike",
+    "recsql_join_topk", "multimodal_resize_plan", "rec_itemcos_topk",
+    "rec_itemcos_scorefilter", "rec_itemcos_model", "rec_itempear_topk",
+    "rec_usercos_topk", "rec_userpear_topk", "rec_svd_topk", "rec_als_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_lsh_verified", "dedup_clusters", "dedup_simhash",
+    "embedding_neardup", "embedding_neardup_fast", "ann_cosine_topk",
+    "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id",
+    "text_tfidf_top_terms", "doc_fingerprint", "events_hourly_rollup",
+    "events_sessionize", "rec_join_ilike", "agg_approx_sketches",
+    "ann_ivf_multiprobe", "ann_ivf_trained", "ann_lsh_topk", "ann_sq8_topk",
+    "dedup_clusters_star", "dedup_lsh_verified_xxhash",
+    "doc_winnow_fingerprints", "doc_winnow_overlap_pairs", "docs_chunked",
+    "docs_contamination", "docs_hash_sample", "docs_lang_cap",
+    "embedding_neardup_ivf", "embedding_neardup_ivf2", "events_asof_join",
+    "events_asof_strict", "geo_knn_join", "geo_range_join",
+    "pipeline_clean_docs", "text_bigram_commonality", "text_lang_confusion",
+    "text_pii_redaction", "text_repetition", "docs_c4_flags",
+    "docs_ccnet_tiers", "docs_segment_dedup", "docs_token_budget",
+    "embedding_dim_stats", "er_customer_best", "er_customer_matches",
+    "events_cohorts", "events_funnel", "events_histogram_eqdepth",
+    "events_retention_rate", "lineitem_stats_agg", "order_ship_lag",
+    "part_content_similar", "rec_blend_topk", "rec_eval_loo_hit",
+    "rec_negative_samples", "rec_trending_items", "split_leakage_pairs",
+    "window_frame_functions", "agg_order_parts_list", "ann_ivfpq_indexed",
+    "ann_ivfpq_topk", "ann_knn_classify", "ann_pca_topk", "ann_pq_topk",
+    "cube_order_matrix", "date_functions", "dedup_exact_normalized",
+    "dedup_incremental_neardup", "distinct_on_latest_order",
+    "docs_containment", "docs_corpus_diff", "docs_fts_match",
+    "docs_hybrid_rrf", "docs_quality_classifier", "docs_related_tfidf",
+    "docs_topic_clusters", "er_cross_source_links", "er_exact_editjoin",
+    "events_cdc_diff", "events_cms_user_counts", "events_debounce",
+    "events_ewma", "events_key_skew", "events_merge_upsert",
+    "events_ols_value", "events_outliers_mad", "events_profile_drift",
+    "events_seasonality", "events_time_to_convert", "events_winsorize",
+    "events_wow_growth", "graph_bfs_hops", "grouping_sets_returns",
+    "lateral_top_orders", "multimodal_crossmodal_topk",
+    "nation_revenue_share", "pivot_lineitem_status",
+    "q18_big_volume_customers", "rec_baseline_topk", "rec_eval_beyond",
+    "rec_eval_walkforward", "rec_item_cooccur", "rec_mmr_rerank",
+    "rec_similar_items", "unpivot_part_metrics", "user_state_scd2",
+    "window_running_revenue", "ann_ivf_indexed", "dedup_incremental",
+    "dedup_incremental_spans", "dedup_jaccard_prefix", "docs_bm25",
+    "docs_dsir_resample", "docs_entropy_filter", "docs_fts_ranked",
+    "docs_importance_dsir", "docs_lcs_spans", "docs_mix_sample",
+    "docs_quality_filter", "docs_self_repeats", "docs_split_assign",
+    "docs_strip_lcs", "docs_strip_spans", "docs_tfidf_string_ids",
+    "er_part_composite", "er_short_string_links", "events_anomaly_residual",
+    "events_asof_bucketed", "events_attribution", "events_histogram",
+    "events_interval_join", "events_interval_overlap", "events_json_props",
+    "events_moving_avg", "events_outliers", "events_profile",
+    "events_resample_6h", "events_seasonal_decompose",
+    "events_theilsen_by_type", "events_theilsen_daily",
+    "fulljoin_user_activity", "graph_pagerank", "graph_triangles",
+    "lineitem_bloom_semijoin", "orders_skew_salted_join", "rec_eval_ndcg",
+    "rec_eval_prec_at_k", "rec_eval_rmse", "rec_itemcos_halflife",
+    "rec_markov_next", "rec_popular_topk", "semantic_dedup",
+    "text_bpe_tokens", "text_lm_perplexity", "text_top_ngrams",
+    "docs_pack_sequences", "docs_temperature_mix", "ann_ivf_trained_probe",
+    "rec_als_implicit", "docs_quality_classifier_probe",
+    "rec_als_foldin_check", "rec_item2vec_similar", "events_ddq_quantiles",
+    "orders_mad_outliers", "docs_js_divergence", "audit_fd_check",
+    "events_ivm_rollup", "docs_lang_isotonic", "events_forecast_eval",
+    "events_markov", "docs_collocations", "events_rfm", "events_ddq_by_type",
+    "lineitem_joinsize_cms", "events_peaks", "rec_covisitation",
+    "events_did", "rec_ranking_rbo", "events_impute",
+    "events_markov_attribution", "embedding_silhouette",
+    "docs_vocab_coverage", "events_hazard", "events_logrank",
+    "docs_lang_ece", "lineitem_kendall", "events_lorenz_deciles",
+    "feat_target_encode_loo", "er_jw_rerank", "events_sprt",
+    "audit_orders_fingerprint", "shard_rendezvous",
+    "events_quantile_normalize", "docs_stratified_sample",
+    "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
+    "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
+    "events_hll_by_type", "events_kmv_overlap",
 ]
 
 
@@ -6169,22 +6186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": q_events_time_to_convert,
         "events_cms_user_counts": q_events_cms_user_counts,
         "rec_similar_items": q_rec_similar_items,
-        "events_rfm": q_events_rfm,
-        "events_ddq_by_type": q_events_ddq_by_type,
-        "lineitem_joinsize_cms": q_lineitem_joinsize_cms,
-        "events_peaks": q_events_peaks,
-        "rec_covisitation": q_rec_covisitation,
-        "events_did": q_events_did,
-        "rec_ranking_rbo": q_rec_ranking_rbo,
-        "events_impute": q_events_impute,
-        "events_markov_attribution": q_events_markov_attribution,
-        "embedding_silhouette": q_embedding_silhouette,
-        "docs_vocab_coverage": q_docs_vocab_coverage,
-        "events_hazard": q_events_hazard,
-        "events_logrank": q_events_logrank,
-        "graph_modularity": q_graph_modularity,
-        "docs_lang_ece": q_docs_lang_ece,
-        "lineitem_kendall": q_lineitem_kendall,
+        # (the 16-entry fourth-session stats batch — events_rfm through
+        # lineitem_kendall — is registered ONCE at the end of this dict;
+        # a duplicate block here was removed per ADVICE r9 #5)
         "docs_topic_clusters": q_docs_topic_clusters,
         "events_outliers_mad": q_events_outliers_mad,
         "nation_revenue_share": q_nation_revenue_share,
@@ -11699,7 +11703,7 @@ pe AS (
   FROM base GROUP BY grp
 )
 SELECT pe.grp, n_rows, mean, ci_lo, ci_hi
-FROM pe JOIN ci ON pe.grp = ci.grp
+FROM pe LEFT JOIN ci ON pe.grp = ci.grp
 """
     # median/MAD via quantile_cont (linear-interpolation parity with
     # Spark percentile is established); ordering on the ROUNDED score
@@ -11946,6 +11950,7 @@ WITH base AS (
          CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
          CAST(value AS DOUBLE) AS s
   FROM events
+  WHERE value IS NOT NULL
 ),
 rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
 d AS (

@@ -201,9 +201,23 @@ def incremental_rollup(rollup: DataFrame, changes: DataFrame,
     deltas = (rem.unionByName(add)
               .groupBy(*group_cols)
               .agg(F.sum("_dn").alias("_dn"), F.sum("_dv").alias("_dv")))
-    j = rollup.join(deltas, list(group_cols), "full_outer")
+    # NULL group keys are legal rollup groups: a name-list (USING)
+    # full-outer join would leave a NULL key in the rollup unmatched
+    # against the same NULL key in the deltas, splitting one group
+    # into two output rows and breaking the bit-for-bit contract
+    # above. cdc_diff already keys with eqNullSafe; mirror it here and
+    # coalesce the two key sides back into one output column.
+    r = rollup.alias("_r")
+    d = deltas.alias("_d")
+    cond = None
+    for c in group_cols:
+        e = F.col(f"_r.{c}").eqNullSafe(F.col(f"_d.{c}"))
+        cond = e if cond is None else (cond & e)
+    j = r.join(d, cond, "full_outer")
+    key_out = [F.coalesce(F.col(f"_r.{c}"), F.col(f"_d.{c}")).alias(c)
+               for c in group_cols]
     zero_sum = F.lit(0).cast(rollup.schema[sum_col].dataType)
-    return (j.select(*group_cols,
+    return (j.select(*key_out,
                      (F.coalesce(F.col(n_col), F.lit(0))
                       + F.coalesce(F.col("_dn"), F.lit(0)))
                      .alias(n_col),

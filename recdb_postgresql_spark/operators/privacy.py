@@ -89,6 +89,13 @@ def t_closeness_audit(df: DataFrame, quasi_cols: Sequence[str],
     cross-engine."""
     cols = list(quasi_cols)
     s = F.col(sensitive_col).cast("double")
+    # NULL sensitive values carry no distribution mass to compare:
+    # left in, they would land in a NULL _bk bucket the 0..bins-1
+    # spine excludes while still inflating class_size and n_tot,
+    # sub-normalizing BOTH cumulative distributions and distorting
+    # the EMD for classes with NULLs. Audit the non-NULL mass only;
+    # class_size below counts the audited rows.
+    df = df.where(s.isNotNull())
     rng = df.agg(F.min(s).alias("lo"), F.max(s).alias("hi"))
     d = (df.crossJoin(F.broadcast(rng))
          .withColumn("_bk", F.least(

@@ -652,7 +652,10 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
           .agg(F.count(F.lit(1)).alias("n_rows"),
                (F.sum("v") / F.count(F.lit(1)) / F.lit(float(scale)))
                .alias("mean")))
-    return (pe.join(ci, "grp")
+    # left join: a tiny group whose EVERY replicate drew total weight
+    # 0 has no CI rows at all — report it with its point mean and
+    # NULL bounds rather than silently dropping it from the audit
+    return (pe.join(ci, "grp", "left")
             .select("grp", "n_rows", "mean", "ci_lo", "ci_hi")
             .orderBy("grp"))
 
@@ -875,14 +878,16 @@ def expected_calibration_error(df: DataFrame, score_col: str, label,
 
 
 def kendall_tau_b(df: DataFrame, col_a: str, col_b: str,
-                  max_cells: int = 100_000) -> DataFrame:
+                  max_cells: int = 4_000) -> DataFrame:
     """One row (n, n_cells, tau_b): exact Kendall tau-b rank
     correlation with full tie corrections — computed from the JOINT
     CONTINGENCY of the two columns, never from row pairs: concordant
     minus discordant mass is sum over cell pairs of n1*n2*sign, so
-    the work is cells² (bounded, raise past ``max_cells`` — quantize
-    upstream for continuous columns) while the data contributes one
-    groupBy. All integer until the final ratio, so the statistic is
+    the work is cells² while the data contributes one groupBy.
+    ``max_cells`` bounds the DISTINCT-CELL count directly (the pair
+    join below is a non-equi nested loop, so even a few thousand
+    cells is already ~10^7 comparisons — quantize continuous columns
+    upstream). All integer until the final ratio, so the statistic is
     bit-exact cross-engine — the tau companion to the Spearman and
     Pearson coefficients here."""
     cells = (df.where(F.col(col_a).isNotNull()
@@ -890,10 +895,11 @@ def kendall_tau_b(df: DataFrame, col_a: str, col_b: str,
              .groupBy(F.col(col_a).alias("x"), F.col(col_b).alias("y"))
              .agg(F.count(F.lit(1)).alias("c")))
     n_cells = cells.count()
-    if n_cells * n_cells > max_cells * max_cells:
+    if n_cells > max_cells:
         raise ValueError(
             f"kendall_tau_b: {n_cells} distinct cells -> {n_cells**2} "
-            f"cell pairs exceeds the guard; bin the columns upstream")
+            f"cell pairs exceeds the {max_cells}-cell guard; bin the "
+            f"columns upstream")
     a = cells.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
                      F.col("c").alias("c1"))
     b2 = cells.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
