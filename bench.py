@@ -254,10 +254,19 @@ def run_calibration(spark, reps: int = 3) -> float:
 
 
 def build_output(times: dict, errors: dict, reps: int, sf: float,
-                 calib: float | None = None) -> dict:
+                 calib: float | None = None,
+                 r1_iso: float | None = None) -> dict:
     """The printed headline record. MUST serialize well under the
     driver's 2000-char stdout tail window (asserted here; pinned with
-    a worst-case registry in tests/test_bench_contract.py)."""
+    a worst-case registry in tests/test_bench_contract.py).
+
+    ``r1_iso`` is the ISOLATED r1-common basket (VERDICT r9 next #2):
+    the 35 baseline-shared queries timed in a dedicated pass right
+    after warm-up, BEFORE the other ~300 suite entries contaminate
+    the JVM (GC pressure, code-cache churn grew the in-suite basket
+    number 39.4 -> 52.3 s between r8 and r9 with zero code changes).
+    "r1_common_value" stays the in-suite reading for continuity;
+    "r1_common_isolated" is the cross-round-comparable number."""
     in_total = set(HEADLINE) | {"rec_svd_topk@sf0.01"}
     total = round(sum(t for n, t in times.items() if n in in_total), 3)
     common = {n: t for n, t in times.items() if n in R1_COMMON}
@@ -271,6 +280,7 @@ def build_output(times: dict, errors: dict, reps: int, sf: float,
         "unit": "sec",
         "n_queries": len(times),
         "r1_common_value": round(sum(common.values()), 3),
+        "r1_common_isolated": r1_iso,
         "r1_common_n": len(common),
         "errors": len(errors),
         "missing": len(missing),
@@ -284,6 +294,47 @@ def build_output(times: dict, errors: dict, reps: int, sf: float,
         out.pop("queries")
     assert len(json.dumps(out)) <= 1500, "headline line outgrew the driver window"
     return out
+
+
+def _gc_sweep(spark) -> None:
+    """Collect Python frames, drop leftover localCheckpoint blocks and
+    nudge the JVM — the cadence that keeps late suite entries from
+    timing ~10% slow under accreted block-store pressure (measured:
+    47.3 s -> ~42 s on the r1-common basket inside the full suite)."""
+    import gc
+    gc.collect()
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.sparkContext._jvm.System.gc()
+
+
+def run_r1_isolated(spark, queries, sf_dir: str, reps: int):
+    """The 35-query r1-common basket timed FIRST, in a clean JVM
+    (only warm-up + calibration have run), so the cross-round
+    comparison number is insulated from suite growth (VERDICT r9
+    next #2 / wrong #1: the in-suite reading inflated 33% between
+    r8 and r9 purely from 214 -> 334 co-resident suite entries).
+    Same discipline as the main loop: min over reps, errors recorded
+    not raised, gc cadence every 8 runs."""
+    runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    n = 0
+    for rep in range(reps):
+        for name in R1_COMMON:
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).count()
+                runs.setdefault(name, []).append(time.perf_counter() - t0)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}".split("\n")[0][:160]
+            n += 1
+            if n % 8 == 0:
+                _gc_sweep(spark)
+    times = {n2: round(min(ts), 3) for n2, ts in runs.items()}
+    return times, errors
 
 
 def main() -> None:
@@ -322,6 +373,10 @@ def main() -> None:
     entrymod.build_bench_indexes(spark, sf_dir)
     calib = run_calibration(spark)
 
+    # isolated r1-common pass — BEFORE the full suite touches the JVM
+    iso_times, iso_errors = run_r1_isolated(spark, queries, sf_dir, reps)
+    r1_iso = round(sum(iso_times.values()), 3) if iso_times else None
+
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     tracebacks: dict[str, str] = {}
@@ -342,30 +397,19 @@ def main() -> None:
             # the checkpoint-heavy entries (pagerank, triangles, prefix
             # filter, LM perplexity) pin localCheckpoint RDD blocks
             # until the Python frames AND the JVM ContextCleaner drop
-            # them; without an explicit collection the blocks accrete
-            # across the (growing) suite and late queries time ~10%
-            # slow from memory pressure — outside the timer, every few
-            # queries (measured: 47.3 s -> ~42 s on the r1-common
-            # basket inside the full 115-entry suite)
+            # them; sweep outside the timer, every few queries
             gc_every += 1
             if gc_every % 8 == 0:
-                import gc
-                gc.collect()
-                # drop any localCheckpoint blocks the collected frames
-                # left behind (each bench query is self-contained, so
-                # nothing live is unpersisted; the parquet-backed
-                # indexes are on disk, not in the block store)
-                jsc = spark.sparkContext._jsc
-                for rdd in jsc.getPersistentRDDs().values():
-                    rdd.unpersist(False)
-                spark.sparkContext._jvm.System.gc()
+                _gc_sweep(spark)
 
     times = {n: round(min(ts), 3) for n, ts in runs.items()}
     # value = headline suite + the pinned SVD entry (the r1-r3 total's
     # composition); the new @sf0.01 slope entries are informational only
-    out = build_output(times, errors, reps, sf, calib)
+    out = build_output(times, errors, reps, sf, calib, r1_iso)
     detail = {
         "queries": times,
+        "r1_isolated_queries": iso_times,
+        "r1_isolated_errors": iso_errors,
         "queries_spread": {n: round(max(ts) - min(ts), 3)
                            for n, ts in runs.items() if len(ts) > 1},
         "slope_sf": SLOPE,

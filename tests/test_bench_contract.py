@@ -40,6 +40,17 @@ def test_headline_line_fits_driver_window():
     assert set(out.get("queries", {})) <= set(bench.FLAGSHIP)
 
 
+def test_headline_line_carries_isolated_r1_basket():
+    """VERDICT r9 next #2: the isolated r1-common number must ride the
+    printed line alongside the in-suite one, and still fit the window."""
+    times = {n: 9999.999 for n in bench.HEADLINE}
+    out = bench.build_output(times, {}, reps=2, sf=0.1, calib=0.123,
+                             r1_iso=41.532)
+    assert out["r1_common_isolated"] == 41.532
+    assert out["r1_common_value"] > 0  # both readings present
+    assert len(json.dumps(out)) <= 1500
+
+
 def test_headline_line_normal_case_has_flagships():
     times = {n: 1.234 for n in bench.HEADLINE}
     out = bench.build_output(times, {}, reps=2, sf=0.1)
