@@ -582,7 +582,8 @@ def wilson_topk(ratings: DataFrame, positive_threshold: float = 50.0,
 def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
                  k: int = 5, user_col: str = "userid",
                  item_col: str = "itemid",
-                 ts_col: str = "ratingts") -> DataFrame:
+                 ts_col: str = "ratingts",
+                 max_user_events: int = 2 ** 11) -> DataFrame:
     """(itemid, next_item, n, rank): the directional co-visitation
     matrix — for each item, the top-``k`` items the SAME user touched
     within ``window_ns`` AFTER it (count-ranked) — the
@@ -595,9 +596,27 @@ def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
     predicate — per-user cost is bounded by events-per-user x
     window density, never corpus²; counts collapse to an items²-
     bounded matrix (and far sparser in practice). Ties rank by
-    (n DESC, next_item) so the cut is deterministic."""
+    (n DESC, next_item) so the cut is deterministic.
+
+    Guarded like ``theil_sen_grouped``: ONE power user x a wide
+    window is a single activity²-shaped join task AQE cannot split
+    (the pair output is byte-proportional per user key). A cheap
+    pre-count raises when any user exceeds ``max_user_events``
+    (default 2^11 -> <=2^22 pairs for the fattest key, the same
+    budget the regression guards enforce); cap or tail-sample that
+    user's event stream upstream — a 2k-event window already spans
+    weeks of any human session history, so the cap is a bot/crawler
+    filter, not a data loss."""
     from pyspark.sql import Window
 
+    fat = (ratings_ts.groupBy(F.col(user_col))
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n").alias("_m")).collect()[0]["_m"]) or 0
+    if fat > max_user_events:
+        raise ValueError(
+            f"covisitation pairs are quadratic PER USER and the most "
+            f"active user has {fat} events (> {max_user_events}): cap "
+            "or tail-sample that user's events upstream (bot filter)")
     a = ratings_ts.select(F.col(user_col).alias("u"),
                           F.col(item_col).alias("i1"),
                           F.col(ts_col).alias("t1"))

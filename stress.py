@@ -373,6 +373,7 @@ def main():
     dbscan_probe(spark)
     bootstrap_probe(spark, sf_dir)
     covisit_probe(spark, sf_dir)
+    covisit_fatuser_probe(spark)
     for mult in mults:
         dedup_probe(spark, sf_dir, mult)
     # probe flat-ish vs corpus (batch-driven), from-scratch linear in
@@ -952,3 +953,50 @@ def covisit_probe(spark, sf_dir: str, mult: int = 4) -> None:
     record("covisit_users", mult=mult, rows_small=n_small,
            s_small=t_small, rows_big=n_big, s_big=t_big,
            slope=t_big / t_small)
+
+
+def covisit_fatuser_probe(spark, n_users: int = 2000,
+                          n_per: int = 50) -> None:
+    """Co-visitation's fat-user hazard (VERDICT r9 missing #5): the
+    user-keyed pair join is activity² PER USER, and one power user x
+    a wide window is a single join task AQE cannot split (same class
+    theil_sen_grouped guards against). Three measurements: (a) a
+    balanced corpus, (b) same total rows with one user at the 2^11
+    guard edge (all events inside one window -> ~2^21 directed
+    pairs in ONE task; runtime should track pairs, stay in seconds),
+    (c) one user holding 10% of the corpus (10k events) must TRIP
+    the guard instead of silently burning a core."""
+    from recdb_postgresql_spark.operators.cf import covisitation
+
+    W = 6 * 3600 * 10 ** 9
+    STEP = W // 128          # many events per window, bounded density
+
+    def series(sizes):
+        rows = [(u, (u * 31 + j * 7) % 1000, j * STEP)
+                for u, m in enumerate(sizes) for j in range(m)]
+        return (spark.createDataFrame(
+            rows, "userid long, itemid long, ratingts long")
+            .repartition(32).localCheckpoint())
+
+    total = n_users * n_per
+    flat = series([n_per] * n_users)
+    covisitation(series([16] * 8), window_ns=W).count()  # warm
+    t0 = time.perf_counter()
+    n_flat = covisitation(flat, window_ns=W).count()
+    t_flat = time.perf_counter() - t0
+    fat_n = 2 ** 11              # at the guard edge
+    skew = series([fat_n] + [max(2, (total - fat_n) // (n_users - 1))]
+                  * (n_users - 1))
+    t0 = time.perf_counter()
+    n_skew = covisitation(skew, window_ns=W).count()
+    t_skew = time.perf_counter() - t0
+    over = series([total // 10] + [n_per] * (n_users - 1))
+    guard = False
+    try:
+        covisitation(over, window_ns=W).count()
+    except ValueError:
+        guard = True
+    record("covisit_fatuser", rows=total, n_users=n_users,
+           s_flat=t_flat, rows_flat=n_flat,
+           fat_user_events=fat_n, s_skew=t_skew, rows_skew=n_skew,
+           guard_trips_at_10pct_user=guard)

@@ -141,3 +141,21 @@ def test_covisitation_directional_window(spark):
     assert got[(10, 20)] == (2, 1)
     assert (20, 30) not in got and (20, 10) not in got
     assert all(k[0] != 30 for k in got)
+
+
+def test_covisitation_fat_user_guard(spark):
+    """One power user past max_user_events must raise (the per-user
+    pair join is activity² in a single AQE-unsplittable task), and
+    the guard must be a knob, not a constant."""
+    import pytest
+
+    from recdb_postgresql_spark.operators import cf
+    H = 3600 * 10 ** 9
+    rows = [(1, i % 7, i * H // 100) for i in range(40)]
+    rows += [(2, 3, 0), (2, 4, H)]
+    df = spark.createDataFrame(rows, ["userid", "itemid", "ratingts"])
+    with pytest.raises(ValueError, match="covisitation"):
+        cf.covisitation(df, window_ns=6 * H, max_user_events=30)
+    # under the budget the same frame computes fine
+    assert cf.covisitation(df, window_ns=6 * H,
+                           max_user_events=64).count() > 0
