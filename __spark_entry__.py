@@ -1220,6 +1220,7 @@ def q_ann_ivf_trained(spark, sf_dir):
 
 _IVF_INDEX: dict[str, str] = {}
 _IVFPQ_INDEX: dict[str, str] = {}
+_LPA_INDEX: dict[str, str] = {}
 _HASH_INDEX: dict[str, str] = {}
 _LSH_INDEX: dict[str, str] = {}
 _TRAINED_CENTERS: dict[str, list] = {}
@@ -1311,6 +1312,41 @@ def _trained_cents(spark, sf_dir: str):
         _TRAINED_CENTERS[sf_dir] = [(r["cid"], r["cvec"]) for r in df.collect()]
     return spark.createDataFrame(_TRAINED_CENTERS[sf_dir],
                                  schema="cid int, cvec array<double>")
+
+
+def _lpa_index_path(spark, sf_dir: str) -> str:
+    """Persisted near-dup community state (edge list + 4-round LPA
+    labels, parquet): the expensive part of graph_modularity is the
+    in-query rebuild of shingles -> exact Jaccard -> 4 LPA rounds; a
+    real pipeline persists the labels beside its dedup indexes and
+    re-prices only the METRIC when the partition changes. Built once
+    in bench warmup (the ann_ivf_trained_probe pattern)."""
+    if sf_dir not in _LPA_INDEX:
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_indexes", _sf_tag(sf_dir), "lpa")
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
+                                    threshold=0.5) \
+            .select("id1", "id2").localCheckpoint()
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(base, "edges"))
+        graph.label_propagation(pairs, rounds=4).write \
+            .mode("overwrite").parquet(os.path.join(base, "labels"))
+        _LPA_INDEX[sf_dir] = base
+    return _LPA_INDEX[sf_dir]
+
+
+def q_graph_modularity_probe(spark, sf_dir):
+    """graph_modularity in its amortized serving form: the near-dup
+    edge list and 4-round LPA labels are persisted state; the timed
+    work is the METRIC alone — one distinct-edge pass plus two
+    label-table-sized joins (graph.modularity). rows-only driver
+    check (reads bench-local parquet, not a pre-registered view);
+    probe==in-query parity pinned in tests/test_graph_hits_sssp.py."""
+    base = _lpa_index_path(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(base, "edges"))
+    labels = spark.read.parquet(os.path.join(base, "labels"))
+    return graph.modularity(edges, labels)
 
 
 def _ivfpq_index_path(spark, sf_dir: str) -> str:
@@ -1406,6 +1442,7 @@ def build_bench_indexes(spark, sf_dir: str) -> None:
     _ivfpq_index_path(spark, sf_dir)
     _quality_model(spark, sf_dir)
     _span_index_table(spark, sf_dir)
+    _lpa_index_path(spark, sf_dir)
 
 
 def q_ann_ivf_indexed(spark, sf_dir):
@@ -6037,10 +6074,12 @@ _DRIVER_PRIORITY = [
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity", "q19_discounted_revenue", "q22_sales_opportunity",
     "q2_min_cost_supplier",
-    # (5) graph_modularity: oracle replaced with the candidate-driven
-    # twin this round (r9 verdict #4) -> re-prove queued behind the
-    # backlog (the local sf0.01+sf0.1 gates hash-check it meanwhile)
-    "graph_modularity",
+    # (5) r10 additions + graph_modularity re-prove: the LPA-family
+    # oracles now MATERIALIZE their chained CTEs (DuckDB re-inlined
+    # each round's CTE tree, re-running the exact-Jaccard shadow 2^k
+    # times — 120 s -> 0.4 s at sf0.01, and the sf0.1 sweep now runs;
+    # values unchanged) and the amortized metric probe lands
+    "graph_modularity", "graph_modularity_probe",
     # (6) rotation fill: stalest-first by last driver-sampled round
     # (r2-era relational batch, then r4 multimodal/TPC-H trio, then
     # the r5 dedup/ANN/text families, r6..r9 onward)
@@ -6441,6 +6480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "docs_lang_ece": q_docs_lang_ece,
         "lineitem_kendall": q_lineitem_kendall,
+        # round-10 additions (growth frozen — backlog drain round)
+        "graph_modularity_probe": q_graph_modularity_probe,
     }
     for name in REL_SQL:
         q[name] = _rel_query(name)
@@ -9825,37 +9866,37 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY dist, id2) = 1
     # stages (votes -> per-node argmax with (count desc, label) ties
     # -> coalesce for isolated nodes) — generated, not hand-repeated
     _lp_edges = """
-WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
-shingled AS (
+WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+shingled AS MATERIALIZED (
   SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS shingle
   FROM t, UNNEST(generate_series(0, greatest(len(toks)-3, 0))) AS g(i)
   WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
 ),
-hashed AS (SELECT id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sh FROM shingled),
-sizes AS (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
-inter AS (
+hashed AS MATERIALIZED (SELECT id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sh FROM shingled),
+sizes AS MATERIALIZED (SELECT id, COUNT(*) AS sz FROM hashed GROUP BY id),
+inter AS MATERIALIZED (
   SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
   FROM hashed a JOIN hashed b ON a.sh = b.sh AND a.id < b.id
   GROUP BY 1, 2
 ),
-p AS (
+p AS MATERIALIZED (
   SELECT id1, id2
   FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
   WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
 ),
-e AS (SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
+e AS MATERIALIZED (SELECT DISTINCT LEAST(id1, id2) AS a, GREATEST(id1, id2) AS b
       FROM p WHERE id1 <> id2),
-ue AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
-l0 AS (SELECT DISTINCT u AS id, u AS label FROM ue)"""
+ue AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM ue)"""
     _lp_round = """,
-v{k} AS (SELECT ue.v AS node, l.label, COUNT(*) AS n
+v{k} AS MATERIALIZED (SELECT ue.v AS node, l.label, COUNT(*) AS n
         FROM ue JOIN l{p} l ON l.id = ue.u GROUP BY 1, 2),
-w{k} AS (SELECT node, label FROM (
+w{k} AS MATERIALIZED (SELECT node, label FROM (
           SELECT node, label,
                  ROW_NUMBER() OVER (PARTITION BY node
                                     ORDER BY n DESC, label) AS rn
           FROM v{k}) t{k} WHERE rn = 1),
-l{k} AS (SELECT l.id, COALESCE(w.label, l.label) AS label
+l{k} AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label
         FROM l{p} l LEFT JOIN w{k} w ON w.node = l.id)"""
     o["graph_label_prop"] = (
         _lp_edges

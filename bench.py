@@ -193,6 +193,9 @@ HEADLINE = [
     "embedding_silhouette", "docs_vocab_coverage",
     "events_hazard", "events_logrank", "graph_modularity",
     "docs_lang_ece", "lineitem_kendall",
+    # round 10: amortized modularity metric probe (labels persisted in
+    # warmup; the timed work is the metric, not the LPA rebuild)
+    "graph_modularity_probe",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope

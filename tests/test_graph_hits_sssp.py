@@ -159,3 +159,14 @@ def test_modularity_cliques_vs_trivial(spark):
     q_triv = graph.modularity(e, trivial).collect()[0]
     assert abs(q_triv["modularity"]) < 1e-9
     assert q_good["modularity"] > q_triv["modularity"]
+
+
+def test_modularity_probe_matches_in_query(spark):
+    """graph_modularity_probe (persisted edges+labels) must return the
+    SAME single row as the in-query rebuild — the probe is only
+    'graph_modularity amortized' while they never diverge."""
+    import __spark_entry__ as entrymod
+    sf = "/root/testdata/sf0.001"
+    full = entrymod.queries()["graph_modularity"](spark, sf).collect()
+    probe = entrymod.queries()["graph_modularity_probe"](spark, sf).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in probe]
