@@ -10158,7 +10158,8 @@ d{j} AS MATERIALIZED (
 s{j} AS MATERIALIZED (SELECT id FROM d{j} WHERE deg >= 2)"""
     o["graph_kcore"] = (
         _lp_edges.replace(
-            ",\nl0 AS (SELECT DISTINCT u AS id, u AS label FROM ue)",
+            ",\nl0 AS MATERIALIZED "
+            "(SELECT DISTINCT u AS id, u AS label FROM ue)",
             ",\ns0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue)")
         + "".join(_kc_round.format(j=j, p=j - 1) for j in range(1, 7))
         + """
