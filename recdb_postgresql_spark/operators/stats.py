@@ -617,8 +617,11 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
         F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b"))
     # (measured: halving md5 count via two 60-bit slices per digest
     # does NOT pay — the cost is the B-fold ROW volume through
-    # codegen+combine, not the digest; keep the simple per-(row,b)
-    # hash, and budget with n_boot as SCALING.md documents)
+    # codegen+combine, not the digest; and the NO-explode wide form —
+    # 2B aggregate expressions with inline per-row weights — is 13x
+    # WORSE (6.4 s vs 0.49 s at sf0.1/B=100): 200 aggregates fall out
+    # of whole-stage codegen. Keep the simple per-(row,b) hash and
+    # budget with n_boot as SCALING.md documents — family closed r10)
     h = md5_long(F.concat(F.col("_id"), F.lit(":"),
                           F.col("b").cast("string")))
     w = F.when(h < _POISSON1_CDF60[0], 0)
