@@ -6036,10 +6036,11 @@ _DRIVER_PRIORITY = [
     # backlog entries + graph_modularity re-prove + the handful of r10
     # additions, which restores the "no entry ages past ~3 rounds"
     # arithmetic (backlog 78 <= 2 windows).
-    # (1) re-prove: oracle text touched this round (t-closeness NULL-
-    # sensitive filter / bootstrap CI left-join — value-identical on
-    # bench data, but the oracle statements changed)
-    "events_t_closeness", "events_bootstrap_ci",
+    # (1) re-prove: oracle/semantics touched this round (t-closeness
+    # NULL-sensitive filter / bootstrap CI left-join — value-identical
+    # on bench data but the oracle statements changed; rec_ranking_rbo
+    # gained the Webber rbo_min/rbo_ext columns, r9 verdict #7)
+    "events_t_closeness", "events_bootstrap_ci", "rec_ranking_rbo",
     # (2) BACKLOG DRAIN part 1 (r9 verdict next #1): never-driver-
     # sampled oracle-checked entries, oldest-first — 48 of 72 fill
     # the rest of this round's ~50-slot window
@@ -6154,7 +6155,7 @@ _DRIVER_PRIORITY = [
     "events_ivm_rollup", "docs_lang_isotonic", "events_forecast_eval",
     "events_markov", "docs_collocations", "events_rfm", "events_ddq_by_type",
     "lineitem_joinsize_cms", "events_peaks", "rec_covisitation",
-    "events_did", "rec_ranking_rbo", "events_impute",
+    "events_did", "events_impute",
     "events_markov_attribution", "embedding_silhouette",
     "docs_vocab_coverage", "events_hazard", "events_logrank",
     "docs_lang_ece", "lineitem_kendall", "events_lorenz_deciles",
@@ -12226,7 +12227,18 @@ SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
        ROUND({_did} / {_se}, 6) AS t_stat
 FROM a
 """
-    o["rec_ranking_rbo"] = """
+    # Webber residual-bounded companions (r10): the tail constants are
+    # PYTHON-evaluated and inlined into BOTH the Spark plan (stats.py)
+    # and this SQL, so each engine applies the same double literals to
+    # the same integers — repr round-trips doubles exactly
+    import math as _math
+    _rbo_p, _rbo_d = 0.9, 50
+    _rbo_min_mult = ((1.0 - _rbo_p) / _rbo_p
+                     * (_math.log(1.0 / (1.0 - _rbo_p))
+                        - sum(_rbo_p ** d / d
+                              for d in range(1, _rbo_d + 1))))
+    _rbo_ext_mult = _rbo_p ** _rbo_d / _rbo_d
+    o["rec_ranking_rbo"] = f"""
 WITH r AS (
   SELECT user_id AS userid,
          CAST(json_extract_string(props, 'k') AS INT) AS itemid
@@ -12258,11 +12270,16 @@ xd AS (
 ),
 agg AS (
   SELECT SUM(CAST(ROUND(POW(CAST(0.9 AS DOUBLE), d - 1) * x / d * 1e15,
-                        0) AS BIGINT)) AS s
+                        0) AS BIGINT)) AS s,
+         MAX(CASE WHEN d = 50 THEN x END) AS xk
   FROM xd
 )
 SELECT CAST(0.9 AS DOUBLE) AS p, CAST(50 AS INT) AS depth,
-       ROUND((1.0 - CAST(0.9 AS DOUBLE)) * s / 1e15, 6) AS rbo
+       ROUND((1.0 - CAST(0.9 AS DOUBLE)) * s / 1e15, 6) AS rbo,
+       ROUND((1.0 - CAST(0.9 AS DOUBLE)) * s / 1e15
+             + CAST({_rbo_min_mult!r} AS DOUBLE) * xk, 6) AS rbo_min,
+       ROUND((1.0 - CAST(0.9 AS DOUBLE)) * s / 1e15
+             + CAST({_rbo_ext_mult!r} AS DOUBLE) * xk, 6) AS rbo_ext
 FROM agg
 """
     o["events_impute"] = """

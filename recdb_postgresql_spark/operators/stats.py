@@ -20,6 +20,8 @@ windows, no driver collection, no second scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -807,12 +809,23 @@ def diff_in_diff(df: DataFrame, treated, post, val_col: str,
 def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
                         rank_col: str = "rank", p: float = 0.9,
                         depth: int = 100) -> DataFrame:
-    """One row (p, depth, rbo): truncated rank-biased overlap
+    """One row (p, depth, rbo, rbo_min, rbo_ext): rank-biased overlap
     (Webber, Moffat & Zobel 2010) between two rankings — the
     top-weighted agreement score for comparing two scorers' output
     lists (old vs new model, popularity vs personalization), where
     Spearman/Kendall over-weight the tail that top-k serving never
     shows. RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |A_d ∩ B_d| / d.
+
+    ``rbo`` is the truncated prefix sum; the paper's residual-bounded
+    companions close the family: ``rbo_min`` (eq. 11) assumes ZERO
+    overlap beyond depth D (the floor any continuation must exceed),
+    ``rbo_ext`` (eq. 30, l = s = D) extrapolates the depth-D
+    agreement X_D/D through the tail — identical rankings score
+    exactly 1.0 under it at any depth. Both are closed forms in the
+    same s and X_D the truncated sum already produces (the geometric
+    tail constants are Python-evaluated literals, so both engines do
+    the same two double ops on the same integers — no cross-engine
+    float series).
 
     An item enters the intersection at depth max(rank_a, rank_b), so
     the per-depth overlap X_d is a cumulative count over a
@@ -839,12 +852,25 @@ def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
     term = (F.pow(F.lit(float(p)), F.col("d") - 1)
             * F.col("x") / F.col("d"))
     agg = xd.agg(F.sum(F.round(term * F.lit(1e15), 0).cast("long"))
-                 .alias("s"))
+                 .alias("s"),
+                 F.max(F.when(F.col("d") == depth, F.col("x")))
+                 .alias("xk"))
+    # tail constants, evaluated once in Python so engine and oracle
+    # apply identical double literals to the same integers:
+    #   rbo_min = rbo + (1-p)/p * X_D * (ln(1/(1-p)) - sum_{1..D} p^d/d)
+    #   rbo_ext = rbo + (X_D / D) * p^D
+    min_mult = ((1.0 - p) / p
+                * (math.log(1.0 / (1.0 - p))
+                   - sum(p ** d / d for d in range(1, depth + 1))))
+    ext_mult = p ** depth / depth
+    rbo = (F.lit(1.0) - F.lit(float(p))) * F.col("s") / F.lit(1e15)
     return agg.select(F.lit(float(p)).alias("p"),
                       F.lit(depth).alias("depth"),
-                      F.round((F.lit(1.0) - F.lit(float(p)))
-                              * F.col("s") / F.lit(1e15), 6)
-                      .alias("rbo"))
+                      F.round(rbo, 6).alias("rbo"),
+                      F.round(rbo + F.lit(min_mult) * F.col("xk"), 6)
+                      .alias("rbo_min"),
+                      F.round(rbo + F.lit(ext_mult) * F.col("xk"), 6)
+                      .alias("rbo_ext"))
 
 
 def expected_calibration_error(df: DataFrame, score_col: str, label,

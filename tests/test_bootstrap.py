@@ -140,3 +140,30 @@ def test_ece_mce_hand_case(spark):
     assert r["n"] == 20
     assert abs(r["ece"] - 0.1) < 1e-9  # (10*0.15 + 10*0.05)/20
     assert abs(r["mce"] - 0.15) < 1e-9
+
+
+def test_rbo_extrapolated_forms(spark):
+    """Webber eq. 11 / eq. 30 closed forms: identical lists score
+    rbo_ext == 1.0 exactly at any depth; disjoint lists pin all three
+    at 0; rbo <= rbo_min <= rbo_ext always (the truncated sum stops,
+    min adds the GUARANTEED tail overlap X_D/d, ext the larger
+    X_D/D)."""
+    import math
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 21)],
+                              ["item", "rank"])
+    b = spark.createDataFrame([(i + 100, i) for i in range(1, 21)],
+                              ["item", "rank"])
+    same = stats.rank_biased_overlap(a, a, "item", p=0.9,
+                                     depth=20).collect()[0]
+    # A_d = 1 for all d -> extrapolation is the full geometric series
+    assert same["rbo_ext"] == 1.0
+    # eq. 11 by hand: rbo + (1-p)/p * X_D * (ln(1/(1-p)) - sum p^d/d)
+    min_mult = (0.1 / 0.9) * (math.log(10.0)
+                              - sum(0.9 ** d / d for d in range(1, 21)))
+    assert abs(same["rbo_min"]
+               - ((1 - 0.9 ** 20) + min_mult * 20)) < 1e-6
+    assert same["rbo"] <= same["rbo_min"] <= same["rbo_ext"]
+    diff = stats.rank_biased_overlap(a, b, "item", p=0.9,
+                                     depth=20).collect()[0]
+    assert (diff["rbo"], diff["rbo_min"], diff["rbo_ext"]) == (0, 0, 0)
