@@ -6031,11 +6031,13 @@ _DRIVER_PRIORITY = [
     # #1) — round 9 added ~95 entries against a ~50-slot window, leaving
     # 72 oracle-checked + 6 rows-only entries that have never had a
     # driver row (recomputed from CORRECTNESS_r01..r09 at r10 open).
-    # This round's window is backlog drain: 2 re-proves + 48 backlog
-    # entries.  r11 continues at section (4) below — the remaining 24
-    # backlog entries + graph_modularity re-prove + the handful of r10
-    # additions, which restores the "no entry ages past ~3 rounds"
-    # arithmetic (backlog 78 <= 2 windows).
+    # This round's window is backlog drain: 3 re-proves + 47 backlog
+    # entries (the first ~50 keys).  r11 continues below — the
+    # remaining 25 backlog entries (the 6 rows-only sit at positions
+    # 50-55 and spill into r11 if the window is exactly 50) +
+    # graph_modularity re-prove + graph_modularity_probe, which
+    # restores the "no entry ages past ~3 rounds" arithmetic
+    # (backlog 78 <= 2 windows).
     # (1) re-prove: oracle/semantics touched this round (t-closeness
     # NULL-sensitive filter / bootstrap CI left-join — value-identical
     # on bench data but the oracle statements changed; rec_ranking_rbo
