@@ -6034,7 +6034,8 @@ _DRIVER_PRIORITY = [
     # This round's window is backlog drain: 3 re-proves + 47 backlog
     # entries (the first ~50 keys).  r11 continues below — the
     # remaining 25 backlog entries (the 6 rows-only sit at positions
-    # 50-55 and spill into r11 if the window is exactly 50) +
+    # 51-56, right behind backlog entry #48, and spill into r11 if
+    # the window is exactly 50) +
     # graph_modularity re-prove + graph_modularity_probe, which
     # restores the "no entry ages past ~3 rounds" arithmetic
     # (backlog 78 <= 2 windows).
