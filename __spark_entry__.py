@@ -4802,10 +4802,12 @@ def q_geo_dbscan(spark, sf_dir):
     rides a float). eps=250, min_pts=3 on the 10000x10000 grid —
     tuned to sf0.01's density (~2.9 expected eps-neighbors; the
     driver's gate scale). The SPARK side is density-robust at any SF
-    (CC auto-escalates to star rounds); the recursive min-label
-    ORACLE is the thing that blows up when 10x density makes one
-    giant core component — same oracle-shadow asymmetry the dedup
-    family documents."""
+    (CC auto-escalates to star rounds). r10 closed the former ORACLE
+    shadow: 4 bounded min-label rounds contract each component to a
+    handful of super-nodes (30 at sf0.1's full percolation), and the
+    recursive closure runs over THAT contracted graph — hash-green
+    at sf0.001/0.01/0.1, where the old whole-graph recursive reach
+    (sum of component² rows) timed out past 9 minutes at sf0.1."""
     from recdb_postgresql_spark.functions.hashing import md5_long
     from recdb_postgresql_spark.operators import geo
 
@@ -9055,12 +9057,69 @@ ce AS (
   JOIN core c1 ON c1.pid = p.pa
   JOIN core c2 ON c2.pid = p.pb
 ),
+cl0 AS MATERIALIZED (SELECT DISTINCT pa AS id, pa AS lbl FROM ce),
+cp1 AS MATERIALIZED (
+  SELECT e.pa AS id, MIN(l.lbl) AS nl
+  FROM ce e JOIN cl0 l ON l.id = e.pb GROUP BY 1),
+cm1 AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(p.nl, l.lbl)) AS lbl
+  FROM cl0 l LEFT JOIN cp1 p ON p.id = l.id),
+cs1 AS MATERIALIZED (
+  SELECT m.id, LEAST(m.lbl, m2.lbl) AS lbl
+  FROM cm1 m JOIN cm1 m2 ON m2.id = m.lbl),
+cl1 AS MATERIALIZED (
+  SELECT s.id, LEAST(s.lbl, s2.lbl) AS lbl
+  FROM cs1 s JOIN cs1 s2 ON s2.id = s.lbl),
+cp2 AS MATERIALIZED (
+  SELECT e.pa AS id, MIN(l.lbl) AS nl
+  FROM ce e JOIN cl1 l ON l.id = e.pb GROUP BY 1),
+cm2 AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(p.nl, l.lbl)) AS lbl
+  FROM cl1 l LEFT JOIN cp2 p ON p.id = l.id),
+cs2 AS MATERIALIZED (
+  SELECT m.id, LEAST(m.lbl, m2.lbl) AS lbl
+  FROM cm2 m JOIN cm2 m2 ON m2.id = m.lbl),
+cl2 AS MATERIALIZED (
+  SELECT s.id, LEAST(s.lbl, s2.lbl) AS lbl
+  FROM cs2 s JOIN cs2 s2 ON s2.id = s.lbl),
+cp3 AS MATERIALIZED (
+  SELECT e.pa AS id, MIN(l.lbl) AS nl
+  FROM ce e JOIN cl2 l ON l.id = e.pb GROUP BY 1),
+cm3 AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(p.nl, l.lbl)) AS lbl
+  FROM cl2 l LEFT JOIN cp3 p ON p.id = l.id),
+cs3 AS MATERIALIZED (
+  SELECT m.id, LEAST(m.lbl, m2.lbl) AS lbl
+  FROM cm3 m JOIN cm3 m2 ON m2.id = m.lbl),
+cl3 AS MATERIALIZED (
+  SELECT s.id, LEAST(s.lbl, s2.lbl) AS lbl
+  FROM cs3 s JOIN cs3 s2 ON s2.id = s.lbl),
+cp4 AS MATERIALIZED (
+  SELECT e.pa AS id, MIN(l.lbl) AS nl
+  FROM ce e JOIN cl3 l ON l.id = e.pb GROUP BY 1),
+cm4 AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lbl, COALESCE(p.nl, l.lbl)) AS lbl
+  FROM cl3 l LEFT JOIN cp4 p ON p.id = l.id),
+cs4 AS MATERIALIZED (
+  SELECT m.id, LEAST(m.lbl, m2.lbl) AS lbl
+  FROM cm4 m JOIN cm4 m2 ON m2.id = m.lbl),
+cl4 AS MATERIALIZED (
+  SELECT s.id, LEAST(s.lbl, s2.lbl) AS lbl
+  FROM cs4 s JOIN cs4 s2 ON s2.id = s.lbl),
+e2 AS MATERIALIZED (
+  SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+  FROM ce JOIN cl4 la ON la.id = ce.pa
+          JOIN cl4 lb ON lb.id = ce.pb
+  WHERE la.lbl <> lb.lbl),
 reach(id, lbl) AS (
-  SELECT pa AS id, pa AS lbl FROM ce
+  SELECT a AS id, a AS lbl FROM e2
   UNION
-  SELECT e.pa AS id, r.lbl FROM ce e JOIN reach r ON r.id = e.pb
+  SELECT e.a AS id, r.lbl FROM e2 e JOIN reach r ON r.id = e.b
 ),
-comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+comp2 AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+comp AS (
+  SELECT c.id, MIN(LEAST(c.lbl, COALESCE(c2.lbl, c.lbl))) AS cluster
+  FROM cl4 c LEFT JOIN comp2 c2 ON c2.id = c.lbl GROUP BY c.id),
 core_lab AS (
   SELECT c.pid, CAST(COALESCE(comp.cluster, c.pid) AS BIGINT) AS cluster
   FROM core c LEFT JOIN comp ON comp.id = c.pid

@@ -803,10 +803,6 @@ def keyness_probe(spark, sf_dir: str, mult: int = 8) -> None:
            x1_s=t1, amp_s=t2, slope=t2 / max(t1, 1e-9))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def jw_kernel_probe(spark, n: int = 4_000_000, mult: int = 4) -> None:
     """Jaro-Winkler rerank throughput: n and mult*n synthetic
     candidate pairs (24-char md5-hex strings — representative length,
@@ -1000,3 +996,10 @@ def covisit_fatuser_probe(spark, n_users: int = 2000,
            s_flat=t_flat, rows_flat=n_flat,
            fat_user_events=fat_n, s_skew=t_skew, rows_skew=n_skew,
            guard_trips_at_10pct_user=guard)
+
+
+# the __main__ guard lives at the END of the file: main() references
+# every probe above, and a mid-file guard made script runs crash with
+# NameError on the probes defined after it (r10 battery regression)
+if __name__ == "__main__":
+    main()
