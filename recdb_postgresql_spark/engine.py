@@ -10,16 +10,19 @@ library layer.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.catalog import RecCatalog, RecommenderInfo
 from recdb_postgresql_spark.operators import cf, svd as svd_mod
 
 METHODS = ("itemcoscf", "itempearcf", "usercoscf", "userpearcf", "svd")
+
+logger = logging.getLogger(__name__)
 
 
 def get_spark(app: str = "recdb_spark", cpus: Optional[int] = None) -> SparkSession:
@@ -81,12 +84,28 @@ class RecEngine:
 
     def __init__(self, spark: SparkSession, workdir: Optional[str] = None,
                  update_threshold: float = 0.5,
+                 tail_length: int = 100,
+                 verbose_queries: bool = True,
                  svd_features: int = svd_mod.NUM_FEATURES,
                  svd_epochs: int = svd_mod.NUM_EPOCHS):
         self.spark = spark
         self.catalog = RecCatalog(workdir)
-        # RecDBProperties.update_threshold default 0.5 (utility.c:907)
+        # RecDBProperties triple (utility.c:903-907): the reference seeds
+        # (update_threshold=0.5, tail_length=0, verbose_queries=true).
         self.update_threshold = update_threshold
+        # tail_length: per-user cap on the materialized RecView.  The
+        # reference declares the column but never reads it (grep-dead),
+        # and its RecView is a dense users x items grid.  Here the knob
+        # is live: materialize_predictions() keeps only the top
+        # `tail_length` predictions per user, so the stored view scales
+        # as users*k instead of users*items (the users x items
+        # cross-product is the one materialization that cannot survive
+        # 100 TB).  0 = unbounded = the reference's dense-grid
+        # semantics, kept as an explicit opt-in.
+        self.tail_length = tail_length
+        # verbose_queries: pure log knob in the reference (no observable
+        # query semantics); gates the per-RECOMMEND strategy log line.
+        self.verbose_queries = verbose_queries
         # reference constants (recathon.c:2707,2788) — reducible for test speed
         self.svd_features = svd_features
         self.svd_epochs = svd_epochs
@@ -155,6 +174,13 @@ class RecEngine:
         holds *all* items — ``recathon.c:3942-3958``).
         """
         method = method.lower()
+        if self.verbose_queries:
+            # RecDBProperties.verbose_queries (utility.c:907): a pure
+            # log knob — one strategy line per RECOMMEND, no semantics.
+            logger.info("RECOMMEND %s strategy=%s method=%s k=%s",
+                        name or "<on-the-fly>",
+                        "FilterRecommend" if name else "GenerateRecommend",
+                        method, k)
         # NOT cached: each downstream use of `ratings` carries different
         # pushable predicates (user-WHERE prunes the rated-list branch at
         # the parquet scan); a cache would materialize the unfiltered
@@ -212,14 +238,27 @@ class RecEngine:
             out = out.orderBy(F.col(eventval).desc(), F.col(userkey), F.col(itemkey)).limit(k)
         return out
 
-    def materialize_predictions(self, name: str, events: DataFrame) -> None:
-        """R6 (IndexRecommend): precompute the full RecView predictions
-        table for a materialized recommender. The reference creates the
+    def materialize_predictions(self, name: str, events: DataFrame,
+                                k: Optional[int] = None,
+                                full_grid: bool = False) -> None:
+        """R6 (IndexRecommend): precompute the RecView predictions table
+        for a materialized recommender. The reference creates the
         RecView at CREATE time but its read path is gated off
         (execRecommend.c:935-940); here it is a working option:
         ``recommend(..., name=n, use_view=True)`` becomes a pure
         filter + top-k over the stored table — the right trade when
-        queries vastly outnumber model refreshes."""
+        queries vastly outnumber model refreshes.
+
+        Scale contract: the stored view is capped to the top ``k``
+        predictions PER USER (``k`` defaults from the engine's
+        ``tail_length`` property — the RecDBProperties knob the
+        reference declares at utility.c:903-907 but never reads).  The
+        reference's RecView is a dense users x items grid; at 100 TB
+        that cross-product is unmaterializable, and every downstream
+        read is a per-user top-k anyway.  ``full_grid=True`` (or
+        ``tail_length=0`` with no ``k``) restores the dense reference
+        semantics as an explicit opt-in for small catalogs / oracle
+        parity. ``recommend_from_view(k=q)`` is exact for q <= cap."""
         info = self.catalog.get(name)
         if info is None:
             raise ValueError(f"no recommender {name!r}")
@@ -227,6 +266,15 @@ class RecEngine:
                                info.eventval, name=name).select(
             F.col(info.userkey).alias("user"), F.col(info.itemkey).alias("item"),
             F.col(info.eventval).alias("score"))
+        cap = k if k is not None else self.tail_length
+        if not full_grid and cap and cap > 0:
+            # per-user top-k: one hash-partitioned window pass; with AQE
+            # the rank filter runs map-side after the sort within each
+            # user partition — no users x items blowup ever materializes.
+            w = (Window.partitionBy("user")
+                 .orderBy(F.col("score").desc(), F.col("item")))
+            preds = (preds.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") <= cap).drop("_rn"))
         self.catalog.add_model_table(info, "recview", preds, self.spark)
 
     def recommend_from_view(self, name: str,

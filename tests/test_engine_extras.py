@@ -27,6 +27,35 @@ def test_recview_matches_live_scoring(spark, events, tmp_path):
     assert lv == vv
 
 
+def test_recview_tail_length_cap(spark, events, tmp_path):
+    """tail_length (RecDBProperties, utility.c:903-907 — declared but
+    never read in the reference) is live here: the stored RecView holds
+    only the top tail_length predictions per user (users*k rows, not
+    users*items), and reads with k <= tail_length are exact vs live."""
+    eng = RecEngine(spark, workdir=str(tmp_path), tail_length=3)
+    eng.create_recommender("vc", events, "userid", "itemid", "ratingval",
+                           "itemcoscf")
+    eng.materialize_predictions("vc", events)
+    view = eng.catalog.load_models(eng.catalog.get("vc"), spark)["recview"]
+    n_users = events.select("userid").distinct().count()
+    n_items = events.select("itemid").distinct().count()
+    assert view.count() <= n_users * 3 < n_users * n_items
+    per_user = view.groupBy("user").count().agg(F.max("count")).first()[0]
+    assert per_user <= 3
+    # exact parity for k <= tail_length
+    live = eng.recommend(events, "userid", "itemid", "ratingval", name="vc",
+                         user_where=F.col("userid") == 2, k=2, round_to=6)
+    capped = eng.recommend_from_view("vc", user_where=F.col("userid") == 2, k=2)
+    lv = [(r.userid, r.itemid, round(r.ratingval, 6)) for r in live.collect()]
+    cv = [(r.userid, r.itemid, round(r.ratingval, 6)) for r in capped.collect()]
+    assert lv == cv
+    # full-grid opt-in restores the reference's dense RecView
+    eng.materialize_predictions("vc", events, full_grid=True)
+    full = eng.catalog.load_models(eng.catalog.get("vc"), spark)["recview"]
+    assert full.count() == n_users * n_items
+    eng.drop_recommender("vc")
+
+
 def test_recview_requires_materialization(spark, events):
     eng = RecEngine(spark)
     eng.create_recommender("v2", events, "userid", "itemid", "ratingval", "itemcoscf")
