@@ -1321,18 +1321,32 @@ def _lpa_index_path(spark, sf_dir: str) -> str:
     real pipeline persists the labels beside its dedup indexes and
     re-prices only the METRIC when the partition changes. Built once
     in bench warmup (the ann_ivf_trained_probe pattern)."""
-    if sf_dir not in _LPA_INDEX:
-        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".bench_indexes", _sf_tag(sf_dir), "lpa")
+    if sf_dir in _LPA_INDEX:
+        return _LPA_INDEX[sf_dir]
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_indexes", _sf_tag(sf_dir), "lpa")
+    # disk-cached across processes: a prior session's build is reused
+    # if both parts carry their _SUCCESS marker (a fresh session must
+    # not silently re-pay the full shingle->Jaccard->LPA build inside
+    # the amortized path)
+    if not all(os.path.exists(os.path.join(base, d, "_SUCCESS"))
+               for d in ("edges", "labels")):
+        import shutil
+        # build into a temp dir, publish with one atomic rename so a
+        # concurrent reader never sees a half-written index
+        tmp = base + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
                                     threshold=0.5) \
             .select("id1", "id2").localCheckpoint()
         pairs.write.mode("overwrite").parquet(
-            os.path.join(base, "edges"))
+            os.path.join(tmp, "edges"))
         graph.label_propagation(pairs, rounds=4).write \
-            .mode("overwrite").parquet(os.path.join(base, "labels"))
-        _LPA_INDEX[sf_dir] = base
+            .mode("overwrite").parquet(os.path.join(tmp, "labels"))
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+    _LPA_INDEX[sf_dir] = base
     return _LPA_INDEX[sf_dir]
 
 

@@ -600,29 +600,40 @@ def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
 
     Guarded like ``theil_sen_grouped``: ONE power user x a wide
     window is a single activity²-shaped join task AQE cannot split
-    (the pair output is byte-proportional per user key). A cheap
-    pre-count raises when any user exceeds ``max_user_events``
-    (default 2^11 -> <=2^22 pairs for the fattest key, the same
-    budget the regression guards enforce); cap or tail-sample that
-    user's event stream upstream — a 2k-event window already spans
-    weeks of any human session history, so the cap is a bot/crawler
-    filter, not a data loss."""
+    (the pair output is byte-proportional per user key). The guard
+    rides the pair join itself — the per-user count is aggregated on
+    the SAME user key the pairs shuffle on and raised via an
+    assertion predicate, so no extra eager scan is paid and the plan
+    stays fully lazy (changed in r11; the r10 form ran a separate
+    collect() pre-count per call). The error therefore surfaces at
+    ACTION time as a Spark ``USER_RAISED_EXCEPTION``, not a driver
+    ValueError. ``max_user_events=None`` skips the guard entirely.
+    Default 2^11 -> <=2^22 pairs for the fattest key, the same budget
+    the regression guards enforce; cap or tail-sample that user's
+    event stream upstream — a 2k-event window already spans weeks of
+    any human session history, so the cap is a bot/crawler filter,
+    not a data loss."""
     from pyspark.sql import Window
 
-    fat = (ratings_ts.groupBy(F.col(user_col))
-           .agg(F.count(F.lit(1)).alias("_n"))
-           .agg(F.max("_n").alias("_m")).collect()[0]["_m"]) or 0
-    if fat > max_user_events:
-        raise ValueError(
-            f"covisitation pairs are quadratic PER USER and the most "
-            f"active user has {fat} events (> {max_user_events}): cap "
-            "or tail-sample that user's events upstream (bot filter)")
     a = ratings_ts.select(F.col(user_col).alias("u"),
                           F.col(item_col).alias("i1"),
                           F.col(ts_col).alias("t1"))
     b = ratings_ts.select(F.col(user_col).alias("u"),
                           F.col(item_col).alias("i2"),
                           F.col(ts_col).alias("t2"))
+    if max_user_events is not None:
+        ucnt = (ratings_ts.groupBy(F.col(user_col).alias("u"))
+                .agg(F.count(F.lit(1)).alias("_n")))
+        guard = (F.when(F.col("_n") <= F.lit(max_user_events), F.lit(True))
+                 .otherwise(F.raise_error(F.concat(
+                     F.lit("covisitation pairs are quadratic PER USER "
+                           "and user "),
+                     F.col("u").cast("string"), F.lit(" has "),
+                     F.col("_n").cast("string"),
+                     F.lit(f" events (> {max_user_events}): cap or "
+                           "tail-sample that user's events upstream "
+                           "(bot filter)"))).cast("boolean")))
+        a = a.join(ucnt, "u").where(guard).drop("_n")
     pairs = (a.join(b, "u")
              .where((F.col("i1") != F.col("i2"))
                     & (F.col("t2") > F.col("t1"))

@@ -918,7 +918,16 @@ def kendall_tau_b(df: DataFrame, col_a: str, col_b: str,
     cells is already ~10^7 comparisons — quantize continuous columns
     upstream). All integer until the final ratio, so the statistic is
     bit-exact cross-engine — the tau companion to the Spearman and
-    Pearson coefficients here."""
+    Pearson coefficients here.
+
+    .. note:: CHANGED in r10: ``max_cells`` default tightened from
+       100_000 to 4_000 (100k cells meant 10^10 nested-loop
+       comparisons — minutes of one-core work that looked like a
+       hang). Inputs with 4k-100k distinct cells that computed under
+       the old default now raise by default; pass
+       ``max_cells=100_000`` explicitly to restore the old bound, or
+       bin the columns upstream (preferred — tau-b on a quantized
+       contingency is the intended scale shape)."""
     cells = (df.where(F.col(col_a).isNotNull()
                       & F.col(col_b).isNotNull())
              .groupBy(F.col(col_a).alias("x"), F.col(col_b).alias("y"))

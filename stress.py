@@ -990,8 +990,8 @@ def covisit_fatuser_probe(spark, n_users: int = 2000,
     guard = False
     try:
         covisitation(over, window_ns=W).count()
-    except ValueError:
-        guard = True
+    except Exception as exc:           # r11: guard rides the join,
+        guard = "covisitation" in str(exc)  # fires at action time
     record("covisit_fatuser", rows=total, n_users=n_users,
            s_flat=t_flat, rows_flat=n_flat,
            fat_user_events=fat_n, s_skew=t_skew, rows_skew=n_skew,

@@ -146,7 +146,9 @@ def test_covisitation_directional_window(spark):
 def test_covisitation_fat_user_guard(spark):
     """One power user past max_user_events must raise (the per-user
     pair join is activity² in a single AQE-unsplittable task), and
-    the guard must be a knob, not a constant."""
+    the guard must be a knob, not a constant. Since r11 the guard is
+    folded into the pair join (no eager pre-count scan), so it fires
+    at action time as a Spark USER_RAISED_EXCEPTION; None skips it."""
     import pytest
 
     from recdb_postgresql_spark.operators import cf
@@ -154,8 +156,11 @@ def test_covisitation_fat_user_guard(spark):
     rows = [(1, i % 7, i * H // 100) for i in range(40)]
     rows += [(2, 3, 0), (2, 4, H)]
     df = spark.createDataFrame(rows, ["userid", "itemid", "ratingts"])
-    with pytest.raises(ValueError, match="covisitation"):
-        cf.covisitation(df, window_ns=6 * H, max_user_events=30)
+    with pytest.raises(Exception, match="covisitation"):
+        cf.covisitation(df, window_ns=6 * H, max_user_events=30).count()
     # under the budget the same frame computes fine
     assert cf.covisitation(df, window_ns=6 * H,
                            max_user_events=64).count() > 0
+    # None = unguarded single-pass (explicit opt-out for trusted input)
+    assert cf.covisitation(df, window_ns=6 * H,
+                           max_user_events=None).count() > 0
