@@ -1395,6 +1395,38 @@ def _ivfpq_index_path(spark, sf_dir: str) -> str:
     return _IVFPQ_INDEX[sf_dir]
 
 
+_ALS_MODELS: dict[tuple, tuple] = {}
+
+
+def _als_model(spark, sf_dir: str, implicit: bool = False):
+    """Shared warmup-fit ALS factors (r10 verdict next #3): ONE MLlib
+    fit per (sf_dir, regime) per process, consumed by every rec_als_*
+    entry that only needs trained factors — the same build-vs-serve
+    split the index families pin. rec_als_topk / rec_als_implicit
+    keep their fits IN-QUERY (they price the build recipe, once per
+    regime); the fold-in checks and the rec_als_served probe read
+    this cache. Hyperparams match the fold-in checks exactly
+    (explicit: max_iter=8; implicit: max_iter=10, alpha=0.5), so
+    their values are unchanged vs the private fits they replaced.
+    Factors are (users|items) x rank rows — localCheckpoint pins them
+    at KMeans-centroid-scale cost, far below any executor memory."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    key = (sf_dir, bool(implicit))
+    if key not in _ALS_MODELS:
+        ratings = cf.normalize_events(_ratings(spark, sf_dir),
+                                      "userid", "itemid", "ratingval")
+        if implicit:
+            um, im = svd.train_als(ratings, rank=8, max_iter=10,
+                                   num_blocks=4, implicit_prefs=True,
+                                   alpha=0.5)
+        else:
+            um, im = svd.train_als(ratings, rank=8, max_iter=8,
+                                   num_blocks=4)
+        _ALS_MODELS[key] = (um.localCheckpoint(), im.localCheckpoint())
+    return _ALS_MODELS[key]
+
+
 _QUALITY_MODEL: dict[str, object] = {}
 
 
@@ -1471,6 +1503,9 @@ def build_bench_indexes(spark, sf_dir: str) -> None:
     _quality_model(spark, sf_dir)
     _span_index_table(spark, sf_dir)
     _lpa_index_path(spark, sf_dir)
+    _als_model(spark, sf_dir, implicit=False)
+    _als_model(spark, sf_dir, implicit=True)
+    _lang_model(spark, sf_dir)
 
 
 def q_ann_ivf_indexed(spark, sf_dir):
@@ -2409,20 +2444,15 @@ def q_graph_pagerank(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
-def q_docs_lang_classifier(spark, sf_dir):
-    """fastText-style language-ID (r8 verdict missing #5): hashed
-    char-n-gram multinomial logistic regression
-    (operators/classifier.train_lang_classifier), trained on the
-    labeled %5 != 0 docs and predicting the held-out %5 == 0 docs
-    map-side. The synthetic testdata's text is one shared vocabulary
-    regardless of the lang label (TESTDATA caveat), so the query first
-    derives a deterministic per-language orthography — translate() of
-    the vowels to per-lang character sets, the same role different
-    scripts play in real corpora — making lang a true function of the
-    text. Rows-only (iterative L-BFGS); learnability pinned in
-    tests/test_classifier.py on a syllable-inventory corpus."""
-    from recdb_postgresql_spark.operators import classifier
-
+def _marked_lang_docs(spark, sf_dir):
+    """documents with the deterministic per-language orthography
+    applied — the ONE frame shared by docs_lang_classifier (fit
+    in-query, the build recipe) and docs_lang_classifier_probe (fit
+    cached, the amortized serving shape). The synthetic testdata's
+    text is one shared vocabulary regardless of the lang label
+    (TESTDATA caveat), so translate() of the vowels to per-lang
+    character sets plays the role different scripts play in real
+    corpora — making lang a true function of the text."""
     docs = load_table(spark, sf_dir, "documents")
     marks = {"en": "aeiou", "fr": "4e1ou", "es": "ae10u",
              "de": "a3i0u", "zh": "43105"}
@@ -2431,12 +2461,62 @@ def q_docs_lang_classifier(spark, sf_dir):
         marked = F.when(F.col("lang") == lg,
                         F.translate(F.col("text"), "aeiou", tgt)) \
             .otherwise(marked)
-    d = docs.select("doc_id", "lang", marked.alias("text")) \
+    return docs.select("doc_id", "lang", marked.alias("text")) \
         .where(F.col("text").isNotNull())
+
+
+_LANG_MODEL: dict[str, tuple] = {}
+
+
+def _lang_model(spark, sf_dir: str):
+    """The fitted char-n-gram lang-ID LR + label list, cached per
+    sf_dir (broadcast coefficient matrix — the same legitimacy class
+    as _quality_model; r10 verdict next #4)."""
+    if sf_dir not in _LANG_MODEL:
+        from recdb_postgresql_spark.operators import classifier
+
+        train = _marked_lang_docs(spark, sf_dir) \
+            .where(F.col("doc_id") % 5 != 0)
+        _LANG_MODEL[sf_dir] = classifier.train_lang_classifier(
+            train, num_features=1 << 12, max_iter=12)
+    return _LANG_MODEL[sf_dir]
+
+
+def q_docs_lang_classifier(spark, sf_dir):
+    """fastText-style language-ID (r8 verdict missing #5): hashed
+    char-n-gram multinomial logistic regression
+    (operators/classifier.train_lang_classifier), trained on the
+    labeled %5 != 0 docs and predicting the held-out %5 == 0 docs
+    map-side (orthography derivation: _marked_lang_docs). Rows-only
+    (iterative L-BFGS); learnability pinned in
+    tests/test_classifier.py on a syllable-inventory corpus. This
+    entry prices the BUILD; docs_lang_classifier_probe beside it
+    prices serving from the cached fit."""
+    from recdb_postgresql_spark.operators import classifier
+
+    d = _marked_lang_docs(spark, sf_dir)
     train = d.where(F.col("doc_id") % 5 != 0)
     held = d.where(F.col("doc_id") % 5 == 0)
     model, labels = classifier.train_lang_classifier(
         train, num_features=1 << 12, max_iter=12)
+    return (classifier.predict_lang(model, labels, held)
+            .join(held.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "pred_lang", "lang_prob")
+            .orderBy("doc_id"))
+
+
+def q_docs_lang_classifier_probe(spark, sf_dir):
+    """docs_lang_classifier with the fit AMORTIZED (model cached by
+    the bench warmup, mirroring docs_quality_classifier_probe): the
+    timed work is the serving story alone — char-gram extraction +
+    broadcast-coefficient scoring, zero shuffle beyond the label
+    join. Identical rows to docs_lang_classifier (same marked frame,
+    same training split, same hyperparameters)."""
+    from recdb_postgresql_spark.operators import classifier
+
+    model, labels = _lang_model(spark, sf_dir)
+    held = _marked_lang_docs(spark, sf_dir) \
+        .where(F.col("doc_id") % 5 == 0)
     return (classifier.predict_lang(model, labels, held)
             .join(held.select("doc_id", "lang"), "doc_id")
             .select("doc_id", "lang", "pred_lang", "lang_prob")
@@ -3487,12 +3567,15 @@ def q_rec_als_foldin_check(spark, sf_dir):
     relative gap between the folded and trained user factors — at
     ALS convergence the half-step reproduces the trained factor, so
     max_rel_err stays small. Rows-only (optimizer-dependent); the
-    exact-parity pin lives in tests/test_als_foldin.py."""
+    exact-parity pin lives in tests/test_als_foldin.py. Factors come
+    from the SHARED warmup-fit model (_als_model, same max_iter=8
+    hyperparams -> identical values to the former private fit); the
+    explicit build recipe stays priced in-query by rec_als_topk."""
     from recdb_postgresql_spark.operators import cf, svd
 
     ev = _ratings(spark, sf_dir)
     ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
-    um, im = svd.train_als(ratings, rank=8, max_iter=8, num_blocks=4)
+    um, im = _als_model(spark, sf_dir, implicit=False)
     target = ratings.where(F.col("user") < 8)
     fold = (svd.als_fold_in(im, target, reg=svd.PENALTY)
             .select("users", "feature", F.col("value").alias("fv")))
@@ -3515,13 +3598,15 @@ def q_rec_als_implicit_foldin(spark, sf_dir):
     relative factor gap — small at convergence because the half-step
     IS MLlib's implicit user solve against fixed item factors.
     Rows-only (optimizer-dependent); exact parity pinned in
-    tests/test_als_foldin.py."""
+    tests/test_als_foldin.py. Factors come from the SHARED
+    warmup-fit implicit model (_als_model, same max_iter=10/alpha=0.5
+    hyperparams -> identical values to the former private fit); the
+    implicit build recipe stays priced in-query by rec_als_implicit."""
     from recdb_postgresql_spark.operators import cf, svd
 
     ev = _ratings(spark, sf_dir)
     ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
-    um, im = svd.train_als(ratings, rank=8, max_iter=10, num_blocks=4,
-                           implicit_prefs=True, alpha=0.5)
+    um, im = _als_model(spark, sf_dir, implicit=True)
     target = ratings.where(F.col("user") < 8)
     fold = (svd.als_fold_in_implicit(im, target, reg=svd.PENALTY,
                                      alpha=0.5)
@@ -3534,6 +3619,27 @@ def q_rec_als_implicit_foldin(spark, sf_dir):
                 .alias("rel_err"))
             .select(F.col("users").alias("userid"), "rel_err")
             .orderBy("userid"))
+
+
+def q_rec_als_served(spark, sf_dir):
+    """rec_als_topk in its amortized SERVING form (r10 verdict next
+    #3): factors come from the shared warmup-fit explicit model
+    (_als_model), the timed work is the factor-join scoring + top-k
+    alone — fit-once-serve-many, the production shape (one model,
+    many consumers). rows-only driver check (optimizer-dependent
+    floats), like every latent-factor entry."""
+    from recdb_postgresql_spark.operators import cf, svd
+
+    ev = _ratings(spark, sf_dir)
+    ratings = cf.normalize_events(ev, "userid", "itemid", "ratingval")
+    um, im = _als_model(spark, sf_dir, implicit=False)
+    users = ratings.select("user").distinct().where(F.col("user") < 5)
+    items = ratings.select("item").distinct()
+    return (svd.predict_svd(um, im, users, items)
+            .select(F.col("user").alias("userid"),
+                    F.col("item").alias("itemid"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), "userid", "itemid").limit(20))
 
 
 def q_rec_item2vec_similar(spark, sf_dir):
@@ -6057,26 +6163,52 @@ _DRIVER_PRIORITY = [
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
     #
-    # r10 STATE: registry growth is FROZEN this round (r9 verdict next
-    # #1) — round 9 added ~95 entries against a ~50-slot window, leaving
-    # 72 oracle-checked + 6 rows-only entries that have never had a
-    # driver row (recomputed from CORRECTNESS_r01..r09 at r10 open).
-    # This round's window is backlog drain: 3 re-proves + 47 backlog
-    # entries (the first ~50 keys).  r11 continues below — the
-    # remaining 25 backlog entries (the 6 rows-only sit at positions
-    # 51-56, right behind backlog entry #48, and spill into r11 if
-    # the window is exactly 50) +
-    # graph_modularity re-prove + graph_modularity_probe, which
-    # restores the "no entry ages past ~3 rounds" arithmetic
-    # (backlog 78 <= 2 windows).
-    # (1) re-prove: oracle/semantics touched this round (t-closeness
-    # NULL-sensitive filter / bootstrap CI left-join — value-identical
-    # on bench data but the oracle statements changed; rec_ranking_rbo
-    # gained the Webber rbo_min/rbo_ext columns, r9 verdict #7)
+    # r11 STATE: the r10 window drained 3 re-proves + 47 backlog
+    # entries (CORRECTNESS_r10: 50/50 green); registry growth this
+    # round is held to the two verdict-mandated amortized probes
+    # (rec_als_served, docs_lang_classifier_probe).  This window
+    # FINISHES the backlog: the 6 rows-only entries that have waited
+    # three rounds lead, then the 25 remaining never-driver-sampled
+    # oracle entries, the graph_modularity re-prove + probe, and the
+    # two new probes (35).  After this window the never-sampled
+    # backlog is ZERO and the "no entry ages past ~3 rounds"
+    # arithmetic is restored; positions 36-50 are the stalest
+    # previously-sampled entries (r2 relational batch + the r4 tail).
+    # (1) the six rows-only entries, three rounds waiting (r10
+    # verdict missing #1)
+    "rec_als_implicit_foldin", "docs_lang_classifier", "text_unigram_tokens",
+    "events_hw_forecast", "rec_fpgrowth_rules", "embedding_procrustes_check",
+    # (2) the 25 remaining never-sampled oracle-checked entries (r10
+    # verdict missing #2 — the adapted TPC-H tail + sketch/graph strays)
+    "events_cusum", "events_dispersion", "graph_kcore",
+    "dedup_minhash_estimate", "events_audience_overlap",
+    "docs_heaps_curve", "docs_zipf_slope",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_late_priority",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity",
+    "q19_discounted_revenue", "q20_potential_promotion",
+    "q21_suppliers_waiting", "q22_sales_opportunity",
+    # (3) graph_modularity re-prove (its oracle CTEs went MATERIALIZED
+    # in r10 — values unchanged, statement changed) + amortized probe
+    "graph_modularity", "graph_modularity_probe",
+    # (4) THIS round's two new entries: the shared-warmup-fit serving
+    # probes (r10 verdict next #3 and #4)
+    "rec_als_served", "docs_lang_classifier_probe",
+    # (5) rotation fill to ~50: stalest-first by last driver-sampled
+    # round (the r2-era relational batch, then the r4 tail)
+    "agg_distinct_segments", "setop_customer_activity",
+    "subquery_above_avg_customers", "semijoin_order_lines",
+    "rollup_lineitem", "string_functions", "leftjoin_null_handling",
+    "values_scan_join", "recursive_month_spine", "case_priority_matrix",
+    "rec_peruser_topk", "multimodal_features", "multimodal_frame_plan",
+    "quantile_prices", "q1_pricing_summary",
+    # ------------------------------------------------------------------
+    # below position ~50: the r10-drained window (next-stalest after
+    # the r4 batch above), then the long-green remainder in
+    # historical order
     "events_t_closeness", "events_bootstrap_ci", "rec_ranking_rbo",
-    # (2) BACKLOG DRAIN part 1 (r9 verdict next #1): never-driver-
-    # sampled oracle-checked entries, oldest-first — 48 of 72 fill
-    # the rest of this round's ~50-slot window
     "events_qini_uplift", "audit_fk_integrity", "lineitem_spearman",
     "graph_assortativity", "events_user_streaks", "graph_clustering",
     "graph_label_prop", "events_psi_drift", "events_survival",
@@ -6092,37 +6224,7 @@ _DRIVER_PRIORITY = [
     "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
     "docs_textrank", "events_cumulative_users", "rec_wilson_topk",
     "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
-    "events_cusum",
-    # (3) the six never-sampled rows-only entries (r9 verdict #3);
-    # they trail the oracle backlog per the verdict's ordering
-    "rec_als_implicit_foldin", "docs_lang_classifier", "text_unigram_tokens",
-    "events_hw_forecast", "rec_fpgrowth_rules", "embedding_procrustes_check",
-    # (4) BACKLOG DRAIN part 2: the remaining 24 never-sampled
-    # oracle-checked entries — r11's window starts HERE
-    "events_dispersion", "graph_kcore", "dedup_minhash_estimate",
-    "events_audience_overlap", "docs_heaps_curve", "docs_zipf_slope",
-    "q11_important_stock", "q20_potential_promotion",
-    "q21_suppliers_waiting", "q6_forecast_revenue", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q12_late_priority", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity", "q19_discounted_revenue", "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    # (5) r10 additions + graph_modularity re-prove: the LPA-family
-    # oracles now MATERIALIZE their chained CTEs (DuckDB re-inlined
-    # each round's CTE tree, re-running the exact-Jaccard shadow 2^k
-    # times — 120 s -> 0.4 s at sf0.01, and the sf0.1 sweep now runs;
-    # values unchanged) and the amortized metric probe lands
-    "graph_modularity", "graph_modularity_probe",
-    # (6) rotation fill: stalest-first by last driver-sampled round
-    # (r2-era relational batch, then r4 multimodal/TPC-H trio, then
-    # the r5 dedup/ANN/text families, r6..r9 onward)
-    "agg_distinct_segments", "setop_customer_activity",
-    "subquery_above_avg_customers", "semijoin_order_lines",
-    "rollup_lineitem", "string_functions", "leftjoin_null_handling",
-    "values_scan_join", "recursive_month_spine", "case_priority_matrix",
-    "rec_peruser_topk", "multimodal_features", "multimodal_frame_plan",
-    "quantile_prices", "q1_pricing_summary", "q3_top_revenue_orders",
+    "q3_top_revenue_orders",
     "q5_nation_revenue", "window_top_orders_per_customer",
     "recsql_join_topk", "multimodal_resize_plan", "rec_itemcos_topk",
     "rec_itemcos_scorefilter", "rec_itemcos_model", "rec_itempear_topk",
@@ -6371,7 +6473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_als_implicit": q_rec_als_implicit,
         "rec_als_foldin_check": q_rec_als_foldin_check,
         "rec_als_implicit_foldin": q_rec_als_implicit_foldin,
+        "rec_als_served": q_rec_als_served,
         "docs_lang_classifier": q_docs_lang_classifier,
+        "docs_lang_classifier_probe": q_docs_lang_classifier_probe,
         "rec_item2vec_similar": q_rec_item2vec_similar,
         # pipeline extensions
         "dedup_exact": q_dedup_exact,

@@ -196,6 +196,10 @@ HEADLINE = [
     # round 10: amortized modularity metric probe (labels persisted in
     # warmup; the timed work is the metric, not the LPA rebuild)
     "graph_modularity_probe",
+    # round 11: shared-warmup-fit serving probes (one ALS model / one
+    # lang model per regime per process, many consumers — r10 verdict
+    # next #3/#4; the fold-in checks now read the same shared fits)
+    "rec_als_served", "docs_lang_classifier_probe",
 ]
 
 # the priciest operators also timed at sf0.01 for a scaling slope
