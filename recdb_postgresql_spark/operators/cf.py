@@ -123,6 +123,11 @@ def train_item_cos(ratings: DataFrame,
     n1 = norms.select(F.col("item").alias("e1"), F.col("norm").alias("n1"))
     n2 = norms.select(F.col("item").alias("e2"), F.col("norm").alias("n2"))
     return (dots.join(n1, "e1").join(n2, "e2")
+            # zero-norm guard (all-zero rating vectors — possible after
+            # cap_coraters drops an entity's nonzero rows): cosine is
+            # 0/0 there and the reference's sim>0 cut drops it anyway;
+            # ANSI mode errors on the division unless filtered first
+            .where((F.col("n1") * F.col("n2")) != 0)
             .select(F.col("e1").alias("item1"), F.col("e2").alias("item2"),
                     (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("similarity"))
             .where(F.col("similarity") > 0))  # cosine drops sim<=0: recathon.c:1493
@@ -227,6 +232,10 @@ def train_user_cos(ratings: DataFrame,
     n1 = norms.select(F.col("user").alias("e1"), F.col("norm").alias("n1"))
     n2 = norms.select(F.col("user").alias("e2"), F.col("norm").alias("n2"))
     return (dots.join(n1, "e1").join(n2, "e2")
+            # zero-norm guard, same as train_item_cos (found at the
+            # x100 decade probe: cap_coraters left one user only their
+            # rating-0.0 rows -> norm 0 -> ANSI DIVIDE_BY_ZERO)
+            .where((F.col("n1") * F.col("n2")) != 0)
             .select(F.col("e1").alias("user1"), F.col("e2").alias("user2"),
                     (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("similarity"))
             .where(F.col("similarity") > 0))

@@ -77,30 +77,42 @@ def amplified_docs(spark, sf_dir: str, mult: int):
     return out
 
 
-def dedup_probe(spark, sf_dir: str, mult: int) -> None:
+def dedup_probe(spark, sf_dir: str, mult: int,
+                scale_only: bool = False) -> None:
     """Exact inverted-index Jaccard vs the LSH-verified flow at
     amplified doc counts: exact grows with co-shingling pairs
     (superlinear), verified with candidates x shingles/doc (linear-ish)
     — the asymptotic proof behind VERDICT r1 fix #1 that sf0.1 alone
-    is too small to show."""
+    is too small to show. ``scale_only`` (decade battery) times the
+    verified path alone — at x100 the exact shadow is hours."""
     from recdb_postgresql_spark.operators import dedup
 
     docs = amplified_docs(spark, sf_dir, mult)
     sh = dedup.word_shingles(docs)
-    t0 = time.perf_counter()
-    n_exact = dedup.jaccard_pairs(sh, threshold=0.5).count()
-    t_exact = time.perf_counter() - t0
+    if not scale_only:
+        t0 = time.perf_counter()
+        n_exact = dedup.jaccard_pairs(sh, threshold=0.5).count()
+        t_exact = time.perf_counter() - t0
     t0 = time.perf_counter()
     n_ver = dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
                                      bands=4, rows_per_band=2).count()
     t_ver = time.perf_counter() - t0
-    record(f"dedup_exact_vs_verified_x{mult}", mult=mult,
-           exact_pairs=n_exact, exact_s=t_exact,
-           lsh_verified_pairs=n_ver, verified_s=t_ver,
-           speedup_x=t_exact / max(t_ver, 1e-9))
+    if scale_only:
+        # decade probe: the exact inverted-index shadow is the
+        # measured-quadratic baseline (490 s at x30) — at x100 it is
+        # hours and proves nothing new; only the scale path is timed
+        record(f"dedup_verified_x{mult}", mult=mult,
+               lsh_verified_pairs=n_ver, verified_s=t_ver,
+               exact_shadow="skipped (quadratic, 490s@x30)")
+    else:
+        record(f"dedup_exact_vs_verified_x{mult}", mult=mult,
+               exact_pairs=n_exact, exact_s=t_exact,
+               lsh_verified_pairs=n_ver, verified_s=t_ver,
+               speedup_x=t_exact / max(t_ver, 1e-9))
 
 
-def prefix_probe(spark, sf_dir: str, mult: int) -> None:
+def prefix_probe(spark, sf_dir: str, mult: int,
+                 scale_only: bool = False) -> None:
     """EXACT Jaccard: inverted-index baseline vs prefix filtering on a
     BOILERPLATE-heavy corpus — every doc carries the same template
     header (the web-corpus shape: shared nav/footer text) while the
@@ -134,12 +146,20 @@ def prefix_probe(spark, sf_dir: str, mult: int) -> None:
                                    F.col("rep").cast("string"))),
                            " ")).alias("text")))
     sh = dedup.word_shingles(amp).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
-    n_exact = dedup.jaccard_pairs(sh, threshold=0.5).count()
-    t_exact = time.perf_counter() - t0
+    if not scale_only:
+        t0 = time.perf_counter()
+        n_exact = dedup.jaccard_pairs(sh, threshold=0.5).count()
+        t_exact = time.perf_counter() - t0
     t0 = time.perf_counter()
     n_pref = dedup.prefix_filtered_pairs(sh, threshold=0.5).count()
     t_pref = time.perf_counter() - t0
+    if scale_only:
+        # decade probe: the plain inverted index is measured-quadratic
+        # on boilerplate (39.5 s at x32) — prefix path only
+        record(f"dedup_prefix_x{mult}", mult=mult, shape="boilerplate",
+               prefix_pairs=n_pref, prefix_s=t_pref,
+               exact_shadow="skipped (quadratic, 39.5s@x32)")
+        return
     assert n_pref == n_exact, (n_pref, n_exact)
     record(f"dedup_exact_vs_prefix_x{mult}", mult=mult,
            shape="boilerplate", exact_pairs=n_exact, exact_s=t_exact,
@@ -338,6 +358,15 @@ def theilsen_grouped_probe(spark, n_groups: int = 64,
 
 
 def main():
+    if sys.argv[1:2] == ["decade"]:
+        # x100 flagship-family battery (r10 verdict next #5): MERGES
+        # into the existing STRESS.json (the x10/x30 rows are the
+        # slope's other points — wiping them would orphan the decade)
+        os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+        spark = get_spark("recdb_stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        decade_battery(spark)
+        return
     mults = [int(x) for x in sys.argv[1:]] or [10, 30]
     # a full battery starts a FRESH record — the merge in record() is
     # only for ad-hoc single-probe reruns on top of a complete battery,
@@ -388,19 +417,55 @@ def main():
     for mult in mults:
         ann_probe(spark, sf_dir, mult)
     for mult in mults:
-        r = amplified_ratings(spark, sf_dir, mult)
-        n = r.count()
-        t0 = time.perf_counter()
-        n_model = cf.train_item_cos(r).count()
-        t_item = time.perf_counter() - t0
-        # exact user-CF is quadratic in raters-per-item (infeasible past
-        # ~2000 raters/item); the capped variant is the scale lever.
-        t0 = time.perf_counter()
-        n_user = cf.train_user_cos(r, max_coraters=500).count()
-        t_user = time.perf_counter() - t0
-        record(f"cf_training_x{mult}", mult=mult, ratings=n,
-               item_model_pairs=n_model, item_train_s=t_item,
-               capped_user_pairs=n_user, user_train_capped_s=t_user)
+        cf_probe(spark, sf_dir, mult)
+
+
+def cf_probe(spark, sf_dir: str, mult: int) -> None:
+    """Item-cos + capped user-cos training at amplified user counts
+    (users grow with mult, items fixed — co-rater counts per item grow
+    linearly, exactly the axis that breaks uncapped user-CF). The
+    amplified frame is localCheckpoint'ed: train_user_cos consumes its
+    input 3x (norms + both pair-join sides) and without the pin each
+    consumer re-executes the mult-way union + normalize shuffle — at
+    x100 that lineage re-execution dominated (385 s) and measured the
+    data GENERATOR, not the operator (a real pipeline reads ratings
+    from a table)."""
+    r = amplified_ratings(spark, sf_dir, mult).localCheckpoint()
+    n = r.count()
+    t0 = time.perf_counter()
+    n_model = cf.train_item_cos(r).count()
+    t_item = time.perf_counter() - t0
+    # exact user-CF is quadratic in raters-per-item (infeasible past
+    # ~2000 raters/item); the capped variant is the scale lever.
+    t0 = time.perf_counter()
+    n_user = cf.train_user_cos(r, max_coraters=500).count()
+    t_user = time.perf_counter() - t0
+    record(f"cf_training_x{mult}", mult=mult, ratings=n,
+           item_model_pairs=n_model, item_train_s=t_item,
+           capped_user_pairs=n_user, user_train_capped_s=t_user)
+
+
+def decade_battery(spark, sf_dir: str = "/root/testdata/sf0.1") -> None:
+    """r10 verdict next #5: one more measured decade for the five
+    flagship families — x100 against the x10/x30 battery rows (x64
+    for the LSH-index probe whose prior points are x8/x16). Each runs
+    its SCALE PATH only; the quadratic shadows already have measured
+    baselines at x16-x32 and would add hours, not information. Slopes
+    land in SCALING.md next to the x30 rows. Invoke:
+    ``python stress.py decade``.
+
+    Partition-sizing protocol (measured, both ways): a GLOBAL bump to
+    256 shuffle partitions made the output-bound probes WORSE (dedup
+    x100 703->1188 s, lsh probe 7.7->16.4 s — per-task overhead on
+    modest shuffles) while helping only the x64 index BUILD's ~400M-row
+    minhash shuffle (330->236 s, spill relief). So sizing is per-stage
+    — cluster_conf's 200MB rule applied to each stage's volume, which
+    is what build_partitions does below — never a blanket setting."""
+    lsh_index_probe(spark, sf_dir, 64, build_partitions=256)
+    ann_probe(spark, sf_dir, 100)
+    cf_probe(spark, sf_dir, 100)
+    dedup_probe(spark, sf_dir, 100, scale_only=True)
+    prefix_probe(spark, "/root/testdata/sf0.01", 100, scale_only=True)
 
 
 def label_prop_probe(spark, n_cliques: int = 2000,
@@ -457,7 +522,8 @@ def unigram_probe(spark, sf_dir: str) -> None:
     assert times[8][0] < max(2.0 * times[1][0], times[1][0] + 2.0), times
 
 
-def lsh_index_probe(spark, sf_dir: str, mult: int) -> None:
+def lsh_index_probe(spark, sf_dir: str, mult: int,
+                    build_partitions: int | None = None) -> None:
     """The persisted LSH index's amortized claim, measured: with an
     indexed corpus of mult x base size, probing a FIXED small batch
     costs ~the batch (band join + candidate verify against bucketed
@@ -483,14 +549,38 @@ def lsh_index_probe(spark, sf_dir: str, mult: int) -> None:
     for p in parts[1:]:
         corpus = corpus.unionByName(p)
     corpus = corpus.localCheckpoint()
+    # batch ids must clear EVERY corpus copy's offset (mult copies at
+    # +i*10M reach 630M at x64 — a 500M threshold misclassified them
+    # as batch docs and the cross filter exploded; found at x64)
+    BATCH_OFF = 10_000_000_000
     batch = (base.where(F.col("doc_id") % 4 == 0)
-             .select((F.col("doc_id") + 500_000_000).alias("doc_id"), "text")
+             .select((F.col("doc_id") + BATCH_OFF).alias("doc_id"), "text")
              .localCheckpoint())
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
     for suf in ("_bands", "_sh"):
         spark.sql(f"DROP TABLE IF EXISTS stress_lsh{suf}")
+        # a crashed prior run leaves the data dir without a metastore
+        # row; saveAsTable then fails LOCATION_ALREADY_EXISTS
+        shutil.rmtree(os.path.join(wh, "stress_lsh" + suf),
+                      ignore_errors=True)
+    # the build's minhash explode is the probe's one huge shuffle
+    # (corpus shingles x num_hashes); size it by the 200MB rule and
+    # restore the session default for the probe/from-scratch legs
+    # (measured: a blanket bump slows the output-bound legs down)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if build_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(build_partitions))
     t0 = time.perf_counter()
     dedup.write_lsh_index(corpus, "stress_lsh")
     t_build = time.perf_counter() - t0
+    if build_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     t0 = time.perf_counter()
     n_idx = dedup.neardup_against_index(batch, spark, "stress_lsh").count()
     t_probe = time.perf_counter() - t0
@@ -498,7 +588,7 @@ def lsh_index_probe(spark, sf_dir: str, mult: int) -> None:
     pairs = dedup.lsh_verified_pairs(
         dedup.word_shingles(corpus.unionByName(batch)), threshold=0.5)
     n_scratch = pairs.where(
-        (F.col("id1") >= 500_000_000) != (F.col("id2") >= 500_000_000)).count()
+        (F.col("id1") >= BATCH_OFF) != (F.col("id2") >= BATCH_OFF)).count()
     t_scratch = time.perf_counter() - t0
     assert n_idx == n_scratch, (n_idx, n_scratch)
     record(f"lsh_index_probe_x{mult}", mult=mult,

@@ -57,6 +57,31 @@ def test_user_cf_target_average_quirk(spark):
     assert (1, 10) in scored and (2, 10) in scored
 
 
+def test_cos_zero_norm_vectors_dropped_not_error(spark):
+    """An all-zero rating vector (possible after cap_coraters drops an
+    entity's nonzero rows) has norm 0; its cosine is 0/0 and the
+    reference's sim>0 cut would drop it anyway — the build must filter
+    it BEFORE the division (ANSI mode errors otherwise; found by the
+    x100 cf decade probe)."""
+    rows = [(1, 10, 4.0), (1, 20, 2.0),
+            (2, 10, 5.0), (2, 20, 1.0),
+            (3, 10, 0.0), (3, 20, 0.0)]   # user 3: all-zero vector
+    df = spark.createDataFrame(rows, "user long, item long, rating double")
+    users = {frozenset((r.user1, r.user2))
+             for r in cf.train_user_cos(df).collect()}
+    assert frozenset((1, 2)) in users
+    assert all(3 not in p for p in users)
+    # transposed hazard: an all-zero ITEM vector on the item-cos side
+    rows_i = [(1, 10, 4.0), (2, 10, 5.0),
+              (1, 20, 2.0), (2, 20, 1.0),
+              (1, 30, 0.0), (2, 30, 0.0)]  # item 30: all-zero vector
+    df_i = spark.createDataFrame(rows_i, "user long, item long, rating double")
+    items = {frozenset((r.item1, r.item2))
+             for r in cf.train_item_cos(df_i).collect()}
+    assert frozenset((10, 20)) in items
+    assert all(30 not in p for p in items)
+
+
 def test_item_cf_zero_when_unreachable(spark):
     # two disconnected item groups -> cross-group predictions are 0
     rows = [(1, 10, 5.0), (1, 20, 3.0), (2, 30, 4.0), (2, 40, 2.0)]
