@@ -1408,22 +1408,41 @@ def _als_model(spark, sf_dir: str, implicit: bool = False):
     this cache. Hyperparams match the fold-in checks exactly
     (explicit: max_iter=8; implicit: max_iter=10, alpha=0.5), so
     their values are unchanged vs the private fits they replaced.
-    Factors are (users|items) x rank rows — localCheckpoint pins them
-    at KMeans-centroid-scale cost, far below any executor memory."""
+    Factors are (users|items) x rank rows, persisted as parquet under
+    .bench_indexes like every other index family (NOT localCheckpoint:
+    bench's periodic _gc_sweep unpersists all RDD blocks and a
+    truncated-lineage checkpoint cannot recompute -- the r11 bench
+    pre-run lost the cache mid-suite exactly that way; parquet also
+    survives fresh sessions, same as the LPA index)."""
     from recdb_postgresql_spark.operators import cf, svd
 
     key = (sf_dir, bool(implicit))
     if key not in _ALS_MODELS:
-        ratings = cf.normalize_events(_ratings(spark, sf_dir),
-                                      "userid", "itemid", "ratingval")
-        if implicit:
-            um, im = svd.train_als(ratings, rank=8, max_iter=10,
-                                   num_blocks=4, implicit_prefs=True,
-                                   alpha=0.5)
-        else:
-            um, im = svd.train_als(ratings, rank=8, max_iter=8,
-                                   num_blocks=4)
-        _ALS_MODELS[key] = (um.localCheckpoint(), im.localCheckpoint())
+        regime = "implicit" if implicit else "explicit"
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_indexes", _sf_tag(sf_dir),
+                            f"als_{regime}")
+        if not all(os.path.exists(os.path.join(base, d, "_SUCCESS"))
+                   for d in ("um", "im")):
+            import shutil
+            tmp = base + ".build"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ratings = cf.normalize_events(_ratings(spark, sf_dir),
+                                          "userid", "itemid", "ratingval")
+            if implicit:
+                um, im = svd.train_als(ratings, rank=8, max_iter=10,
+                                       num_blocks=4, implicit_prefs=True,
+                                       alpha=0.5)
+            else:
+                um, im = svd.train_als(ratings, rank=8, max_iter=8,
+                                       num_blocks=4)
+            um.write.mode("overwrite").parquet(os.path.join(tmp, "um"))
+            im.write.mode("overwrite").parquet(os.path.join(tmp, "im"))
+            shutil.rmtree(base, ignore_errors=True)
+            os.rename(tmp, base)
+        _ALS_MODELS[key] = (
+            spark.read.parquet(os.path.join(base, "um")),
+            spark.read.parquet(os.path.join(base, "im")))
     return _ALS_MODELS[key]
 
 
