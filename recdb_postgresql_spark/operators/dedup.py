@@ -129,14 +129,22 @@ def write_lsh_index(docs: DataFrame, table: str, id_col: str = "doc_id",
     from recdb_postgresql_spark.sources.sinks import write_bucketed
 
     sh = word_shingles(docs, id_col=id_col, text_col=text_col, n=n)
-    hashed = hash_shingles(sh, hash_fn).localCheckpoint(eager=True)
+    hashed = hash_shingles(sh, hash_fn)
+    # the _sh table itself is the pin: write it FIRST, read it back
+    # for the minhash/band derivation. The former localCheckpoint of
+    # the shingle-hash rows materialized the same data a second time
+    # in the block manager (~50M rows at the x64 decade probe — the
+    # build's superlinear residue); the parquet read is also already
+    # bucketed on id, exactly the key the sizes aggregate needs.
+    write_bucketed(hashed.select("id", "sh"),
+                   f"{table}_sh", "id", buckets=buckets)
+    session = docs.sparkSession
+    hashed = session.table(f"{table}_sh")
     sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
     banded = band_signatures(sig, rows_per_band).join(sizes, "id")
     write_bucketed(banded.select("sig", "id", "sz"),
                    f"{table}_bands", "sig", buckets=buckets)
-    write_bucketed(hashed.select("id", "sh"),
-                   f"{table}_sh", "id", buckets=buckets)
 
 
 def neardup_against_index(docs: DataFrame, spark, table: str,
