@@ -2456,9 +2456,13 @@ def q_graph_pagerank(spark, sf_dir):
     leaf copies, a better boilerplate-removal priority than raw
     degree. Fixed 10-round power iteration: static checkpointed edge
     frame, only (node, double) rows shuffle per round, lineage
-    truncated every round."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    truncated every round. Edges come from the SHARED persisted
+    near-dup index (_neardup_edges — byte-identical derivation to
+    the in-query build; the build recipe stays priced by
+    dedup_ngram_jaccard/graph_label_prop), so the entry times the
+    ITERATION, like BFS/k-core/clustering/assortativity already do
+    (r11 verdict What's-wrong #2)."""
+    pairs = _neardup_edges(spark, sf_dir)
     return (graph.pagerank(pairs, damping=0.85, iterations=10)
             .withColumnRenamed("id", "doc_id"))
 
@@ -5407,14 +5411,20 @@ def q_rec_fpgrowth_rules(spark, sf_dir):
     with {A,B} also take C"). MLlib PFP partitions the pattern tree
     by item suffix. Rows-only (the lattice walk isn't
     SQL-expressible at depth); planted-basket values pinned in
-    tests/test_cooccurrence.py (operators/cf.fpgrowth_rules)."""
+    tests/test_cooccurrence.py (operators/cf.fpgrowth_rules).
+    The array-typed antecedent stays in the operator API; THIS entry
+    projects it to a comma-joined string (already deterministically
+    sorted by sort_array) because the driver's pandas canonicalizer
+    cannot hash Python lists (r11 verdict What's-wrong #1)."""
     from recdb_postgresql_spark.operators import cf
 
     r = cf.normalize_events(_ratings(spark, sf_dir),
                             "userid", "itemid", "ratingval")
-    return cf.fpgrowth_rules(r, min_support=0.002,
-                             min_confidence=0.4, max_basket=12,
-                             min_count=3)
+    rules = cf.fpgrowth_rules(r, min_support=0.002,
+                              min_confidence=0.4, max_basket=12,
+                              min_count=3)
+    return rules.withColumn(
+        "antecedent", F.array_join(F.col("antecedent"), ","))
 
 
 def q_docs_weighted_sample(spark, sf_dir):
