@@ -1236,6 +1236,25 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
 
 
+def _index_fingerprint(sf_dir: str, source_table: str, *params) -> str:
+    """Short cache-key hash for the persisted .bench_indexes artifacts:
+    hyperparameters + the source parquet's (size, mtime). Embedded in
+    the cache DIRECTORY name so regenerated testdata or changed
+    hyperparams force a rebuild instead of silently serving stale
+    factors across sessions (ADVICE r11: _SUCCESS markers alone
+    validate nothing)."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    try:
+        st = os.stat(src)
+        data_sig = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        data_sig = "absent"
+    raw = repr(params) + "|" + data_sig
+    return hashlib.md5(raw.encode()).hexdigest()[:8]
+
+
 def _ivf_index_path(spark, sf_dir: str) -> str:
     """write_ivf_index layout (parquet partitioned by cell) for this
     sf_dir's embeddings, same centroids as ann_ivf_topk."""
@@ -1323,8 +1342,10 @@ def _lpa_index_path(spark, sf_dir: str) -> str:
     in bench warmup (the ann_ivf_trained_probe pattern)."""
     if sf_dir in _LPA_INDEX:
         return _LPA_INDEX[sf_dir]
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        ".bench_indexes", _sf_tag(sf_dir), "lpa")
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_indexes", _sf_tag(sf_dir),
+        f"lpa_{_index_fingerprint(sf_dir, 'documents', 'jacc', 0.5, 'lpa', 4)}")
     # disk-cached across processes: a prior session's build is reused
     # if both parts carry their _SUCCESS marker (a fresh session must
     # not silently re-pay the full shingle->Jaccard->LPA build inside
@@ -1419,9 +1440,12 @@ def _als_model(spark, sf_dir: str, implicit: bool = False):
     key = (sf_dir, bool(implicit))
     if key not in _ALS_MODELS:
         regime = "implicit" if implicit else "explicit"
-        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".bench_indexes", _sf_tag(sf_dir),
-                            f"als_{regime}")
+        hp = (("rank", 8, "max_iter", 10, "alpha", 0.5) if implicit
+              else ("rank", 8, "max_iter", 8))
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_indexes", _sf_tag(sf_dir),
+            f"als_{regime}_{_index_fingerprint(sf_dir, 'events', *hp)}")
         if not all(os.path.exists(os.path.join(base, d, "_SUCCESS"))
                    for d in ("um", "im")):
             import shutil

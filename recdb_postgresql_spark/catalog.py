@@ -41,6 +41,13 @@ class RecommenderInfo:
     update_counter2: int = 0
     celltype: str = "Delta"   # cold/cold default (rateupdate.c:149)
     model_tables: list = field(default_factory=list)
+    # per-user cap the RecView was materialized with (engine
+    # tail_length / explicit k at materialize time): 0 = dense full
+    # grid (the reference's semantics), >0 = top-view_cap rows per
+    # user, -1 = no view / unknown (pre-cap manifests).  Read paths
+    # validate k against this so a capped view can never silently
+    # truncate a deeper top-k read (ADVICE r11).
+    view_cap: int = -1
 
 
 class RecCatalog:

@@ -275,16 +275,50 @@ class RecEngine:
                  .orderBy(F.col("score").desc(), F.col("item")))
             preds = (preds.withColumn("_rn", F.row_number().over(w))
                      .filter(F.col("_rn") <= cap).drop("_rn"))
+            info.view_cap = int(cap)
+        else:
+            info.view_cap = 0  # dense full grid — reads are unbounded
+        # add_model_table persists the updated info (incl. view_cap) in
+        # the manifest, so read-path validation survives restarts
         self.catalog.add_model_table(info, "recview", preds, self.spark)
 
     def recommend_from_view(self, name: str,
                             user_where: Optional[Column] = None,
-                            k: Optional[int] = None) -> DataFrame:
+                            k: Optional[int] = None, *,
+                            allow_capped: bool = False) -> DataFrame:
         """IndexRecommend read path (execRecommend.c:151-294): filter
-        the precomputed predictions to the target users."""
+        the precomputed predictions to the target users.
+
+        Reads are validated against the cap recorded at materialize
+        time (``RecommenderInfo.view_cap``): a global top-k with
+        ``k <= cap`` is always exact (each of the k rows is within its
+        own user's top-k), but ``k > cap`` could need rows the capped
+        view never stored, so it raises instead of silently returning
+        a truncated answer; ``k=None`` returns the capped table itself
+        (users x cap rows, NOT the reference's dense grid) and logs a
+        warning unless the caller opts in with ``allow_capped=True``
+        (ADVICE r11)."""
         info = self.catalog.get(name)
         if info is None or "recview" not in info.model_tables:
             raise ValueError(f"no materialized RecView for {name!r}")
+        cap = getattr(info, "view_cap", -1)
+        if cap > 0:
+            if k is None:
+                if not allow_capped:
+                    logger.warning(
+                        "RecView %r is capped to the top %d predictions "
+                        "per user (not the dense users x items grid); "
+                        "reading it whole returns at most %d rows per "
+                        "user — use recommend() for full-grid scoring "
+                        "or materialize_predictions(full_grid=True)",
+                        name, cap, cap)
+            elif k > cap:
+                raise ValueError(
+                    f"RecView for {name!r} was materialized with "
+                    f"per-user cap {cap}; a top-{k} read could need "
+                    f"rows the view never stored. Re-materialize with "
+                    f"k>={k} (or full_grid=True), or score live with "
+                    f"recommend().")
         view = self.catalog.load_models(info, self.spark)["recview"]
         out = view.select(F.col("user").alias(info.userkey),
                           F.col("item").alias(info.itemkey),
@@ -326,7 +360,7 @@ class RecEngine:
                 raise ValueError("IndexRecommend explain needs a "
                                  "materialized recommender name")
             strategy = "IndexRecommend"
-            df = self.recommend_from_view(name)
+            df = self.recommend_from_view(name, allow_capped=True)
         else:
             df = self.recommend(events, userkey, itemkey, eventval, method,
                                 name=name)

@@ -44,12 +44,15 @@ in a RECOMMEND statement with the reference's error message.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 from recdb_postgresql_spark.engine import RecEngine
+
+logger = logging.getLogger("recdb_postgresql_spark.recsql")
 
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+RECOMMENDER\s+(?P<name>\w+)\s+ON\s+(?P<table>\w+)\s+"
@@ -280,6 +283,57 @@ class RecSQL:
     def __init__(self, engine: RecEngine):
         self.engine = engine
         self.spark: SparkSession = engine.spark
+        # R19 strategy label of the last RECOMMEND statement this
+        # front door executed (GenerateRecommend / FilterRecommend /
+        # IndexRecommend) — observable for tests and verbose logging
+        self.last_strategy: Optional[str] = None
+
+    def _try_view_route(self, m: re.Match, hit, ev, ucol: str, icol: str,
+                        ecol: str) -> Optional[DataFrame]:
+        """Return the stored RecView as the scored frame when the
+        statement is PROVABLY exact over the per-user-capped view,
+        else None (caller falls back to live/materialized scoring).
+
+        Exactness: the view holds the top ``view_cap`` predictions per
+        user. A statement whose residual WHERE references only the
+        user column (so no item/score predicate can dig past the cap)
+        and that ends ``ORDER BY <score> DESC LIMIT n`` with
+        ``n <= view_cap`` is exact, because each row of a global
+        top-n is within its own user's top-n. ``view_cap == 0``
+        (full grid) is exact for any statement."""
+        if "recview" not in getattr(hit, "model_tables", []):
+            return None
+        cap = getattr(hit, "view_cap", -1)
+        if cap < 0:
+            return None  # pre-cap manifest: cap unknown, never route
+        # the RECOMMEND columns must be the ones the view stores
+        if (hit.userkey, hit.itemkey, hit.eventval) != (ucol, icol, ecol):
+            return None
+        if cap > 0:
+            rest = m["rest"] or ""
+            tail = re.match(
+                r"^\s*(?:WHERE\s+(?P<where>.*?))?\s*"
+                r"ORDER\s+BY\s+(?P<obcol>[\w.]+)\s+DESC\s+"
+                r"LIMIT\s+(?P<lim>\d+)\s*$",
+                rest, re.IGNORECASE | re.DOTALL)
+            if tail is None:
+                return None
+            if tail["obcol"].split(".")[-1].lower() != ecol.lower():
+                return None
+            if int(tail["lim"]) > cap:
+                return None
+            # residual WHERE must be user-only; identifiers may carry
+            # the events alias as a qualifier (stripped for the check)
+            where = tail["where"]
+            if where:
+                aliases = {a for a in (ev.alias, ev.table) if a}
+                bare = re.sub(
+                    r"\b(" + "|".join(re.escape(a) for a in aliases)
+                    + r")\.", "", where, flags=re.IGNORECASE)
+                _, residual = _split_where(bare, ucol)
+                if residual is not None:
+                    return None
+        return self.engine.recommend_from_view(hit.name, allow_capped=True)
 
     @staticmethod
     def _validate_recommend(query: str, m: re.Match) -> None:
@@ -370,9 +424,27 @@ class RecSQL:
             # OP_FILTER
             hit = self.engine.catalog.find(m["method"].lower(),
                                            ev.table.lower())
-        scored = self.engine.recommend(
-            events_df, ucol, icol, ecol,
-            m["method"].lower(), name=hit.name if hit else None)
+        scored = None
+        if hit is not None:
+            # IndexRecommend auto-route (R19 / execRecommend.c:151-294,
+            # the read path the reference gates off at 935-940): when a
+            # RecView is materialized AND the statement is provably
+            # answerable from the capped view, substitute the stored
+            # predictions instead of re-scoring. Exactness argument in
+            # _view_route_exact.
+            scored = self._try_view_route(m, hit, ev, ucol, icol, ecol)
+        if scored is not None:
+            self.last_strategy = "IndexRecommend"
+        else:
+            self.last_strategy = ("FilterRecommend" if hit
+                                  else "GenerateRecommend")
+            scored = self.engine.recommend(
+                events_df, ucol, icol, ecol,
+                m["method"].lower(), name=hit.name if hit else None)
+        if self.engine.verbose_queries:
+            logger.info("RECOMMEND (SQL) %s strategy=%s method=%s",
+                        hit.name if hit else "<on-the-fly>",
+                        self.last_strategy, m["method"].lower())
 
         RecSQL._view_seq += 1
         view = f"__rec_scored_{RecSQL._view_seq}"

@@ -573,14 +573,19 @@ def lsh_index_probe(spark, sf_dir: str, mult: int,
     # restore the session default for the probe/from-scratch legs
     # (measured: a blanket bump slows the output-bound legs down)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if build_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(build_partitions))
-    t0 = time.perf_counter()
-    dedup.write_lsh_index(corpus, "stress_lsh")
-    t_build = time.perf_counter() - t0
-    if build_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        if build_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(build_partitions))
+        t0 = time.perf_counter()
+        dedup.write_lsh_index(corpus, "stress_lsh")
+        t_build = time.perf_counter() - t0
+    finally:
+        # ALWAYS restore: a throw here (e.g. a stale
+        # LOCATION_ALREADY_EXISTS) must not leak build_partitions into
+        # every later decade probe (ADVICE r11)
+        if build_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     t0 = time.perf_counter()
     n_idx = dedup.neardup_against_index(batch, spark, "stress_lsh").count()
     t_probe = time.perf_counter() - t0

@@ -189,3 +189,25 @@ def test_cluster_conf_scales_with_inputs(spark):
         assert conf["spark.sql.adaptive.enabled"] == "true"
         assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
         assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_recview_cap_recorded_and_validated(spark, events, tmp_path):
+    """ADVICE r11: the per-user cap used at materialize time is
+    persisted in the catalog row (view_cap) and reads past it raise
+    instead of silently truncating the reference's dense-grid
+    semantics; full_grid re-materialization clears the cap."""
+    eng = RecEngine(spark, workdir=str(tmp_path), tail_length=3)
+    eng.create_recommender("vv", events, "userid", "itemid", "ratingval",
+                           "itemcoscf")
+    eng.materialize_predictions("vv", events)
+    assert eng.catalog.get("vv").view_cap == 3
+    with pytest.raises(ValueError, match="cap 3"):
+        eng.recommend_from_view("vv", k=10)
+    assert eng.recommend_from_view("vv", k=2).count() == 2
+    # the cap survives a manifest round-trip (fresh catalog instance)
+    from recdb_postgresql_spark.catalog import RecCatalog
+    assert RecCatalog(str(tmp_path)).get("vv").view_cap == 3
+    eng.materialize_predictions("vv", events, full_grid=True)
+    assert eng.catalog.get("vv").view_cap == 0
+    assert eng.recommend_from_view("vv", k=10).count() == 10
+    eng.drop_recommender("vv")

@@ -95,3 +95,46 @@ def test_misc_score_threshold(rs):
                  "ratingval USING itemcoscf WHERE userid = 1 "
                  "AND ratingval >= 2.5").collect()
     assert all(r.ratingval >= 2.5 for r in out)
+
+
+def test_recsql_view_route_indexrecommend(rs, spark):
+    """R6/R19 through the SQL front door: once a RecView exists and the
+    statement is provably answerable from the capped view (user-only
+    WHERE + ORDER BY score DESC LIMIT n <= tail_length), RecSQL routes
+    it to the stored predictions and labels the strategy
+    IndexRecommend; deeper or item-filtered reads fall back to live
+    scoring (execRecommend.c:151-294; capped-view exactness argument
+    in RecSQL._try_view_route)."""
+    eng = RecEngine(spark, tail_length=5)
+    sql = RecSQL(eng)
+    sql.sql("CREATE RECOMMENDER ViewRec ON ml_ratings USERS FROM userid "
+            "ITEMS FROM itemid EVENTS FROM ratingval USING itemcoscf")
+    q = ("SELECT * FROM ml_ratings RECOMMEND itemid TO userid ON ratingval "
+         "USING itemcoscf WHERE userid = 3 ORDER BY ratingval DESC LIMIT 3")
+    live = sql.sql(q).collect()
+    assert sql.last_strategy == "FilterRecommend"  # no view yet
+    eng.materialize_predictions("viewrec", spark.table("ml_ratings"))
+    routed = sql.sql(q).collect()
+    assert sql.last_strategy == "IndexRecommend"
+    # parity vs the live path (scores; item ties at the boundary may
+    # break differently between the two top-k implementations)
+    assert len(routed) == len(live) == 3
+    assert all(r.userid == 3 for r in routed)
+    assert ([round(r.ratingval, 6) for r in routed]
+            == [round(r.ratingval, 6) for r in live])
+    # k > cap must NOT route: the capped view may miss needed rows
+    deep = q.replace("LIMIT 3", "LIMIT 8")
+    out = sql.sql(deep).collect()
+    assert sql.last_strategy == "FilterRecommend" and len(out) == 8
+    # an item predicate can dig past the per-user cap: no route
+    itemq = ("SELECT * FROM ml_ratings RECOMMEND itemid TO userid ON "
+             "ratingval USING itemcoscf WHERE userid = 3 AND itemid < 100 "
+             "ORDER BY ratingval DESC LIMIT 3")
+    sql.sql(itemq).collect()
+    assert sql.last_strategy == "FilterRecommend"
+    # R19: explain() carries the same label for the view path
+    assert eng.explain(spark.table("ml_ratings"), "userid", "itemid",
+                       "ratingval", "itemcoscf", name="viewrec",
+                       use_view=True).startswith(
+        "Recommend strategy: IndexRecommend")
+    sql.sql("DROP RECOMMENDER ViewRec")
