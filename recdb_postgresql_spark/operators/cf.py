@@ -592,7 +592,8 @@ def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
                  k: int = 5, user_col: str = "userid",
                  item_col: str = "itemid",
                  ts_col: str = "ratingts",
-                 max_user_events: int = 2 ** 11) -> DataFrame:
+                 max_user_events: int = 2 ** 11,
+                 eager_guard: bool = False) -> DataFrame:
     """(itemid, next_item, n, rank): the directional co-visitation
     matrix — for each item, the top-``k`` items the SAME user touched
     within ``window_ns`` AFTER it (count-ranked) — the
@@ -616,7 +617,16 @@ def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
     stays fully lazy (changed in r11; the r10 form ran a separate
     collect() pre-count per call). The error therefore surfaces at
     ACTION time as a Spark ``USER_RAISED_EXCEPTION``, not a driver
-    ValueError. ``max_user_events=None`` skips the guard entirely.
+    ValueError. Caveat (ADVICE r11): because the lazy guard is an
+    ordinary filter predicate, Catalyst may evaluate OTHER composed
+    pushed-down predicates below it — a downstream user/item filter
+    can prune a fat user's rows before the assertion ever evaluates,
+    so the lazy form is best-effort on composed plans. For untrusted
+    ingest pass ``eager_guard=True``: one extra aggregate + collect
+    of the offending keys BEFORE the pair join is planned, raising a
+    driver-side ValueError that no plan rewrite can elide (the r10
+    semantics, now opt-in). ``max_user_events=None`` skips the guard
+    entirely.
     Default 2^11 -> <=2^22 pairs for the fattest key, the same budget
     the regression guards enforce; cap or tail-sample that user's
     event stream upstream — a 2k-event window already spans weeks of
@@ -630,7 +640,20 @@ def covisitation(ratings_ts: DataFrame, window_ns: int = 3600 * 10 ** 9,
     b = ratings_ts.select(F.col(user_col).alias("u"),
                           F.col(item_col).alias("i2"),
                           F.col(ts_col).alias("t2"))
-    if max_user_events is not None:
+    if max_user_events is not None and eager_guard:
+        fat = (ratings_ts.groupBy(F.col(user_col).alias("u"))
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_user_events)
+               .orderBy(F.col("_n").desc()).limit(5).collect())
+        if fat:
+            raise ValueError(
+                "covisitation pairs are quadratic PER USER and "
+                f"{len(fat)}+ users exceed max_user_events="
+                f"{max_user_events}: "
+                + ", ".join(f"user {r['u']}={r['_n']}" for r in fat)
+                + " — cap or tail-sample their events upstream "
+                  "(bot filter)")
+    elif max_user_events is not None:
         ucnt = (ratings_ts.groupBy(F.col(user_col).alias("u"))
                 .agg(F.count(F.lit(1)).alias("_n")))
         guard = (F.when(F.col("_n") <= F.lit(max_user_events), F.lit(True))

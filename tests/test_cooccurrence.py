@@ -164,3 +164,23 @@ def test_covisitation_fat_user_guard(spark):
     # None = unguarded single-pass (explicit opt-out for trusted input)
     assert cf.covisitation(df, window_ns=6 * H,
                            max_user_events=None).count() > 0
+
+
+def test_covisitation_eager_guard(spark):
+    """eager_guard=True (ADVICE r11): the pre-count runs BEFORE the
+    pair join is planned, so it raises a driver ValueError that no
+    Catalyst predicate reordering can elide — the untrusted-ingest
+    form of the fat-user guard (the lazy form is best-effort on
+    composed plans)."""
+    import pytest
+
+    from recdb_postgresql_spark.operators import cf
+    H = 3600 * 10 ** 9
+    rows = [(1, i % 7, i * H // 100) for i in range(40)]
+    rows += [(2, 3, 0), (2, 4, H)]
+    df = spark.createDataFrame(rows, ["userid", "itemid", "ratingts"])
+    with pytest.raises(ValueError, match="user 1=40"):
+        cf.covisitation(df, window_ns=6 * H, max_user_events=30,
+                        eager_guard=True)
+    assert cf.covisitation(df, window_ns=6 * H, max_user_events=64,
+                           eager_guard=True).count() > 0
