@@ -6141,7 +6141,15 @@ def q_graph_modularity(spark, sf_dir):
     near-dup graph (graph.modularity) — does the detected community
     structure beat a degree-preserving random rewiring? The
     graph-side twin of embedding_silhouette's cluster-quality role;
-    label-table-sized state, 1e-15-quantized invariant term sums."""
+    label-table-sized state, 1e-15-quantized invariant term sums.
+
+    DELIBERATELY the suite's priciest entry (~11 s at sf0.1): it is
+    the graph family's BUILD-pricing entry — the full in-query
+    shingle -> exact-Jaccard -> 4-round-LPA rebuild, the cost a
+    pipeline pays when the partition itself must be refreshed — kept
+    in-suite per the same build-vs-serve convention as the
+    classifier/ALS fits; graph_modularity_probe (0.9 s) prices the
+    100 TB steady state (metric over persisted edges + labels)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
                                 threshold=0.5)
