@@ -503,8 +503,9 @@ def pagerank_decade_probe(spark, mult: int = 64,
         total, n_nodes_out = pr.agg(F.sum("rank"),
                                     F.count(F.lit(1))).collect()[0]
         t = time.perf_counter() - t0
-        # mass conservation: ranks sum to 1 regardless of components
-        assert abs(total - 1.0) < 1e-6, total
+        # mass conservation: ranks sum to 1 regardless of components,
+        # up to the operator's 6dp output quantization (±5e-7/node)
+        assert abs(total - 1.0) < 5e-7 * n_nodes_out + 1e-9, total
         times[m] = (t, n_e)
         record(f"pagerank_x{m}", mult=m, edges=n_e, nodes=n_nodes_out,
                rounds=10, seconds=t,
