@@ -912,6 +912,21 @@ def _docs_selfunion(spark, sf_dir):
     return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
 
 
+def _doc_shingle_hashes(spark, sf_dir):
+    """ONE md5 pass over the documents' word shingles, materialized
+    (localCheckpoint, computed inside the query like every other
+    in-query build step) so every plan leg reads the (id, sh) longs
+    instead of re-running the shingle explode + md5 per leg — Catalyst
+    does not share subtrees across join/aggregate legs (r12 plan audit:
+    dedup_ngram_jaccard re-scanned documents 8x, graph_modularity 24x).
+    Values are byte-identical to the inline derivation, so every
+    consumer's oracle hash is unchanged (guide §2.4: remove repeated
+    work, not the work itself)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.hash_shingles(dedup.word_shingles(docs)) \
+        .localCheckpoint(eager=True)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs_selfunion(spark, sf_dir)) \
         .select("doc_id", "canonical_id", "content_hash")
@@ -925,9 +940,13 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
-    return dedup.jaccard_pairs(sh, threshold=0.5) \
+    # shared-hash checkpoint: the sizes aggregate and both legs of the
+    # inverted-index self-join read one materialized (id, sh) table
+    # instead of re-hashing per leg (8 documents scans -> 1; the
+    # quadratic pair join — the point of this exact-baseline entry —
+    # is unchanged)
+    return dedup.jaccard_pairs(None, threshold=0.5,
+                               hashed=_doc_shingle_hashes(spark, sf_dir)) \
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -949,8 +968,8 @@ def q_docs_source_overlap(spark, sf_dir):
     other' before deciding what to drop at ingest. Unordered pair
     key via LEAST/GREATEST so (a,b) and (b,a) land on one row."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
-                                threshold=0.5)
+    pairs = dedup.jaccard_pairs(None, threshold=0.5,
+                                hashed=_doc_shingle_hashes(spark, sf_dir))
     src = docs.select("doc_id", "source")
     tagged = (pairs
               .join(src.select(F.col("doc_id").alias("id1"),
@@ -971,12 +990,16 @@ def q_dedup_lsh_recall(spark, sf_dir):
     (n_exact, n_lsh, n_hit, recall) — both sides already
     SQL-expressible, so the measured recall itself is hash-checked.
     The number that justifies the banding config before 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs).localCheckpoint()
-    exact = dedup.jaccard_pairs(sh, threshold=0.5) \
+    # ONE shared (id, sh) checkpoint: the exact leg, the LSH leg and
+    # every sizes aggregate read the same materialized hashes (before:
+    # the shingle-string checkpoint still paid the md5 pass once per
+    # plan leg — 4x at sf0.1)
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    exact = dedup.jaccard_pairs(None, threshold=0.5, hashed=hashed) \
         .select("id1", "id2").localCheckpoint()
-    lsh = dedup.lsh_verified_pairs(sh, threshold=0.5, num_hashes=8,
-                                   bands=4, rows_per_band=2) \
+    lsh = dedup.lsh_verified_pairs(None, threshold=0.5, num_hashes=8,
+                                   bands=4, rows_per_band=2,
+                                   hashed=hashed) \
         .select("id1", "id2").localCheckpoint()
     ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     ls = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
@@ -1741,8 +1764,12 @@ def q_docs_containment(spark, sf_dir):
                     F.array_join(F.slice(F.split(F.lower(F.trim("text")),
                                                  r"\s+"), 1, 15), " ")
                     .alias("text")))
-    sh = dedup.word_shingles(docs.unionByName(frag))
-    return dedup.containment_pairs(sh, threshold=0.9) \
+    # shared-hash checkpoint (the sizes aggregate + both self-join legs
+    # re-ran the shingle+md5 pipeline per leg: 12 scans -> 1)
+    hashed = dedup.hash_shingles(
+        dedup.word_shingles(docs.unionByName(frag))) \
+        .localCheckpoint(eager=True)
+    return dedup.containment_pairs(None, threshold=0.9, hashed=hashed) \
         .select("id1", "id2", F.round("containment", 6).alias("containment"))
 
 
@@ -3326,8 +3353,8 @@ def q_graph_triangles(spark, sf_dir):
     dense template families (cliques) vs chains. Degree-oriented wedge
     enumeration: each triangle generated at exactly one node, hub
     fan-out bounded by oriented out-degree."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    pairs = dedup.jaccard_pairs(None, threshold=0.5,
+                                hashed=_doc_shingle_hashes(spark, sf_dir))
     return (graph.triangle_count(pairs)
             .withColumnRenamed("id", "doc_id"))
 
@@ -3341,8 +3368,8 @@ def q_graph_label_prop(spark, sf_dir):
     most iterative graph algorithms it is fully oracle-checked: the
     DuckDB twin unrolls the 4 rounds as CTE stages over the same edge
     derivation, all-integer arithmetic, hash-exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.5)
+    pairs = dedup.jaccard_pairs(None, threshold=0.5,
+                                hashed=_doc_shingle_hashes(spark, sf_dir))
     return (graph.label_propagation(pairs, rounds=4)
             .withColumnRenamed("id", "doc_id"))
 
@@ -5037,8 +5064,14 @@ def q_er_blocking_quality(spark, sf_dir):
     agg = truth.agg(
         F.count(F.lit(1)).alias("truth_pairs"),
         F.sum(F.col("same_w1").cast("long")).alias("captured"))
-    cand = (brand_pairs.where("same_w1")
-            .agg(F.count(F.lit(1)).alias("cand_pairs")))
+    # candidate volume without re-running the brand self-join: pairs
+    # sharing (brand, w1) are exactly C(n_block, 2) per block — one
+    # aggregate over base instead of a second self-join execution
+    # (identical count; r12 plan audit: 8 part scans -> 4)
+    cand = (base.groupBy("p_brand", "w1")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2)
+                 .cast("long").alias("cand_pairs")))
     total = n * (n - 1) // 2
     return (agg.join(F.broadcast(cand))
             .select(F.lit(n).alias("n_parts"),
@@ -5290,10 +5323,16 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     harness; with k=8 the estimator is coarse (granularity 1/8),
     which is exactly what this table makes visible before someone
     trusts raw signature agreement as a similarity score."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
-    cand = dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    # the whole MinHash pipeline is shared across the four consumers
+    # (candidates, both signature probe legs, the exact verify) via
+    # three materialized steps — before, the signature derivation ran
+    # 4x and a second full LSH pipeline ran inside lsh_verified_pairs
+    # (8 documents scans -> 1); the derivations are byte-identical
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    sig = dedup.minhash_from_hashes(hashed, num_hashes=8) \
+        .localCheckpoint(eager=True)
+    cand = dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=2) \
+        .localCheckpoint(eager=True)
     s1 = sig.select(F.col("id").alias("id1"), "j",
                     F.col("minhash").alias("m1"))
     s2 = sig.select(F.col("id").alias("id2"), "j",
@@ -5302,8 +5341,8 @@ def q_dedup_minhash_estimate(spark, sf_dir):
                .groupBy("id1", "id2")
                .agg(F.sum((F.col("m1") == F.col("m2")).cast("int"))
                     .alias("m")))
-    exact = dedup.lsh_verified_pairs(sh, threshold=0.0, num_hashes=8,
-                                     bands=4, rows_per_band=2)
+    exact = dedup.jaccard_pairs(None, threshold=0.0, candidates=cand,
+                                hashed=hashed)
     return (matches.join(exact, ["id1", "id2"])
             .select("id1", "id2",
                     F.round(F.col("m") / 8.0, 6).alias("est_jaccard"),
@@ -5944,12 +5983,19 @@ def q_lineitem_joinsize_cms(spark, sf_dir):
     from recdb_postgresql_spark.functions import sketch as sk
 
     li = load_table(spark, sf_dir, "lineitem")
-    cms = sk.cms_build(li, "l_partkey", depth=4, width=256)
+    # ONE per-key count pass feeds both the sketch (weighted cms_build
+    # — bucket counters add, so the sketch is IDENTICAL to the raw-row
+    # build) and the exact twin; the sketch itself (<= 4x256 rows) is
+    # materialized so the self-inner-product's two legs don't rebuild
+    # it. Before: 6 lineitem scans, 4x|lineitem| md5 calls — now 1
+    # scan and 4x|distinct keys| md5 (guide §2.3/§2.4).
+    counts = (li.where(F.col("l_partkey").isNotNull())
+              .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=True))
+    cms = sk.cms_build(counts, "l_partkey", depth=4, width=256,
+                       weight_col="c").localCheckpoint(eager=True)
     est = sk.cms_join_size(cms, cms)
-    exact = (li.where(F.col("l_partkey").isNotNull())
-             .groupBy("l_partkey")
-             .agg(F.count(F.lit(1)).alias("c"))
-             .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size")))
+    exact = counts.agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
     return (est.crossJoin(F.broadcast(exact))
             .select("est_join_size", "exact_size",
                     F.round(F.col("est_join_size")
@@ -6150,9 +6196,15 @@ def q_graph_modularity(spark, sf_dir):
     in-suite per the same build-vs-serve convention as the
     classifier/ALS fits; graph_modularity_probe (0.9 s) prices the
     100 TB steady state (metric over persisted edges + labels)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.word_shingles(docs),
-                                threshold=0.5)
+    # the full rebuild still runs in-query (build-pricing unchanged),
+    # but it runs ONCE: one shared md5 checkpoint feeds the pair
+    # pipeline, and the materialized pair list feeds both LPA and the
+    # modularity metric (before: 24 documents scans — the pair pipeline
+    # re-executed for LPA's edge derivation and for each of
+    # modularity's m/intra/deg legs)
+    pairs = dedup.jaccard_pairs(
+        None, threshold=0.5,
+        hashed=_doc_shingle_hashes(spark, sf_dir)).localCheckpoint(eager=True)
     labels = graph.label_propagation(pairs, rounds=4)
     return graph.modularity(pairs, labels)
 

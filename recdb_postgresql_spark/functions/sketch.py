@@ -23,20 +23,29 @@ from recdb_postgresql_spark.functions.hashing import md5_long
 
 
 def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 64,
-              hash_fn=md5_long) -> DataFrame:
+              hash_fn=md5_long, weight_col: str | None = None) -> DataFrame:
     """(j, bucket, cnt): the depth x width counter matrix for the
     values of ``col`` (nulls excluded — a null key has no identity to
     count). One explode-by-row then ONE map-side-combined aggregate;
-    the result is at most depth*width rows regardless of input size."""
+    the result is at most depth*width rows regardless of input size.
+
+    ``weight_col``: each row counts as that many occurrences — the
+    pre-aggregated form. ``cms_build(df, k)`` over raw rows and
+    ``cms_build(df.groupBy(k).count(), k, weight_col="count")`` produce
+    the IDENTICAL sketch (bucket counters add), but the pre-aggregated
+    form hashes each distinct key once instead of once per row — the
+    cheap path when a per-key count table already exists upstream."""
     rows = (df.where(F.col(col).isNotNull())
-            .select(F.col(col).cast("string").alias("_v"))
-            .select("_v", F.explode(F.sequence(
+            .select(F.col(col).cast("string").alias("_v"),
+                    (F.col(weight_col) if weight_col is not None
+                     else F.lit(1)).cast("long").alias("_w"))
+            .select("_v", "_w", F.explode(F.sequence(
                 F.lit(0), F.lit(depth - 1))).alias("j")))
     bucket = hash_fn(F.concat_ws(":", F.col("j").cast("string"),
                                  F.col("_v"))) % width
-    return (rows.select("j", bucket.alias("bucket"))
+    return (rows.select("j", bucket.alias("bucket"), "_w")
             .groupBy("j", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(F.sum("_w").alias("cnt")))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

@@ -325,11 +325,19 @@ def band_signatures(signatures: DataFrame,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        checkpoint: bool = True) -> DataFrame:
     """Band the signature and join documents sharing a band bucket:
     (id1, id2) with id1 < id2. The band signature is the ordered
-    concat of its row minhashes — hashable on both engines."""
+    concat of its row minhashes — hashable on both engines.
+
+    ``checkpoint`` materializes the banded table (one row per
+    (doc, band)) before the bucket self-join: uncheckpointed, both
+    join legs inline the signature aggregation and re-run its two
+    shuffles (r12 plan audit; values unchanged)."""
     banded = band_signatures(signatures, rows_per_band)
+    if checkpoint:
+        banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col("id").alias("id1"), "band", "sig")
     b = banded.select(F.col("id").alias("id2"), "band", "sig")
     return (a.join(b, ["band", "sig"])
@@ -513,11 +521,12 @@ def prefix_filtered_pairs(shingled: DataFrame, threshold: float = 0.5,
     return jaccard_pairs(None, threshold, candidates=cand, hashed=hashed)
 
 
-def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,
+def lsh_verified_pairs(shingled: DataFrame | None, threshold: float = 0.5,
                        num_hashes: int = 8, bands: int = 4,
                        rows_per_band: int = 2,
                        checkpoint: bool = True,
-                       hash_fn=md5_long) -> DataFrame:
+                       hash_fn=md5_long,
+                       hashed: DataFrame | None = None) -> DataFrame:
     """The production near-dup flow: MinHash -> LSH bucket join ->
     candidate-only true-Jaccard verify, sharing ONE md5 pass.
 
@@ -526,10 +535,17 @@ def lsh_verified_pairs(shingled: DataFrame, threshold: float = 0.5,
     instead of re-hashing — without it Catalyst re-runs the md5 scan
     per leg. The checkpointed table is two longs per shingle, orders of
     magnitude smaller than the documents themselves.
+
+    ``hashed`` (from ``hash_shingles``, ideally already checkpointed)
+    skips the internal hashing entirely — the sharing hook for callers
+    that also need the hash table for another leg (e.g. the recall
+    harness computes the exact pair set from the SAME hashes); pass one
+    of ``shingled``/``hashed``, same contract as ``jaccard_pairs``.
     """
-    hashed = hash_shingles(shingled, hash_fn)
-    if checkpoint:
-        hashed = hashed.localCheckpoint(eager=True)
+    if hashed is None:
+        hashed = hash_shingles(shingled, hash_fn)
+        if checkpoint:
+            hashed = hashed.localCheckpoint(eager=True)
     sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band)
     return jaccard_pairs(None, threshold, candidates=cands, hashed=hashed)
@@ -610,12 +626,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 20,
     stays the fast path (1 shuffle/round, no restructuring) for the
     tiny chains/cliques that dominate real near-dup graphs.
     """
-    # materialize the edge list once: it is tiny (near-dup pairs), but
-    # its lazy plan is the whole upstream similarity pipeline and every
-    # propagation round would otherwise recompute it (measured 2x+).
-    edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-             .unionByName(pairs.select(F.col("id2").alias("a"),
-                                       F.col("id1").alias("b"))).distinct()
+    # materialize the PAIR list before symmetrizing: it is tiny
+    # (near-dup pairs), but its lazy plan is the whole upstream
+    # similarity pipeline and the symmetrizing union's two legs each
+    # inline that plan — one checkpoint first halves the build
+    # (measured r12: the LSH-verify pipeline executed twice under the
+    # old union-then-checkpoint; guide §2.4), on top of the original
+    # per-round recompute the outer checkpoint already prevents.
+    p0 = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+          .localCheckpoint(eager=True))
+    edges = (p0.unionByName(p0.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b"))).distinct()
              .localCheckpoint(eager=True))
     # the checkpoint already materialized the edge list, so this count
     # is a metadata-cheap action; symmetric edges = 2x pairs
@@ -667,9 +688,13 @@ def connected_components_star(pairs: DataFrame,
     from larger id to smaller, and at fixpoint the edge set IS the
     component map (every node points at its component's min id).
     """
-    edges = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-             .unionByName(pairs.select(F.col("id2").alias("a"),
-                                       F.col("id1").alias("b"))).distinct()
+    # same pair-list-first materialization as connected_components:
+    # the symmetrizing union must not inline the upstream pipeline
+    # twice
+    p0 = (pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+          .localCheckpoint(eager=True))
+    edges = (p0.unionByName(p0.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b"))).distinct()
              .localCheckpoint(eager=True))
     return _star_components(edges, max_iters)
 

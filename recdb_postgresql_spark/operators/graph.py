@@ -49,14 +49,19 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # simple-graph semantics, same contract as triangle_count:
     # duplicate/reversed edges collapse and self-loops drop — without
     # this, ranks silently become edge-multiplicity-weighted
+    # canonical edge list materialized BEFORE the symmetrizing union —
+    # the union's two legs otherwise each inline the caller's whole
+    # edge-producing pipeline (r12 plan audit: textrank's word graph
+    # built twice; guide §2.4)
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u") != F.col("v")).distinct())
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
     if not directed:
         e = e.unionByName(e.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))
         # reversed duplicates in the input collapse here
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (e.select(F.col("u").alias("id"))
              .unionByName(e.select(F.col("v").alias("id")))
@@ -223,10 +228,14 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
     """
     from pyspark.sql import Window
 
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u") != F.col("v")).distinct())
-    e = e.unionByName(e.select(F.col("v").alias("u"),
-                               F.col("u").alias("v"))).distinct()
+    # canonical edge list materialized BEFORE the symmetrizing union —
+    # the union's two legs otherwise each inline the caller's whole
+    # pair pipeline (r12 plan audit; guide §2.4)
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .where(F.col("u") != F.col("v")).distinct()
+          .localCheckpoint(eager=True))
+    e = e0.unionByName(e0.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint(eager=True)
     nodes = (e.select(F.col("u").alias("id"))
              .unionByName(e.select(F.col("v").alias("id")))
@@ -288,24 +297,33 @@ def hits(edges: DataFrame, iterations: int = 6,
              .distinct().localCheckpoint(eager=True))
     hub = nodes.select("id", F.lit(1.0).alias("h"))
     auth = None
+    # per half-round, the propagate-join + aggregate is materialized
+    # (lazy checkpoint) BEFORE the L1 total reads it: uncheckpointed,
+    # the aggregate subtree executed twice per half-round — once under
+    # the broadcast total, once in the normalization leg (r12 audit;
+    # ~2x the per-iteration join work). The total over the aggregate
+    # rows equals the total over all nodes (absent nodes hold exact
+    # 0.0), so the scores are unchanged.
     for _ in range(int(iterations)):
         a_in = (e.join(hub.withColumnRenamed("id", "u"), "u")
                 .groupBy(F.col("v").alias("id"))
-                .agg(F.sum("h").alias("a")))
+                .agg(F.sum("h").alias("a"))
+                .localCheckpoint(eager=False))
+        tot_a = a_in.agg(F.sum("a").alias("ta"))
         auth = (nodes.join(a_in, "id", "left")
-                .select("id", F.coalesce("a", F.lit(0.0)).alias("a")))
-        tot_a = auth.agg(F.sum("a").alias("ta"))
-        auth = (auth.join(F.broadcast(tot_a))
-                .select("id", (F.col("a") / F.col("ta")).alias("a"))
+                .join(F.broadcast(tot_a))
+                .select("id", (F.coalesce("a", F.lit(0.0)) / F.col("ta"))
+                        .alias("a"))
                 .localCheckpoint(eager=False))
         h_out = (e.join(auth.withColumnRenamed("id", "v"), "v")
                  .groupBy(F.col("u").alias("id"))
-                 .agg(F.sum("a").alias("h")))
+                 .agg(F.sum("a").alias("h"))
+                 .localCheckpoint(eager=False))
+        tot_h = h_out.agg(F.sum("h").alias("th"))
         hub = (nodes.join(h_out, "id", "left")
-               .select("id", F.coalesce("h", F.lit(0.0)).alias("h")))
-        tot_h = hub.agg(F.sum("h").alias("th"))
-        hub = (hub.join(F.broadcast(tot_h))
-               .select("id", (F.col("h") / F.col("th")).alias("h"))
+               .join(F.broadcast(tot_h))
+               .select("id", (F.coalesce("h", F.lit(0.0)) / F.col("th"))
+                       .alias("h"))
                .localCheckpoint(eager=False))
     return (nodes.join(auth, "id").join(hub, "id")
             .select("id", F.round("a", 6).alias("authority"),
@@ -470,10 +488,16 @@ def modularity(edges: DataFrame, labels: DataFrame, src: str = "id1",
     joined once (community degree mass) — label-table-sized state;
     per-community terms quantize to 1e-15 ints so the sum is
     partitioning-invariant and the score oracle-exact."""
+    # materialize the canonical edge list once: it is tiny (distinct
+    # pairs) but its lineage is the caller's whole pair pipeline, and
+    # FOUR legs consume it (the m count, intra, and both degree union
+    # legs) — uncheckpointed, each leg re-ran that pipeline (r12 plan
+    # audit; the m count is then metadata-cheap too)
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v"))
          .select(F.least("u", "v").alias("u"),
-                 F.greatest("u", "v").alias("v")).distinct())
+                 F.greatest("u", "v").alias("v")).distinct()
+         .localCheckpoint(eager=True))
     la = labels.select(F.col(id_col).alias("u"),
                        F.col(label_col).alias("cu"))
     lb = labels.select(F.col(id_col).alias("v"),

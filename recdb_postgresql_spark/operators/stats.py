@@ -209,11 +209,15 @@ def ks_test(df: DataFrame, group_col: str, val_col: str,
 
     d = df.where(F.col(group_col).isin([group_a, group_b])
                  & F.col(val_col).isNotNull())
+    # materialized once (value-cardinality rows): the totals leg and
+    # the cumulative leg otherwise each re-run the raw-table aggregate
+    # — two full input scans for one test (r12 plan audit)
     counts = (d.groupBy(F.col(val_col).alias("v"))
               .agg(F.sum(F.when(F.col(group_col) == group_a, 1)
                          .otherwise(0)).alias("ca"),
                    F.sum(F.when(F.col(group_col) == group_b, 1)
-                         .otherwise(0)).alias("cb")))
+                         .otherwise(0)).alias("cb"))
+              .localCheckpoint(eager=True))
     tot = counts.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
