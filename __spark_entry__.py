@@ -3155,10 +3155,16 @@ def q_rec_blend_topk(spark, sf_dir):
     from pyspark.sql import Window
     from recdb_postgresql_spark.operators import cf as cf_ops
 
-    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 10)
+    # the CF score grid feeds BOTH the normalizer maximum and the blend
+    # join; materialized once (tiny: target users x items) so the whole
+    # train+predict pipeline doesn't execute per leg (r12 plan audit).
+    # Same for the popularity counts (one events aggregate, two legs).
+    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 10) \
+        .localCheckpoint(eager=True)
     r = cf_ops.normalize_events(_ratings(spark, sf_dir),
                                 "userid", "itemid", "ratingval")
-    pop = r.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    pop = r.groupBy("item").agg(F.count(F.lit(1)).alias("n")) \
+        .localCheckpoint(eager=True)
     maxes = (scores.agg(F.max("score").alias("_ms"))
              .crossJoin(pop.agg(F.max("n").alias("_mn"))))
     blended = (scores.join(pop, scores.itemid == pop.item)
@@ -5190,14 +5196,24 @@ def q_audit_fk_integrity(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
 
+    # one LAZY aggregate leg per FK edge, unioned into a single plan —
+    # the former per-edge child.count() + anti-join.count() pairs were
+    # 12 sequential driver actions (r12 audit); the left join against
+    # the DISTINCT parent keys marks orphans (NULL probe) without
+    # changing child multiplicity, so n_child and n_orphans are the
+    # identical counts, now computed in one pass per edge and one
+    # action total (union legs schedule concurrently)
     def edge(name, child, ckey, parent, pkey):
-        n = child.count()
-        orphans = (child.select(F.col(ckey).alias("k"))
-                   .join(parent.select(F.col(pkey).alias("k"))
-                         .distinct(), "k", "left_anti").count())
-        return (name, n, orphans)
+        ch = child.select(F.col(ckey).alias("k"))
+        par = (parent.select(F.col(pkey).alias("k")).distinct()
+               .withColumn("_hit", F.lit(1)))
+        return (ch.join(par, "k", "left")
+                .agg(F.count(F.lit(1)).alias("n_child"),
+                     F.sum(F.when(F.col("_hit").isNull(), 1)
+                           .otherwise(0)).cast("long").alias("n_orphans"))
+                .select(F.lit(name).alias("fk"), "n_child", "n_orphans"))
 
-    rows = [
+    legs = [
         edge("lineitem.l_orderkey->orders", li, "l_orderkey",
              orders, "o_orderkey"),
         edge("lineitem.l_partkey->part", li, "l_partkey",
@@ -5211,8 +5227,9 @@ def q_audit_fk_integrity(spark, sf_dir):
         edge("supplier.s_nationkey->nation", supp, "s_nationkey",
              nation, "n_nationkey"),
     ]
-    out = spark.createDataFrame(rows, "fk string, n_child long, "
-                                      "n_orphans long")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return (out.select("fk", "n_child", "n_orphans",
                        F.round(F.col("n_orphans") / F.col("n_child"), 6)
                        .alias("orphan_rate"))

@@ -854,7 +854,13 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
     from recdb_postgresql_spark.operators.similarity import ivf_assign
 
     emb = spread_small(emb)
-    assign = ivf_assign(emb, centroids, id_col, vec_col, n=n_assign)
+    # the assignment (broadcast-crossJoin cosine over every centroid +
+    # top-n window — the priciest step here) feeds two legs in either
+    # branch (a/b sides of the pair join, resp. ca/cb candidate legs);
+    # materialize it once — (id, cell) longs only (r12 plan audit:
+    # the whole assign subtree inlined twice)
+    assign = ivf_assign(emb, centroids, id_col, vec_col, n=n_assign) \
+        .localCheckpoint(eager=True)
     with_norm = (emb.join(assign, id_col)
                  .select(F.col(id_col).alias("id"), "cell",
                          F.transform(F.col(vec_col),
@@ -863,6 +869,12 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
     pair_dot = F.aggregate(F.zip_with(F.col("v1"), F.col("v2"),
                                       lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
+    if n_assign == 1:
+        # both sides of the cell-pair join read the same normalized
+        # vector frame; materialize it once (vectors + norms — a few
+        # MB per million rows per 64 dims) instead of re-running the
+        # scan + cast + norm per leg
+        with_norm = with_norm.localCheckpoint(eager=True)
     a = with_norm.select(F.col("id").alias("id1"), "cell",
                          F.col("v").alias("v1"), F.col("nrm").alias("n1"))
     b = with_norm.select(F.col("id").alias("id2"), F.col("cell").alias("cell2"),

@@ -142,14 +142,22 @@ def grid_dbscan(points: DataFrame, eps: float, min_pts: int,
                      (F.col("cy") + F.col("dy")).alias("ncy")))
     d2 = ((F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x"))
           + (F.col("ya") - F.col("y")) * (F.col("ya") - F.col("y")))
+    # the neighbor-pair list (the expensive 3x3-cell equi-join +
+    # distance filter) feeds the degree aggregate, the core-edge
+    # derivation and the border assignment — materialized once, it is
+    # eps-neighbor-pair-sized (tiny next to the points); ditto the
+    # core set, consumed by three further legs (r12 plan audit:
+    # uncheckpointed, the cell join re-executed per leg)
     pairs = (probe.join(p, (F.col("ncx") == F.col("cx"))
                         & (F.col("ncy") == F.col("cy")))
              .where(F.col("pa") != F.col("pid"))
              .where(d2 <= F.lit(eps * eps))
-             .select("pa", F.col("pid").alias("pb")))
+             .select("pa", F.col("pid").alias("pb"))
+             .localCheckpoint(eager=True))
     deg = pairs.groupBy("pa").agg(F.count(F.lit(1)).alias("nb"))
     core = (deg.where(F.col("nb") + 1 >= min_pts)
-            .select(F.col("pa").alias("pid")))
+            .select(F.col("pa").alias("pid"))
+            .localCheckpoint(eager=True))
     ce = (pairs.join(core.withColumnRenamed("pid", "pa"), "pa")
           .join(core.withColumnRenamed("pid", "pb"), "pb")
           .select(F.col("pa").alias("id1"), F.col("pb").alias("id2")))
