@@ -2990,10 +2990,15 @@ def _eval_split(spark, sf_dir):
     key = F.concat(F.col("user").cast("string"), F.lit(":"),
                    F.col("item").cast("string"))
     r = r.withColumn("_b", hash_bucket(key))
-    train = r.where(F.col("_b") < 800_000).drop("_b")
+    # train feeds ~6 legs downstream (norms, both pair-join sides,
+    # predict's rated list, the item catalog) and model feeds 2 via
+    # symmetrize — uncheckpointed, the events scan + split re-ran per
+    # leg (r12 sweep: rec_eval_rmse 34 parquet scans / 86 Exchanges)
+    train = r.where(F.col("_b") < 800_000).drop("_b") \
+        .localCheckpoint(eager=False)
     test = (r.where(F.col("_b") >= 800_000).drop("_b")
-            .where(F.col("user") < 200))
-    model = cf_ops.train_item_cos(train)
+            .where(F.col("user") < 200).localCheckpoint(eager=False))
+    model = cf_ops.train_item_cos(train).localCheckpoint(eager=False)
     train_items = train.select("item").distinct()
     return train, test, model, train_items
 
@@ -3001,8 +3006,10 @@ def _eval_split(spark, sf_dir):
 def _eval_topk10(spark, sf_dir):
     """Per-user top-10 recommendations for the ranking metrics:
     scored train-item grid, train-rated items excluded, rounded-score
-    tiebreak (deterministic across engines). Returns (test, users,
-    topk-with-rank)."""
+    tiebreak (deterministic across engines). Returns (train, test,
+    users, topk-with-rank) — train rides along so rec_eval_ips does
+    not pay a second `_eval_split` materialization for its propensity
+    weights."""
     from pyspark.sql import Window
 
     from recdb_postgresql_spark.operators import cf as cf_ops
@@ -3016,7 +3023,7 @@ def _eval_topk10(spark, sf_dir):
         F.desc(F.round("score", 6)), F.col("item"))
     topk = (unrated.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 10).select("user", "item", "rn"))
-    return test, users, topk
+    return train, test, users, topk
 
 
 def _rmse_row(train, test, model, train_items):
@@ -3077,16 +3084,21 @@ def q_rec_eval_walkforward(spark, sf_dir):
     cut = ev.agg(F.percentile(F.col("sec").cast("double"), F.lit(0.8))
                  .alias("cutoff"))
     ev = ev.crossJoin(F.broadcast(cut))
+    # same sharing as _eval_split: train/model feed many legs — this
+    # entry was the sweep's worst plan (68 parquet scans / 154
+    # Exchanges; the percentile scalar subquery re-ran per leg too)
     train = (ev.where(F.col("sec") <= F.col("cutoff"))
              .groupBy(F.col("userid").alias("user"),
                       F.col("itemid").alias("item"))
-             .agg(F.avg("r").alias("rating")))
+             .agg(F.avg("r").alias("rating"))
+             .localCheckpoint(eager=False))
     test = (ev.where((F.col("sec") > F.col("cutoff"))
                      & (F.col("userid") < 200))
             .groupBy(F.col("userid").alias("user"),
                      F.col("itemid").alias("item"))
-            .agg(F.avg("r").alias("rating")))
-    model = cf_ops.train_item_cos(train)
+            .agg(F.avg("r").alias("rating"))
+            .localCheckpoint(eager=False))
+    model = cf_ops.train_item_cos(train).localCheckpoint(eager=False)
     train_items = train.select("item").distinct()
     return _rmse_row(train, test, model, train_items)
 
@@ -3117,7 +3129,7 @@ def q_rec_eval_loo_hit(spark, sf_dir):
         .localCheckpoint()
     users_eval = train.select("user").distinct()
     items = train.select("item").distinct()
-    model = cf_ops.train_item_cos(train)
+    model = cf_ops.train_item_cos(train).localCheckpoint(eager=True)
     preds = cf_ops.predict_item_cf(model, train, users_eval, items)
     w2 = Window.partitionBy("user").orderBy(
         F.round("score", 6).desc(), F.col("item"))
@@ -3252,7 +3264,10 @@ def q_rec_similar_items(spark, sf_dir):
 
     r = cf_ops.normalize_events(_ratings(spark, sf_dir),
                                 "userid", "itemid", "ratingval")
-    model = cf_ops.train_item_cos(r)
+    # items^2-bounded model materialized once — the symmetrizing union
+    # otherwise re-runs the whole train (events scan + pair join) per
+    # direction (r12 sweep: 16 scans)
+    model = cf_ops.train_item_cos(r).localCheckpoint(eager=True)
     sym = model.select(F.col("item1").alias("item"),
                        F.col("item2").alias("neighbor"),
                        "similarity") \
@@ -3445,7 +3460,7 @@ def q_rec_eval_prec_at_k(spark, sf_dir):
     train-rated items, take top-10 by (rounded score, item) — the
     rounding keeps the cut deterministic across engines — and count
     held-out hits. One macro-averaged metrics row."""
-    test, users, topk = _eval_topk10(spark, sf_dir)
+    _, test, users, topk = _eval_topk10(spark, sf_dir)
     hits = (topk.join(test.select("user", "item"), ["user", "item"])
             .groupBy("user").agg(F.count(F.lit(1)).alias("h")))
     npos = test.groupBy("user").agg(F.count(F.lit(1)).alias("npos"))
@@ -3463,7 +3478,7 @@ def q_rec_eval_ndcg(spark, sf_dir):
     each hit in the per-user top-10, ideal DCG from the user's
     held-out count. Completes the evaluation family (RMSE for rating
     error, P/R@10 for set quality, NDCG for rank quality)."""
-    test, users, topk = _eval_topk10(spark, sf_dir)
+    _, test, users, topk = _eval_topk10(spark, sf_dir)
     dcg = (topk.join(test.select("user", "item"), ["user", "item"])
            .groupBy("user")
            .agg(F.sum(1.0 / F.log2(F.col("rn") + 1)).alias("dcg")))
@@ -5129,8 +5144,12 @@ def q_events_kmv_overlap(spark, sf_dir):
           .where(F.col("user_id").isNotNull()))
     est = kmv_jaccard_pairs(
         kmv_build_grouped(ev, "event_type", "user_id", k=256), k=256)
+    # distinct (type, user) table materialized once — it feeds the
+    # sizes aggregate AND both sides of the intersection self-join
+    # (r12 sweep: 20 scans of events in this one plan)
     du = ev.select(F.col("event_type").alias("g"),
-                   F.col("user_id").alias("u")).distinct()
+                   F.col("user_id").alias("u")).distinct() \
+        .localCheckpoint(eager=True)
     sizes = du.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     inter = (du.alias("a").join(du.alias("b"),
                                 (F.col("a.u") == F.col("b.u"))
@@ -5451,8 +5470,7 @@ def q_rec_eval_ips(spark, sf_dir):
     variance), so a recommender that only resurfaces blockbusters
     stops looking artificially good. Propensity = train popularity
     share; weights are an item-count-sized broadcast."""
-    test, users, topk = _eval_topk10(spark, sf_dir)
-    train, _, _, _ = _eval_split(spark, sf_dir)
+    train, test, users, topk = _eval_topk10(spark, sf_dir)
     pop = train.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     tot = pop.agg(F.sum("n").alias("nt"))
     wts = (pop.join(F.broadcast(tot))
@@ -5648,8 +5666,11 @@ def q_events_hll_error_curve(spark, sf_dir):
     from recdb_postgresql_spark.functions import sketch
 
     ev = load_table(spark, sf_dir, "events")
+    # one-row exact count materialized once — it is broadcast into all
+    # four b-legs, which otherwise each re-ran the COUNT(DISTINCT)
     exact = ev.where(F.col("user_id").isNotNull()) \
-        .select(F.count_distinct("user_id").alias("exact_distinct"))
+        .select(F.count_distinct("user_id").alias("exact_distinct")) \
+        .localCheckpoint(eager=True)
     parts = []
     for b in (4, 6, 8, 10):
         est = sketch.hll_estimate(sketch.hll_build(ev, "user_id", b=b),

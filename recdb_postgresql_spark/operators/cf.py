@@ -539,6 +539,11 @@ def fpgrowth_rules(ratings: DataFrame, min_support: float = 0.05,
     baskets = (capped.groupBy("user")
                .agg(F.collect_set("item").alias("items")))
     if min_count is not None:
+        # the absolute-floor path needs a basket count anyway, and the
+        # FPGrowth fit re-reads the baskets several times — materialize
+        # the (user, items) table once instead of re-running the
+        # ratings aggregate + window per pass (r12 audit)
+        baskets = baskets.localCheckpoint(eager=True)
         # two-sided support bound: the ABSOLUTE floor (min_count)
         # protects small corpora — a fraction threshold alone melts
         # to count 1 there and the lattice explodes — while the

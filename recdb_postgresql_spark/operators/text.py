@@ -214,7 +214,11 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                          F.explode(F.regexp_extract_all(
                              F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
                          .alias("term")))
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once ((doc, term, tf) rows): the document-frequency
+    # aggregate and the scoring join otherwise each re-run the regexp
+    # explode over the corpus (r12 plan audit)
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")) \
+        .localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     scored = (tf.join(dfreq, "term")
@@ -268,7 +272,10 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
                      F.explode(F.regexp_extract_all(
                          F.lower(F.col(text_col)), F.lit("[a-z]+"), 0))
                      .alias("term")))
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # same sharing as tfidf_top_terms: the df leg and the scoring join
+    # both consume tf — one regexp-explode pass, not two
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")) \
+        .localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_df)
