@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.catalog import RecCatalog, RecommenderInfo
+from recdb_postgresql_spark.functions.mat import materialize
 from recdb_postgresql_spark.operators import cf, svd as svd_mod
 
 METHODS = ("itemcoscf", "itempearcf", "usercoscf", "userpearcf", "svd")
@@ -58,6 +59,16 @@ def cluster_conf(events_tb: float = 100.0, executors: int = 1000,
     - 256MB scan partitions keep the parquet reader efficient;
     - broadcast threshold raised: the item dimension and CF models are
       far below 512MB and should never shuffle.
+
+    Alongside these confs, set ``RECDB_CF_MATERIALIZE=disk`` (env) on
+    a cluster: the on-the-fly RECOMMEND path then materializes the
+    full normalized-ratings frame (and the item-CF model) ONCE
+    instead of re-executing the events scan + aggregate per consumer
+    leg — at cluster data volumes one copy of that build saturates
+    the executors, so the local-mode overlap that makes the lazy
+    duplicated plan cheapest on the 32-core harness does not exist
+    (measured crossover: stress.py cf_share probe). The local default
+    stays ``none``.
     """
     total_cores = executors * cores_per_executor
     by_size = int(events_tb * 1024 * 1024 / 200)   # 200MB shuffle blocks
@@ -189,6 +200,7 @@ class RecEngine:
         # None = the reference's unweighted semantics, identical plan
         ratings = cf.normalize_events(events, userkey, itemkey, eventval,
                                       ts_col=ts_col, half_life=half_life)
+        ratings_full = None
         info = self.catalog.get(name) if name else None
         if info is not None:
             models = self.catalog.load_models(info, self.spark)
@@ -199,26 +211,68 @@ class RecEngine:
             info.query_counter2 += 1
             self.catalog.update_meta(info)
         else:
-            # on-the-fly "GenerateRecommend" path: train at query time,
-            # fully lazy. Deliberately NOT cached either: the predict
+            # on-the-fly "GenerateRecommend" path: train at query time.
+            # The plan around the pair join stays lazy so the predict
             # join pushes the user filter through symmetrize() into the
-            # pair join, so only similarity pairs touching the target
-            # users are ever computed (measured: caching the full model
-            # at sf0.1 made user-CF 4x slower). Users wanting the full
-            # model amortized across queries should create_recommender()
-            # — that is exactly the reference's materialized/OP_FILTER
-            # regime (parse_rec.c:554-678).
-            models = self._train_ratings(ratings, method)
-        users = ratings.select("user").distinct()
+            # e1 pair side (measured: caching the full user-CF model at
+            # sf0.1 made it 4x slower) — but every OTHER consumer of
+            # the normalized ratings (the e2 pair side, norms/means,
+            # neighbor ratings, the item dimension) reads them in FULL,
+            # and Catalyst re-executes the events scan + (user,item)
+            # aggregate once per such leg (8-21 scans per query at
+            # sf0.1). Whether de-duplicating those legs PAYS is purely
+            # a question of scale, so it is a policy knob
+            # (RECDB_CF_MATERIALIZE), not a hard-coded plan shape:
+            #
+            # - 'none' (default): fully lazy, duplicated subtrees. On
+            #   the harness box the duplicated stages overlap on
+            #   otherwise-idle cores and every materialization barrier
+            #   LOSES (interleaved A/B at sf0.1: item-CF lazy
+            #   1.3-1.7 s vs 1.9-2.7 s with any checkpoint combination
+            #   — the r12 §3 negative result extends to the model
+            #   subtree).
+            # - 'local'/'disk': one materialization of the full
+            #   ratings feeding exactly the unprunable legs, and for
+            #   the item-CF methods (whose whole model the user filter
+            #   can never reach — it is item-keyed) the trained model
+            #   too, which also stops symmetrize() from building it
+            #   twice. At amplified scale one copy of the build
+            #   saturates the cores, the overlap argument dies, and
+            #   re-execution costs ~linearly per leg — the crossover
+            #   is measured in stress.py (cf_share probe), which is
+            #   why 'local'/'disk' is the cluster recommendation
+            #   (cluster_conf docstring) while the bench default
+            #   stays 'none'.
+            #
+            # The prunable legs (user-WHERE side of the pair join,
+            # target users, per-user averages) stay lazy under EVERY
+            # policy so their parquet pushdown survives. Users wanting
+            # the model amortized ACROSS queries should
+            # create_recommender() — the reference's
+            # materialized/OP_FILTER regime (parse_rec.c:554-678).
+            policy = os.environ.get("RECDB_CF_MATERIALIZE", "none")
+            ratings_full = materialize(ratings, storage=policy)
+            if method in ("itemcoscf", "itempearcf"):
+                models = self._train_ratings(ratings_full, method)
+                models = {"model": materialize(models["model"],
+                                               storage=policy)}
+            elif method in ("usercoscf", "userpearcf"):
+                models = self._train_ratings(ratings, method,
+                                             ratings_full=ratings_full)
+            else:
+                models = self._train_ratings(ratings_full, method)
+        rf = ratings_full if ratings_full is not None else ratings
+        users = rf.select("user").distinct()
         if user_where is not None:
             users = ratings.select(F.col("user").alias(userkey)).distinct() \
                 .filter(user_where).select(F.col(userkey).alias("user"))
-        items = ratings.select("item").distinct()
+        items = rf.select("item").distinct()
 
         if method == "itemcoscf" or method == "itempearcf":
             scored = cf.predict_item_cf(models["model"], ratings, users, items)
         elif method == "usercoscf" or method == "userpearcf":
-            scored = cf.predict_user_cf(models["model"], ratings, users, items)
+            scored = cf.predict_user_cf(models["model"], ratings, users, items,
+                                        ratings_full=ratings_full)
         elif method == "svd":
             scored = svd_mod.predict_svd(models["user_model"], models["item_model"],
                                          users, items)
@@ -524,15 +578,19 @@ class RecEngine:
                                    max_coraters=cf.AUTO_CORATER_CAP)
 
     def _train_ratings(self, ratings: DataFrame, method: str,
-                       max_coraters: Optional[int] = None) -> dict[str, DataFrame]:
+                       max_coraters: Optional[int] = None,
+                       ratings_full: Optional[DataFrame] = None,
+                       ) -> dict[str, DataFrame]:
         if method == "itemcoscf":
             return {"model": cf.train_item_cos(ratings, max_coraters=max_coraters)}
         if method == "itempearcf":
             return {"model": cf.train_item_pearson(ratings, max_coraters=max_coraters)}
         if method == "usercoscf":
-            return {"model": cf.train_user_cos(ratings, max_coraters=max_coraters)}
+            return {"model": cf.train_user_cos(ratings, max_coraters=max_coraters,
+                                               ratings_full=ratings_full)}
         if method == "userpearcf":
-            return {"model": cf.train_user_pearson(ratings, max_coraters=max_coraters)}
+            return {"model": cf.train_user_pearson(ratings, max_coraters=max_coraters,
+                                                   ratings_full=ratings_full)}
         if method == "svd":
             um, im = svd_mod.train_funk_svd(self.spark, ratings,
                                             num_features=self.svd_features,

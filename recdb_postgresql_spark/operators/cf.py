@@ -90,17 +90,26 @@ def normalize_events(events: DataFrame, userkey: str, itemkey: str,
 # Trainers
 # ----------------------------------------------------------------------
 
-def _pairwise(ratings: DataFrame, entity: str, other: str, value: str) -> DataFrame:
+def _pairwise(ratings: DataFrame, entity: str, other: str, value: str,
+              ratings_b: DataFrame | None = None) -> DataFrame:
     """Upper-triangle co-occurrence pairs of `entity` joined on `other`.
 
     Output: (e1, e2, v1, v2) for every co-rating of two entities.
     This is THE scale-critical join: it shuffles `ratings` once on
     `other` and only emits pairs that actually co-occur.
+
+    ``ratings_b``: optional SAME-DATA frame for the right side. The
+    user-WHERE of an on-the-fly RECOMMEND prunes only the e1 side (the
+    predicate infers through the predict join onto e1 and pushes into
+    that side's parquet scan); the e2 side is always consumed in full,
+    so callers hand a materialized copy there while keeping the
+    prunable e1 side lazy.
     """
     a = ratings.select(F.col(entity).alias("e1"), F.col(other).alias("o"),
                        F.col(value).alias("v1"))
-    b = ratings.select(F.col(entity).alias("e2"), F.col(other).alias("o"),
-                       F.col(value).alias("v2"))
+    b = (ratings_b if ratings_b is not None else ratings).select(
+        F.col(entity).alias("e2"), F.col(other).alias("o"),
+        F.col(value).alias("v2"))
     return a.join(b, "o").where(F.col("e1") < F.col("e2"))
 
 
@@ -220,13 +229,23 @@ def cap_coraters(ratings: DataFrame, entity: str, other: str,
 
 
 def train_user_cos(ratings: DataFrame,
-                   max_coraters: int | None = None) -> DataFrame:
-    """(user1, user2, similarity) — item-cos transposed (recathon.c:1969-2157)."""
+                   max_coraters: int | None = None,
+                   ratings_full: DataFrame | None = None) -> DataFrame:
+    """(user1, user2, similarity) — item-cos transposed (recathon.c:1969-2157).
+
+    ``ratings_full``: optional materialized copy of the SAME ratings
+    data, consumed by the legs a downstream user-WHERE can never prune
+    (the e2 pair side and the norms aggregate); the ``ratings`` frame
+    stays on the e1 side so the predicate keeps pushing into its scan.
+    Ignored when ``max_coraters`` is set (the capped frame must feed
+    both sides identically)."""
     if max_coraters:
         ratings = cap_coraters(ratings, "user", "item", max_coraters)
-    norms = ratings.groupBy("user").agg(
+        ratings_full = None
+    rf = ratings_full if ratings_full is not None else ratings
+    norms = rf.groupBy("user").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm"))
-    dots = (_pairwise(ratings, "user", "item", "rating")
+    dots = (_pairwise(ratings, "user", "item", "rating", ratings_b=rf)
             .groupBy("e1", "e2")
             .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot")))
     n1 = norms.select(F.col("user").alias("e1"), F.col("norm").alias("n1"))
@@ -242,16 +261,26 @@ def train_user_cos(ratings: DataFrame,
 
 
 def train_user_pearson(ratings: DataFrame,
-                       max_coraters: int | None = None) -> DataFrame:
-    """(user1, user2, similarity) — item-pearson transposed (recathon.c:2168-2358)."""
+                       max_coraters: int | None = None,
+                       ratings_full: DataFrame | None = None) -> DataFrame:
+    """(user1, user2, similarity) — item-pearson transposed (recathon.c:2168-2358).
+
+    ``ratings_full``: same contract as ``train_user_cos`` — a
+    materialized copy feeding the unprunable legs (means, the e2
+    centered side, the pearson norms) while the lazy ``ratings`` keeps
+    the e1 side's user-WHERE pushdown."""
     if max_coraters:
         ratings = cap_coraters(ratings, "user", "item", max_coraters)
-    means = ratings.groupBy("user").agg(F.avg("rating").alias("mean"))
+        ratings_full = None
+    rf = ratings_full if ratings_full is not None else ratings
+    means = rf.groupBy("user").agg(F.avg("rating").alias("mean"))
     centered = ratings.join(means, "user").select(
         "user", "item", (F.col("rating") - F.col("mean")).alias("c"))
-    pearsons = centered.groupBy("user").agg(
+    centered_full = rf.join(means, "user").select(
+        "user", "item", (F.col("rating") - F.col("mean")).alias("c"))
+    pearsons = centered_full.groupBy("user").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("p"))
-    dots = (_pairwise(centered, "user", "item", "c")
+    dots = (_pairwise(centered, "user", "item", "c", ratings_b=centered_full)
             .groupBy("e1", "e2")
             .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot")))
     p1 = pearsons.select(F.col("user").alias("e1"), F.col("p").alias("p1"))
@@ -300,16 +329,22 @@ def predict_item_cf(model: DataFrame, ratings: DataFrame, users: DataFrame,
 
 
 def predict_user_cf(model: DataFrame, ratings: DataFrame, users: DataFrame,
-                    items: DataFrame) -> DataFrame:
+                    items: DataFrame,
+                    ratings_full: DataFrame | None = None) -> DataFrame:
     """score(u,i) = avg(u) + sum_v sim(u,v)*(r(v,i) - avg(u)) / sum_v |sim(u,v)|
     with avg(u) the TARGET user's mean (reference quirk, recathon.c:4349;
     average set at recathon.c:3973-3982). Users with no similar raters of
-    an item score 0 for it (userCFpredict returns 0 when totalSim == 0)."""
+    an item score 0 for it (userCFpredict returns 0 when totalSim == 0).
+
+    ``ratings_full``: optional materialized same-data copy for the
+    neighbor-ratings leg, which is always consumed unfiltered (the
+    neighbor set is every user); the target-user average stays on the
+    lazy ``ratings`` so the user-WHERE keeps pruning its scan."""
     avgs = (users.join(ratings, "user")
             .groupBy("user").agg(F.avg("rating").alias("uavg")))
     sym = symmetrize(model, "user1", "user2")  # (a=target, b=neighbor)
-    neigh = ratings.select(F.col("user").alias("b"), "item",
-                           F.col("rating").alias("nr"))
+    neigh = (ratings_full if ratings_full is not None else ratings).select(
+        F.col("user").alias("b"), "item", F.col("rating").alias("nr"))
     contrib = (users.join(sym, users["user"] == sym["a"])
                .join(neigh, "b")
                .join(avgs, "user")

@@ -358,6 +358,28 @@ def theilsen_grouped_probe(spark, n_groups: int = 64,
 
 
 def main():
+    if sys.argv[1:2] == ["cfshare"]:
+        # RECDB_CF_MATERIALIZE crossover rows (merge into STRESS.json)
+        os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+        spark = get_spark("recdb_stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        for mult in [int(x) for x in sys.argv[2:]] or [16, 64]:
+            cf_share_probe(spark, "/root/testdata/sf0.1", mult)
+        return
+    if sys.argv[1:2] == ["graphdecade"]:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+        spark = get_spark("recdb_stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        graph_iter_decade_probe(spark, 64)
+        return
+    if sys.argv[1:2] == ["cpuscale"]:
+        # run twice: SPARK_GRAFT_CPUS=8 / =32 (rows keyed by cpus)
+        os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+        spark = get_spark("recdb_stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        mult = int(sys.argv[2]) if sys.argv[2:] else 16
+        cpuscale_probe(spark, "/root/testdata/sf0.1", mult)
+        return
     if sys.argv[1:2] == ["decade"]:
         # x100 flagship-family battery (r10 verdict next #5): MERGES
         # into the existing STRESS.json (the x10/x30 rows are the
@@ -443,6 +465,119 @@ def cf_probe(spark, sf_dir: str, mult: int) -> None:
     record(f"cf_training_x{mult}", mult=mult, ratings=n,
            item_model_pairs=n_model, item_train_s=t_item,
            capped_user_pairs=n_user, user_train_capped_s=t_user)
+
+
+def cf_share_probe(spark, sf_dir: str, mult: int, reps: int = 2) -> None:
+    """RECDB_CF_MATERIALIZE policy crossover (r12 verdict next #1):
+    the on-the-fly RECOMMEND plan consumes the normalized ratings
+    8-21x; at sf0.1 the duplicated stages overlap on idle cores and
+    every materialization barrier LOSES (measured, engine.recommend
+    comment), but that overlap argument dies once one copy of the
+    build saturates the cores. This probe measures BOTH policies on
+    the identical amplified corpus (users grow with mult, pinned to a
+    real parquet table first — a pipeline reads a table, and the
+    lazy policy must re-scan a table, not re-run the generator),
+    interleaved A/B so machine weather hits both arms equally. The
+    row is the evidence behind cluster_conf's recommendation to set
+    RECDB_CF_MATERIALIZE=disk off the harness box."""
+    from recdb_postgresql_spark.engine import RecEngine
+
+    path = f"/tmp/cf_share_events_x{mult}.parquet"
+    amplified_ratings(spark, sf_dir, mult).write.mode(
+        "overwrite").parquet(path)
+    ev = spark.read.parquet(path)  # (user, item, rating)
+    n = ev.count()
+    eng = RecEngine(spark, verbose_queries=False)
+    out: dict[str, dict[str, list]] = {
+        m: {p: [] for p in ("none", "local")}
+        for m in ("itemcoscf", "usercoscf")}
+    prev = os.environ.get("RECDB_CF_MATERIALIZE")
+    try:
+        for _ in range(reps):
+            for method in ("itemcoscf", "usercoscf"):
+                for policy in ("none", "local"):
+                    os.environ["RECDB_CF_MATERIALIZE"] = policy
+                    t0 = time.perf_counter()
+                    eng.recommend(ev, "user", "item", "rating", method,
+                                  user_where=F.col("user") < 20, k=50,
+                                  round_to=6).count()
+                    out[method][policy].append(time.perf_counter() - t0)
+    finally:
+        if prev is None:
+            os.environ.pop("RECDB_CF_MATERIALIZE", None)
+        else:
+            os.environ["RECDB_CF_MATERIALIZE"] = prev
+    record(f"cf_share_x{mult}", mult=mult, ratings=n,
+           itemcos_lazy_s=min(out["itemcoscf"]["none"]),
+           itemcos_mat_s=min(out["itemcoscf"]["local"]),
+           itemcos_mat_speedup_x=round(min(out["itemcoscf"]["none"])
+                                       / min(out["itemcoscf"]["local"]), 2),
+           usercos_lazy_s=min(out["usercoscf"]["none"]),
+           usercos_mat_s=min(out["usercoscf"]["local"]),
+           usercos_mat_speedup_x=round(min(out["usercoscf"]["none"])
+                                       / min(out["usercoscf"]["local"]), 2))
+
+
+def graph_iter_decade_probe(spark, mult: int = 64,
+                            base_edges: int = 200_000) -> None:
+    """r12 verdict next #6: extend the graph decade beyond pagerank —
+    label propagation (4 rounds) and modularity over the SAME
+    disjoint-replica pseudo-random graph as pagerank_decade_probe, so
+    the checkpoint-per-round / checkpoint-before-consumers patterns
+    have slope evidence on a second and third operator."""
+    from recdb_postgresql_spark.operators import graph
+
+    n_nodes = base_edges // 4
+    for m in (1, mult):
+        e = (spark.range(base_edges * m).select(
+                (F.col("id") % base_edges).alias("i"),
+                (F.floor(F.col("id") / base_edges)
+                 * 10_000_000).alias("off"))
+             .select(
+                (F.pmod(F.xxhash64("i", F.lit(1)), F.lit(n_nodes))
+                 + F.col("off")).alias("id1"),
+                (F.pmod(F.xxhash64("i", F.lit(2)), F.lit(n_nodes))
+                 + F.col("off")).alias("id2"))
+             .localCheckpoint())
+        n_e = e.count()
+        t0 = time.perf_counter()
+        lp = graph.label_propagation(e, rounds=4)
+        n_comm = lp.select("community").distinct().count()
+        t_lp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        q = graph.modularity(e, lp).collect()[0]["modularity"]
+        t_mod = time.perf_counter() - t0
+        record(f"graph_iter_x{m}", mult=m, edges=n_e,
+               lp_rounds=4, lp_communities=n_comm, lp_seconds=t_lp,
+               lp_us_per_edge_round=t_lp / (n_e * 4) * 1e6,
+               modularity=float(q), mod_seconds=t_mod)
+
+
+def cpuscale_probe(spark, sf_dir: str, mult: int = 16) -> None:
+    """r12 verdict next #5: a measured CPU-scaling point. The sf0.1
+    bench is overhead-bound (8-core total ~= 32-core total), so the
+    parallelism claim needs amplified inputs where compute dominates:
+    one dedup (LSH verify over mult x docs) and one CF (item-cos
+    train over mult x ratings) probe, each timed at THIS session's
+    core count. Run twice — SPARK_GRAFT_CPUS=8 and =32 — and compare
+    the recorded rows (keyed by core count)."""
+    from recdb_postgresql_spark.operators import dedup
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    docs = amplified_docs(spark, sf_dir, mult).localCheckpoint()
+    n_docs = docs.count()
+    sh = dedup.word_shingles(docs)
+    t0 = time.perf_counter()
+    n_pairs = dedup.lsh_verified_pairs(sh, threshold=0.5).count()
+    t_dedup = time.perf_counter() - t0
+    r = amplified_ratings(spark, sf_dir, mult).localCheckpoint()
+    n_r = r.count()
+    t0 = time.perf_counter()
+    n_model = cf.train_item_cos(r).count()
+    t_cf = time.perf_counter() - t0
+    record(f"cpu_scaling_x{mult}_c{cpus}", mult=mult, cpus=cpus,
+           docs=n_docs, dedup_pairs=n_pairs, dedup_s=t_dedup,
+           ratings=n_r, itemcos_pairs=n_model, itemcos_s=t_cf)
 
 
 def decade_battery(spark, sf_dir: str = "/root/testdata/sf0.1") -> None:
