@@ -5088,8 +5088,14 @@ def q_er_blocking_quality(spark, sf_dir):
     # candidate volume without re-running the brand self-join: pairs
     # sharing (brand, w1) are exactly C(n_block, 2) per block — one
     # aggregate over base instead of a second self-join execution
-    # (identical count; r12 plan audit: 8 part scans -> 4)
-    cand = (base.groupBy("p_brand", "w1")
+    # (identical count; r12 plan audit: 8 part scans -> 4). The
+    # isNotNull guard keeps the grouped count DEFINITIONALLY equal to
+    # the pair-join semantics (an equi-join drops NULL comparisons,
+    # while groupBy would bucket NULLs together); TPC-H p_brand/p_name
+    # are never null, so it is a no-op here (ADVICE r12)
+    cand = (base.where(F.col("p_brand").isNotNull()
+                       & F.col("w1").isNotNull())
+            .groupBy("p_brand", "w1")
             .agg(F.count(F.lit(1)).alias("_n"))
             .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2)
                  .cast("long").alias("cand_pairs")))
@@ -5358,7 +5364,16 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     error — the per-pair companion to dedup_lsh_recall's set-level
     harness; with k=8 the estimator is coarse (granularity 1/8),
     which is exactly what this table makes visible before someone
-    trusts raw signature agreement as a similarity score."""
+    trusts raw signature agreement as a similarity score.
+
+    The exact leg calls jaccard_pairs(threshold=0.0) in candidate
+    mode, whose inner expansion join drops candidate pairs with EMPTY
+    true intersection — intentional here: a zero-true-Jaccard pair
+    has no calibration signal (its estimate row would read est vs
+    0.0), and LSH band agreement on disjoint shingle sets requires a
+    60-bit hash collision, so such candidates are ~nonexistent by
+    construction. Matches the pre-r12 lsh_verified_pairs(0.0)
+    behavior bit-for-bit (ADVICE r12)."""
     # the whole MinHash pipeline is shared across the four consumers
     # (candidates, both signature probe legs, the exact verify) via
     # three materialized steps — before, the signature derivation ran

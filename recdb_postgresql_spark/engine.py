@@ -236,13 +236,18 @@ class RecEngine:
             #   the item-CF methods (whose whole model the user filter
             #   can never reach — it is item-keyed) the trained model
             #   too, which also stops symmetrize() from building it
-            #   twice. At amplified scale one copy of the build
-            #   saturates the cores, the overlap argument dies, and
-            #   re-execution costs ~linearly per leg — the crossover
-            #   is measured in stress.py (cf_share probe), which is
-            #   why 'local'/'disk' is the cluster recommendation
-            #   (cluster_conf docstring) while the bench default
-            #   stays 'none'.
+            #   twice. Once one copy of the build saturates the cores
+            #   the overlap argument dies and re-execution costs
+            #   ~linearly per leg: measured crossover at the x64
+            #   decade (stress.py cf_share probe, 4.7M ratings) —
+            #   user-CF 17.4 s lazy vs 12.9 s materialized (1.34x);
+            #   item-CF has not crossed yet at x64 (0.81x — its
+            #   amplified input still sits in page cache, so
+            #   re-scans stay nearly free), but at real cluster
+            #   volumes the 9-12 redundant cold scans of the events
+            #   table dominate. Hence cluster_conf recommends
+            #   'disk' off the harness box; the bench default stays
+            #   'none'.
             #
             # The prunable legs (user-WHERE side of the pair join,
             # target users, per-user averages) stay lazy under EVERY

@@ -34,7 +34,14 @@ def cms_build(df: DataFrame, col: str, depth: int = 4, width: int = 64,
     ``cms_build(df.groupBy(k).count(), k, weight_col="count")`` produce
     the IDENTICAL sketch (bucket counters add), but the pre-aggregated
     form hashes each distinct key once instead of once per row — the
-    cheap path when a per-key count table already exists upstream."""
+    cheap path when a per-key count table already exists upstream.
+    Weights must be positive counts for the raw==pre-aggregated
+    identity to hold; NULL or non-positive weights are dropped (a raw
+    build could never emit their buckets), mirroring the null-key
+    exclusion (ADVICE r12)."""
+    if weight_col is not None:
+        df = df.where(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
     rows = (df.where(F.col(col).isNotNull())
             .select(F.col(col).cast("string").alias("_v"),
                     (F.col(weight_col) if weight_col is not None

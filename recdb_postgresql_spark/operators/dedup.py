@@ -517,8 +517,24 @@ def prefix_filtered_pairs(shingled: DataFrame, threshold: float = 0.5,
     cand = (matches
             .where(ub * (1.0 + threshold)
                    >= threshold * (F.col("sz1") + F.col("sz2")) - 1e-9)
-            .select("id1", "id2"))
-    return jaccard_pairs(None, threshold, candidates=cand, hashed=hashed)
+            .select("id1", "id2", "sz1", "sz2"))
+    # candidate-driven verify with the set sizes CARRIED from the
+    # prefix table instead of jaccard_pairs' separate sizes aggregate
+    # + two re-attach joins: sz here is the same per-id row count over
+    # the same hashed table (the w_sz window counts all rows per id,
+    # before the prefix cut), so the jaccard is identical and the plan
+    # drops one aggregate and two joins (r13; exactness pinned in
+    # tests/test_round7.py vs the jaccard_pairs baseline).
+    a2 = hashed.select(F.col("id").alias("id1"), "sh")
+    b2 = hashed.select(F.col("id").alias("id2"), "sh")
+    inter = (cand.join(a2, "id1").join(b2, ["id2", "sh"])
+             .groupBy("id1", "id2", "sz1", "sz2")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter.select(
+        "id1", "id2",
+        (F.col("inter") /
+         (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold))
 
 
 def lsh_verified_pairs(shingled: DataFrame | None, threshold: float = 0.5,
