@@ -6329,73 +6329,17 @@ _DRIVER_PRIORITY = [
     # Re-derive (4) each round with a last-sampled-round sweep over the
     # CORRECTNESS files; everything below position ~50 is unchanged.
     #
-    # r12 STATE: the never-sampled backlog is ZERO (r11 drained it);
-    # this window is pure oldest-first rotation per the r11 verdict
-    # next #2.  Head: the two re-proves (rec_fpgrowth_rules with its
-    # driver-hashable antecedent projection; graph_pagerank now served
-    # from the shared _neardup_edges index — same oracle rows), then
-    # the 5 entries last sampled in r4, then 43 of the 50 r5-era
-    # entries.  The remaining 7 r5-era entries lead the r13 fill:
-    #   geo_knn_join
-    #   geo_range_join
-    #   pipeline_clean_docs
-    #   text_bigram_commonality
-    #   text_lang_confusion
-    #   text_pii_redaction
-    #   text_repetition
-    "rec_fpgrowth_rules", "graph_pagerank", "q3_top_revenue_orders",
-    "q5_nation_revenue", "window_top_orders_per_customer",
-    "recsql_join_topk", "multimodal_resize_plan", "rec_itemcos_topk",
-    "rec_itemcos_scorefilter", "rec_itemcos_model", "rec_itempear_topk",
-    "rec_usercos_topk", "rec_userpear_topk", "rec_svd_topk", "rec_als_topk",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_lsh_verified", "dedup_clusters", "dedup_simhash",
-    "embedding_neardup", "embedding_neardup_fast", "ann_cosine_topk",
-    "ann_ivf_topk", "text_token_stats", "text_quality", "text_lang_id",
-    "text_tfidf_top_terms", "doc_fingerprint", "events_hourly_rollup",
-    "events_sessionize", "rec_join_ilike", "agg_approx_sketches",
-    "ann_ivf_multiprobe", "ann_ivf_trained", "ann_lsh_topk", "ann_sq8_topk",
-    "dedup_clusters_star", "dedup_lsh_verified_xxhash",
-    "doc_winnow_fingerprints", "doc_winnow_overlap_pairs", "docs_chunked",
-    "docs_contamination", "docs_hash_sample", "docs_lang_cap",
-    "embedding_neardup_ivf", "embedding_neardup_ivf2", "events_asof_join",
-    "events_asof_strict",
-    # ------------------------------------------------------------------
-    # below position ~50: previously-sampled entries, unchanged order
-    "rec_als_implicit_foldin", "docs_lang_classifier", "text_unigram_tokens",
-    "events_hw_forecast", "embedding_procrustes_check", "events_cusum",
-    "events_dispersion", "graph_kcore", "dedup_minhash_estimate",
-    "events_audience_overlap", "docs_heaps_curve", "docs_zipf_slope",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock", "q12_late_priority",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity",
-    "q19_discounted_revenue", "q20_potential_promotion",
-    "q21_suppliers_waiting", "q22_sales_opportunity", "graph_modularity",
-    "graph_modularity_probe", "rec_als_served", "docs_lang_classifier_probe",
-    "agg_distinct_segments", "setop_customer_activity",
-    "subquery_above_avg_customers", "semijoin_order_lines",
-    "rollup_lineitem", "string_functions", "leftjoin_null_handling",
-    "values_scan_join", "recursive_month_spine", "case_priority_matrix",
-    "rec_peruser_topk", "multimodal_features", "multimodal_frame_plan",
-    "quantile_prices", "q1_pricing_summary", "events_t_closeness",
-    "events_bootstrap_ci", "rec_ranking_rbo", "events_qini_uplift",
-    "audit_fk_integrity", "lineitem_spearman", "graph_assortativity",
-    "events_user_streaks", "graph_clustering", "graph_label_prop",
-    "events_psi_drift", "events_survival", "ann_recall_at_k",
-    "dedup_canonical_pick", "events_changepoint", "events_holt_forecast",
-    "dedup_lsh_recall", "ann_dim_truncation_recall",
-    "events_attribution_decay", "docs_source_overlap", "events_cohort_ltv",
-    "supplier_pareto", "events_welch_ab", "events_chi_square",
-    "events_benford", "events_hll_users", "graph_hits", "graph_sssp",
-    "docs_readability", "docs_keyness", "embedding_outliers_maha",
-    "events_conversion_z", "events_anova", "lineitem_corr_matrix",
-    "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
-    "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
-    "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
-    "docs_textrank", "events_cumulative_users", "rec_wilson_topk",
-    "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
+    # r13 STATE (optimization round — no new entries): head is the 3
+    # re-proves whose PLANS changed this round (dedup_jaccard_prefix:
+    # size-carrying verify; er_blocking_quality: NULL-block guard;
+    # lineitem_joinsize_cms: cms_build weight guard — all
+    # value-identical by construction and pinned in tests, but the
+    # driver should re-hash them), then pure oldest-first fill: the 7
+    # r5-era leftovers the r12 verdict named (next #8), all 20 r6-era
+    # entries, and the first 20 (alphabetical) of the 49 r7-era
+    # entries.  The staleness floor moves to r7; the remaining 29
+    # r7-era entries lead the r14 fill.
+    "dedup_jaccard_prefix", "er_blocking_quality", "lineitem_joinsize_cms",
     "geo_knn_join", "geo_range_join", "pipeline_clean_docs",
     "text_bigram_commonality", "text_lang_confusion", "text_pii_redaction",
     "text_repetition", "docs_c4_flags", "docs_ccnet_tiers",
@@ -6411,27 +6355,76 @@ _DRIVER_PRIORITY = [
     "distinct_on_latest_order", "docs_containment", "docs_corpus_diff",
     "docs_fts_match", "docs_hybrid_rrf", "docs_quality_classifier",
     "docs_related_tfidf", "docs_topic_clusters", "er_cross_source_links",
-    "er_exact_editjoin", "events_cdc_diff", "events_cms_user_counts",
-    "events_debounce", "events_ewma", "events_key_skew",
-    "events_merge_upsert", "events_ols_value", "events_outliers_mad",
-    "events_profile_drift", "events_seasonality", "events_time_to_convert",
-    "events_winsorize", "events_wow_growth", "graph_bfs_hops",
-    "grouping_sets_returns", "lateral_top_orders",
-    "multimodal_crossmodal_topk", "nation_revenue_share",
+    "er_exact_editjoin", "rec_fpgrowth_rules", "graph_pagerank",
+    "q3_top_revenue_orders", "q5_nation_revenue",
+    "window_top_orders_per_customer", "recsql_join_topk",
+    "multimodal_resize_plan", "rec_itemcos_topk", "rec_itemcos_scorefilter",
+    "rec_itemcos_model", "rec_itempear_topk", "rec_usercos_topk",
+    "rec_userpear_topk", "rec_svd_topk", "rec_als_topk", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_lsh_verified",
+    "dedup_clusters", "dedup_simhash", "embedding_neardup",
+    "embedding_neardup_fast", "ann_cosine_topk", "ann_ivf_topk",
+    "text_token_stats", "text_quality", "text_lang_id", "text_tfidf_top_terms",
+    "doc_fingerprint", "events_hourly_rollup", "events_sessionize",
+    "rec_join_ilike", "agg_approx_sketches", "ann_ivf_multiprobe",
+    "ann_ivf_trained", "ann_lsh_topk", "ann_sq8_topk", "dedup_clusters_star",
+    "dedup_lsh_verified_xxhash", "doc_winnow_fingerprints",
+    "doc_winnow_overlap_pairs", "docs_chunked", "docs_contamination",
+    "docs_hash_sample", "docs_lang_cap", "embedding_neardup_ivf",
+    "embedding_neardup_ivf2", "events_asof_join", "events_asof_strict",
+    "rec_als_implicit_foldin", "docs_lang_classifier", "text_unigram_tokens",
+    "events_hw_forecast", "embedding_procrustes_check", "events_cusum",
+    "events_dispersion", "graph_kcore", "dedup_minhash_estimate",
+    "events_audience_overlap", "docs_heaps_curve", "docs_zipf_slope",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_late_priority",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_suppliers_waiting",
+    "q22_sales_opportunity", "graph_modularity", "graph_modularity_probe",
+    "rec_als_served", "docs_lang_classifier_probe", "agg_distinct_segments",
+    "setop_customer_activity", "subquery_above_avg_customers",
+    "semijoin_order_lines", "rollup_lineitem", "string_functions",
+    "leftjoin_null_handling", "values_scan_join", "recursive_month_spine",
+    "case_priority_matrix", "rec_peruser_topk", "multimodal_features",
+    "multimodal_frame_plan", "quantile_prices", "q1_pricing_summary",
+    "events_t_closeness", "events_bootstrap_ci", "rec_ranking_rbo",
+    "events_qini_uplift", "audit_fk_integrity", "lineitem_spearman",
+    "graph_assortativity", "events_user_streaks", "graph_clustering",
+    "graph_label_prop", "events_psi_drift", "events_survival",
+    "ann_recall_at_k", "dedup_canonical_pick", "events_changepoint",
+    "events_holt_forecast", "dedup_lsh_recall", "ann_dim_truncation_recall",
+    "events_attribution_decay", "docs_source_overlap", "events_cohort_ltv",
+    "supplier_pareto", "events_welch_ab", "events_chi_square",
+    "events_benford", "events_hll_users", "graph_hits", "graph_sssp",
+    "docs_readability", "docs_keyness", "embedding_outliers_maha",
+    "events_conversion_z", "events_anova", "lineitem_corr_matrix",
+    "events_acf", "events_ks", "events_mannwhitney", "customer_gini",
+    "events_top_paths", "er_trgm_similar", "docs_weighted_sample",
+    "events_kanon_audit", "events_l_diversity", "lineitem_quality_checks",
+    "docs_textrank", "events_cumulative_users", "rec_wilson_topk",
+    "events_hll_error_curve", "rec_eval_ips", "part_price_elasticity",
+    "events_cdc_diff", "events_cms_user_counts", "events_debounce",
+    "events_ewma", "events_key_skew", "events_merge_upsert",
+    "events_ols_value", "events_outliers_mad", "events_profile_drift",
+    "events_seasonality", "events_time_to_convert", "events_winsorize",
+    "events_wow_growth", "graph_bfs_hops", "grouping_sets_returns",
+    "lateral_top_orders", "multimodal_crossmodal_topk", "nation_revenue_share",
     "pivot_lineitem_status", "q18_big_volume_customers", "rec_baseline_topk",
     "rec_eval_beyond", "rec_eval_walkforward", "rec_item_cooccur",
     "rec_mmr_rerank", "rec_similar_items", "unpivot_part_metrics",
     "user_state_scd2", "window_running_revenue", "ann_ivf_indexed",
-    "dedup_incremental", "dedup_incremental_spans", "dedup_jaccard_prefix",
-    "docs_bm25", "docs_dsir_resample", "docs_entropy_filter",
-    "docs_fts_ranked", "docs_importance_dsir", "docs_lcs_spans",
-    "docs_mix_sample", "docs_quality_filter", "docs_self_repeats",
-    "docs_split_assign", "docs_strip_lcs", "docs_strip_spans",
-    "docs_tfidf_string_ids", "er_part_composite", "er_short_string_links",
-    "events_anomaly_residual", "events_asof_bucketed", "events_attribution",
-    "events_histogram", "events_interval_join", "events_interval_overlap",
-    "events_json_props", "events_moving_avg", "events_outliers",
-    "events_profile", "events_resample_6h", "events_seasonal_decompose",
+    "dedup_incremental", "dedup_incremental_spans", "docs_bm25",
+    "docs_dsir_resample", "docs_entropy_filter", "docs_fts_ranked",
+    "docs_importance_dsir", "docs_lcs_spans", "docs_mix_sample",
+    "docs_quality_filter", "docs_self_repeats", "docs_split_assign",
+    "docs_strip_lcs", "docs_strip_spans", "docs_tfidf_string_ids",
+    "er_part_composite", "er_short_string_links", "events_anomaly_residual",
+    "events_asof_bucketed", "events_attribution", "events_histogram",
+    "events_interval_join", "events_interval_overlap", "events_json_props",
+    "events_moving_avg", "events_outliers", "events_profile",
+    "events_resample_6h", "events_seasonal_decompose",
     "events_theilsen_by_type", "events_theilsen_daily",
     "fulljoin_user_activity", "graph_triangles", "lineitem_bloom_semijoin",
     "orders_skew_salted_join", "rec_eval_ndcg", "rec_eval_prec_at_k",
@@ -6443,17 +6436,16 @@ _DRIVER_PRIORITY = [
     "rec_item2vec_similar", "events_ddq_quantiles", "orders_mad_outliers",
     "docs_js_divergence", "audit_fd_check", "events_ivm_rollup",
     "docs_lang_isotonic", "events_forecast_eval", "events_markov",
-    "docs_collocations", "events_rfm", "events_ddq_by_type",
-    "lineitem_joinsize_cms", "events_peaks", "rec_covisitation",
-    "events_did", "events_impute", "events_markov_attribution",
-    "embedding_silhouette", "docs_vocab_coverage", "events_hazard",
-    "events_logrank", "docs_lang_ece", "lineitem_kendall",
+    "docs_collocations", "events_rfm", "events_ddq_by_type", "events_peaks",
+    "rec_covisitation", "events_did", "events_impute",
+    "events_markov_attribution", "embedding_silhouette", "docs_vocab_coverage",
+    "events_hazard", "events_logrank", "docs_lang_ece", "lineitem_kendall",
     "events_lorenz_deciles", "feat_target_encode_loo", "er_jw_rerank",
     "events_sprt", "audit_orders_fingerprint", "shard_rendezvous",
     "events_quantile_normalize", "docs_stratified_sample",
     "events_mg_heavy_hitters", "docs_lang_auc", "docs_lang_calibration",
-    "docs_lang_gains", "geo_dbscan", "er_blocking_quality",
-    "events_hll_by_type", "events_kmv_overlap",
+    "docs_lang_gains", "geo_dbscan", "events_hll_by_type",
+    "events_kmv_overlap",
 ]
 
 
