@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.engine import RecEngine
+from recdb_postgresql_spark.functions.mat import materialize
 from recdb_postgresql_spark.operators import dedup, graph, similarity, text
 from recdb_postgresql_spark.sources.readers import load_table, ratings_from_events
 
@@ -923,8 +924,7 @@ def _doc_shingle_hashes(spark, sf_dir):
     consumer's oracle hash is unchanged (guide §2.4: remove repeated
     work, not the work itself)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.hash_shingles(dedup.word_shingles(docs)) \
-        .localCheckpoint(eager=True)
+    return materialize(dedup.hash_shingles(dedup.word_shingles(docs)))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -3081,8 +3081,12 @@ def q_rec_eval_walkforward(spark, sf_dir):
                   F.expr("ts div 1000000000").alias("sec"))
           .where(F.col("itemid").isNotNull() & F.col("userid").isNotNull()
                  & F.col("r").isNotNull() & F.col("sec").isNotNull()))
-    cut = ev.agg(F.percentile(F.col("sec").cast("double"), F.lit(0.8))
-                 .alias("cutoff"))
+    # one-row cutoff materialized lazily (r12 verdict next #7): the
+    # broadcast percentile subtree otherwise re-runs its full events
+    # scan once per consumer (train AND test legs)
+    cut = (ev.agg(F.percentile(F.col("sec").cast("double"), F.lit(0.8))
+                  .alias("cutoff"))
+           .localCheckpoint(eager=False))
     ev = ev.crossJoin(F.broadcast(cut))
     # same sharing as _eval_split: train/model feed many legs — this
     # entry was the sweep's worst plan (68 parquet scans / 154
@@ -5153,9 +5157,9 @@ def q_events_kmv_overlap(spark, sf_dir):
     # distinct (type, user) table materialized once — it feeds the
     # sizes aggregate AND both sides of the intersection self-join
     # (r12 sweep: 20 scans of events in this one plan)
-    du = ev.select(F.col("event_type").alias("g"),
-                   F.col("user_id").alias("u")).distinct() \
-        .localCheckpoint(eager=True)
+    du = materialize(
+        ev.select(F.col("event_type").alias("g"),
+                  F.col("user_id").alias("u")).distinct())
     sizes = du.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     inter = (du.alias("a").join(du.alias("b"),
                                 (F.col("a.u") == F.col("b.u"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
 from recdb_postgresql_spark.functions.layout import spread_small
+from recdb_postgresql_spark.functions.mat import materialize
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -337,7 +338,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     shuffles (r12 plan audit; values unchanged)."""
     banded = band_signatures(signatures, rows_per_band)
     if checkpoint:
-        banded = banded.localCheckpoint(eager=True)
+        banded = materialize(banded)
     a = banded.select(F.col("id").alias("id1"), "band", "sig")
     b = banded.select(F.col("id").alias("id2"), "band", "sig")
     return (a.join(b, ["band", "sig"])
@@ -471,7 +472,7 @@ def prefix_filtered_pairs(shingled: DataFrame, threshold: float = 0.5,
     approximate one (cheaper still, with MinHash recall loss)."""
     hashed = hash_shingles(shingled, hash_fn)
     if checkpoint:
-        hashed = hashed.localCheckpoint(eager=True)
+        hashed = materialize(hashed)
     freq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # sz rides the SAME per-id exchange as rn (unordered count window
     # over the identical partitioning) — no separate sizes aggregate or
@@ -487,7 +488,7 @@ def prefix_filtered_pairs(shingled: DataFrame, threshold: float = 0.5,
     if checkpoint:
         # both legs of the prefix self-join read this frame; without a
         # checkpoint each leg re-runs the freq join + window sort.
-        pref = pref.localCheckpoint(eager=True)
+        pref = materialize(pref)
     a = pref.select(F.col("id").alias("id1"), "sh",
                     F.col("sz").alias("sz1"), F.col("rn").alias("rn1"))
     b = pref.select(F.col("id").alias("id2"), "sh",
@@ -561,7 +562,7 @@ def lsh_verified_pairs(shingled: DataFrame | None, threshold: float = 0.5,
     if hashed is None:
         hashed = hash_shingles(shingled, hash_fn)
         if checkpoint:
-            hashed = hashed.localCheckpoint(eager=True)
+            hashed = materialize(hashed)
     sig = minhash_from_hashes(hashed, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band)
     return jaccard_pairs(None, threshold, candidates=cands, hashed=hashed)
@@ -875,8 +876,8 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
     # branch (a/b sides of the pair join, resp. ca/cb candidate legs);
     # materialize it once — (id, cell) longs only (r12 plan audit:
     # the whole assign subtree inlined twice)
-    assign = ivf_assign(emb, centroids, id_col, vec_col, n=n_assign) \
-        .localCheckpoint(eager=True)
+    assign = materialize(
+        ivf_assign(emb, centroids, id_col, vec_col, n=n_assign))
     with_norm = (emb.join(assign, id_col)
                  .select(F.col(id_col).alias("id"), "cell",
                          F.transform(F.col(vec_col),
@@ -890,7 +891,7 @@ def embedding_near_duplicates_ivf(emb: DataFrame, centroids: DataFrame,
         # vector frame; materialize it once (vectors + norms — a few
         # MB per million rows per 64 dims) instead of re-running the
         # scan + cast + norm per leg
-        with_norm = with_norm.localCheckpoint(eager=True)
+        with_norm = materialize(with_norm)
     a = with_norm.select(F.col("id").alias("id1"), "cell",
                          F.col("v").alias("v1"), F.col("nrm").alias("n1"))
     b = with_norm.select(F.col("id").alias("id2"), F.col("cell").alias("cell2"),

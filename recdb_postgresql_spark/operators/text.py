@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from recdb_postgresql_spark.functions.hashing import md5_long, seeded_hash
 from recdb_postgresql_spark.functions.layout import spread_small
+from recdb_postgresql_spark.functions.mat import materialize
 
 # BPE-ish word/number/punct tokenizer — identical regex runs in DuckDB.
 TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -216,9 +217,12 @@ def tfidf_top_terms(docs: DataFrame, id_col: str = "doc_id",
                          .alias("term")))
     # materialized once ((doc, term, tf) rows): the document-frequency
     # aggregate and the scoring join otherwise each re-run the regexp
-    # explode over the corpus (r12 plan audit)
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")) \
-        .localCheckpoint(eager=True)
+    # explode over the corpus (r12 plan audit). CORPUS-SCALE frame:
+    # storage policy via materialize() (RECDB_MAT_STORAGE=disk on a
+    # cluster keeps lineage + spills instead of pinning executor
+    # blocks; r12 verdict what's-wrong #1)
+    tf = materialize(
+        words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     scored = (tf.join(dfreq, "term")
@@ -274,8 +278,8 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
                      .alias("term")))
     # same sharing as tfidf_top_terms: the df leg and the scoring join
     # both consume tf — one regexp-explode pass, not two
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")) \
-        .localCheckpoint(eager=True)
+    tf = materialize(
+        words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_df)
@@ -286,9 +290,9 @@ def tfidf_similar_pairs(docs: DataFrame, top_m: int = 10,
                                                   / (F.col("df") + 1.0)), 6)
                       .alias("w")))
     rk = Window.partitionBy("id").orderBy(F.col("w").desc(), F.col("term"))
-    kept = (scored.withColumn("rank", F.row_number().over(rk))
-            .where(F.col("rank") <= top_m).drop("rank")
-            .localCheckpoint(eager=True))  # used 3x below (norms + both
+    kept = materialize(
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= top_m).drop("rank"))  # used 3x below (norms + both
     # join sides) — without this the whole tf/idf/window subtree
     # recomputes per consumer
     n_vocab = kept.select("term").distinct().count()

@@ -366,6 +366,13 @@ def main():
         for mult in [int(x) for x in sys.argv[2:]] or [16, 64]:
             cf_share_probe(spark, "/root/testdata/sf0.1", mult)
         return
+    if sys.argv[1:2] == ["matpolicy"]:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+        spark = get_spark("recdb_stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        mult = int(sys.argv[2]) if sys.argv[2:] else 64
+        matpolicy_probe(spark, "/root/testdata/sf0.1", mult)
+        return
     if sys.argv[1:2] == ["graphdecade"]:
         os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
         spark = get_spark("recdb_stress")
@@ -551,6 +558,46 @@ def graph_iter_decade_probe(spark, mult: int = 64,
                lp_rounds=4, lp_communities=n_comm, lp_seconds=t_lp,
                lp_us_per_edge_round=t_lp / (n_e * 4) * 1e6,
                modularity=float(q), mod_seconds=t_mod)
+
+
+def matpolicy_probe(spark, sf_dir: str, mult: int = 64,
+                    reps: int = 2) -> None:
+    """r12 verdict next #3: the corpus-scale shared frames (the
+    (id,sh) shingle-hash table, the (doc,term,tf) table) now route
+    through materialize(); this measures localCheckpoint vs
+    persist(DISK_ONLY) head-to-head at the x``mult`` decade on one
+    dedup and one tfidf entry shape, interleaved A/B, so the
+    documented default is evidence-based. ('local' stays the
+    single-box default either way — 'disk' exists for cluster
+    fault-tolerance and block-manager pressure, and this row bounds
+    what that insurance costs.)"""
+    from recdb_postgresql_spark.operators import dedup, text
+
+    docs = amplified_docs(spark, sf_dir, mult).localCheckpoint()
+    n_docs = docs.count()
+    out = {p: {"dedup": [], "tfidf": []} for p in ("local", "disk")}
+    prev = os.environ.get("RECDB_MAT_STORAGE")
+    try:
+        for _ in range(reps):
+            for policy in ("local", "disk"):
+                os.environ["RECDB_MAT_STORAGE"] = policy
+                sh = dedup.word_shingles(docs)
+                t0 = time.perf_counter()
+                dedup.lsh_verified_pairs(sh, threshold=0.5).count()
+                out[policy]["dedup"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                text.tfidf_top_terms(docs, top_m=5).count()
+                out[policy]["tfidf"].append(time.perf_counter() - t0)
+    finally:
+        if prev is None:
+            os.environ.pop("RECDB_MAT_STORAGE", None)
+        else:
+            os.environ["RECDB_MAT_STORAGE"] = prev
+    record(f"mat_policy_x{mult}", mult=mult, docs=n_docs,
+           dedup_local_s=min(out["local"]["dedup"]),
+           dedup_disk_s=min(out["disk"]["dedup"]),
+           tfidf_local_s=min(out["local"]["tfidf"]),
+           tfidf_disk_s=min(out["disk"]["tfidf"]))
 
 
 def cpuscale_probe(spark, sf_dir: str, mult: int = 16) -> None:
