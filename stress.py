@@ -586,7 +586,7 @@ def matpolicy_probe(spark, sf_dir: str, mult: int = 64,
                 dedup.lsh_verified_pairs(sh, threshold=0.5).count()
                 out[policy]["dedup"].append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                text.tfidf_top_terms(docs, top_m=5).count()
+                text.tfidf_top_terms(docs, k=5).count()
                 out[policy]["tfidf"].append(time.perf_counter() - t0)
     finally:
         if prev is None:
@@ -617,14 +617,18 @@ def cpuscale_probe(spark, sf_dir: str, mult: int = 16) -> None:
     t0 = time.perf_counter()
     n_pairs = dedup.lsh_verified_pairs(sh, threshold=0.5).count()
     t_dedup = time.perf_counter() - t0
+    # CF leg: capped user-cos — the genuinely compute-bound CF shape
+    # (pair fan-out ~12M value multiplications at x16; item-cos at
+    # this multiplier is a 5 s many-small-stage job whose wall is
+    # scheduling, not CPU, and cannot show core scaling)
     r = amplified_ratings(spark, sf_dir, mult).localCheckpoint()
     n_r = r.count()
     t0 = time.perf_counter()
-    n_model = cf.train_item_cos(r).count()
+    n_model = cf.train_user_cos(r, max_coraters=500).count()
     t_cf = time.perf_counter() - t0
     record(f"cpu_scaling_x{mult}_c{cpus}", mult=mult, cpus=cpus,
            docs=n_docs, dedup_pairs=n_pairs, dedup_s=t_dedup,
-           ratings=n_r, itemcos_pairs=n_model, itemcos_s=t_cf)
+           ratings=n_r, usercos_pairs=n_model, usercos_capped_s=t_cf)
 
 
 def decade_battery(spark, sf_dir: str = "/root/testdata/sf0.1") -> None:
