@@ -3325,19 +3325,37 @@ def q_rec_eval_beyond(spark, sf_dir):
     The accuracy twins (rmse / precision@k / NDCG) say whether recs
     are right; these say whether they are interesting. All inputs are
     aggregates of the already-computed score grid + model — no new
-    corpus-sized work."""
+    corpus-sized work.
+
+    The trained model feeds TWO sequential actions (the recs
+    checkpoint's score grid, then the final pair-similarity pass), so
+    unlike the within-plan CF legs — where duplicated subtrees overlap
+    on idle cores and a barrier loses (engine.recommend's measured
+    policy) — the lazy form built it twice SERIALLY. One materialized
+    build (model is item-pair-sized, not corpus-sized) now serves
+    both; the score grid below replicates recommend()'s on-the-fly
+    itemcoscf path exactly (same normalize_events frame, same
+    train_item_cos(max_coraters=None) values, same users/items
+    derivations, round_to=6), so the oracle rows are unchanged."""
     from pyspark.sql import Window
     from recdb_postgresql_spark.operators import cf as cf_ops
 
-    scores = _rec(spark, sf_dir, "itemcoscf", F.col("userid") < 50)
+    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                "userid", "itemid", "ratingval")
+    model = materialize(cf_ops.train_item_cos(r))
+    users = (r.select(F.col("user").alias("userid")).distinct()
+             .filter(F.col("userid") < 50)
+             .select(F.col("userid").alias("user")))
+    items = r.select("item").distinct()
+    scores = (cf_ops.predict_item_cf(model, r, users, items)
+              .select(F.col("user").alias("userid"),
+                      F.col("item").alias("itemid"),
+                      F.round("score", 6).alias("score")))
     w = Window.partitionBy("userid").orderBy(F.col("score").desc(),
                                              F.col("itemid"))
     recs = (scores.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5).select("userid", "itemid")
             .localCheckpoint())
-    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
-                                "userid", "itemid", "ratingval")
-    model = cf_ops.train_item_cos(r)
     tot = r.agg(
         F.count_distinct("user").cast("double").alias("n_users_all"),
         F.count_distinct("item").cast("double").alias("n_items"))

@@ -1783,11 +1783,18 @@ def textrank_keywords(docs: DataFrame, window: int = 2,
     with a word tiebreak."""
     from recdb_postgresql_spark.operators import graph
 
-    toks = (docs.select(F.col(id_col).alias("d"),
-                        F.posexplode(F.regexp_extract_all(
-                            F.lower(F.col(text_col)),
-                            F.lit("[a-z]+"), 0)).alias("pos", "w"))
-            .where(F.length("w") >= min_len))
+    # token-position table materialized once (corpus-scale — one row
+    # per kept token, storage policy via materialize()): every window
+    # offset consumes it TWICE (the a and b sides of the offset
+    # equi-join), so lazily the regexp_extract_all + posexplode pass
+    # re-ran 2*window times inside the edge-distinct action (r13 plan
+    # audit: 4 document scans at window=2; guide §2.4)
+    toks = materialize(
+        docs.select(F.col(id_col).alias("d"),
+                    F.posexplode(F.regexp_extract_all(
+                        F.lower(F.col(text_col)),
+                        F.lit("[a-z]+"), 0)).alias("pos", "w"))
+        .where(F.length("w") >= min_len))
     parts = []
     for delta in range(1, int(window) + 1):
         a = toks.select("d", "pos", F.col("w").alias("w1"))

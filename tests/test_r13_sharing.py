@@ -78,3 +78,34 @@ def test_cms_build_weight_guard(spark):
     raw = cms_build(spark.createDataFrame(raw_rows, "k long"),
                     "k", depth=3, width=8)
     assert _rows(pre) == _rows(raw)
+
+
+@pytest.fixture()
+def _restore_mat_storage():
+    prev = os.environ.get("RECDB_MAT_STORAGE")
+    yield
+    if prev is None:
+        os.environ.pop("RECDB_MAT_STORAGE", None)
+    else:
+        os.environ["RECDB_MAT_STORAGE"] = prev
+
+
+def test_textrank_toks_share_policy_identical(spark, _restore_mat_storage):
+    """textrank_keywords' materialized token-position table (one pass
+    instead of 2*window duplicated regexp+posexplode legs) is value-
+    neutral under every storage policy, tie-breaks included."""
+    from recdb_postgresql_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha gamma epsilon zeta "
+             "beta delta " + ("theta iota " * (i % 3)))
+         for i in range(12)],
+        "doc_id long, text string")
+    out = {}
+    for policy in ("none", "local", "disk"):
+        os.environ["RECDB_MAT_STORAGE"] = policy
+        out[policy] = [tuple(r) for r in
+                       textrank_keywords(docs, window=2, iterations=4,
+                                         k=10).collect()]
+    assert out["none"] == out["local"] == out["disk"]
+    assert len(out["none"]) > 0
