@@ -2666,7 +2666,14 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     centroids keep the cell layout reproducible; rows-only by nature
     (Lloyd codebooks)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    unit = similarity.unit_normalize(emb).withColumnRenamed("unit", "uv")
+    # normalized vectors materialized once (r13 sweep): 6 consumers
+    # (coarse centroids, PQ training sample, encode, assign, query,
+    # probe), and pq_train's Lloyd iterations are driver-collect jobs
+    # that re-ran the normalize serially before the main action.
+    # Interleaved A/B at sf0.1: 2.63/3.59 lazy -> 2.03/2.13 s
+    # (min/med). RECDB_MAT_STORAGE=none restores the lazy form.
+    unit = materialize(
+        similarity.unit_normalize(emb).withColumnRenamed("unit", "uv"))
     cent = similarity.first_k_centroids(unit, k=16, vec_col="uv")
     books = similarity.pq_train(unit, m=8, k=64, vec_col="uv",
                                 sample=4096, iters=5)
@@ -2927,8 +2934,16 @@ def q_rec_popular_topk(spark, sf_dir):
     window."""
     from recdb_postgresql_spark.operators import cf as cf_ops
 
-    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
-                                "userid", "itemid", "ratingval")
+    # ratings materialized once (r13 sweep): the max-ratings-per-user
+    # candidate bound is a driver collect DURING plan construction, so
+    # the normalize subtree otherwise re-runs SERIALLY (bound job, then
+    # 3 more consumer legs in the main job) — the overlap argument that
+    # keeps the CF predict path lazy (§1 negative result) does not
+    # apply. Interleaved A/B at sf0.1: 1.84/2.09 lazy -> 1.24/1.42 s
+    # (min/med, 1.49x). RECDB_MAT_STORAGE=none restores the lazy form.
+    r = materialize(cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                            "userid", "itemid",
+                                            "ratingval"))
     users = r.select("user").where(F.col("user") < 20).distinct()
     return (cf_ops.popularity_topk(r, users, k=10)
             .select(F.col("user").alias("userid"),
@@ -2946,8 +2961,16 @@ def q_rec_baseline_topk(spark, sf_dir):
     sufficient candidate set (operators/cf.bias_baseline_topk)."""
     from recdb_postgresql_spark.operators import cf as cf_ops
 
-    r = cf_ops.normalize_events(_ratings(spark, sf_dir),
-                                "userid", "itemid", "ratingval")
+    # ratings materialized once (r13 sweep): 9 events scans in the lazy
+    # plan (mu, item-bias re-inlined into user-bias AND the candidate
+    # cut, the anti-join, users) PLUS the candidate-bound driver collect
+    # that serializes the jobs anyway — same rationale as
+    # q_rec_popular_topk above. Interleaved A/B at sf0.1: 2.13/2.33
+    # lazy -> 1.35/1.83 s (min/med). RECDB_MAT_STORAGE=none restores
+    # the lazy form.
+    r = materialize(cf_ops.normalize_events(_ratings(spark, sf_dir),
+                                            "userid", "itemid",
+                                            "ratingval"))
     users = r.select("user").where(F.col("user") < 20).distinct()
     return (cf_ops.bias_baseline_topk(r, users, k=10, damping=5.0)
             .select(F.col("user").alias("userid"),

@@ -109,3 +109,23 @@ def test_textrank_toks_share_policy_identical(spark, _restore_mat_storage):
                                          k=10).collect()]
     assert out["none"] == out["local"] == out["disk"]
     assert len(out["none"]) > 0
+
+
+@pytest.mark.parametrize("entry", ["rec_baseline_topk", "rec_popular_topk",
+                                   "ann_ivfpq_topk"])
+def test_entry_mat_policy_identical(spark, entry, _restore_mat_storage):
+    """The r13-sweep entries whose shared input frame (normalized
+    ratings / unit vectors) is materialized once for their
+    driver-collect-serialized consumer legs return identical rows
+    under every storage policy."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[entry]
+    out = {}
+    for policy in ("none", "local", "disk"):
+        os.environ["RECDB_MAT_STORAGE"] = policy
+        out[policy] = sorted(tuple(r) for r in
+                             fn(spark, "/root/testdata/sf0.001").collect())
+        spark.catalog.clearCache()
+    assert out["none"] == out["local"] == out["disk"]
+    assert len(out["none"]) > 0
