@@ -6379,12 +6379,15 @@ _DRIVER_PRIORITY = [
     # size-carrying verify; er_blocking_quality: NULL-block guard;
     # lineitem_joinsize_cms: cms_build weight guard — all
     # value-identical by construction and pinned in tests, but the
-    # driver should re-hash them), then pure oldest-first fill: the 7
-    # r5-era leftovers the r12 verdict named (next #8), all 20 r6-era
-    # entries, and the first 20 (alphabetical) of the 49 r7-era
-    # entries.  The staleness floor moves to r7; the remaining 29
+    # driver should re-hash them; rec_baseline_topk/rec_popular_topk
+    # joined the re-prove head when the post-final sweep materialized
+    # their shared ratings frame — §9b), then pure oldest-first fill:
+    # the 7 r5-era leftovers the r12 verdict named (next #8), all 20
+    # r6-era entries, and the first 18 (alphabetical) of the 49
+    # r7-era entries.  The staleness floor moves to r7; the remaining
     # r7-era entries lead the r14 fill.
     "dedup_jaccard_prefix", "er_blocking_quality", "lineitem_joinsize_cms",
+    "rec_baseline_topk", "rec_popular_topk",
     "geo_knn_join", "geo_range_join", "pipeline_clean_docs",
     "text_bigram_commonality", "text_lang_confusion", "text_pii_redaction",
     "text_repetition", "docs_c4_flags", "docs_ccnet_tiers",
@@ -6456,7 +6459,7 @@ _DRIVER_PRIORITY = [
     "events_seasonality", "events_time_to_convert", "events_winsorize",
     "events_wow_growth", "graph_bfs_hops", "grouping_sets_returns",
     "lateral_top_orders", "multimodal_crossmodal_topk", "nation_revenue_share",
-    "pivot_lineitem_status", "q18_big_volume_customers", "rec_baseline_topk",
+    "pivot_lineitem_status", "q18_big_volume_customers", 
     "rec_eval_beyond", "rec_eval_walkforward", "rec_item_cooccur",
     "rec_mmr_rerank", "rec_similar_items", "unpivot_part_metrics",
     "user_state_scd2", "window_running_revenue", "ann_ivf_indexed",
@@ -6474,7 +6477,7 @@ _DRIVER_PRIORITY = [
     "fulljoin_user_activity", "graph_triangles", "lineitem_bloom_semijoin",
     "orders_skew_salted_join", "rec_eval_ndcg", "rec_eval_prec_at_k",
     "rec_eval_rmse", "rec_itemcos_halflife", "rec_markov_next",
-    "rec_popular_topk", "semantic_dedup", "text_bpe_tokens",
+    "semantic_dedup", "text_bpe_tokens",
     "text_lm_perplexity", "text_top_ngrams", "docs_pack_sequences",
     "docs_temperature_mix", "ann_ivf_trained_probe", "rec_als_implicit",
     "docs_quality_classifier_probe", "rec_als_foldin_check",
