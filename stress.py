@@ -373,6 +373,13 @@ def main():
         mult = int(sys.argv[2]) if sys.argv[2:] else 64
         matpolicy_probe(spark, "/root/testdata/sf0.1", mult)
         return
+    if sys.argv[1:2] == ["matpolicy2"]:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+        spark = get_spark("recdb_stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        mult = int(sys.argv[2]) if sys.argv[2:] else 64
+        matpolicy2_probe(spark, "/root/testdata/sf0.1", mult)
+        return
     if sys.argv[1:2] == ["graphdecade"]:
         os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
         spark = get_spark("recdb_stress")
@@ -598,6 +605,80 @@ def matpolicy_probe(spark, sf_dir: str, mult: int = 64,
            dedup_disk_s=min(out["disk"]["dedup"]),
            tfidf_local_s=min(out["local"]["tfidf"]),
            tfidf_disk_s=min(out["disk"]["tfidf"]))
+
+
+def matpolicy2_probe(spark, sf_dir: str, mult: int = 64,
+                     reps: int = 2) -> None:
+    """r13 carried item: per-site local-vs-disk A/B for the remaining
+    corpus-scale materialize() sites — the IVF near-dup pair join
+    (assign + normalized-vector frames, operators/dedup.py) and kmv's
+    distinct (type,user) self-join (events_kmv_overlap shape) — at
+    the x``mult`` decade, interleaved. Centroid count scales with
+    ``mult`` (first_k is deterministic: the amplified frame's lowest
+    vec_ids are the distinct base vectors) so cell sizes stay at the
+    sf0.1 level and the probe times the assign-and-store shape, not
+    an artificially quadratic within-cell join that replication would
+    otherwise create (every replica shares its base's cell)."""
+    from recdb_postgresql_spark.operators import dedup, similarity
+
+    emb = amplified_embeddings(spark, sf_dir, mult).localCheckpoint()
+    n_emb = emb.count()
+    cents = similarity.first_k_centroids(emb, k=16 * mult) \
+        .localCheckpoint()
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("event_type", "user_id"))
+    parts = [ev.select("event_type",
+                       (F.col("user_id") + F.lit(i * 1_000_000))
+                       .alias("user_id")) for i in range(mult)]
+    evx = parts[0]
+    for p in parts[1:]:
+        evx = evx.unionByName(p)
+    evx = evx.localCheckpoint()
+    n_ev = evx.count()
+
+    from recdb_postgresql_spark.functions.mat import materialize
+
+    def kmv_exact(policy):
+        du = materialize(evx.select(F.col("event_type").alias("g"),
+                                    F.col("user_id").alias("u"))
+                         .distinct(), storage=policy)
+        sizes = du.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        inter = (du.alias("a").join(du.alias("b"),
+                                    (F.col("a.u") == F.col("b.u"))
+                                    & (F.col("a.g") < F.col("b.g")))
+                 .groupBy(F.col("a.g").alias("grp1"),
+                          F.col("b.g").alias("grp2"))
+                 .agg(F.count(F.lit(1)).alias("i")))
+        return (inter.join(sizes.withColumnRenamed("g", "grp1")
+                           .withColumnRenamed("n", "n1"), "grp1")
+                .join(sizes.withColumnRenamed("g", "grp2")
+                      .withColumnRenamed("n", "n2"), "grp2"))
+
+    out = {p: {"ivf": [], "kmv": []} for p in ("local", "disk")}
+    prev = os.environ.get("RECDB_MAT_STORAGE")
+    try:
+        for _ in range(reps):
+            for policy in ("local", "disk"):
+                os.environ["RECDB_MAT_STORAGE"] = policy
+                t0 = time.perf_counter()
+                dedup.embedding_near_duplicates_ivf(
+                    emb, cents, threshold=0.95).count()
+                out[policy]["ivf"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                kmv_exact(policy).count()
+                out[policy]["kmv"].append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+    finally:
+        if prev is None:
+            os.environ.pop("RECDB_MAT_STORAGE", None)
+        else:
+            os.environ["RECDB_MAT_STORAGE"] = prev
+    record(f"mat_policy2_x{mult}", mult=mult, vectors=n_emb, events=n_ev,
+           ivf_local_s=min(out["local"]["ivf"]),
+           ivf_disk_s=min(out["disk"]["ivf"]),
+           kmv_local_s=min(out["local"]["kmv"]),
+           kmv_disk_s=min(out["disk"]["kmv"]))
 
 
 def cpuscale_probe(spark, sf_dir: str, mult: int = 16) -> None:
