@@ -6387,7 +6387,7 @@ _DRIVER_PRIORITY = [
     # r7-era entries.  The staleness floor moves to r7; the remaining
     # r7-era entries lead the r14 fill.
     "dedup_jaccard_prefix", "er_blocking_quality", "lineitem_joinsize_cms",
-    "rec_baseline_topk", "rec_popular_topk",
+    "rec_baseline_topk", "rec_popular_topk", "rec_item_cooccur",
     "geo_knn_join", "geo_range_join", "pipeline_clean_docs",
     "text_bigram_commonality", "text_lang_confusion", "text_pii_redaction",
     "text_repetition", "docs_c4_flags", "docs_ccnet_tiers",
@@ -6460,7 +6460,7 @@ _DRIVER_PRIORITY = [
     "events_wow_growth", "graph_bfs_hops", "grouping_sets_returns",
     "lateral_top_orders", "multimodal_crossmodal_topk", "nation_revenue_share",
     "pivot_lineitem_status", "q18_big_volume_customers", 
-    "rec_eval_beyond", "rec_eval_walkforward", "rec_item_cooccur",
+    "rec_eval_beyond", "rec_eval_walkforward", 
     "rec_mmr_rerank", "rec_similar_items", "unpivot_part_metrics",
     "user_state_scd2", "window_running_revenue", "ann_ivf_indexed",
     "dedup_incremental", "dedup_incremental_spans", "docs_bm25",

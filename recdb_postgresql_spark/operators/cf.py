@@ -374,9 +374,17 @@ def item_cooccurrence(ratings: DataFrame, min_support: int = 2,
     quadratic in items-per-user, so ``max_coraters`` (the same
     md5-rank cap) bounds hot-user fan-out; the n_users total reduces
     to a one-row broadcast, never a window or a collected scalar."""
+    from recdb_postgresql_spark.functions.mat import materialize
+
     if max_coraters:
         ratings = cap_coraters(ratings, "item", "user", max_coraters)
-    baskets = ratings.select("user", "item").distinct()
+    # the distinct basket table feeds 5 legs (totals broadcast, the
+    # two per-item count attaches, both pair-join sides); materialize
+    # it once so the corpus distinct — a full shuffle at scale — runs
+    # once, not per leg (r13 sweep; interleaved A/B at sf0.1: med
+    # 1.54 -> 1.37 s, and the win is scale-bound like every shared
+    # frame here. RECDB_MAT_STORAGE=none restores the lazy plan).
+    baskets = materialize(ratings.select("user", "item").distinct())
     totals = baskets.agg(
         F.count_distinct(F.col("user")).cast("double").alias("n_users"))
     counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n"))

@@ -112,7 +112,7 @@ def test_textrank_toks_share_policy_identical(spark, _restore_mat_storage):
 
 
 @pytest.mark.parametrize("entry", ["rec_baseline_topk", "rec_popular_topk",
-                                   "ann_ivfpq_topk"])
+                                   "ann_ivfpq_topk", "rec_item_cooccur"])
 def test_entry_mat_policy_identical(spark, entry, _restore_mat_storage):
     """The r13-sweep entries whose shared input frame (normalized
     ratings / unit vectors) is materialized once for their
